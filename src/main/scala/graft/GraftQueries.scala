@@ -1,0 +1,666 @@
+package graft
+
+import graft.agg.AggOps
+import graft.ann.Ann
+import graft.chunk.ChunkOps
+import graft.core.SeriesOps
+import graft.dedup.Dedup
+import graft.events.EventOps
+import graft.merge.MergeOps
+import graft.multimodal.Multimodal
+import graft.regularize.Regularize
+import graft.rollup.Rollup
+import graft.text.TextOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The driver-facing query battery: one entry per implemented operator
+  * (SURVEY.md §2 inventory + training-data ops), each with a DuckDB oracle
+  * over the same parquet tables.
+  *
+  * Conventions for oracle parity:
+  *  - time = epoch µs (exact longs); durations exact; only final
+  *    means/ratios are doubles, rounded to 6 digits on BOTH sides.
+  *  - all cross-engine hashing is md5-based (identical in Spark & DuckDB).
+  *  - column names/aliases match the SQL exactly (driver hashes by name).
+  */
+object GraftQueries {
+
+  final val HOUR = 3600000000L
+  final val DAY = 86400000000L
+  final val WEEK = 7 * DAY
+  final val WEEK_SHIFT = 4 * DAY // epoch day 0 is a Thursday; Monday alignment
+
+  // ---------- loaders ----------
+
+  /** events -> series points (key = event_type, t = µs, v = value), with
+    * SortedDict overwrite semantics for duplicate (key, t): keep max(v)
+    * (deterministic in any engine). */
+  def points(spark: SparkSession, dir: String): DataFrame =
+    spark.read
+      .parquet(s"$dir/events.parquet")
+      .groupBy(col("event_type").as("key"), tsUs.as("t"))
+      .agg(max("value").as("v"))
+
+  def docs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+
+  def embeddings(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/embeddings.parquet")
+
+  def bounds(pts: DataFrame): (Long, Long) = {
+    val r = pts.agg(min("t"), max("t")).head()
+    (r.getLong(0), r.getLong(1))
+  }
+
+  private val nullD = lit(null).cast("double")
+
+  /** epoch µs of the events timestamp; the driver parquet carries
+    * TIMESTAMP_NTZ, interpreted as UTC (session TZ) — identical to
+    * DuckDB's epoch_us over the same file. */
+  private def tsUs = unix_micros(col("ts").cast("timestamp"))
+
+  /** The shared oracle CTE: points, global bounds, and reference-style
+    * segments over [tmin, tmax) (the last point opens no segment; each
+    * key's pre-first stretch is a null-valued segment). */
+  private def sqlPrefix(gPre: Long = 0L, gPost: Long = 0L): String =
+    s"""WITH pts AS (
+       |  SELECT event_type AS key, epoch_us(ts) AS t, max(value) AS v
+       |  FROM events GROUP BY 1, 2),
+       |b AS (SELECT min(t) AS tmin, max(t) AS tmax FROM pts),
+       |segs AS (
+       |  SELECT key, t AS t0,
+       |         coalesce(lead(t) OVER (PARTITION BY key ORDER BY t),
+       |                  (SELECT tmax + $gPost FROM b)) AS t1,
+       |         v, t AS ot,
+       |         lead(t) OVER (PARTITION BY key ORDER BY t) IS NULL AS lst
+       |  FROM pts
+       |  UNION ALL
+       |  SELECT key, (SELECT tmin - $gPre FROM b), min(t), NULL, NULL, FALSE
+       |  FROM pts GROUP BY key
+       |)""".stripMargin
+
+  // ---------- time-series core queries ----------
+
+  def qSegments(spark: SparkSession, dir: String): DataFrame =
+    SeriesOps.segments(points(spark, dir)).select("key", "t0", "t1", "v")
+
+  val sqlSegments: String =
+    """WITH pts AS (
+      |  SELECT event_type AS key, epoch_us(ts) AS t, max(value) AS v
+      |  FROM events GROUP BY 1, 2)
+      |SELECT key, t AS t0, lead(t) OVER (PARTITION BY key ORDER BY t) AS t1, v
+      |FROM pts QUALIFY t1 IS NOT NULL""".stripMargin
+
+  def qCompact(spark: SparkSession, dir: String): DataFrame =
+    SeriesOps.compact(
+      points(spark, dir).withColumn("v", floor(col("v") / 50).cast("double")))
+
+  val sqlCompact: String =
+    """WITH pts AS (
+      |  SELECT event_type AS key, epoch_us(ts) AS t,
+      |         CAST(floor(max(value) / 50) AS DOUBLE) AS v
+      |  FROM events GROUP BY 1, 2),
+      |l AS (SELECT key, t, v,
+      |        lag(v) OVER (PARTITION BY key ORDER BY t) AS pv,
+      |        row_number() OVER (PARTITION BY key ORDER BY t) AS rn
+      |      FROM pts)
+      |SELECT key, t, v FROM l WHERE rn = 1 OR pv IS DISTINCT FROM v""".stripMargin
+
+  def qSamplePrev(spark: SparkSession, dir: String): DataFrame = {
+    val pts = points(spark, dir)
+    val (tmin, tmax) = bounds(pts)
+    val s = spark; import s.implicits._
+    val grid = Regularize.gridDf(pts, Regularize.gridLongs(tmin, tmax, HOUR).toDF("t"))
+    Regularize.samplePrevious(pts, grid, nullD)
+  }
+
+  val sqlSamplePrev: String =
+    sqlPrefix() +
+      s""", grid AS (
+         |  SELECT key, gt FROM (SELECT DISTINCT key FROM pts),
+         |    unnest(generate_series((SELECT tmin FROM b), (SELECT tmax FROM b), $HOUR)) g(gt))
+         |SELECT g.key AS key, g.gt AS t, p.v AS v
+         |FROM grid g ASOF LEFT JOIN pts p ON g.key = p.key AND g.gt >= p.t""".stripMargin
+
+  def qSampleLinear(spark: SparkSession, dir: String): DataFrame = {
+    val pts = points(spark, dir)
+    val (tmin, tmax) = bounds(pts)
+    val s = spark; import s.implicits._
+    val grid = Regularize.gridDf(pts, Regularize.gridLongs(tmin, tmax, HOUR).toDF("t"))
+    Regularize.sampleLinear(pts, grid, nullD).withColumn("v", round(col("v"), 6))
+  }
+
+  val sqlSampleLinear: String =
+    sqlPrefix() +
+      s""", grid AS (
+         |  SELECT key, gt FROM (SELECT DISTINCT key FROM pts),
+         |    unnest(generate_series((SELECT tmin FROM b), (SELECT tmax FROM b), $HOUR)) g(gt))
+         |SELECT g.key AS key, g.gt AS t,
+         |  round(CASE WHEN p.t IS NULL THEN NULL
+         |             WHEN n.t IS NULL THEN p.v
+         |             ELSE p.v + (g.gt - p.t) / (n.t - p.t) * (n.v - p.v) END, 6) AS v
+         |FROM grid g
+         |ASOF LEFT JOIN pts p ON g.key = p.key AND g.gt >= p.t
+         |ASOF LEFT JOIN pts n ON g.key = n.key AND g.gt < n.t""".stripMargin
+
+  /** duration-weighted histogram of coarse states, exact µs weights. */
+  def qDistribution(spark: SparkSession, dir: String): DataFrame = {
+    val pts = points(spark, dir)
+    val (tmin, tmax) = bounds(pts)
+    val segs = SeriesOps.segmentsInRange(pts, lit(tmin), lit(tmax), nullD)
+    AggOps
+      .distribution(segs.withColumn("v", floor(col("v") / 50).cast("double")), normalized = false)
+      .select(col("key"), col("v").as("state"), col("weight").cast("long").as("weight_us"))
+  }
+
+  val sqlDistribution: String =
+    sqlPrefix() +
+      """ SELECT key, CAST(floor(v / 50) AS DOUBLE) AS state,
+        |   CAST(sum(t1 - t0) AS BIGINT) AS weight_us
+        | FROM segs WHERE t1 > t0 GROUP BY 1, 2""".stripMargin
+
+  def qDistributionMasked(spark: SparkSession, dir: String): DataFrame = {
+    val pts = points(spark, dir)
+    val (tmin, tmax) = bounds(pts)
+    val s = spark; import s.implicits._
+    val jan3 = 1704240000000000L // 2024-01-03
+    val mask = Seq((jan3, jan3 + DAY), (jan3 + 2 * DAY, jan3 + 3 * DAY)).toDF("m0", "m1")
+    val segs = SeriesOps.intersectMask(
+      SeriesOps.segmentsInRange(pts, lit(tmin), lit(tmax), nullD), mask)
+    AggOps
+      .distribution(segs.withColumn("v", floor(col("v") / 50).cast("double")), normalized = false)
+      .select(col("key"), col("v").as("state"), col("weight").cast("long").as("weight_us"))
+  }
+
+  val sqlDistributionMasked: String =
+    sqlPrefix() +
+      """, mask AS (SELECT * FROM (VALUES
+        |   (1704240000000000, 1704326400000000),
+        |   (1704412800000000, 1704499200000000)) m(m0, m1))
+        |SELECT key, CAST(floor(v / 50) AS DOUBLE) AS state,
+        |  CAST(sum(least(t1, m1) - greatest(t0, m0)) AS BIGINT) AS weight_us
+        |FROM segs JOIN mask ON t0 < m1 AND t1 > m0
+        |WHERE t1 > t0 GROUP BY 1, 2""".stripMargin
+
+  def qTwaMean(spark: SparkSession, dir: String): DataFrame = {
+    val pts = points(spark, dir)
+    val (tmin, tmax) = bounds(pts)
+    val segs = SeriesOps.segmentsInRange(pts, lit(tmin), lit(tmax), nullD)
+    AggOps.timeWeightedMean(segs).withColumn("mean", round(col("mean"), 6))
+  }
+
+  val sqlTwaMean: String =
+    sqlPrefix() +
+      """ SELECT key, round(sum(v * (t1 - t0)) / sum(CASE WHEN v IS NOT NULL THEN t1 - t0 END), 6) AS mean
+        | FROM segs WHERE t1 > t0 GROUP BY 1""".stripMargin
+
+  def qNPoints(spark: SparkSession, dir: String): DataFrame = {
+    val pts = points(spark, dir)
+    val (tmin, tmax) = bounds(pts)
+    SeriesOps.nPoints(pts, lit(tmin), lit(tmax), includeStart = false, includeEnd = true)
+  }
+
+  val sqlNPoints: String =
+    sqlPrefix() +
+      """ SELECT key, count(*) AS n_points FROM pts
+        | WHERE t > (SELECT tmin FROM b) AND t <= (SELECT tmax FROM b) GROUP BY 1""".stripMargin
+
+  def qMovingAverage(spark: SparkSession, dir: String): DataFrame = {
+    val pts = points(spark, dir)
+    val (tmin, tmax) = bounds(pts)
+    Regularize
+      .movingAverage(pts, Regularize.gridLongs(tmin, tmax, HOUR), 6 * HOUR, "center", nullD)
+      .withColumn("mean", round(col("mean"), 6))
+  }
+
+  val sqlMovingAverage: String = {
+    val w = 3 * HOUR
+    sqlPrefix(gPre = w, gPost = w) +
+      s""", grid AS (
+         |  SELECT key, gt, gt - $w AS ws, gt + $w AS we
+         |  FROM (SELECT DISTINCT key FROM pts),
+         |    unnest(generate_series((SELECT tmin FROM b), (SELECT tmax FROM b), $HOUR)) g(gt))
+         |SELECT g.key AS key, g.gt AS t,
+         |  round(sum(s.v * (least(s.t1, g.we) - greatest(s.t0, g.ws)))
+         |        / sum(least(s.t1, g.we) - greatest(s.t0, g.ws)), 6) AS mean
+         |FROM grid g LEFT JOIN segs s
+         |  ON s.key = g.key AND s.v IS NOT NULL AND s.t0 < g.we AND s.t1 > g.ws AND s.t1 > s.t0
+         |GROUP BY 1, 2""".stripMargin
+  }
+
+  // ---------- rollup tiers (hourly from raw; daily FROM hourly; weekly FROM daily) ----------
+
+  private def dayBounds(pts: DataFrame): (Long, Long) = {
+    val (tmin, tmax) = bounds(pts)
+    (Math.floorDiv(tmin, DAY) * DAY, (Math.floorDiv(tmax, DAY) + 1) * DAY)
+  }
+
+  def qRollupHourly(spark: SparkSession, dir: String): DataFrame = {
+    val pts = points(spark, dir)
+    val (h0, h1) = dayBounds(pts)
+    Rollup
+      .tierStats(pts, h0, h1, HOUR)
+      .withColumn("twa_mean", round(col("twa_mean"), 6))
+      .select("key", "bin_start", "covered_us", "twa_mean", "min", "max", "n_points")
+  }
+
+  private def sqlTierStats(stepExpr: String): String =
+    sqlPrefix() +
+      s""", bb AS (SELECT (tmin // $DAY) * $DAY AS h0, ((tmax // $DAY) + 1) * $DAY AS h1 FROM b),
+         |clipped AS (
+         |  SELECT key,
+         |         CASE WHEN ot IS NULL THEN (SELECT h0 FROM bb) ELSE t0 END AS t0,
+         |         CASE WHEN lst THEN (SELECT h1 FROM bb) ELSE t1 END AS t1,
+         |         v, ot
+         |  FROM segs),
+         |cells AS (
+         |  SELECT key, v, ot,
+         |         greatest(t0, $stepExpr * cell) AS t0,
+         |         least(t1, $stepExpr * (cell + 1)) AS t1,
+         |         $stepExpr * cell AS bin_start
+         |  FROM clipped, unnest(generate_series(t0 // $stepExpr, t1 // $stepExpr)) c(cell)
+         |  WHERE t1 > t0)
+         |SELECT key, bin_start,
+         |  CAST(sum(CASE WHEN v IS NOT NULL THEN t1 - t0 END) AS BIGINT) AS covered_us,
+         |  round(sum(v * (t1 - t0)) / sum(CASE WHEN v IS NOT NULL THEN t1 - t0 END), 6) AS twa_mean,
+         |  min(v) AS min, max(v) AS max,
+         |  count(CASE WHEN ot = t0 THEN 1 END) AS n_points
+         |FROM cells WHERE t1 > t0
+         |GROUP BY 1, 2""".stripMargin
+
+  val sqlRollupHourly: String = sqlTierStats(HOUR.toString)
+
+  /** histogram tiers: hourly built from raw, daily REBINNED from hourly,
+    * weekly REBINNED from daily — exact long weights, so matching a
+    * direct-daily/weekly oracle proves the cascade lossless. */
+  private def hourlyHist(spark: SparkSession, dir: String): DataFrame = {
+    val pts = points(spark, dir).withColumn("v", floor(col("v") / 50).cast("double"))
+    val (h0, h1) = dayBounds(pts)
+    val segs = SeriesOps.segmentsInRange(pts, lit(h0), lit(h1), nullD)
+    Regularize
+      .splitAtCells(segs, lit(0L), lit(HOUR))
+      .groupBy(col("key"), col("cell_start").as("bin_start"), col("v").as("state"))
+      .agg(sum(col("t1") - col("t0")).as("weight_us"))
+  }
+
+  def qRollupDaily(spark: SparkSession, dir: String): DataFrame =
+    hourlyHist(spark, dir)
+      .groupBy(col("key"), (floor(col("bin_start") / DAY) * DAY).cast("long").as("bin_start"), col("state"))
+      .agg(sum("weight_us").cast("long").as("weight_us"))
+
+  def qRollupWeekly(spark: SparkSession, dir: String): DataFrame =
+    qRollupDaily(spark, dir)
+      .groupBy(col("key"), Rollup.floorWeek(col("bin_start")).as("bin_start"), col("state"))
+      .agg(sum("weight_us").cast("long").as("weight_us"))
+
+  private def sqlHist(binExpr: String): String =
+    sqlPrefix() +
+      s""", bb AS (SELECT (tmin // $DAY) * $DAY AS h0, ((tmax // $DAY) + 1) * $DAY AS h1 FROM b),
+         |clipped AS (
+         |  SELECT key,
+         |         CASE WHEN ot IS NULL THEN (SELECT h0 FROM bb) ELSE t0 END AS t0,
+         |         CASE WHEN lst THEN (SELECT h1 FROM bb) ELSE t1 END AS t1,
+         |         CAST(floor(v / 50) AS DOUBLE) AS state
+         |  FROM segs)
+         |SELECT key, $binExpr AS bin_start, state,
+         |  CAST(sum(least(t1, ($binExpr) + __STEP__) - greatest(t0, $binExpr)) AS BIGINT) AS weight_us
+         |FROM (
+         |  SELECT key, state, t0, t1, cell
+         |  FROM clipped, unnest(generate_series((t0 - __SHIFT__) // __STEP__, (t1 - __SHIFT__) // __STEP__)) c(cell)
+         |  WHERE t1 > t0)
+         |WHERE least(t1, ($binExpr) + __STEP__) > greatest(t0, $binExpr)
+         |GROUP BY 1, 2, 3""".stripMargin
+
+  val sqlRollupDaily: String =
+    sqlHist(s"cell * $DAY").replace("__STEP__", DAY.toString).replace("__SHIFT__", "0")
+
+  val sqlRollupWeekly: String =
+    sqlHist(s"cell * $WEEK + $WEEK_SHIFT")
+      .replace("__STEP__", WEEK.toString)
+      .replace("__SHIFT__", WEEK_SHIFT.toString)
+
+  // ---------- compression codec (round-trip == compacted input) ----------
+
+  def qCodecRoundtrip(spark: SparkSession, dir: String): DataFrame =
+    ChunkOps.readChunks(
+      ChunkOps.writeChunks(SeriesOps.compact(points(spark, dir)), DAY))
+
+  val sqlCodecRoundtrip: String =
+    """WITH pts AS (
+      |  SELECT event_type AS key, epoch_us(ts) AS t, max(value) AS v
+      |  FROM events GROUP BY 1, 2),
+      |l AS (SELECT key, t, v,
+      |        lag(v) OVER (PARTITION BY key ORDER BY t) AS pv,
+      |        row_number() OVER (PARTITION BY key ORDER BY t) AS rn
+      |      FROM pts)
+      |SELECT key, t, v FROM l WHERE rn = 1 OR pv IS DISTINCT FROM v""".stripMargin
+
+  // ---------- merge / multi-series ----------
+
+  def qMergeSum(spark: SparkSession, dir: String): DataFrame = {
+    val df = spark.read
+      .parquet(s"$dir/events.parquet")
+      .groupBy(col("event_type").as("sid"), tsUs.as("t"))
+      .agg(max("value").as("v"))
+      .withColumn("key", lit("all"))
+    MergeOps.mergeSum(df, strict = false).withColumn("v", round(col("v"), 6))
+  }
+
+  val sqlMergeSum: String =
+    """WITH pts AS (
+      |  SELECT event_type AS sid, epoch_us(ts) AS t, max(value) AS v
+      |  FROM events GROUP BY 1, 2),
+      |d AS (SELECT sid, t,
+      |        coalesce(v, 0) - coalesce(lag(v) OVER (PARTITION BY sid ORDER BY t), 0) AS delta
+      |      FROM pts),
+      |r AS (SELECT t, sid,
+      |        sum(delta) OVER (ORDER BY t, sid ROWS UNBOUNDED PRECEDING) AS s,
+      |        row_number() OVER (PARTITION BY t ORDER BY sid DESC) AS rn
+      |      FROM d),
+      |m AS (SELECT t, s AS v FROM r WHERE rn = 1),
+      |c AS (SELECT t, v, lag(v) OVER (ORDER BY t) AS pv,
+      |        row_number() OVER (ORDER BY t) AS rn2 FROM m)
+      |SELECT 'all' AS key, t, round(v, 6) AS v FROM c
+      |WHERE rn2 = 1 OR pv IS DISTINCT FROM v""".stripMargin
+
+  def qCountActive(spark: SparkSession, dir: String): DataFrame = {
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val open = ev.filter(col("value") >= 100).select(lit("all").as("key"), tsUs.as("t"))
+    val closed = ev.filter(col("value") < 100).select(lit("all").as("key"), tsUs.as("t"))
+    EventOps.countActive(open, closed).withColumn("v", col("v").cast("long"))
+  }
+
+  val sqlCountActive: String =
+    """WITH d AS (
+      |  SELECT epoch_us(ts) AS t, sum(CASE WHEN value >= 100 THEN 1 ELSE -1 END) AS delta
+      |  FROM events GROUP BY 1)
+      |SELECT 'all' AS key, t,
+      |  CAST(sum(delta) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS BIGINT) AS v
+      |FROM d""".stripMargin
+
+  def qCumsum(spark: SparkSession, dir: String): DataFrame =
+    EventOps
+      .cumulativeSum(spark.read.parquet(s"$dir/events.parquet")
+        .select(col("event_type").as("key"), tsUs.as("t")))
+      .withColumn("v", col("v").cast("long"))
+
+  val sqlCumsum: String =
+    """WITH e AS (SELECT event_type AS key, epoch_us(ts) AS t, count(*) AS n
+      |           FROM events GROUP BY 1, 2)
+      |SELECT key, t, CAST(sum(n) OVER (PARTITION BY key ORDER BY t ROWS UNBOUNDED PRECEDING) AS BIGINT) AS v
+      |FROM e""".stripMargin
+
+  def qInterevent(spark: SparkSession, dir: String): DataFrame =
+    EventOps.interEventTimes(spark.read.parquet(s"$dir/events.parquet")
+      .select(col("event_type").as("key"), tsUs.as("t")))
+
+  val sqlInterevent: String =
+    """WITH e AS (SELECT event_type AS key, epoch_us(ts) AS t FROM events)
+      |SELECT key, t, gap FROM (
+      |  SELECT key, t, t - lag(t) OVER (PARTITION BY key ORDER BY t) AS gap FROM e)
+      |WHERE gap IS NOT NULL""".stripMargin
+
+  def qEventsBetween(spark: SparkSession, dir: String): DataFrame = {
+    val jan2 = 1704153600000000L
+    EventOps.eventsBetween(
+      spark.read.parquet(s"$dir/events.parquet")
+        .select(col("event_type").as("key"), tsUs.as("t")),
+      lit(jan2), lit(jan2 + 7 * DAY))
+  }
+
+  val sqlEventsBetween: String =
+    """SELECT event_type AS key, count(*) AS n_events FROM events
+      |WHERE epoch_us(ts) >= 1704153600000000 AND epoch_us(ts) <= 1704758400000000
+      |GROUP BY 1""".stripMargin
+
+  /** aligned difference of two event-type series (traces `difference`). */
+  def qDifference(spark: SparkSession, dir: String): DataFrame = {
+    val pts = points(spark, dir)
+    val a = pts.filter(col("key") === "click").withColumn("key", lit("pair"))
+    val b = pts.filter(col("key") === "view").withColumn("key", lit("pair"))
+    MergeOps.difference(a, b, lit(0.0), lit(0.0)).withColumn("v", round(col("v"), 6))
+  }
+
+  val sqlDifference: String =
+    """WITH pts AS (
+      |  SELECT event_type AS key, epoch_us(ts) AS t, max(value) AS v
+      |  FROM events WHERE event_type IN ('click', 'view') GROUP BY 1, 2),
+      |u AS (
+      |  SELECT t, CASE WHEN key = 'click' THEN v END AS va,
+      |         CASE WHEN key = 'view' THEN v END AS vb,
+      |         CASE WHEN key = 'click' THEN 0 ELSE 1 END AS side
+      |  FROM pts),
+      |f AS (SELECT t, side,
+      |        last_value(va IGNORE NULLS) OVER (ORDER BY t, side ROWS UNBOUNDED PRECEDING) AS la,
+      |        last_value(vb IGNORE NULLS) OVER (ORDER BY t, side ROWS UNBOUNDED PRECEDING) AS lb,
+      |        row_number() OVER (PARTITION BY t ORDER BY side DESC) AS rn
+      |      FROM u)
+      |SELECT 'pair' AS key, t, round(coalesce(la, 0) - coalesce(lb, 0), 6) AS v
+      |FROM f WHERE rn = 1""".stripMargin
+
+  // ---------- text / dedup / similarity ----------
+
+  def qDedupExact(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exact(docs(spark, dir))
+
+  val sqlDedupExact: String =
+    """SELECT md5(text) AS digest, min(doc_id) AS survivor_id, count(*) AS group_size
+      |FROM documents GROUP BY 1""".stripMargin
+
+  def qTokenCounts(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(
+      col("doc_id"),
+      size(regexp_extract_all(col("text"), lit("\\S+"), lit(0))).as("ws_tokens"),
+      TextOps.bpeishTokenCount(col("text")).as("bpeish_tokens"))
+
+  val sqlTokenCounts: String =
+    """SELECT doc_id,
+      |  len(regexp_extract_all(text, '\S+')) AS ws_tokens,
+      |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS bpeish_tokens
+      |FROM documents""".stripMargin
+
+  def qQuality(spark: SparkSession, dir: String): DataFrame =
+    TextOps
+      .qualityFeatures(docs(spark, dir))
+      .select(
+        col("doc_id"), col("n_tokens"),
+        round(col("stop_ratio"), 6).as("stop_ratio"),
+        round(col("punct_ratio"), 6).as("punct_ratio"),
+        round(col("alpha_ratio"), 6).as("alpha_ratio"),
+        col("quality"))
+
+  val sqlQuality: String = {
+    val stops = TextOps.stopWords.map(w => s"'$w'").mkString(", ")
+    s"""WITH f AS (
+       |  SELECT doc_id,
+       |    len(regexp_extract_all(text, '\\S+')) AS n_tokens,
+       |    len(list_filter(list_transform(regexp_extract_all(text, '\\S+'), x -> lower(x)),
+       |        x -> list_contains([$stops], x))) AS n_stop,
+       |    len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct,
+       |    len(regexp_extract_all(text, '[A-Za-z]')) AS n_alpha,
+       |    length(text) AS n_chars
+       |  FROM documents),
+       |r AS (
+       |  SELECT doc_id, n_tokens,
+       |    CASE WHEN n_tokens > 0 THEN n_stop * 1.0 / n_tokens ELSE 0.0 END AS stop_r,
+       |    CASE WHEN n_chars > 0 THEN n_punct * 1.0 / n_chars ELSE 0.0 END AS punct_r,
+       |    CASE WHEN n_chars > 0 THEN n_alpha * 1.0 / n_chars ELSE 0.0 END AS alpha_r
+       |  FROM f)
+       |SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+       |  round(stop_r, 6) AS stop_ratio, round(punct_r, 6) AS punct_ratio,
+       |  round(alpha_r, 6) AS alpha_ratio,
+       |  round(least(1.0, greatest(0.0,
+       |    0.3 * least(n_tokens / 100.0, 1.0) + 0.3 * alpha_r
+       |    + 0.2 * least(stop_r * 5.0, 1.0)
+       |    + 0.2 * (1.0 - least(punct_r * 10.0, 1.0)))), 6) AS quality
+       |FROM r""".stripMargin
+  }
+
+  def qLangId(spark: SparkSession, dir: String): DataFrame =
+    TextOps.langId(docs(spark, dir))
+      .select(col("doc_id"), col("pred_lang"), col("lang_score").cast("long").as("lang_score"))
+
+  val sqlLangId: String = {
+    val cases = TextOps.langMarkers.map { case (code, words) =>
+      val lst = words.map(w => s"'$w'").mkString(", ")
+      s"WHEN '$code' THEN len(list_filter(tk, x -> list_contains([$lst], x)))"
+    }.mkString("\n        ")
+    val codes = TextOps.langMarkers.map { case (c, _) => s"('$c')" }.mkString(", ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_transform(regexp_extract_all(text, '\\S+'), x -> lower(x)) AS tk
+       |  FROM documents),
+       |sc AS (
+       |  SELECT doc_id, code,
+       |    CASE code
+       |        $cases
+       |        END AS score
+       |  FROM toks, (VALUES $codes) l(code))
+       |SELECT doc_id, code AS pred_lang, CAST(score AS BIGINT) AS lang_score
+       |FROM sc
+       |QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, code ASC) = 1""".stripMargin
+  }
+
+  def qFingerprint(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+
+  val sqlFingerprint: String =
+    """WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS tk FROM documents),
+      |x AS (
+      |  SELECT doc_id, bit_xor(('0x' || substr(md5(tk[i]), 1, 8))::BIGINT * i) AS fp
+      |  FROM toks, unnest(generate_series(1, len(tk))) s(i)
+      |  GROUP BY doc_id)
+      |SELECT d.doc_id, CAST(coalesce(x.fp, 0) AS BIGINT) AS fp
+      |FROM documents d LEFT JOIN x USING (doc_id)""".stripMargin
+
+  def qMinhashPairs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashCandidates(docs(spark, dir))
+
+  private val sqlBandsCte: String =
+    """WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS tk FROM documents),
+      |sh AS (
+      |  SELECT doc_id,
+      |    list_distinct([array_to_string(tk[i : i + 2], ' ')
+      |                   for i in generate_series(1, greatest(len(tk) - 2, 1))]) AS sh
+      |  FROM toks),
+      |mh AS (
+      |  SELECT doc_id, j, min(md5(j::VARCHAR || ':' || s)) AS h
+      |  FROM sh, unnest(sh) t(s), unnest(generate_series(0, 15)) jj(j)
+      |  GROUP BY 1, 2),
+      |bands AS (
+      |  SELECT doc_id, j // 4 AS band, md5(string_agg(h, '|' ORDER BY j)) AS band_hash
+      |  FROM mh GROUP BY 1, 2)""".stripMargin
+
+  val sqlMinhashPairs: String =
+    sqlBandsCte +
+      """
+        |SELECT x.doc_id AS a, y.doc_id AS b
+        |FROM bands x JOIN bands y
+        |  ON x.band = y.band AND x.band_hash = y.band_hash AND x.doc_id < y.doc_id
+        |GROUP BY 1, 2""".stripMargin
+
+  def qSimhash(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(col("doc_id"), Dedup.simhash(col("text")).as("simhash"))
+
+  val sqlSimhash: String =
+    """WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS tk FROM documents),
+      |h AS (
+      |  SELECT doc_id, ('0x' || substr(md5(t.s), 1, 8))::BIGINT AS hv
+      |  FROM toks, unnest(tk) t(s)),
+      |votes AS (
+      |  SELECT doc_id, k, sum(CASE WHEN (hv >> k) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+      |  FROM h, unnest(generate_series(0, 31)) kk(k)
+      |  GROUP BY 1, 2),
+      |s AS (
+      |  SELECT doc_id,
+      |    sum(CASE WHEN vote > 0 THEN (1::BIGINT << k) ELSE 0 END) AS simhash
+      |  FROM votes GROUP BY 1)
+      |SELECT d.doc_id, CAST(coalesce(s.simhash, 0) AS BIGINT) AS simhash
+      |FROM documents d LEFT JOIN s USING (doc_id)""".stripMargin
+
+  def qJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    Dedup.ngramJaccard(d, Dedup.minhashCandidates(d))
+  }
+
+  val sqlJaccard: String =
+    sqlBandsCte +
+      """,
+        |pairs AS (
+        |  SELECT x.doc_id AS a, y.doc_id AS b
+        |  FROM bands x JOIN bands y
+        |    ON x.band = y.band AND x.band_hash = y.band_hash AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT p.a, p.b,
+        |  round(len(list_intersect(sa.sh, sb.sh)) * 1.0
+        |        / len(list_distinct(list_concat(sa.sh, sb.sh))), 6) AS jaccard
+        |FROM pairs p
+        |JOIN sh sa ON sa.doc_id = p.a
+        |JOIN sh sb ON sb.doc_id = p.b""".stripMargin
+
+  /** embeddings with the float vector upcast to double so the cosine
+    * arithmetic matches the SQL oracle's double math. */
+  private def embD(spark: SparkSession, dir: String): DataFrame =
+    embeddings(spark, dir)
+      .withColumn("embedding", transform(col("embedding"), x => x.cast("double")))
+
+  def qCosineTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = embD(spark, dir)
+    Ann.bruteForceTopK(emb, emb.filter(col("vec_id") < 5), 10)
+      .select("q_id", "n_id", "cos", "rank")
+  }
+
+  val sqlCosineTopK: String =
+    """WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+      |c AS (SELECT vec_id AS n_id, embedding AS nv FROM embeddings),
+      |s AS (
+      |  SELECT q_id, n_id,
+      |    sum(qv[i]::DOUBLE * nv[i]::DOUBLE) AS dot,
+      |    sum(qv[i]::DOUBLE * qv[i]::DOUBLE) AS nq,
+      |    sum(nv[i]::DOUBLE * nv[i]::DOUBLE) AS nn
+      |  FROM q, c, unnest(generate_series(1, 64)) d(i)
+      |  WHERE q_id <> n_id
+      |  GROUP BY 1, 2),
+      |r AS (SELECT q_id, n_id, round(dot / (sqrt(nq) * sqrt(nn)), 6) AS cos FROM s)
+      |SELECT q_id, n_id, cos,
+      |  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rank
+      |FROM r
+      |QUALIFY rank <= 10""".stripMargin
+
+  def qAnnIvf(spark: SparkSession, dir: String): DataFrame = {
+    val emb = embD(spark, dir)
+    val centroids = emb.filter(col("vec_id") < 8)
+    val assigned = Ann.ivfAssign(emb, centroids)
+    Ann.ivfTopK(assigned, centroids, emb.filter(col("vec_id") < 5), 10, 3)
+      .select("q_id", "n_id", "cos", "rank")
+  }
+
+  def qMultimodalMeta(spark: SparkSession, dir: String): DataFrame = {
+    val s = spark; import s.implicits._
+    val media = Multimodal.mediaFromDocs(docs(spark, dir)).as[Multimodal.MediaRow]
+    Multimodal.decodeAll(media).toDF()
+      .select("doc_id", "modality", "byte_len", "width", "height", "n_frames")
+  }
+
+  val sqlMultimodalMeta: String =
+    """WITH m AS (
+      |  SELECT doc_id,
+      |    (['image', 'audio', 'video'])[CAST(doc_id % 3 AS INT) + 1] AS modality,
+      |    octet_length(encode(text)) AS n
+      |  FROM documents)
+      |SELECT doc_id, modality, CAST(n AS INT) AS byte_len,
+      |  CAST(16 + (n * 7919) % 1024 AS INT) AS width,
+      |  CAST(16 + (n * 104729) % 768 AS INT) AS height,
+      |  CAST(CASE WHEN modality = 'video' THEN 1 + n % 32 ELSE 1 END AS INT) AS n_frames
+      |FROM m""".stripMargin
+
+  // classic relational smoke (lineitem)
+  def qLineitemAgg(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/lineitem.parquet")
+      .groupBy("l_returnflag")
+      .agg(round(sum("l_quantity"), 4).as("sum_qty"), count(lit(1)).as("n_rows"))
+
+  val sqlLineitemAgg: String =
+    "SELECT l_returnflag, round(sum(l_quantity), 4) AS sum_qty, count(*) AS n_rows FROM lineitem GROUP BY 1"
+}

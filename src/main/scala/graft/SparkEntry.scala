@@ -1,13 +1,93 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  * Each `queries` entry is an operator from the SURVEY.md §2 inventory (or
+  * a training-data-pipeline op); `oracleSql` gives the DuckDB-equivalent
+  * SQL over the same parquet tables. Names/aliases match column-for-column.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  import GraftQueries._
+
+  /** Flagship query on sf=0.001: the reference's README helloworld shape —
+    * duration-weighted state distribution per series (traces
+    * `distribution()`, timeseries.py:877-937). Driver smoke-checks rows>0.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    qDistribution(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- core series ops (SURVEY.md §2.2-2.3) ---
+    "q01_segments" -> (qSegments _),
+    "q02_compact" -> (qCompact _),
+    // --- regularize / resample (§2.5) ---
+    "q03_sample_prev" -> (qSamplePrev _),
+    "q04_sample_linear" -> (qSampleLinear _),
+    "q09_moving_average" -> (qMovingAverage _),
+    // --- time-weighted aggregation (§2.4, §2.7) ---
+    "q05_distribution" -> (qDistribution _),
+    "q06_distribution_masked" -> (qDistributionMasked _),
+    "q07_twa_mean" -> (qTwaMean _),
+    "q08_npoints" -> (qNPoints _),
+    // --- rollup tiers + codec (north rule) ---
+    "q10_rollup_hourly" -> (qRollupHourly _),
+    "q11_rollup_daily" -> (qRollupDaily _),
+    "q12_rollup_weekly" -> (qRollupWeekly _),
+    "q13_codec_roundtrip" -> (qCodecRoundtrip _),
+    // --- merge / multi-series (§2.6) + event series (§2.8) ---
+    "q14_merge_sum" -> (qMergeSum _),
+    "q15_count_active" -> (qCountActive _),
+    "q16_cumsum" -> (qCumsum _),
+    "q17_interevent" -> (qInterevent _),
+    "q18_events_between" -> (qEventsBetween _),
+    "q19_difference" -> (qDifference _),
+    // --- training-data pipeline ops ---
+    "q20_dedup_exact" -> (qDedupExact _),
+    "q21_token_counts" -> (qTokenCounts _),
+    "q22_quality" -> (qQuality _),
+    "q23_langid" -> (qLangId _),
+    "q24_fingerprint" -> (qFingerprint _),
+    "q25_minhash_pairs" -> (qMinhashPairs _),
+    "q26_simhash" -> (qSimhash _),
+    "q27_jaccard" -> (qJaccard _),
+    "q28_cosine_topk" -> (qCosineTopK _),
+    "q29_ann_ivf" -> (qAnnIvf _), // no SQL oracle: rows-only check
+    "q30_multimodal_meta" -> (qMultimodalMeta _),
+    // --- classic relational smoke ---
+    "q31_lineitem_agg" -> (qLineitemAgg _)
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_segments" -> sqlSegments,
+    "q02_compact" -> sqlCompact,
+    "q03_sample_prev" -> sqlSamplePrev,
+    "q04_sample_linear" -> sqlSampleLinear,
+    "q05_distribution" -> sqlDistribution,
+    "q06_distribution_masked" -> sqlDistributionMasked,
+    "q07_twa_mean" -> sqlTwaMean,
+    "q08_npoints" -> sqlNPoints,
+    "q09_moving_average" -> sqlMovingAverage,
+    "q10_rollup_hourly" -> sqlRollupHourly,
+    "q11_rollup_daily" -> sqlRollupDaily,
+    "q12_rollup_weekly" -> sqlRollupWeekly,
+    "q13_codec_roundtrip" -> sqlCodecRoundtrip,
+    "q14_merge_sum" -> sqlMergeSum,
+    "q15_count_active" -> sqlCountActive,
+    "q16_cumsum" -> sqlCumsum,
+    "q17_interevent" -> sqlInterevent,
+    "q18_events_between" -> sqlEventsBetween,
+    "q19_difference" -> sqlDifference,
+    "q20_dedup_exact" -> sqlDedupExact,
+    "q21_token_counts" -> sqlTokenCounts,
+    "q22_quality" -> sqlQuality,
+    "q23_langid" -> sqlLangId,
+    "q24_fingerprint" -> sqlFingerprint,
+    "q25_minhash_pairs" -> sqlMinhashPairs,
+    "q26_simhash" -> sqlSimhash,
+    "q27_jaccard" -> sqlJaccard,
+    "q28_cosine_topk" -> sqlCosineTopK,
+    "q30_multimodal_meta" -> sqlMultimodalMeta,
+    "q31_lineitem_agg" -> sqlLineitemAgg
+  )
 }

@@ -1,0 +1,49 @@
+package graft.chunk
+
+import graft.core.SeriesOps.{K, T, V}
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+/** Chunked columnar storage of series points: per (key, time-bucket) one
+  * BinaryType blob holding delta-of-delta timestamps + Gorilla XOR values
+  * (north-rule compression tier; no reference counterpart — see
+  * SURVEY.md §2.10). The chunk span bounds per-task state and makes the
+  * chunk table range-partitionable by bucket at any scale.
+  */
+object ChunkOps {
+
+  private val encodeUdf = udf { (rows: Seq[Row]) =>
+    val sorted = rows.sortBy(_.getLong(0))
+    val ts = sorted.map(_.getLong(0)).toArray
+    val vs = sorted
+      .map(r => if (r.isNullAt(1)) null else java.lang.Double.valueOf(r.getDouble(1)))
+      .toArray
+    Gorilla.encode(ts, vs)
+  }
+
+  private val decodeUdf = udf { (blob: Array[Byte]) =>
+    val (ts, vs) = Gorilla.decode(blob)
+    ts.indices.map(i => (ts(i), Option(vs(i)).map(_.doubleValue())))
+  }
+
+  /** points (key, t: long µs, v) -> chunks (key, bucket, n_points, blob).
+    * One shuffle (groupBy); collect_list is bounded by chunkSpan, which the
+    * caller sizes so a chunk fits executor memory (e.g. 1 day of points per
+    * url).
+    */
+  def writeChunks(points: DataFrame, chunkSpanMicros: Long): DataFrame = {
+    points
+      .groupBy(col(K), floor(col(T) / chunkSpanMicros).as("bucket"))
+      .agg(
+        count(lit(1)).as("n_points"),
+        encodeUdf(collect_list(struct(col(T), col(V)))).as("blob"))
+  }
+
+  /** chunks -> points; exact inverse of [[writeChunks]] (round-trip
+    * property-tested). */
+  def readChunks(chunks: DataFrame): DataFrame = {
+    chunks
+      .select(col(K), explode(decodeUdf(col("blob"))).as("p"))
+      .select(col(K), col("p._1").as(T), col("p._2").as(V))
+  }
+}

@@ -1,0 +1,252 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Core ordered-series operators over a "points" DataFrame with columns
+  *
+  *   - `key`: series identifier (any type; string in the pipelines)
+  *   - `t`:   time, a numeric column — LongType (epoch microseconds) in the
+  *            production pipelines, or DoubleType/LongType for unit fixtures
+  *   - `v`:   DoubleType, nullable (null models the reference's `None`,
+  *            meaning "unknown", not zero)
+  *
+  * Semantics mirror the reference's right-continuous step function
+  * ("zero-order hold"): the value at time x is the value of the latest
+  * measurement at-or-before x, else the series default
+  * (reference: traces/timeseries.py:91-110 `_get_previous`).
+  *
+  * Everything here is declarative Dataset/Column code planned by Catalyst:
+  * one shuffle for the per-key ordered window, partial aggregation and
+  * whole-stage codegen for the arithmetic. No RDDs, no collects.
+  */
+object SeriesOps {
+  val K = "key"; val T = "t"; val V = "v"
+
+  /** Per-key time-ordered window (the single shuffle all ordered ops share). */
+  def wKey: org.apache.spark.sql.expressions.WindowSpec =
+    Window.partitionBy(K).orderBy(T)
+
+  /** Keep the last write per (key, t): the reference's SortedDict overwrite
+    * semantics for `set` (traces/timeseries.py:182-192). `ord` breaks ties
+    * deterministically (e.g. an event_id / ingest sequence column).
+    */
+  def dedupe(df: DataFrame, ord: Column): DataFrame = {
+    val w = Window.partitionBy(K, T).orderBy(ord.desc)
+    df.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_rn")
+  }
+
+  /** Drop points whose value equals the previous point's value within the
+    * key (reference `compact`, traces/timeseries.py:273-298). Null-safe:
+    * consecutive nulls compact too. This is the canonical storage form and
+    * the inverse of gap-fill.
+    */
+  def compact(df: DataFrame): DataFrame = {
+    val pv = lag(V, 1).over(wKey)
+    val rn = row_number().over(wKey)
+    df.withColumn("_rn", rn)
+      .withColumn("_pv", pv)
+      .filter(col("_rn") === 1 || !(col("_pv") <=> col(V)))
+      .drop("_rn", "_pv")
+  }
+
+  /** Consecutive-point segments over each key's full measured domain
+    * [first_t, last_t): rows (key, t0, t1, v, vn) where vn is the value at
+    * t1 (for linear interpolation). The last point opens no segment —
+    * matches `iterperiods(first, last)` (traces/timeseries.py:499-540).
+    */
+  def segments(df: DataFrame): DataFrame = {
+    df.select(
+        col(K),
+        col(T).as("t0"),
+        lead(T, 1).over(wKey).as("t1"),
+        col(V),
+        lead(V, 1).over(wKey).as("vn"))
+      .filter(col("t1").isNotNull)
+  }
+
+  /** Constant-value segments covering exactly [start, end) per key —
+    * the reference's `iterperiods(start, end)` (traces/timeseries.py:499-540):
+    * the first segment starts at `start` carrying the as-of value (or
+    * `default` before the first measurement), the last ends at `end`.
+    *
+    * Output columns: key, t0, t1 (clipped), v, plus the original bracketing
+    * measurement times/next value for linear interpolation:
+    * p0 (measurement time opening the segment; null = before first
+    * measurement), p1 (next measurement time; null = after last), vn
+    * (value at p1).
+    *
+    * Keys present in `df` but with no points in range still emit the single
+    * default-valued segment (start, end, default).
+    */
+  def segmentsInRange(
+      df: DataFrame,
+      start: Column,
+      end: Column,
+      default: Column,
+      lookahead: Boolean = false): DataFrame = {
+    val tType = df.schema(T).dataType
+    // For "previous" interpolation, points at/after `end` can be pruned at
+    // the scan (the t1 clip below is equivalent). Linear interpolation needs
+    // the first point beyond `end` as the bracketing measurement
+    // (get(mid, "linear") interpolates toward it, traces/timeseries.py:78-89),
+    // so `lookahead = true` keeps it.
+    val pts0 = df.select(col(K), col(T), col(V))
+    val pts = if (lookahead) pts0 else pts0.filter(col(T) < end)
+    // One synthetic "default" row per key at t = null; nulls sort first in
+    // ascending order, so it behaves as t = -infinity in the lead window.
+    val defRows = df
+      .select(col(K)).distinct()
+      .select(col(K), lit(null).cast(tType).as(T), default.cast("double").as(V))
+    val all = pts.unionByName(defRows)
+    all
+      .select(
+        col(K),
+        col(T).as("p0"),
+        lead(T, 1).over(Window.partitionBy(K).orderBy(col(T).asc_nulls_first)).as("p1"),
+        col(V),
+        lead(V, 1).over(Window.partitionBy(K).orderBy(col(T).asc_nulls_first)).as("vn"))
+      .select(
+        col(K),
+        greatest(col("p0"), start).as("t0"), // greatest skips nulls
+        least(coalesce(col("p1"), end), end).as("t1"),
+        col(V), col("p0"), col("p1"), col("vn"))
+      .filter(col("t1") > col("t0"))
+  }
+
+  /** The value the reference's `get(midpoint, interpolate)` would see on a
+    * (possibly clipped) segment (traces/timeseries.py:877-937 uses the
+    * segment midpoint; "previous" = the segment value exactly; "linear" =
+    * interpolation between the original bracketing measurements).
+    */
+  def segmentValue(interpolate: String, default: Column): Column =
+    interpolate match {
+      case "previous" => col(V)
+      case "linear" =>
+        val mid = (col("t0").cast("double") + col("t1").cast("double")) / 2.0
+        when(col("p0").isNull, default) // before first measurement
+          .when(col("p1").isNull, col(V)) // after last -> last value
+          .otherwise(
+            col(V) + (mid - col("p0").cast("double")) /
+              (col("p1").cast("double") - col("p0").cast("double")) *
+              (col("vn") - col(V)))
+      case other =>
+        throw new IllegalArgumentException(s"unknown interpolate '$other'")
+    }
+
+  /** Intersect segments with mask intervals (m0, m1), clipping durations.
+    * `mask` has columns (m0, m1) and optionally `key`; global masks are
+    * broadcast (tiny interval lists), per-key masks join on key too.
+    * Mirrors the reference's mask loop in `distribution`
+    * (traces/timeseries.py:920-930).
+    */
+  def intersectMask(segs: DataFrame, mask: DataFrame): DataFrame = {
+    val perKey = mask.columns.contains(K)
+    val m = if (perKey) mask else broadcast(mask)
+    val cond =
+      (segs("t0") < m("m1")) && (segs("t1") > m("m0")) &&
+        (if (perKey) segs(K) === m(K) else lit(true))
+    segs
+      .join(m, cond)
+      .select(
+        segs(K),
+        greatest(segs("t0"), m("m0")).as("t0"),
+        least(segs("t1"), m("m1")).as("t1"),
+        segs(V), segs("p0"), segs("p1"), segs("vn"))
+  }
+
+  /** Boolean step-function series -> its true intervals (key, m0, m1)
+    * within [start, end), for use as a mask (reference builds masks as
+    * boolean TimeSeries and iterates `iterperiods(value=True)`,
+    * traces/timeseries.py:920-923).
+    */
+  def trueIntervals(
+      maskSeries: DataFrame,
+      start: Column,
+      end: Column,
+      default: Column): DataFrame =
+    segmentsInRange(maskSeries, start, end, default)
+      .filter(col(V) === 1.0)
+      .select(col(K), col("t0").as("m0"), col("t1").as("m1"))
+
+  /** New series equal to the original on [start, end]: point at `start`
+    * with the as-of value, interior points, plus a point at `end`
+    * (reference `slice`, traces/timeseries.py:542-557).
+    */
+  def sliceSeries(df: DataFrame, start: Column, end: Column, default: Column): DataFrame = {
+    val segs = segmentsInRange(df, start, end, default)
+    val startRows = segs
+      .withColumn("_rn", row_number().over(Window.partitionBy(K).orderBy("t0")))
+      .filter(col("_rn") === 1)
+      .select(col(K), col("t0").as(T), col(V))
+    val interior = df.filter(col(T) > start && col(T) < end).select(col(K), col(T), col(V))
+    // value at `end` = as-of lookup INCLUSIVE of a point exactly at `end`
+    // (reference: result[t1] = self[t1], traces/timeseries.py:555)
+    val keys = df.select(col(K)).distinct()
+    val wDesc = Window.partitionBy(K).orderBy(col(T).desc)
+    val lastLe = df
+      .filter(col(T) <= end)
+      .withColumn("_rn", row_number().over(wDesc))
+      .filter(col("_rn") === 1)
+      .select(col(K), struct(col(V)).as("_last")) // struct: "measured" marker
+    val endRows = keys
+      .join(lastLe, Seq(K), "left")
+      .select(
+        col(K), end.as(T),
+        when(col("_last").isNull, default).otherwise(col("_last").getField(V)).as(V))
+    startRows.unionByName(interior).unionByName(endRows)
+  }
+
+  /** Count of measurement points per key in [start, end] with the four
+    * inclusive-flag combinations (reference `n_points`,
+    * traces/timeseries.py:939-995).
+    */
+  def nPoints(
+      df: DataFrame,
+      start: Column,
+      end: Column,
+      includeStart: Boolean,
+      includeEnd: Boolean): DataFrame = {
+    val lo = if (includeStart) col(T) >= start else col(T) > start
+    val hi = if (includeEnd) col(T) <= end else col(T) < end
+    df.filter(lo && hi).groupBy(col(K)).agg(count(lit(1)).as("n_points"))
+  }
+
+  /** Delete all points in [start, end) per key (reference
+    * `remove_points_from_interval`, traces/timeseries.py:367-388). */
+  def removeInterval(df: DataFrame, start: Column, end: Column): DataFrame =
+    df.filter(!(col(T) >= start && col(T) < end))
+
+  /** Reference `set_interval(start, end, value)` (traces/timeseries.py:224-271):
+    * delete points in (start, end) exclusive-of-start... precisely: remove
+    * keys in [start, end), write `value` at start and the OLD value-at-end
+    * at end.
+    */
+  def setInterval(
+      df: DataFrame,
+      start: Column,
+      end: Column,
+      value: Column,
+      default: Column): DataFrame = {
+    val keys = df.select(col(K)).distinct()
+    // old value as-of `end`: last segment of [start2, end) — use segments over
+    // (-inf, end): value of the last point < end, else default
+    val w = Window.partitionBy(K).orderBy(col(T).desc)
+    val oldAtEnd = df
+      .filter(col(T) <= end)
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .select(col(K), struct(col(V)).as("_old")) // struct: "measured" marker
+    val endRows = keys
+      .join(oldAtEnd, Seq(K), "left")
+      .select(
+        col(K), end.as(T),
+        when(col("_old").isNull, default).otherwise(col("_old").getField(V)).as(V))
+    val startRows = keys.select(col(K), start.as(T), value.cast("double").as(V))
+    val kept = df.filter(col(T) < start || col(T) > end).select(col(K), col(T), col(V))
+    kept.unionByName(startRows).unionByName(endRows)
+  }
+}

@@ -1,0 +1,123 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for web-scale training data over a documents
+  * table (doc_id, text, ...). Hashing is md5-based so results are engine-
+  * independent (verifiable against any SQL oracle) and fully deterministic.
+  *
+  * Scale shapes:
+  *  - exact: one groupBy on a 128-bit digest (never on raw text — the
+  *    shuffle carries 16 bytes, not documents).
+  *  - MinHash+LSH: shingle → NH minhashes → B bands; candidate pairs come
+  *    from an equi-join on (band, band_hash) — no pairwise cross join ever
+  *    happens; bucket sizes are bounded and AQE splits stragglers.
+  *  - SimHash: 64 explode-free bit votes via column expressions.
+  */
+object Dedup {
+
+  /** Word shingles (n-grams) of the text; a document with fewer than n
+    * words contributes its whole token sequence as one shingle. */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val toks = graft.text.TextOps.wsTokens(text)
+    val joined = transform(
+      sequence(lit(0), greatest(size(toks) - n, lit(0))),
+      i => concat_ws(" ", slice(toks, i + 1, lit(n))))
+    array_distinct(joined)
+  }
+
+  /** Exact dedup: survivor = min doc_id per md5(text); returns
+    * (digest, survivor_id, group_size). */
+  def exact(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs
+      .groupBy(md5(col(textCol).cast("binary")).as("digest"))
+      .agg(min(col(idCol)).as("survivor_id"), count(lit(1)).as("group_size"))
+
+  /** MinHash signature: NH independent permutations simulated by seeded
+    * md5; each minhash is the lexicographic min of md5(seed:shingle) —
+    * a string min, identical in any engine with md5. Output adds
+    * `sig: array<string>` of length nh. */
+  def minhashSignature(docs: DataFrame, textCol: String = "text", nh: Int = 16, shingleN: Int = 3): DataFrame = {
+    val sh = shingles(col(textCol), shingleN)
+    val sig = array((0 until nh).map { j =>
+      array_min(transform(sh, s => md5(concat(lit(j.toString), lit(":"), s).cast("binary"))))
+    }: _*)
+    docs.withColumn("sig", sig)
+  }
+
+  /** LSH bands: band b's key = md5 of the concatenation of its `rows`
+    * signature slots. Output: exploded (doc_id, band, band_hash). */
+  def lshBands(signed: DataFrame, idCol: String = "doc_id", bands: Int = 4, rows: Int = 4): DataFrame = {
+    val bandStructs = array((0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        md5(concat_ws("|", slice(col("sig"), b * rows + 1, rows)).cast("binary")).as("band_hash"))
+    }: _*)
+    signed
+      .select(col(idCol), explode(bandStructs).as("bh"))
+      .select(col(idCol), col("bh.band").as("band"), col("bh.band_hash").as("band_hash"))
+  }
+
+  /** Candidate near-duplicate pairs (a < b) sharing at least one LSH
+    * band bucket. */
+  def minhashCandidates(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+      nh: Int = 16, bands: Int = 4, shingleN: Int = 3): DataFrame = {
+    val bandsDf = lshBands(minhashSignature(docs, textCol, nh, shingleN), idCol, bands, nh / bands)
+    val l = bandsDf.select(col("band"), col("band_hash"), col(idCol).as("a"))
+    val r = bandsDf.select(col("band"), col("band_hash"), col(idCol).as("b"))
+    l.join(r, Seq("band", "band_hash"))
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+  }
+
+  /** Exact n-gram Jaccard similarity for given candidate pairs
+    * (columns a, b): |shingles_a ∩ shingles_b| / |union|. */
+  def ngramJaccard(docs: DataFrame, pairs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", shingleN: Int = 3): DataFrame = {
+    val sh = docs.select(col(idCol), shingles(col(textCol), shingleN).as("sh"))
+    pairs
+      .join(sh.select(col(idCol).as("a"), col("sh").as("sha")), Seq("a"))
+      .join(sh.select(col(idCol).as("b"), col("sh").as("shb")), Seq("b"))
+      .select(col("a"), col("b"),
+        round(
+          size(array_intersect(col("sha"), col("shb"))).cast("double") /
+            size(array_union(col("sha"), col("shb"))), 6).as("jaccard"))
+  }
+
+  /** 64-bit SimHash: per bit k, sign of Σ_tokens (bit_k(md5(token)) ? +1 : -1)
+    * weighted by occurrence. Two md5 words supply 64 bits. Pure expressions.
+    */
+  def simhash(text: Column, bits: Int = 32): Column = {
+    val toks = graft.text.TextOps.wsTokens(text)
+    val hashed = transform(toks, t =>
+      conv(substring(md5(t.cast("binary")), 1, 8), 16, 10).cast("long"))
+    val bitCols = (0 until bits).map { k =>
+      val vote = aggregate(hashed, lit(0L),
+        (acc, h) => acc + when(shiftright(h, k).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
+      when(vote > 0, shiftleft(lit(1L), k)).otherwise(lit(0L))
+    }
+    bitCols.reduce(_ + _)
+  }
+
+  /** Hamming distance between two simhash fingerprints. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Embedding cosine near-duplicate pairs above a threshold, restricted to
+    * LSH-style buckets to avoid the cross join: bucket = sign bits of the
+    * first `planes` dimensions (a crude but deterministic random-projection
+    * LSH; real deployments use learned or random planes). */
+  def embeddingNearDup(emb: DataFrame, idCol: String = "vec_id", vecCol: String = "embedding",
+      threshold: Double = 0.9, planes: Int = 8): DataFrame = {
+    val sig = (0 until planes).map { i =>
+      when(element_at(col(vecCol), i + 1) >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val withSig = emb.select(col(idCol), col(vecCol), sig.as("bucket"))
+    val l = withSig.select(col("bucket"), col(idCol).as("a"), col(vecCol).as("va"))
+    val r = withSig.select(col("bucket"), col(idCol).as("b"), col(vecCol).as("vb"))
+    l.join(r, Seq("bucket"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"), graft.ann.Ann.cosine(col("va"), col("vb")).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+}

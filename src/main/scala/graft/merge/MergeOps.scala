@@ -1,0 +1,173 @@
+package graft.merge
+
+import graft.core.SeriesOps.{K, T, V}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Multi-series alignment and merge operators
+  * (reference traces/timeseries.py:1006-1170, 1399-1575).
+  *
+  * The reference's flat-sort K-way merge strategy
+  * (traces/timeseries.py:1030-1041, docs/merge_strategies.rst:195-251) IS
+  * Spark's sort-based shuffle: a union of tagged rows sorted within key
+  * partitions. The O(1)-per-transition delta trick of `count_by_value`
+  * (traces/timeseries.py:1101-1170) becomes delta rows + one running-sum
+  * window — no K-vector is ever materialized, so K can be millions.
+  */
+object MergeOps {
+
+  /** Align two series at the union of their measurement times and apply a
+    * binary column function (reference `operation`,
+    * traces/timeseries.py:1399-1428): for every time in either series,
+    * f(a_asof, b_asof), where each side carries forward its latest
+    * measurement (or its default before the first one). Output (key, t, v).
+    */
+  def operate(
+      a: DataFrame,
+      b: DataFrame,
+      f: (Column, Column) => Column,
+      defaultA: Column = lit(null).cast("double"),
+      defaultB: Column = lit(null).cast("double")): DataFrame = {
+    val sa = a.select(
+      col(K), col(T),
+      struct(col(V)).as("_ma"),
+      lit(null).cast("struct<v:double>").as("_mb"))
+    val sb = b.select(
+      col(K), col(T),
+      lit(null).cast("struct<v:double>").as("_ma"),
+      struct(col(V)).as("_mb"))
+    val ord = Window.partitionBy(K).orderBy(col(T).asc, col("_ma").isNull.asc)
+    val wCum = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val u = sa
+      .unionByName(sb)
+      .withColumn("_la", last(col("_ma"), ignoreNulls = true).over(wCum))
+      .withColumn("_lb", last(col("_mb"), ignoreNulls = true).over(wCum))
+      // the last row at each distinct t has seen every measurement <= t
+      .withColumn("_rn", row_number().over(Window.partitionBy(K, T).orderBy(col("_ma").isNull.desc)))
+      .filter(col("_rn") === 1)
+    val va = when(col("_la").isNull, defaultA).otherwise(col("_la").getField(V))
+    val vb = when(col("_lb").isNull, defaultB).otherwise(col("_lb").getField(V))
+    u.select(col(K), col(T), f(va, vb).cast("double").as(V))
+  }
+
+  /** a(t) - b(t) at the union of times (traces/timeseries.py:1499-1501). */
+  def difference(a: DataFrame, b: DataFrame, defaultA: Column = lit(null), defaultB: Column = lit(null)): DataFrame =
+    operate(a, b, (x, y) => x - y, defaultA, defaultB)
+
+  /** a(t) * b(t) (traces/timeseries.py:1503-1505). */
+  def multiply(a: DataFrame, b: DataFrame, defaultA: Column = lit(null), defaultB: Column = lit(null)): DataFrame =
+    operate(a, b, (x, y) => x * y, defaultA, defaultB)
+
+  /** Python-truthiness logical ops: `and`/`or` return an OPERAND, not a
+    * boolean (tests/test_operations.py:183-207); xor returns a boolean.
+    * Python `x or y` = x if truthy(x) else y; `x and y` = y if truthy(x)
+    * else x. truthy(v) here = v != 0 and v not null (numeric values).
+    */
+  private def truthy(x: Column): Column = x.isNotNull && x =!= 0.0
+
+  def logicalOr(a: DataFrame, b: DataFrame, dA: Column = lit(null), dB: Column = lit(null)): DataFrame =
+    operate(a, b, (x, y) => when(truthy(x), x).otherwise(y), dA, dB)
+
+  def logicalAnd(a: DataFrame, b: DataFrame, dA: Column = lit(null), dB: Column = lit(null)): DataFrame =
+    operate(a, b, (x, y) => when(truthy(x), y).otherwise(x), dA, dB)
+
+  def logicalXor(a: DataFrame, b: DataFrame, dA: Column = lit(null), dB: Column = lit(null)): DataFrame =
+    operate(a, b, (x, y) => (truthy(x) =!= truthy(y)).cast("double"), dA, dB)
+
+  /** K-ary merge with operation = sum over an arbitrary number of series
+    * in one DataFrame (key = merge group, sid = series id within group).
+    *
+    * strict=false -> ignorant_sum (None contributes 0); strict=true ->
+    * strict_sum (any None at t makes the merged value None)
+    * (traces/operations.py:4-11, traces/decorators.py:9-26).
+    *
+    * Distributed as the reference's transition-delta strategy
+    * (traces/timeseries.py:1101-1170 / merge_strategies.rst:515-537):
+    * every measurement contributes delta = v - previous_v_of_its_series to
+    * one running sum per key — O(N) total, never an O(K) state vector.
+    * `defaults` optionally maps (sid -> default) seeding pre-first values.
+    * Output: (key, t, v) at the union of measurement times, compacted
+    * (merge(compact=True), traces/timeseries.py:1079-1099).
+    */
+  def mergeSum(
+      df: DataFrame, // columns: key, sid, t, v
+      strict: Boolean,
+      defaults: Option[DataFrame] = None // columns: sid, default
+  ): DataFrame = {
+    val withDef = defaults match {
+      case Some(d) => df.join(broadcast(d), Seq("sid"), "left")
+      case None    => df.withColumn("default", lit(null).cast("double"))
+    }
+    val wSid = Window.partitionBy(K, "sid").orderBy(T)
+    val prevStruct = lag(struct(col(V)), 1).over(wSid)
+    val prevV = when(prevStruct.isNull, col("default")).otherwise(prevStruct.getField(V))
+    val rows = withDef
+      .withColumn("_pv", prevV)
+      .withColumn("_d", coalesce(col(V), lit(0.0)) - coalesce(col("_pv"), lit(0.0)))
+      .withColumn("_dn", col(V).isNull.cast("long") - col("_pv").isNull.cast("long"))
+    // seed: sum over sids of default values (ignorant: nulls -> 0) and count
+    // of null defaults; every sid contributes its default before its first point
+    val seeds = withDef
+      .groupBy(col(K), col("sid"))
+      .agg(first("default").as("_def"))
+      .groupBy(col(K))
+      .agg(
+        sum(coalesce(col("_def"), lit(0.0))).as("_seed"),
+        sum(col("_def").isNull.cast("long")).as("_seedn"))
+    val wRun = Window
+      .partitionBy(K)
+      .orderBy(col(T).asc, col("sid").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val run = rows
+      .withColumn("_cs", sum(col("_d")).over(wRun))
+      .withColumn("_cn", sum(col("_dn")).over(wRun))
+      // last row per distinct t carries the fully-updated state
+      .withColumn("_rn", row_number().over(Window.partitionBy(K, T).orderBy(col("sid").desc)))
+      .filter(col("_rn") === 1)
+      .join(broadcast(seeds), Seq(K))
+    val merged = run.select(
+      col(K), col(T),
+      when(lit(strict) && (col("_cn") + col("_seedn")) > 0, lit(null).cast("double"))
+        .otherwise(col("_cs") + col("_seed")).as(V))
+    graft.core.SeriesOps.compact(merged)
+  }
+
+  /** For each distinct value: a step series counting how many input series
+    * hold that value at each time (reference classmethod `count_by_value`,
+    * traces/timeseries.py:1101-1170). Defaults seed the initial counts.
+    * Output (value, t, count) with value in the `key` column position for
+    * further series ops: (key=value, t, v=count).
+    */
+  def countByValue(
+      df: DataFrame, // columns: sid, t, v
+      defaults: Option[DataFrame] = None): DataFrame = {
+    val wSid = Window.partitionBy("sid").orderBy(T)
+    val prevStruct = lag(struct(col(V)), 1).over(wSid)
+    val withDef = defaults match {
+      case Some(d) => df.join(broadcast(d), Seq("sid"), "left")
+      case None    => df.withColumn("default", lit(null).cast("double"))
+    }
+    val prevV = when(prevStruct.isNull, col("default")).otherwise(prevStruct.getField(V))
+    val trans = withDef.withColumn("_pv", prevV)
+    val plus = trans.select(col(V).as("val"), col(T), lit(1L).as("d"))
+    val minus = trans.select(col("_pv").as("val"), col(T), lit(-1L).as("d"))
+    // seeds: one +1 per sid at t = -infinity for its default value; emitted
+    // as the count *before* the first transition of that value
+    val seedRows = withDef
+      .groupBy(col("sid"))
+      .agg(first("default").as("val"))
+      .select(col("val"), lit(null).cast(df.schema(T).dataType).as(T), lit(1L).as("d"))
+    val all = plus.unionByName(minus).unionByName(seedRows)
+    val byT = all.groupBy(col("val"), col(T)).agg(sum("d").as("d"))
+    val wRun = Window
+      .partitionBy("val")
+      .orderBy(col(T).asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val counted = byT
+      .withColumn("cnt", sum("d").over(wRun))
+      .filter(col(T).isNotNull) // drop the seed pseudo-time rows
+      .select(col("val").as(K), col(T), col("cnt").cast("double").as(V))
+    graft.core.SeriesOps.compact(counted)
+  }
+}

@@ -1,0 +1,155 @@
+package graft.pipeline
+
+import graft.core.SeriesOps.{K, T, V}
+import graft.regularize.CalendarFloor
+import graft.rollup.Rollup
+import graft.chunk.ChunkOps
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The north-rule end-to-end pipeline: pages → per-url series → compact →
+  * chunk blobs + hourly → daily → weekly continuous-aggregate tiers, with a
+  * per-(tier, partition) checkpoint table carrying lineage + row counts so
+  * a rerun resumes idempotently mid-tier (BASELINE.json north_rule).
+  *
+  * Partitioning: work is split by day-bucket (time-range partitions); each
+  * bucket is processed and committed independently. At cluster scale the
+  * bucket writes land in separate storage partitions and the checkpoint
+  * append is the only serialized step. Hot-domain skew inside a bucket is
+  * handled by AQE (skew-join/partition coalescing) plus the chunk grouping
+  * key (url, bucket) which is already salt-like: no single reducer sees
+  * more than one url-day.
+  */
+object CheckpointedRollup {
+
+  val DAY: Long = CalendarFloor.DAY
+  val HOUR: Long = CalendarFloor.HOUR
+  val WEEK: Long = CalendarFloor.WEEK
+
+  case class Tick(tier: String, partition: Long, rowCount: Long, inputRows: Long,
+      lineage: String, status: String)
+
+  def checkpointPath(dir: String) = s"$dir/_checkpoint"
+
+  def readCheckpoint(spark: SparkSession, dir: String): DataFrame = {
+    val p = checkpointPath(dir)
+    if (Files.exists(Paths.get(p)))
+      spark.read.parquet(p)
+    else {
+      import spark.implicits._
+      Seq.empty[Tick].toDF()
+    }
+  }
+
+  private def appendCheckpoint(spark: SparkSession, dir: String, ticks: Seq[Tick]): Unit = {
+    import spark.implicits._
+    if (ticks.nonEmpty)
+      ticks.toDF().coalesce(1).write.mode(SaveMode.Append).parquet(checkpointPath(dir))
+  }
+
+  /** Day-buckets present in the series, minus those already committed for
+    * `tier` — the resume filter. */
+  private def pendingBuckets(
+      spark: SparkSession, dir: String, tier: String, allBuckets: Seq[Long]): Seq[Long] = {
+    val done = readCheckpoint(spark, dir)
+      .filter(col("tier") === tier && col("status") === "done")
+      .select("partition").distinct()
+      .collect().map(_.getLong(0)).toSet
+    allBuckets.filterNot(done)
+  }
+
+  /** Run (or resume) the full tier cascade over a series points DataFrame.
+    * Returns the output dir layout:
+    *   dir/chunks/    (key, bucket, n_points, blob)   [per day-bucket]
+    *   dir/hourly/    (key, bin_start, v, weight)
+    *   dir/daily/     (key, bin_start, v, weight)     [rebinned from hourly]
+    *   dir/weekly/    (key, bin_start, v, weight)     [rebinned from daily]
+    *   dir/_checkpoint/ per-(tier, day-bucket) lineage + row counts
+    */
+  def run(series: DataFrame, dir: String): Unit = {
+    val spark = series.sparkSession
+    val pts = series.persist()
+    try {
+      val (minT, maxT) = {
+        val r = pts.agg(min(T), max(T)).head()
+        (r.getLong(0), r.getLong(1))
+      }
+      val allBuckets = (Math.floorDiv(minT, DAY) to Math.floorDiv(maxT, DAY)).toSeq
+
+      // ---- tier: chunks (raw, compacted, compressed) per day-bucket
+      runTier(spark, dir, "chunks", allBuckets) { buckets =>
+        val in = pts.filter(floor(col(T) / DAY).isin(buckets: _*))
+        val out = ChunkOps
+          .writeChunks(graft.core.SeriesOps.compact(in), DAY)
+        (out, out.groupBy(col("bucket").as("partition"))
+          .agg(sum("n_points").as("input_rows"), count(lit(1)).as("row_count")))
+      }
+
+      // ---- tier: hourly stats from raw points (gap-filled segments)
+      val hStart = Math.floorDiv(minT, DAY) * DAY
+      val hEnd = (Math.floorDiv(maxT, DAY) + 1) * DAY
+      runTier(spark, dir, "hourly", allBuckets) { buckets =>
+        val out = Rollup
+          .tierStats(pts, hStart, hEnd, HOUR)
+          .withColumn("partition", floor(col("bin_start") / DAY).cast("long"))
+          .filter(col("partition").isin(buckets: _*))
+        (out, out.groupBy("partition")
+          .agg(sum("n_points").as("input_rows"), count(lit(1)).as("row_count")))
+      }
+
+      // ---- tier: daily rebinned FROM hourly (the exact cascade)
+      val hourly = spark.read.parquet(s"$dir/hourly")
+      runTier(spark, dir, "daily", allBuckets) { buckets =>
+        val out = hourly
+          .filter(col("partition").isin(buckets: _*))
+          .groupBy(col(K), (floor(col("bin_start") / DAY) * DAY).cast("long").as("bin_start"))
+          .agg(
+            sum(col("covered_us")).as("covered_us"),
+            (sum(col("twa_mean") * col("covered_us")) / sum(when(col("twa_mean").isNotNull, col("covered_us")))).as("twa_mean"),
+            min("min").as("min"), max("max").as("max"),
+            sum("n_points").as("n_points"))
+          .withColumn("partition", floor(col("bin_start") / DAY).cast("long"))
+        (out, out.groupBy("partition")
+          .agg(sum("n_points").as("input_rows"), count(lit(1)).as("row_count")))
+      }
+
+      // ---- tier: weekly rebinned FROM daily (partition = week bucket)
+      val daily = spark.read.parquet(s"$dir/daily")
+      val weekBuckets = allBuckets.map(b => Math.floorDiv(b * DAY - 4 * DAY, WEEK)).distinct
+      runTier(spark, dir, "weekly", weekBuckets) { buckets =>
+        val wkStart = Rollup.floorWeek(col("bin_start"))
+        val out = daily
+          .groupBy(col(K), wkStart.as("bin_start"))
+          .agg(
+            sum(col("covered_us")).as("covered_us"),
+            (sum(col("twa_mean") * col("covered_us")) / sum(when(col("twa_mean").isNotNull, col("covered_us")))).as("twa_mean"),
+            min("min").as("min"), max("max").as("max"),
+            sum("n_points").as("n_points"))
+          .withColumn("partition", floor((col("bin_start") - 4 * DAY) / WEEK).cast("long"))
+          .filter(col("partition").isin(buckets: _*))
+        (out, out.groupBy("partition")
+          .agg(sum("n_points").as("input_rows"), count(lit(1)).as("row_count")))
+      }
+    } finally pts.unpersist()
+  }
+
+  /** Process only pending partitions of a tier, write them (append,
+    * partitioned by `partition`), then commit checkpoint rows with counts —
+    * idempotent: a rerun skips committed partitions entirely.
+    */
+  private def runTier(spark: SparkSession, dir: String, tier: String, allBuckets: Seq[Long])(
+      f: Seq[Long] => (DataFrame, DataFrame)): Unit = {
+    val pending = pendingBuckets(spark, dir, tier, allBuckets)
+    if (pending.isEmpty) return
+    val (out, counts) = f(pending)
+    out.write.mode(SaveMode.Append).partitionBy("partition").parquet(s"$dir/$tier")
+    val countRows = counts.collect()
+    val got = countRows.map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val ticks = pending.map { b =>
+      val (in, n) = got.getOrElse(b, (0L, 0L))
+      Tick(tier, b, n, in, lineage = s"$tier<-${if (tier == "daily") "hourly" else if (tier == "weekly") "daily" else "raw"}@$b", status = "done")
+    }
+    appendCheckpoint(spark, dir, ticks)
+  }
+}

@@ -1,0 +1,102 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a large-scale training-data pipeline, over a
+  * documents table (doc_id, text, lang, source, n_chars). All pure Column
+  * expressions (whole-stage-codegen'd, no UDFs): at 100 TB these run inside
+  * the scan projection with nothing but the final aggregate shuffling.
+  */
+object TextOps {
+
+  /** Whitespace tokens. */
+  def wsTokens(text: Column): Column =
+    filter(split(trim(text), "\\s+"), t => length(t) > 0)
+
+  /** BPE-ish token count: word pieces, digit runs, single punctuation. */
+  val bpeishPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(bpeishPattern), lit(0)))
+
+  /** Quality-score features + a single [0,1] score: length, punctuation
+    * ratio, stopword ratio, mean word length — the classic web-text
+    * filters (C4/Gopher-style heuristics, public knowledge).
+    */
+  val stopWords: Seq[String] = Seq("the", "a", "an", "and", "of", "to", "in", "is", "that", "it",
+    "for", "on", "with", "as", "was", "at", "by", "be", "this", "are")
+
+  def qualityFeatures(df: DataFrame, text: Column = col("text")): DataFrame = {
+    val toks = wsTokens(text)
+    val nTok = size(toks)
+    val stopArr = array(stopWords.map(lit): _*)
+    val nStop = size(filter(toks, t => array_contains(stopArr, lower(t))))
+    val nPunct = size(regexp_extract_all(text, lit("[.,;:!?]"), lit(0)))
+    val nAlpha = size(regexp_extract_all(text, lit("[A-Za-z]"), lit(0)))
+    df.withColumn("n_tokens", nTok)
+      .withColumn("n_chars_m", length(text))
+      .withColumn("stop_ratio", when(nTok > 0, nStop.cast("double") / nTok).otherwise(0.0))
+      .withColumn("punct_ratio", when(length(text) > 0, nPunct.cast("double") / length(text)).otherwise(0.0))
+      .withColumn("alpha_ratio", when(length(text) > 0, nAlpha.cast("double") / length(text)).otherwise(0.0))
+      .withColumn("mean_word_len", when(nTok > 0, (length(text).cast("double") - nTok + 1) / nTok).otherwise(0.0))
+      .withColumn("quality",
+        round(least(lit(1.0),
+          greatest(lit(0.0),
+            lit(0.3) * least(col("n_tokens").cast("double") / 100.0, lit(1.0))
+              + lit(0.3) * col("alpha_ratio")
+              + lit(0.2) * least(col("stop_ratio") * 5.0, lit(1.0))
+              + lit(0.2) * (lit(1.0) - least(col("punct_ratio") * 10.0, lit(1.0))))), 6))
+  }
+
+  /** n-gram-heuristic language ID: per-language marker-word hit counts,
+    * argmax with deterministic tie-break (language code ascending).
+    * A real system uses character n-gram profiles; the *shape* (explode-free
+    * per-row scoring, broadcastable marker lists) is the scale path.
+    */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "für", "auf"),
+    "en" -> Seq("the", "and", "is", "of", "to", "in", "that", "for", "with", "was"),
+    "es" -> Seq("el", "la", "los", "las", "es", "y", "de", "que", "en", "por"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "de", "que", "pour", "dans", "un"),
+    "it" -> Seq("il", "la", "che", "di", "è", "per", "con", "non", "una", "sono"),
+    "pt" -> Seq("o", "a", "os", "as", "é", "de", "que", "em", "para", "não"))
+
+  def langScore(text: Column, markers: Seq[String]): Column = {
+    val toks = transform(wsTokens(text), t => lower(t))
+    val arr = array(markers.map(lit): _*)
+    size(filter(toks, t => array_contains(arr, t)))
+  }
+
+  def langId(df: DataFrame, text: Column = col("text")): DataFrame = {
+    val scored = langMarkers.foldLeft(df) { case (d, (code, words)) =>
+      d.withColumn(s"_s_$code", langScore(text, words))
+    }
+    val best = langMarkers.map { case (code, _) =>
+      struct(col(s"_s_$code").as("score"), lit(code).as("code"))
+    }
+    // argmax with deterministic tie-break: the lexicographically smallest
+    // language code among the max-score candidates
+    scored
+      .withColumn("_cands", array(best: _*))
+      .withColumn("_maxScore", array_max(transform(col("_cands"), c => c.getField("score"))))
+      .withColumn("pred_lang",
+        array_min(transform(
+          filter(col("_cands"), c => c.getField("score") === col("_maxScore")),
+          c => c.getField("code"))))
+      .withColumn("lang_score", col("_maxScore"))
+      .drop((langMarkers.map { case (c, _) => s"_s_$c" } ++ Seq("_cands", "_maxScore")): _*)
+  }
+
+  /** Document fingerprint: order-sensitive 64-bit rolling hash over
+    * whitespace tokens — bit_xor of md5-derived token hashes scaled by
+    * position (overflow-free in int64, reproducible in any engine with md5).
+    */
+  def fingerprint(text: Column): Column = {
+    val toks = wsTokens(text)
+    val hashed = transform(toks, (t, i) =>
+      conv(substring(md5(t.cast("binary")), 1, 8), 16, 10).cast("long") * (i + 1))
+    // xor-fold the array (aggregate with ^)
+    aggregate(hashed, lit(0L), (acc, x) => acc.bitwiseXOR(x))
+  }
+}

@@ -1,0 +1,72 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate: run each oracle SQL in
+DuckDB over the testdata parquet tables and compare row-sets against the
+Verify parquet dumps (columns sorted by name, rows sorted, NaN-safe).
+
+Usage: python3 tools/check_oracle.py /root/testdata/sf0.001 /tmp/verify_out
+"""
+import glob
+import json
+import math
+import os
+import sys
+
+import duckdb
+import pandas as pd
+
+sf_dir, out_dir = sys.argv[1], sys.argv[2]
+con = duckdb.connect()
+for f in glob.glob(os.path.join(sf_dir, "*.parquet")):
+    name = os.path.basename(f)[: -len(".parquet")]
+    con.sql(f"CREATE VIEW {name} AS SELECT * FROM '{f}'")
+
+oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+
+
+def canon(df):
+    df = df.reindex(sorted(df.columns), axis=1)
+
+    def norm(v):
+        if v is None or (isinstance(v, float) and math.isnan(v)):
+            return "NULL"
+        if isinstance(v, float):
+            if v == int(v) and abs(v) < 1e15:
+                return "%d" % int(v)
+            return repr(round(v, 9))
+        return str(v)
+
+    rows = sorted(tuple(norm(v) for v in r) for r in df.itertuples(index=False))
+    return list(df.columns), rows
+
+
+fails = []
+for name in sorted(oracle):
+    sql = oracle[name]
+    pq = os.path.join(out_dir, name)
+    try:
+        exp_cols, exp_rows = canon(con.sql(sql).df())
+    except Exception as e:
+        fails.append((name, f"oracle SQL error: {e}"))
+        continue
+    try:
+        got_cols, got_rows = canon(pd.concat(
+            [pd.read_parquet(f) for f in glob.glob(pq + "/*.parquet")]))
+    except Exception as e:
+        fails.append((name, f"spark output read error: {e}"))
+        continue
+    if [c.lower() for c in exp_cols] != [c.lower() for c in got_cols]:
+        fails.append((name, f"schema mismatch: {exp_cols} vs {got_cols}"))
+        continue
+    if len(exp_rows) != len(got_rows):
+        fails.append((name, f"row count {len(exp_rows)} vs {len(got_rows)}"))
+        continue
+    bad = [(a, b) for a, b in zip(exp_rows, got_rows) if a != b]
+    if bad:
+        fails.append((name, f"{len(bad)} differing rows; first: {bad[0]}"))
+    else:
+        print(f"OK   {name} ({len(got_rows)} rows)")
+
+for name, msg in fails:
+    print(f"FAIL {name}: {msg[:300]}")
+print(f"\n{len(oracle) - len(fails)}/{len(oracle)} oracles match")
+sys.exit(1 if fails else 0)
