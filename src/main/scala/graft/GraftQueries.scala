@@ -321,6 +321,88 @@ object GraftQueries {
       .replace("__STEP__", WEEK.toString)
       .replace("__SHIFT__", WEEK_SHIFT.toString)
 
+  def qDistHourOfDay(spark: SparkSession, dir: String): DataFrame = {
+    val pts = points(spark, dir).withColumn("v", floor(col("v") / 50).cast("double"))
+    val (tmin, tmax) = bounds(pts)
+    Rollup
+      .distributionByHourOfDay(SeriesOps.segmentsInRange(pts, lit(tmin), lit(tmax), nullD))
+      .select(col("key"), col("hour"), col("v").as("state"), col("weight").cast("long").as("weight_us"))
+  }
+
+  val sqlDistHourOfDay: String =
+    sqlPrefix() +
+      s""", cells AS (
+         |  SELECT key, CAST(floor(v / 50) AS DOUBLE) AS state,
+         |         greatest(t0, cell * $HOUR) AS c0, least(t1, (cell + 1) * $HOUR) AS c1,
+         |         CAST(cell % 24 AS INT) AS hour
+         |  FROM segs, unnest(generate_series(t0 // $HOUR, t1 // $HOUR)) c(cell)
+         |  WHERE t1 > t0)
+         |SELECT key, hour, state, CAST(sum(c1 - c0) AS BIGINT) AS weight_us
+         |FROM cells WHERE c1 > c0 GROUP BY 1, 2, 3""".stripMargin
+
+  def qDistDayOfWeek(spark: SparkSession, dir: String): DataFrame = {
+    val pts = points(spark, dir).withColumn("v", floor(col("v") / 50).cast("double"))
+    val (tmin, tmax) = bounds(pts)
+    Rollup
+      .distributionByDayOfWeek(SeriesOps.segmentsInRange(pts, lit(tmin), lit(tmax), nullD))
+      .select(col("key"), col("weekday"), col("v").as("state"), col("weight").cast("long").as("weight_us"))
+  }
+
+  val sqlDistDayOfWeek: String =
+    sqlPrefix() +
+      s""", cells AS (
+         |  SELECT key, CAST(floor(v / 50) AS DOUBLE) AS state,
+         |         greatest(t0, cell * $DAY) AS c0, least(t1, (cell + 1) * $DAY) AS c1,
+         |         CAST((cell + 3) % 7 AS INT) AS weekday
+         |  FROM segs, unnest(generate_series(t0 // $DAY, t1 // $DAY)) c(cell)
+         |  WHERE t1 > t0)
+         |SELECT key, weekday, state, CAST(sum(c1 - c0) AS BIGINT) AS weight_us
+         |FROM cells WHERE c1 > c0 GROUP BY 1, 2, 3""".stripMargin
+
+  def qCountByValue(spark: SparkSession, dir: String): DataFrame = {
+    val df = spark.read
+      .parquet(s"$dir/events.parquet")
+      .groupBy(col("event_type").as("sid"), tsUs.as("t"))
+      .agg(floor(max("value") / 100).cast("double").as("v"))
+    MergeOps.countByValue(df)
+      .select(col("key").as("state"), col("t"), col("v").cast("long").as("cnt"))
+  }
+
+  val sqlCountByValue: String =
+    """WITH pts AS (
+      |  SELECT event_type AS sid, epoch_us(ts) AS t,
+      |         CAST(floor(max(value) / 100) AS DOUBLE) AS v
+      |  FROM events GROUP BY 1, 2),
+      |tr AS (SELECT sid, t, v, lag(v) OVER (PARTITION BY sid ORDER BY t) AS pv FROM pts),
+      |d AS (
+      |  SELECT v AS state, t, 1 AS delta FROM tr
+      |  UNION ALL
+      |  SELECT pv AS state, t, -1 AS delta FROM tr),
+      |g AS (SELECT state, t, sum(delta) AS delta FROM d GROUP BY 1, 2),
+      |r AS (SELECT state, t,
+      |        sum(delta) OVER (PARTITION BY state ORDER BY t ROWS UNBOUNDED PRECEDING)
+      |          + CASE WHEN state IS NULL THEN (SELECT count(DISTINCT sid) FROM pts) ELSE 0 END AS cnt
+      |      FROM g),
+      |c AS (SELECT state, t, cnt, lag(cnt) OVER (PARTITION BY state ORDER BY t) AS pc,
+      |        row_number() OVER (PARTITION BY state ORDER BY t) AS rn
+      |      FROM r)
+      |SELECT state, t, CAST(cnt AS BIGINT) AS cnt FROM c
+      |WHERE rn = 1 OR pc IS DISTINCT FROM cnt""".stripMargin
+
+  def qThreshold(spark: SparkSession, dir: String): DataFrame =
+    SeriesOps.compact(SeriesOps.threshold(points(spark, dir), lit(150.0)))
+
+  val sqlThreshold: String =
+    """WITH pts AS (
+      |  SELECT event_type AS key, epoch_us(ts) AS t,
+      |         CAST(max(value) > 150.0 AS DOUBLE) AS v
+      |  FROM events GROUP BY 1, 2),
+      |l AS (SELECT key, t, v,
+      |        lag(v) OVER (PARTITION BY key ORDER BY t) AS pv,
+      |        row_number() OVER (PARTITION BY key ORDER BY t) AS rn
+      |      FROM pts)
+      |SELECT key, t, v FROM l WHERE rn = 1 OR pv IS DISTINCT FROM v""".stripMargin
+
   // ---------- compression codec (round-trip == compacted input) ----------
 
   def qCodecRoundtrip(spark: SparkSession, dir: String): DataFrame =

@@ -55,7 +55,12 @@ object SparkEntry {
     "q29_ann_ivf" -> (qAnnIvf _), // no SQL oracle: rows-only check
     "q30_multimodal_meta" -> (qMultimodalMeta _),
     // --- classic relational smoke ---
-    "q31_lineitem_agg" -> (qLineitemAgg _)
+    "q31_lineitem_agg" -> (qLineitemAgg _),
+    // --- calendar-mask distributions, value-count states, scalar ops ---
+    "q32_dist_hour_of_day" -> (qDistHourOfDay _),
+    "q33_dist_day_of_week" -> (qDistDayOfWeek _),
+    "q34_count_by_value" -> (qCountByValue _),
+    "q35_threshold" -> (qThreshold _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -88,6 +93,10 @@ object SparkEntry {
     "q27_jaccard" -> sqlJaccard,
     "q28_cosine_topk" -> sqlCosineTopK,
     "q30_multimodal_meta" -> sqlMultimodalMeta,
-    "q31_lineitem_agg" -> sqlLineitemAgg
+    "q31_lineitem_agg" -> sqlLineitemAgg,
+    "q32_dist_hour_of_day" -> sqlDistHourOfDay,
+    "q33_dist_day_of_week" -> sqlDistDayOfWeek,
+    "q34_count_by_value" -> sqlCountByValue,
+    "q35_threshold" -> sqlThreshold
   )
 }

@@ -215,6 +215,56 @@ object SeriesOps {
     df.filter(lo && hi).groupBy(col(K)).agg(count(lit(1)).as("n_points"))
   }
 
+  // ---------- scalar / unary value operators (traces/timeseries.py:1430-1517) ----------
+
+  /** Python truthiness of a numeric value (0/None falsy). */
+  def truthy(x: Column): Column = x.isNotNull && x =!= 0.0
+
+  /** `to_bool(invert)` (traces/timeseries.py:1430-1467): None stays None. */
+  def toBool(df: DataFrame, invert: Boolean = false): DataFrame =
+    df.withColumn(V,
+      when(col(V).isNull, lit(null).cast("double"))
+        .otherwise((if (invert) !truthy(col(V)) else truthy(col(V))).cast("double")))
+
+  /** `threshold(value, inclusive)` (traces/timeseries.py:1469-1488). */
+  def threshold(df: DataFrame, value: Column, inclusive: Boolean = false): DataFrame =
+    df.withColumn(V,
+      (if (inclusive) col(V) >= value else col(V) > value).cast("double"))
+
+  /** `is_not_none()` (traces/timeseries.py:330-354). */
+  def isNotNone(df: DataFrame): DataFrame =
+    df.withColumn(V, col(V).isNotNull.cast("double"))
+
+  /** scalar multiply / elementwise map (traces `multiply(scalar)` via
+    * `operation`, timeseries.py:1399-1428 scalar branch). */
+  def mapValues(df: DataFrame, f: Column => Column): DataFrame =
+    df.withColumn(V, f(col(V)).cast("double"))
+
+  // ---------- ordered navigation (traces/timeseries.py:154-180, 450-472) ----------
+
+  /** i-th point per key, 0-based; negative = from the end. */
+  def itemByIndex(df: DataFrame, i: Int): DataFrame = {
+    val w =
+      if (i >= 0) Window.partitionBy(K).orderBy(col(T).asc)
+      else Window.partitionBy(K).orderBy(col(T).desc)
+    val n = if (i >= 0) i + 1 else -i
+    df.withColumn("_rn", row_number().over(w)).filter(col("_rn") === n).drop("_rn")
+  }
+
+  def firstItem(df: DataFrame): DataFrame = itemByIndex(df, 0)
+  def lastItem(df: DataFrame): DataFrame = itemByIndex(df, -1)
+
+  /** Sliding n-tuples of consecutive points (reference `iterintervals(n)`,
+    * traces/timeseries.py:450-472): output key, t, and arrays ts/vs of the
+    * n consecutive (time, value) pairs starting at each point. */
+  def slidingIntervals(df: DataFrame, n: Int = 2): DataFrame = {
+    require(n >= 1, "n >= 1")
+    val ts = (0 until n).map(i => lead(col(T), i).over(wKey))
+    val vs = (0 until n).map(i => lead(col(V), i).over(wKey))
+    df.select(col(K), col(T), array(ts: _*).as("ts"), array(vs: _*).as("vs"))
+      .filter(element_at(col("ts"), n).isNotNull)
+  }
+
   /** Delete all points in [start, end) per key (reference
     * `remove_points_from_interval`, traces/timeseries.py:367-388). */
   def removeInterval(df: DataFrame, start: Column, end: Column): DataFrame =

@@ -90,10 +90,13 @@ object WeightedQuantile {
     * out — Spark maps reject null keys, and the reference discards them
     * anyway (_discard_value, traces/histogram.py:150-156).
     */
-  def quantilesUdf(qs: Seq[Double], alpha: Double = 0.5): Column => Column = {
+  def quantilesUdf(
+      qs: Seq[Double],
+      alpha: Double = 0.5,
+      smallestCount: Option[Double] = None): Column => Column = {
     val f = udf { (m: Map[Double, Double]) =>
       if (m == null || m.isEmpty) null
-      else quantiles(m, qs, alpha).map(_.map(java.lang.Double.valueOf).orNull)
+      else quantiles(m, qs, alpha, smallestCount).map(_.map(java.lang.Double.valueOf).orNull)
     }
     (histCol: Column) => f(histCol)
   }

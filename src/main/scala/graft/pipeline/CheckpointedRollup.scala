@@ -82,7 +82,8 @@ object CheckpointedRollup {
         val in = pts.filter(floor(col(T) / DAY).isin(buckets: _*))
         val out = ChunkOps
           .writeChunks(graft.core.SeriesOps.compact(in), DAY)
-        (out, out.groupBy(col("bucket").as("partition"))
+          .withColumn("partition", col("bucket"))
+        (out, out.groupBy(col("partition"))
           .agg(sum("n_points").as("input_rows"), count(lit(1)).as("row_count")))
       }
 

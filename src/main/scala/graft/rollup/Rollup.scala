@@ -88,6 +88,31 @@ object Rollup {
         count(when(col("p0") === col("t0"), 1)).as("n_points"))
   }
 
+  /** 24 duration-weighted distributions, one per hour of day (reference
+    * `distribution_by_hour_of_day`, traces/timeseries.py:1641-1651): split
+    * segments at hour boundaries, group by the UTC hour of each piece.
+    * Output (key, hour, v, weight). */
+  def distributionByHourOfDay(segs: DataFrame): DataFrame =
+    Regularize
+      .splitAtCells(segs, lit(0L), lit(CalendarFloor.HOUR))
+      .groupBy(
+        col(K),
+        pmod(floor(col("cell_start") / CalendarFloor.HOUR), lit(24)).cast("int").as("hour"),
+        col(V))
+      .agg(sum(col("t1") - col("t0")).as("weight"))
+
+  /** 7 distributions by day of week, Monday=0 (reference
+    * `distribution_by_day_of_week`, traces/timeseries.py:1653-1663; epoch
+    * day 0 = Thursday = weekday 3). Output (key, weekday, v, weight). */
+  def distributionByDayOfWeek(segs: DataFrame): DataFrame =
+    Regularize
+      .splitAtCells(segs, lit(0L), lit(CalendarFloor.DAY))
+      .groupBy(
+        col(K),
+        pmod(floor(col("cell_start") / CalendarFloor.DAY) + 3, lit(7)).cast("int").as("weekday"),
+        col(V))
+      .agg(sum(col("t1") - col("t0")).as("weight"))
+
   /** Retention policy: given tier tables and a reference "now", keep raw
     * points for `rawKeepUs`, hourly bins for `hourlyKeepUs`, daily for
     * `dailyKeepUs`, weekly forever. Returns the filtered tiers; callers

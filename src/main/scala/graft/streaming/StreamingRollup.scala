@@ -1,0 +1,55 @@
+package graft.streaming
+
+import graft.core.SeriesOps.{K, T, V}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming face of the rollup pipeline. The reference is
+  * batch-only (SURVEY.md §2.10) and the north rule runs batch-with-resume,
+  * but a continuously-ingesting deployment of the same tiers is the natural
+  * streaming extension: watermarked hourly aggregates + stateful
+  * carry-forward (the streaming form of the zero-order-hold gap fill).
+  */
+object StreamingRollup {
+
+  /** Hourly continuous aggregate over a streaming points source:
+    * watermark bounds state; append-mode emits each (key, hour) once its
+    * watermark passes. Columns in: (key, ts: timestamp, v). */
+  def hourlyStats(points: DataFrame, watermarkDelay: String = "2 hours"): DataFrame =
+    points
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(col(K), window(col("ts"), "1 hour").as("win"))
+      .agg(
+        count(lit(1)).as("n_points"),
+        avg(col(V)).as("mean"),
+        min(col(V)).as("min"),
+        max(col(V)).as("max"))
+      .select(col(K), col("win.start").as("bin_start"), col("n_points"),
+        col("mean"), col("min"), col("max"))
+
+  case class PointEvent(key: String, t: Long, v: Double)
+  case class Carried(key: String, t: Long, v: Double, prev: Option[Double])
+
+  /** Stateful per-key carry-forward: each event is emitted with the
+    * previous value of its series (the streaming transition stream that
+    * feeds compaction / delta encoding). `mapGroupsWithState` keeps one
+    * Double per key — state is O(#keys), not O(#events). */
+  def withPrevious(events: Dataset[PointEvent]): Dataset[Carried] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        (key: String, rows: Iterator[PointEvent], state: GroupState[Double]) => {
+          val sorted = rows.toSeq.sortBy(_.t)
+          var prev: Option[Double] = state.getOption
+          val out = sorted.map { e =>
+            val c = Carried(key, e.t, e.v, prev)
+            prev = Some(e.v)
+            c
+          }
+          prev.foreach(state.update)
+          out.iterator
+        })
+  }
+}

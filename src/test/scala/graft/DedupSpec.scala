@@ -1,0 +1,93 @@
+package graft
+
+import graft.ann.Ann
+import graft.dedup.Dedup
+import graft.multimodal.Multimodal
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+
+  def docsDf = {
+    val s = spark
+    import s.implicits._
+    Seq(
+      (0L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank tonight"), // near-dup of 0
+      (2L, "completely different content about spark catalyst optimizer internals and shuffles"),
+      (3L, "the quick brown fox jumps over the lazy dog near the river bank today"), // exact dup of 0
+      (4L, "tiny doc"),
+      (5L, "another unrelated document mentioning gorilla compression and delta of delta timestamps"))
+      .toDF("doc_id", "text")
+  }
+
+  test("exact dedup groups identical texts") {
+    val out = Dedup.exact(docsDf).collect()
+    val dupGroup = out.filter(_.getLong(2) == 2)
+    assert(dupGroup.length == 1 && dupGroup.head.getLong(1) == 0L)
+    assert(out.map(_.getLong(2)).sum == 6)
+  }
+
+  test("minhash LSH surfaces the near-duplicate pair and jaccard ranks it high") {
+    val pairs = Dedup.minhashCandidates(docsDf).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 3L)), s"exact dup must share all bands: $pairs")
+    assert(pairs.contains((0L, 1L)) || pairs.contains((1L, 3L)),
+      s"near-dup should share >=1 band: $pairs")
+    val jac = Dedup.ngramJaccard(docsDf, Dedup.minhashCandidates(docsDf))
+      .collect().map(r => ((r.getLong(1), r.getLong(0)), r.getDouble(2))).toMap
+    jac.get((0L, 3L)).foreach(j => assert(j == 1.0))
+  }
+
+  test("simhash: identical texts equal, near-dups close, different texts far") {
+    val fp = docsDf.select(col("doc_id"), Dedup.simhash(col("text")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(0L) == fp(3L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(fp(a) ^ fp(b))
+    assert(ham(0L, 1L) < ham(0L, 2L), s"near ${ham(0L, 1L)} vs far ${ham(0L, 2L)}")
+  }
+
+  test("IVF ANN reaches high recall vs brute force on clustered data") {
+    val s = spark
+    import s.implicits._
+    // 8 clusters of 30 vectors each, dim 16: cluster centers are unit axes
+    val vecs = (0 until 240).map { i =>
+      val c = i % 8
+      val arr = Array.tabulate(16)(d =>
+        (if (d == c * 2) 1.0 else 0.0) + 0.05 * math.sin(i * 13 + d))
+      (i.toLong, arr)
+    }.toDF("vec_id", "embedding")
+    val queries = vecs.filter(col("vec_id") < 8)
+    val exact = Ann.bruteForceTopK(vecs, queries, 10)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val centroids = vecs.filter(col("vec_id") < 8 * 8 && col("vec_id") % 8 === 0)
+    val assigned = Ann.ivfAssign(vecs, centroids)
+    val approx = Ann.ivfTopK(assigned, centroids, queries, 10, 3)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.8, s"IVF recall $recall")
+  }
+
+  test("embedding near-dup buckets find planted duplicates") {
+    val s = spark
+    import s.implicits._
+    val base = Array.tabulate(16)(d => math.cos(d * 0.7))
+    val vecs = Seq(
+      (0L, base), (1L, base.map(_ * 1.001)), // near-dup pair
+      (2L, Array.tabulate(16)(d => math.sin(d * 1.3 + 1))))
+      .toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDup(vecs, threshold = 0.99)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)), s"$pairs")
+  }
+
+  test("multimodal stub decode plumbing: schema, determinism, frame sampling") {
+    val s = spark
+    import s.implicits._
+    val media = Multimodal.mediaFromDocs(docsDf).as[Multimodal.MediaRow]
+    val dec = Multimodal.decodeAll(media).collect()
+    assert(dec.length == 6)
+    assert(dec.forall(d => d.features.length == 8 && d.width >= 16 && d.height >= 16))
+    val frames = Multimodal.sampleFrames(media)
+    assert(frames.columns.toSeq == Seq("doc_id", "frame_idx", "frame_bytes"))
+    assert(frames.count() >= 1)
+  }
+}

@@ -1,0 +1,34 @@
+package graft
+
+import graft.sources.Sources
+import org.apache.spark.sql.functions._
+
+class SourcesSpec extends SparkSpec {
+
+  test("from_csv parses the reference's default time format") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_csv").toString
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/ts.csv"),
+      "time,watts\n2024-01-01 00:00:00,0\n2024-01-01 00:10:30,45\n2024-01-01 01:00:00,0\n")
+    val df = Sources.fromCsv(spark, s"$dir/ts.csv", "time", "watts")
+    val got = collectTVL(df)
+    assert(got == Seq(
+      (1704067200000000L, Some(0.0)),
+      (1704067830000000L, Some(45.0)),
+      (1704070800000000L, Some(0.0))))
+  }
+
+  test("from_json parses ISO-8601 with Z suffix; to_json round-trips") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_json").toString
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/in.json"),
+      """[{"time": "2024-01-01T00:00:00Z", "value": 1.5},
+        | {"time": "2024-01-01T06:30:00Z", "value": 2.25}]""".stripMargin)
+    val df = Sources.fromJson(spark, s"$dir/in.json")
+    assert(collectTVL(df) == Seq(
+      (1704067200000000L, Some(1.5)), (1704090600000000L, Some(2.25))))
+    Sources.toJson(df, s"$dir/out")
+    val back = Sources.fromJson(spark, s"$dir/out", multiLine = false)
+    assert(collectTVL(back) == collectTVL(df))
+  }
+}
