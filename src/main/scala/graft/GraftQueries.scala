@@ -620,19 +620,23 @@ object GraftQueries {
     Dedup.minhashCandidates(docs(spark, dir))
 
   private val sqlBandsCte: String =
-    """WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS tk FROM documents),
-      |sh AS (
-      |  SELECT doc_id,
-      |    list_distinct([array_to_string(tk[i : i + 2], ' ')
-      |                   for i in generate_series(1, greatest(len(tk) - 2, 1))]) AS sh
-      |  FROM toks),
-      |mh AS (
-      |  SELECT doc_id, j, min(md5(j::VARCHAR || ':' || s)) AS h
-      |  FROM sh, unnest(sh) t(s), unnest(generate_series(0, 15)) jj(j)
-      |  GROUP BY 1, 2),
-      |bands AS (
-      |  SELECT doc_id, j // 4 AS band, md5(string_agg(h, '|' ORDER BY j)) AS band_hash
-      |  FROM mh GROUP BY 1, 2)""".stripMargin
+    s"""WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS tk FROM documents),
+       |sh AS (
+       |  SELECT doc_id,
+       |    list_distinct([array_to_string(tk[i : i + 2], ' ')
+       |                   for i in generate_series(1, greatest(len(tk) - 2, 1))]) AS sh
+       |  FROM toks),
+       |xs AS (
+       |  SELECT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT AS x
+       |  FROM sh, unnest(sh) t(s)),
+       |mh AS (
+       |  SELECT doc_id, j,
+       |    min(((1000003 * (j + 1) * 2 + 1) * x + 7919 * (j + 1)) % ${Dedup.MINHASH_P}) AS h
+       |  FROM xs, unnest(generate_series(0, 15)) jj(j)
+       |  GROUP BY 1, 2),
+       |bands AS (
+       |  SELECT doc_id, j // 4 AS band, string_agg(h::VARCHAR, '|' ORDER BY j) AS band_hash
+       |  FROM mh GROUP BY 1, 2)""".stripMargin
 
   val sqlMinhashPairs: String =
     sqlBandsCte +
@@ -643,7 +647,7 @@ object GraftQueries {
         |GROUP BY 1, 2""".stripMargin
 
   def qSimhash(spark: SparkSession, dir: String): DataFrame =
-    docs(spark, dir).select(col("doc_id"), Dedup.simhash(col("text")).as("simhash"))
+    Dedup.simhashDf(docs(spark, dir))
 
   val sqlSimhash: String =
     """WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS tk FROM documents),

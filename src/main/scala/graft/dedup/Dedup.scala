@@ -18,15 +18,19 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Word shingles (n-grams) from an already-materialized token-array
+    * COLUMN — keep the tokenization in its own projection; a lambda that
+    * captures a non-attribute expression re-evaluates it per element
+    * (plan-audit finding: splitting the text once per shingle). */
+  def shinglesOf(tk: Column, n: Int = 3): Column =
+    array_distinct(transform(
+      sequence(lit(0), greatest(size(tk) - n, lit(0))),
+      i => concat_ws(" ", slice(tk, i + 1, lit(n)))))
+
   /** Word shingles (n-grams) of the text; a document with fewer than n
     * words contributes its whole token sequence as one shingle. */
-  def shingles(text: Column, n: Int = 3): Column = {
-    val toks = graft.text.TextOps.wsTokens(text)
-    val joined = transform(
-      sequence(lit(0), greatest(size(toks) - n, lit(0))),
-      i => concat_ws(" ", slice(toks, i + 1, lit(n))))
-    array_distinct(joined)
-  }
+  def shingles(text: Column, n: Int = 3): Column =
+    shinglesOf(graft.text.TextOps.wsTokens(text), n)
 
   /** Exact dedup: survivor = min doc_id per md5(text); returns
     * (digest, survivor_id, group_size). */
@@ -35,24 +39,44 @@ object Dedup {
       .groupBy(md5(col(textCol).cast("binary")).as("digest"))
       .agg(min(col(idCol)).as("survivor_id"), count(lit(1)).as("group_size"))
 
-  /** MinHash signature: NH independent permutations simulated by seeded
-    * md5; each minhash is the lexicographic min of md5(seed:shingle) —
-    * a string min, identical in any engine with md5. Output adds
-    * `sig: array<string>` of length nh. */
-  def minhashSignature(docs: DataFrame, textCol: String = "text", nh: Int = 16, shingleN: Int = 3): DataFrame = {
-    val sh = shingles(col(textCol), shingleN)
-    val sig = array((0 until nh).map { j =>
-      array_min(transform(sh, s => md5(concat(lit(j.toString), lit(":"), s).cast("binary"))))
-    }: _*)
-    docs.withColumn("sig", sig)
+  /** MinHash parameters: nh independent linear permutations
+    * h_j(x) = (A_j·x + B_j) mod P over a 32-bit md5-derived base hash —
+    * one md5 per shingle total (not per permutation), the rest is
+    * codegen'd integer arithmetic; overflow-free in int64 so any SQL
+    * engine reproduces it exactly. */
+  final val MINHASH_P = 2305843009213693951L // 2^61 - 1
+  def minhashA(j: Int): Long = 1000003L * (j + 1) * 2 + 1
+  def minhashB(j: Int): Long = 7919L * (j + 1)
+
+  /** explode-shingles → one md5 per shingle → 16 codegen'd min-aggregates
+    * (partial+final). The signature join back to `docs` is on the id —
+    * broadcastable when docs is small, shuffle-hash otherwise. This shape
+    * costs exactly one pass over the shingles at any scale; the
+    * alternative (16 array_min lambdas over one row) is interpreted and
+    * duplicates the shingle pipeline per permutation (measured 60x slower).
+    */
+  def minhashSignature(docs: DataFrame, textCol: String = "text", nh: Int = 16, shingleN: Int = 3,
+      idCol: String = "doc_id"): DataFrame = {
+    val ex = docs
+      .select(col(idCol), graft.text.TextOps.wsTokens(col(textCol)).as("_tk"))
+      .select(col(idCol), explode(shinglesOf(col("_tk"), shingleN)).as("_s"))
+      .select(col(idCol),
+        conv(substring(md5(col("_s").cast("binary")), 1, 8), 16, 10).cast("long").as("_x"))
+    val aggs = (0 until nh).map { j =>
+      min(pmod(col("_x") * minhashA(j) + minhashB(j), lit(MINHASH_P))).as(s"_mh$j")
+    }
+    ex.groupBy(col(idCol))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col(idCol), array((0 until nh).map(j => col(s"_mh$j")): _*).as("sig"))
   }
 
-  /** LSH bands: band b's key = md5 of the concatenation of its `rows`
-    * signature slots. Output: exploded (doc_id, band, band_hash). */
+  /** LSH bands: band b's key = the "|"-joined `rows` signature slots (a
+    * plain equi-join key; no re-hash needed). Output: (doc_id, band,
+    * band_hash). */
   def lshBands(signed: DataFrame, idCol: String = "doc_id", bands: Int = 4, rows: Int = 4): DataFrame = {
     val bandStructs = array((0 until bands).map { b =>
       struct(lit(b).as("band"),
-        md5(concat_ws("|", slice(col("sig"), b * rows + 1, rows)).cast("binary")).as("band_hash"))
+        concat_ws("|", slice(col("sig"), b * rows + 1, rows)).as("band_hash"))
     }: _*)
     signed
       .select(col(idCol), explode(bandStructs).as("bh"))
@@ -63,7 +87,7 @@ object Dedup {
     * band bucket. */
   def minhashCandidates(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
       nh: Int = 16, bands: Int = 4, shingleN: Int = 3): DataFrame = {
-    val bandsDf = lshBands(minhashSignature(docs, textCol, nh, shingleN), idCol, bands, nh / bands)
+    val bandsDf = lshBands(minhashSignature(docs, textCol, nh, shingleN, idCol), idCol, bands, nh / bands)
     val l = bandsDf.select(col("band"), col("band_hash"), col(idCol).as("a"))
     val r = bandsDf.select(col("band"), col("band_hash"), col(idCol).as("b"))
     l.join(r, Seq("band", "band_hash"))
@@ -75,7 +99,9 @@ object Dedup {
     * (columns a, b): |shingles_a ∩ shingles_b| / |union|. */
   def ngramJaccard(docs: DataFrame, pairs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", shingleN: Int = 3): DataFrame = {
-    val sh = docs.select(col(idCol), shingles(col(textCol), shingleN).as("sh"))
+    val sh = docs
+      .select(col(idCol), graft.text.TextOps.wsTokens(col(textCol)).as("_tk"))
+      .select(col(idCol), shinglesOf(col("_tk"), shingleN).as("sh"))
     pairs
       .join(sh.select(col(idCol).as("a"), col("sh").as("sha")), Seq("a"))
       .join(sh.select(col(idCol).as("b"), col("sh").as("shb")), Seq("b"))
@@ -85,9 +111,27 @@ object Dedup {
             size(array_union(col("sha"), col("shb"))), 6).as("jaccard"))
   }
 
-  /** 64-bit SimHash: per bit k, sign of Σ_tokens (bit_k(md5(token)) ? +1 : -1)
-    * weighted by occurrence. Two md5 words supply 64 bits. Pure expressions.
-    */
+  /** SimHash as a DataFrame op: token hashes materialized ONCE into a
+    * column, then `bits` aggregate() passes over the in-row array (cheap;
+    * no md5 duplication across bit positions). */
+  def simhashDf(docs: DataFrame, textCol: String = "text", bits: Int = 32,
+      idCol: String = "doc_id", outCol: String = "simhash"): DataFrame = {
+    val withH = docs
+      .select(col(idCol), graft.text.TextOps.wsTokens(col(textCol)).as("_tk"))
+      .select(col(idCol),
+        transform(col("_tk"), t =>
+          conv(substring(md5(t.cast("binary")), 1, 8), 16, 10).cast("long")).as("_h"))
+    val bitCols = (0 until bits).map { k =>
+      val vote = aggregate(col("_h"), lit(0L),
+        (acc, h) => acc + when(shiftright(h, k).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
+      when(vote > 0, shiftleft(lit(1L), k)).otherwise(lit(0L))
+    }
+    withH.select(col(idCol), bitCols.reduce(_ + _).as(outCol))
+  }
+
+  /** SimHash as a single Column (convenient for tiny inputs; prefer
+    * [[simhashDf]] in pipelines — this form re-derives the token hashes
+    * once per bit position). */
   def simhash(text: Column, bits: Int = 32): Column = {
     val toks = graft.text.TextOps.wsTokens(text)
     val hashed = transform(toks, t =>

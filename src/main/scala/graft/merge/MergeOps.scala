@@ -43,9 +43,11 @@ object MergeOps {
       .unionByName(sb)
       .withColumn("_la", last(col("_ma"), ignoreNulls = true).over(wCum))
       .withColumn("_lb", last(col("_mb"), ignoreNulls = true).over(wCum))
-      // the last row at each distinct t has seen every measurement <= t
-      .withColumn("_rn", row_number().over(Window.partitionBy(K, T).orderBy(col("_ma").isNull.desc)))
-      .filter(col("_rn") === 1)
+      // the last row at each distinct t has seen every measurement <= t;
+      // lead() over the SAME (key) partitioning reuses the window sort —
+      // a row_number over (key, t) would add a second full shuffle
+      .withColumn("_nt", lead(col(T), 1).over(ord))
+      .filter(!(col("_nt") <=> col(T)))
     val va = when(col("_la").isNull, defaultA).otherwise(col("_la").getField(V))
     val vb = when(col("_lb").isNull, defaultB).otherwise(col("_lb").getField(V))
     u.select(col(K), col(T), f(va, vb).cast("double").as(V))
@@ -122,15 +124,35 @@ object MergeOps {
     val run = rows
       .withColumn("_cs", sum(col("_d")).over(wRun))
       .withColumn("_cn", sum(col("_dn")).over(wRun))
-      // last row per distinct t carries the fully-updated state
-      .withColumn("_rn", row_number().over(Window.partitionBy(K, T).orderBy(col("sid").desc)))
-      .filter(col("_rn") === 1)
+      // last row per distinct t carries the fully-updated state; lead()
+      // over the same (key) ordering reuses the running-sum shuffle+sort
+      .withColumn("_nt", lead(col(T), 1).over(Window.partitionBy(K).orderBy(col(T).asc, col("sid").asc)))
+      .filter(!(col("_nt") <=> col(T)))
       .join(broadcast(seeds), Seq(K))
     val merged = run.select(
       col(K), col(T),
       when(lit(strict) && (col("_cn") + col("_seedn")) > 0, lit(null).cast("double"))
         .otherwise(col("_cs") + col("_seed")).as(V))
     graft.core.SeriesOps.compact(merged)
+  }
+
+  /** The flat transition stream of K series (reference
+    * `iter_merge_transitions`, traces/timeseries.py:1006-1046): one row per
+    * measurement, ordered (t, sid) with the series' previous value
+    * attached. The reference's flat-sort strategy IS Spark's sort-based
+    * shuffle here — one window, no K-vector state. Output:
+    * (key, sid, t, prev, v). */
+  def mergeTransitions(df: DataFrame, defaults: Option[DataFrame] = None): DataFrame = {
+    val withDef = defaults match {
+      case Some(d) => df.join(broadcast(d), Seq("sid"), "left")
+      case None    => df.withColumn("default", lit(null).cast("double"))
+    }
+    val wSid = Window.partitionBy(K, "sid").orderBy(T)
+    val prevStruct = lag(struct(col(V)), 1).over(wSid)
+    withDef
+      .withColumn("prev",
+        when(prevStruct.isNull, col("default")).otherwise(prevStruct.getField(V)))
+      .select(col(K), col("sid"), col(T), col("prev"), col(V))
   }
 
   /** For each distinct value: a step series counting how many input series

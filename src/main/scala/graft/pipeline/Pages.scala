@@ -33,9 +33,12 @@ object Pages {
       .withColumn("_dom", least(pmod(col("_h"), lit(nDomains * (nDomains + 1) / 2)), lit(nDomains - 1)))
       .withColumn("_dom", floor((sqrt(col("_dom") * 8 + 1) - 1) / 2).cast("int"))
       .withColumn("url",
-        concat(lit("https://d"), col("_dom"), lit(".example.org/page/"), pmod(col("_h"), lit(1000))))
+        concat(lit("https://d"), col("_dom"), lit(".example.org/page/"),
+          pmod(xxhash64(col("id"), lit(seed + 2)), lit(1000))))
+      // crawl timestamps spread over a fixed 30-day window (dense enough
+      // that the hourly gap-fill stays ~O(points), not O(keys × span))
       .withColumn("warc_ts_us",
-        (base + col("id") * 60000000L + pmod(col("_h"), lit(59000000L))).cast("long"))
+        (base + pmod(xxhash64(col("id"), lit(seed + 1)), lit(30L * 86400000000L))).cast("long"))
       .withColumn("warc_ts", timestamp_micros(col("warc_ts_us")))
       .withColumn("text",
         concat(lit("Document for "), col("url"), lit(". "),
@@ -60,15 +63,21 @@ object Pages {
       regexp_replace(html.cast("string"), lit("^.*<body><p>"), lit("")),
       lit("</p></body></html>$"), lit(""))
 
-  /** pages -> series points (key=url, t=µs, v=text length): the measurement
-    * the rollup tiers aggregate. Only (url, warc_ts, text) are read —
-    * html prunes away at the scan.
+  /** pages -> series points (key=url, t=µs, v): the measurement the rollup
+    * tiers aggregate. Only (url, warc_ts, text) are read — html prunes
+    * away at the scan. v is the extracted-text length plus a small
+    * per-crawl component derived from (url, warc_ts): text itself is
+    * byte-identical per url (the invariant), so a text-only measurement
+    * would make every series constant and compaction degenerate; the
+    * crawl-derived term keeps the value stream realistic (mostly-stable
+    * with occasional changes) while staying a pure function of the
+    * input schema.
     */
   def toSeries(pages: DataFrame): DataFrame = {
     val ts = if (pages.columns.contains("warc_ts_us")) col("warc_ts_us") else unix_micros(col("warc_ts"))
     pages.select(
       col("url").as("key"),
       ts.as("t"),
-      length(col("text")).cast("double").as("v"))
+      (length(col("text")) + pmod(xxhash64(col("url"), ts), lit(16))).cast("double").as("v"))
   }
 }

@@ -88,6 +88,18 @@ object Rollup {
         count(when(col("p0") === col("t0"), 1)).as("n_points"))
   }
 
+  /** Rebin tierStats rows into coarser calendar bins (the stats-table
+    * counterpart of [[rebin]]; twa_mean recombines coverage-weighted). */
+  def rebinStats(stats: DataFrame, floorBin: Column => Column): DataFrame =
+    stats
+      .groupBy(col(K), floorBin(col("bin_start")).as("bin_start"))
+      .agg(
+        sum("covered_us").as("covered_us"),
+        (sum(col("twa_mean") * col("covered_us")) /
+          sum(when(col("twa_mean").isNotNull, col("covered_us")))).as("twa_mean"),
+        min("min").as("min"), max("max").as("max"),
+        sum("n_points").as("n_points"))
+
   /** 24 duration-weighted distributions, one per hour of day (reference
     * `distribution_by_hour_of_day`, traces/timeseries.py:1641-1651): split
     * segments at hour boundaries, group by the UTC hour of each piece.

@@ -1,0 +1,59 @@
+package graft
+
+import graft.pipeline.Pages
+import org.apache.spark.sql.functions._
+
+/** Plan audits: the properties that make the 100 TB case work must be
+  * visible in the physical plan, not just intended. */
+class PlanAuditSpec extends SparkSpec {
+
+  def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("pages pipeline never scans the fat html column (column pruning)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_pages").toString
+    Pages.synthPages(spark, 1000).drop("warc_ts_us")
+      .write.mode("overwrite").parquet(s"$dir/pages")
+    val pages = spark.read.parquet(s"$dir/pages")
+    val series = Pages.toSeries(pages)
+    val plan = planOf(graft.core.SeriesOps.compact(series))
+    val readSchema = plan.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(readSchema.nonEmpty, plan)
+    assert(!readSchema.contains("html"), s"html not pruned: $readSchema")
+    assert(readSchema.contains("url") && readSchema.contains("text"), readSchema)
+  }
+
+  test("time-range filters push down to the parquet scan") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .filter(col("ts") >= lit("2024-01-03").cast("timestamp"))
+      .select("event_type", "value")
+    val plan = planOf(df)
+    assert(plan.contains("PushedFilters") && plan.contains("GreaterThanOrEqual(ts"),
+      s"no pushdown:\n$plan")
+    val readSchema = plan.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(!readSchema.contains("props"), s"props not pruned: $readSchema")
+  }
+
+  test("grid sampling broadcasts the time axis (no shuffle of the grid)") {
+    val pts = GraftQueries.points(spark, "/root/testdata/sf0.001")
+    val s = spark; import s.implicits._
+    val grid = graft.regularize.Regularize.gridDf(pts, (1L to 100L).toDF("t"))
+    val plan = planOf(grid)
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"grid not broadcast:\n$plan")
+  }
+
+  test("distribution aggregates partially (map-side combine before exchange)") {
+    val plan = planOf(GraftQueries.qDistribution(spark, "/root/testdata/sf0.001"))
+    // partial+final HashAggregate pairs around the exchange
+    val nAgg = plan.linesIterator.count(l => l.contains("HashAggregate") || l.contains("SortAggregate"))
+    assert(nAgg >= 2, s"no partial aggregation visible:\n$plan")
+    assert(plan.contains("Exchange"), plan)
+  }
+
+  test("minhash candidate join is an equi hash join, never a cartesian") {
+    val plan = planOf(GraftQueries.qMinhashPairs(spark, "/root/testdata/sf0.001"))
+    assert(!plan.contains("CartesianProduct"), s"cartesian in LSH join:\n$plan")
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"), plan)
+  }
+}
