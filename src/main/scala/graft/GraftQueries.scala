@@ -403,6 +403,66 @@ object GraftQueries {
       |      FROM pts)
       |SELECT key, t, v FROM l WHERE rn = 1 OR pv IS DISTINCT FROM v""".stripMargin
 
+  /** exact weighted quantiles (mquantiles alpha=beta=0.5 knot algebra) of
+    * the duration-weighted state distribution per key. */
+  def qQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    val pts = points(spark, dir).withColumn("v", floor(col("v") / 50).cast("double"))
+    val (tmin, tmax) = bounds(pts)
+    val segs = SeriesOps.segmentsInRange(pts, lit(tmin), lit(tmax), nullD)
+    val hist = AggOps
+      .distribution(segs, normalized = false)
+      .filter(col("v").isNotNull)
+      .groupBy("key")
+      .agg(map_from_entries(collect_list(struct(col("v"), col("weight").cast("double")))).as("hist"))
+    val qs = Seq(0.25, 0.5, 0.9)
+    val qcol = graft.hist.WeightedQuantile.quantilesUdf(qs)(col("hist"))
+    hist
+      .select(col("key"), posexplode(qcol))
+      .select(col("key"),
+        element_at(typedLit(qs), col("pos") + 1).as("q"),
+        round(col("col"), 6).as("value"))
+  }
+
+  /** The same knot algebra in SQL: for each value (weight-ordered by
+    * value), knots at (cum-w+beta)/total and (cum-beta)/total with
+    * beta = 0.5 * min(weight); quantile = exact knot hit or linear
+    * interpolation between bracketing knots, q clamped to [qmin, qmax]
+    * (traces/histogram.py:172-247). */
+  val sqlQuantiles: String =
+    sqlPrefix() +
+      """, hist AS (
+        |  SELECT key, CAST(floor(v / 50) AS DOUBLE) AS state,
+        |         CAST(sum(t1 - t0) AS DOUBLE) AS w
+        |  FROM segs WHERE t1 > t0 AND v IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT key, sum(w) AS total, 0.5 * min(w) AS beta FROM hist GROUP BY 1),
+        |cum AS (
+        |  SELECT h.key, h.state, h.w, t.total, t.beta,
+        |         sum(h.w) OVER (PARTITION BY h.key ORDER BY h.state) AS cw
+        |  FROM hist h JOIN tot t USING (key)),
+        |knots AS (
+        |  SELECT key, state, (cw - w + beta) / total AS qk FROM cum
+        |  UNION ALL
+        |  SELECT key, state, (cw - beta) / total AS qk FROM cum),
+        |qr AS (SELECT * FROM (VALUES (0.25), (0.5), (0.9)) q(q0)),
+        |clamped AS (
+        |  SELECT k.key, q.q0,
+        |         least(greatest(q.q0, min(k.qk)), max(k.qk)) AS qc
+        |  FROM knots k, qr q GROUP BY 1, 2),
+        |lo AS (
+        |  SELECT c.key, c.q0, max_by(k.state, k.qk) AS y1, max(k.qk) AS x1
+        |  FROM clamped c JOIN knots k ON k.key = c.key AND k.qk <= c.qc
+        |  GROUP BY 1, 2),
+        |hi AS (
+        |  SELECT c.key, c.q0, min_by(k.state, k.qk) AS y2, min(k.qk) AS x2
+        |  FROM clamped c JOIN knots k ON k.key = c.key AND k.qk > c.qc
+        |  GROUP BY 1, 2)
+        |SELECT c.key, c.q0 AS q,
+        |  round(CASE WHEN c.qc = l.x1 OR h.x2 IS NULL THEN l.y1
+        |             ELSE (h.y2 - l.y1) * (c.qc - l.x1) / (h.x2 - l.x1) + l.y1 END, 6) AS value
+        |FROM clamped c
+        |JOIN lo l ON l.key = c.key AND l.q0 = c.q0
+        |LEFT JOIN hi h ON h.key = c.key AND h.q0 = c.q0""".stripMargin
+
   // ---------- compression codec (round-trip == compacted input) ----------
 
   def qCodecRoundtrip(spark: SparkSession, dir: String): DataFrame =

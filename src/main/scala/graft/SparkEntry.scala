@@ -60,7 +60,8 @@ object SparkEntry {
     "q32_dist_hour_of_day" -> (qDistHourOfDay _),
     "q33_dist_day_of_week" -> (qDistDayOfWeek _),
     "q34_count_by_value" -> (qCountByValue _),
-    "q35_threshold" -> (qThreshold _)
+    "q35_threshold" -> (qThreshold _),
+    "q36_quantiles" -> (qQuantiles _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -97,6 +98,7 @@ object SparkEntry {
     "q32_dist_hour_of_day" -> sqlDistHourOfDay,
     "q33_dist_day_of_week" -> sqlDistDayOfWeek,
     "q34_count_by_value" -> sqlCountByValue,
-    "q35_threshold" -> sqlThreshold
+    "q35_threshold" -> sqlThreshold,
+    "q36_quantiles" -> sqlQuantiles
   )
 }
