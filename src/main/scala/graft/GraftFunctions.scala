@@ -21,6 +21,10 @@ object GraftFunctions {
 
   def register(spark: SparkSession): Unit = {
     spark.udf.register("ts_compress", (ts: Seq[Long], vs: Seq[java.lang.Double]) => {
+      // fail loudly on ragged input — Seq.zip would silently truncate to the
+      // shorter side and the blob would drop trailing points
+      require(ts.length == vs.length,
+        s"ts_compress: ${ts.length} times vs ${vs.length} values")
       val sorted = ts.zip(vs).sortBy(_._1)
       Gorilla.encode(sorted.map(_._1).toArray, sorted.map(_._2).toArray)
     })

@@ -53,6 +53,61 @@ object SeriesOps {
       .drop("_rn", "_pv")
   }
 
+  /** Skew-safe [[compact]]: the lag runs per (key, time-bucket) and each
+    * bucket's first row compares against the previous bucket's closing
+    * value, carried by a tiny per-(key, bucket) handoff window — so a hot
+    * (or constant) key no longer funnels the whole series through one task.
+    * `bucketOf` must be a function of t. Output ≡ [[compact]].
+    */
+  def compactBucketed(df: DataFrame, bucketOf: Column): DataFrame = {
+    val d2 = df.withColumn("_bkt", bucketOf)
+    val wIn = Window.partitionBy(K, "_bkt").orderBy(T)
+    val closings = d2
+      .groupBy(col(K), col("_bkt"))
+      .agg(max_by(struct(col(V)), col(T)).as("_close"))
+    val wOff = Window.partitionBy(K).orderBy("_bkt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val opens = closings
+      .withColumn("_open", last(col("_close"), ignoreNulls = true).over(wOff))
+      .select(col(K), col("_bkt"), col("_open"))
+    d2.join(opens, Seq(K, "_bkt"))
+      .withColumn("_prev", coalesce(lag(struct(col(V)), 1).over(wIn), col("_open")))
+      // null _prev = globally first row of the key: always kept
+      .filter(col("_prev").isNull || !(col("_prev").getField(V) <=> col(V)))
+      .drop("_bkt", "_open", "_prev")
+  }
+
+  /** Bulk insert with `set_many(compact=True)` semantics
+    * (traces/timeseries.py:194-222): like [[compact]] but the FIRST entry is
+    * also dropped when it equals the series default — set_many seeds its
+    * running previous_value with `self.default`, unlike `compact()`/`set`
+    * which always keep the first point. Null-safe (None != None is False in
+    * Python, so a null first value compacts against a null default).
+    */
+  def setManyCompact(df: DataFrame, default: Column): DataFrame = {
+    val pv = when(row_number().over(wKey) === 1, default.cast("double"))
+      .otherwise(lag(V, 1).over(wKey))
+    df.withColumn("_pv", pv)
+      .filter(!(col("_pv") <=> col(V)))
+      .drop("_pv")
+  }
+
+  /** Delete the exact point at time `at` per key (reference `remove` /
+    * `__delitem__`, traces/timeseries.py:356-365). The reference raises
+    * KeyError when absent; distributed deletes are set-oriented, so absence
+    * is a no-op here (check [[nPoints]] deltas when the error matters). */
+  def removePoint(df: DataFrame, at: Column): DataFrame =
+    df.filter(col(T) =!= at)
+
+  /** Reference `__eq__` (traces/timeseries.py:1581-1582): true iff both
+    * sides hold exactly the same (key, t, v) measurements — the default is
+    * deliberately NOT compared, mirroring the reference. */
+  def seriesEquals(a: DataFrame, b: DataFrame): Boolean = {
+    val ca = a.select(col(K), col(T), col(V))
+    val cb = b.select(col(K), col(T), col(V))
+    ca.exceptAll(cb).isEmpty && cb.exceptAll(ca).isEmpty
+  }
+
   /** Consecutive-point segments over each key's full measured domain
     * [first_t, last_t): rows (key, t0, t1, v, vn) where vn is the value at
     * t1 (for linear interpolation). The last point opens no segment —

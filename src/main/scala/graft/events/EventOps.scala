@@ -14,13 +14,9 @@ object EventOps {
     * events at-or-before it (reference `cumulative_sum`,
     * traces/eventseries.py:82-119). Output (key, t, v=count).
     */
-  def cumulativeSum(df: DataFrame): DataFrame = {
+  def cumulativeSum(df: DataFrame, bucketBy: Option[Column] = None): DataFrame = {
     val byT = df.groupBy(col(K), col(T)).agg(count(lit(1)).as("_n"))
-    val w = Window
-      .partitionBy(K)
-      .orderBy(T)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    byT.select(col(K), col(T), sum("_n").over(w).cast("double").as(V))
+    runningCount(byT, col("_n"), bucketBy)
   }
 
   /** Number of events in the CLOSED interval [start, end]
@@ -43,16 +39,31 @@ object EventOps {
     * traces/eventseries.py:176-214; tests/test_eventseries.py:14-26).
     * Implemented as +1/-1 delta rows and one running sum. Output (key, t, v).
     */
-  def countActive(open: DataFrame, closed: DataFrame): DataFrame = {
+  def countActive(open: DataFrame, closed: DataFrame,
+      bucketBy: Option[Column] = None): DataFrame = {
     val deltas = open
       .select(col(K), col(T), lit(1L).as("d"))
       .unionByName(closed.select(col(K), col(T), lit(-1L).as("d")))
       .groupBy(col(K), col(T))
       .agg(sum("d").as("d"))
-    val w = Window
-      .partitionBy(K)
-      .orderBy(T)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    deltas.select(col(K), col(T), sum("d").over(w).cast("double").as(V))
+    runningCount(deltas, col("d"), bucketBy)
   }
+
+  /** Per-key running sum of a delta column at distinct times; with
+    * `bucketBy` (a function of t) the sum runs skew-safely per
+    * (key, time-bucket) via [[graft.core.BucketedOps]] — a global (constant
+    * key) event series no longer funnels through one task. */
+  private def runningCount(byT: DataFrame, delta: Column, bucketBy: Option[Column]): DataFrame =
+    bucketBy match {
+      case Some(bk) =>
+        graft.core.BucketedOps
+          .running(byT, bk, Nil, sums = Seq("_run" -> delta))
+          .select(col(K), col(T), col("_run").cast("double").as(V))
+      case None =>
+        val w = Window
+          .partitionBy(K)
+          .orderBy(T)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        byT.select(col(K), col(T), sum(delta).over(w).cast("double").as(V))
+    }
 }

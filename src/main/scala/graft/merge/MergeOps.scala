@@ -28,7 +28,8 @@ object MergeOps {
       b: DataFrame,
       f: (Column, Column) => Column,
       defaultA: Column = lit(null).cast("double"),
-      defaultB: Column = lit(null).cast("double")): DataFrame = {
+      defaultB: Column = lit(null).cast("double"),
+      bucketBy: Option[Column] = None): DataFrame = {
     val sa = a.select(
       col(K), col(T),
       struct(col(V)).as("_ma"),
@@ -37,25 +38,39 @@ object MergeOps {
       col(K), col(T),
       lit(null).cast("struct<v:double>").as("_ma"),
       struct(col(V)).as("_mb"))
-    val ord = Window.partitionBy(K).orderBy(col(T).asc, col("_ma").isNull.asc)
-    val wCum = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val u = sa
-      .unionByName(sb)
-      .withColumn("_la", last(col("_ma"), ignoreNulls = true).over(wCum))
-      .withColumn("_lb", last(col("_mb"), ignoreNulls = true).over(wCum))
-      // the last row at each distinct t has seen every measurement <= t;
-      // lead() over the SAME (key) partitioning reuses the window sort —
-      // a row_number over (key, t) would add a second full shuffle
-      .withColumn("_nt", lead(col(T), 1).over(ord))
-      .filter(!(col("_nt") <=> col(T)))
+    val tie = col("_ma").isNull // data rows sort before probe rows at equal t
+    val union = sa.unionByName(sb)
+    val u = bucketBy match {
+      case Some(bk) =>
+        // skew-safe path: per-(key, time-bucket) carry-forward with the
+        // BucketedOps handoff — a constant key (the reference's global
+        // `operation` result) no longer runs on a single task
+        graft.core.BucketedOps
+          .running(union, bk, Seq(tie), Nil,
+            carries = Seq("_la" -> col("_ma"), "_lb" -> col("_mb")))
+          // equal t ⇒ equal bucket, so in-bucket lead still finds same-t rows
+          .withColumn("_nt", lead(col(T), 1).over(graft.core.BucketedOps.wInBucket(Seq(tie))))
+      case None =>
+        val ord = Window.partitionBy(K).orderBy(col(T).asc, tie.asc)
+        val wCum = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        union
+          .withColumn("_la", last(col("_ma"), ignoreNulls = true).over(wCum))
+          .withColumn("_lb", last(col("_mb"), ignoreNulls = true).over(wCum))
+          // the last row at each distinct t has seen every measurement <= t;
+          // lead() over the SAME (key) partitioning reuses the window sort —
+          // a row_number over (key, t) would add a second full shuffle
+          .withColumn("_nt", lead(col(T), 1).over(ord))
+    }
+    val last2 = u.filter(!(col("_nt") <=> col(T)))
     val va = when(col("_la").isNull, defaultA).otherwise(col("_la").getField(V))
     val vb = when(col("_lb").isNull, defaultB).otherwise(col("_lb").getField(V))
-    u.select(col(K), col(T), f(va, vb).cast("double").as(V))
+    last2.select(col(K), col(T), f(va, vb).cast("double").as(V))
   }
 
   /** a(t) - b(t) at the union of times (traces/timeseries.py:1499-1501). */
-  def difference(a: DataFrame, b: DataFrame, defaultA: Column = lit(null), defaultB: Column = lit(null)): DataFrame =
-    operate(a, b, (x, y) => x - y, defaultA, defaultB)
+  def difference(a: DataFrame, b: DataFrame, defaultA: Column = lit(null), defaultB: Column = lit(null),
+      bucketBy: Option[Column] = None): DataFrame =
+    operate(a, b, (x, y) => x - y, defaultA, defaultB, bucketBy)
 
   /** a(t) * b(t) (traces/timeseries.py:1503-1505). */
   def multiply(a: DataFrame, b: DataFrame, defaultA: Column = lit(null), defaultB: Column = lit(null)): DataFrame =
@@ -90,12 +105,18 @@ object MergeOps {
     * one running sum per key — O(N) total, never an O(K) state vector.
     * `defaults` optionally maps (sid -> default) seeding pre-first values.
     * Output: (key, t, v) at the union of measurement times, compacted
-    * (merge(compact=True), traces/timeseries.py:1079-1099).
+    * (merge(compact=True), traces/timeseries.py:1079-1099). The first merged
+    * point is ALWAYS kept even when it equals the merged default: merge
+    * writes through set(t, v, compact=True) whose `len(self) == 0` branch
+    * short-circuits the equality check on the first write
+    * (traces/timeseries.py:187-191) — only set_many(compact=True) compares
+    * the first entry against the default.
     */
   def mergeSum(
       df: DataFrame, // columns: key, sid, t, v
       strict: Boolean,
-      defaults: Option[DataFrame] = None // columns: sid, default
+      defaults: Option[DataFrame] = None, // columns: sid, default
+      bucketBy: Option[Column] = None // skew-safe: function of t (BucketedOps)
   ): DataFrame = {
     val withDef = defaults match {
       case Some(d) => df.join(broadcast(d), Seq("sid"), "left")
@@ -117,23 +138,35 @@ object MergeOps {
       .agg(
         sum(coalesce(col("_def"), lit(0.0))).as("_seed"),
         sum(col("_def").isNull.cast("long")).as("_seedn"))
-    val wRun = Window
-      .partitionBy(K)
-      .orderBy(col(T).asc, col("sid").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val run = rows
-      .withColumn("_cs", sum(col("_d")).over(wRun))
-      .withColumn("_cn", sum(col("_dn")).over(wRun))
-      // last row per distinct t carries the fully-updated state; lead()
-      // over the same (key) ordering reuses the running-sum shuffle+sort
-      .withColumn("_nt", lead(col(T), 1).over(Window.partitionBy(K).orderBy(col(T).asc, col("sid").asc)))
+    val ties = Seq(col("sid"))
+    val run = (bucketBy match {
+      case Some(bk) =>
+        // skew-safe running sums: per-(key, time-bucket) windows + the tiny
+        // per-bucket offset handoff — the constant-key global merge no
+        // longer collapses onto one task
+        graft.core.BucketedOps
+          .running(rows, bk, ties, sums = Seq("_cs" -> col("_d"), "_cn" -> col("_dn")))
+          .withColumn("_nt", lead(col(T), 1).over(graft.core.BucketedOps.wInBucket(ties)))
+      case None =>
+        val ord = Window.partitionBy(K).orderBy(col(T).asc, col("sid").asc)
+        val wRun = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        rows
+          .withColumn("_cs", sum(col("_d")).over(wRun))
+          .withColumn("_cn", sum(col("_dn")).over(wRun))
+          // last row per distinct t carries the fully-updated state; lead()
+          // over the same (key) ordering reuses the running-sum shuffle+sort
+          .withColumn("_nt", lead(col(T), 1).over(ord))
+    })
       .filter(!(col("_nt") <=> col(T)))
       .join(broadcast(seeds), Seq(K))
     val merged = run.select(
       col(K), col(T),
       when(lit(strict) && (col("_cn") + col("_seedn")) > 0, lit(null).cast("double"))
         .otherwise(col("_cs") + col("_seed")).as(V))
-    graft.core.SeriesOps.compact(merged)
+    bucketBy match {
+      case Some(bk) => graft.core.SeriesOps.compactBucketed(merged, bk)
+      case None     => graft.core.SeriesOps.compact(merged)
+    }
   }
 
   /** The flat transition stream of K series (reference

@@ -25,8 +25,11 @@ object Multimodal {
     */
   def stubDecode(r: MediaRow): DecodedRow = {
     val n = r.bytes.length
-    val width = 16 + (n * 7919) % 1024
-    val height = 16 + (n * 104729) % 768
+    // 64-bit arithmetic: n * 104729 overflows Int for payloads over ~20 KB
+    // and Scala's % preserves sign, while the q30 DuckDB oracle evaluates
+    // the same formula in 64-bit — so compute in Long, narrow at the end.
+    val width = (16L + (n.toLong * 7919L) % 1024L).toInt
+    val height = (16L + (n.toLong * 104729L) % 768L).toInt
     val frames = if (r.modality == "video") 1 + n % 32 else 1
     val feats = new Array[Float](8)
     var i = 0

@@ -1,0 +1,135 @@
+package graft
+
+import graft.core.{BucketedOps, SeriesOps}
+import graft.events.EventOps
+import graft.merge.MergeOps
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Equivalence of the skew-safe bucketed running-window paths against the
+  * plain per-key windows, on seeded random series — including empty
+  * buckets, constant keys (the round-1 single-partition trap), duplicate
+  * times across sids, nulls, and strict/ignorant merge modes. Bucket width
+  * 137 deliberately does not divide the time range.
+  */
+class BucketedSpec extends SparkSpec {
+  val rnd = new scala.util.Random(20260816)
+  val bucket = Some(floor(col("t") / 137L).cast("long"))
+
+  def same(a: DataFrame, b: DataFrame, label: String): Unit = {
+    val extra = a.exceptAll(b).collect()
+    val missing = b.exceptAll(a).collect()
+    assert(extra.isEmpty && missing.isEmpty,
+      s"$label: bucketed extra=${extra.mkString(",")} missing=${missing.mkString(",")}")
+  }
+
+  def randSidRows(keys: Seq[String], sids: Int, maxLen: Int): DataFrame = {
+    val s = spark
+    import s.implicits._
+    val rows = for {
+      k <- keys
+      sid <- 0 until sids
+      t <- Seq.fill(1 + rnd.nextInt(maxLen))(rnd.nextInt(1000).toLong).distinct
+    } yield (k, s"s$sid", t,
+      if (rnd.nextInt(6) == 0) null else java.lang.Double.valueOf(rnd.nextInt(5).toDouble))
+    rows.toDF("key", "sid", "t", "v").withColumn("v", col("v").cast("double"))
+  }
+
+  test("mergeSum bucketed ≡ plain (ignorant + strict, with/without defaults, 12 trials)") {
+    val s = spark
+    import s.implicits._
+    (1 to 12).foreach { trial =>
+      val df = randSidRows(Seq("all"), 1 + rnd.nextInt(4), 20).persist()
+      val strict = trial % 2 == 0
+      val defaults =
+        if (trial % 3 == 0) None
+        else Some((0 until 4).map(i => (s"s$i",
+          if (rnd.nextBoolean()) null else java.lang.Double.valueOf(rnd.nextInt(3).toDouble)))
+          .toDF("sid", "default").withColumn("default", col("default").cast("double")))
+      val plain = MergeOps.mergeSum(df, strict, defaults)
+      val bucketed = MergeOps.mergeSum(df, strict, defaults, bucket)
+      same(bucketed, plain, s"mergeSum trial $trial strict=$strict")
+      df.unpersist()
+    }
+  }
+
+  test("countActive + cumulativeSum bucketed ≡ plain (constant key, 6 trials)") {
+    val s = spark
+    import s.implicits._
+    (1 to 6).foreach { trial =>
+      def events(n: Int) =
+        Seq.fill(n)(("all", rnd.nextInt(1000).toLong)).toDF("key", "t")
+      val open = events(80).persist(); val closed = events(80).persist()
+      same(EventOps.countActive(open, closed, bucket),
+        EventOps.countActive(open, closed), s"countActive trial $trial")
+      same(EventOps.cumulativeSum(open, bucket),
+        EventOps.cumulativeSum(open), s"cumsum trial $trial")
+      open.unpersist(); closed.unpersist()
+    }
+  }
+
+  test("operate/difference bucketed ≡ plain (nulls + scalar defaults, 8 trials)") {
+    (1 to 8).foreach { trial =>
+      def side() = {
+        val s = spark
+        import s.implicits._
+        Seq.fill(1 + rnd.nextInt(25))((
+          "pair", rnd.nextInt(500).toLong,
+          if (rnd.nextInt(6) == 0) null else java.lang.Double.valueOf(rnd.nextInt(5).toDouble)))
+          .distinct.toDF("key", "t", "v").withColumn("v", col("v").cast("double"))
+          .groupBy("key", "t").agg(max("v").as("v"))
+      }
+      val a = side().persist(); val b = side().persist()
+      val (da, db) = if (trial % 2 == 0) (lit(0.0), lit(0.0))
+        else (lit(null).cast("double"), lit(null).cast("double"))
+      same(MergeOps.difference(a, b, da, db, bucket),
+        MergeOps.difference(a, b, da, db), s"difference trial $trial")
+      a.unpersist(); b.unpersist()
+    }
+  }
+
+  test("compactBucketed ≡ compact (runs of equal + null values, 8 trials)") {
+    val s = spark
+    import s.implicits._
+    (1 to 8).foreach { trial =>
+      val rows = (0 until 4).flatMap { k =>
+        Seq.fill(1 + rnd.nextInt(40))(rnd.nextInt(1000).toLong).distinct.map(t =>
+          (s"k$k", t, if (rnd.nextInt(4) == 0) null else java.lang.Double.valueOf(rnd.nextInt(2).toDouble)))
+      }
+      val df = rows.toDF("key", "t", "v").withColumn("v", col("v").cast("double")).persist()
+      same(SeriesOps.compactBucketed(df, bucket.get), SeriesOps.compact(df), s"compact trial $trial")
+      df.unpersist()
+    }
+  }
+
+  test("bucketed plans have no unpartitioned window") {
+    val s = spark
+    import s.implicits._
+    val df = (0L until 200L).map(t => ("all", s"s${t % 3}", t, (t % 7).toDouble))
+      .toDF("key", "sid", "t", "v")
+    val plan = MergeOps.mergeSum(df, strict = false, bucketBy = bucket)
+      .queryExecution.executedPlan.toString
+    // every WindowExec must carry a partition spec — the single-partition
+    // running sum ("No Partition Defined") is exactly what this path removes
+    assert(!plan.contains("windowspecdefinition(t"), plan)
+  }
+
+  test("setManyCompact drops the leading run equal to the default") {
+    val df = seriesD(Seq(1.0 -> Some(5.0), 2.0 -> Some(5.0), 3.0 -> Some(2.0), 4.0 -> Some(5.0)))
+    assert(collectTV(SeriesOps.setManyCompact(df, lit(5.0))) ==
+      Seq(3.0 -> Some(2.0), 4.0 -> Some(5.0)))
+    // null default: null first values compact away (None != None is False)
+    val df2 = seriesD(Seq(1.0 -> None, 2.0 -> Some(1.0)))
+    assert(collectTV(SeriesOps.setManyCompact(df2, lit(null).cast("double"))) ==
+      Seq(2.0 -> Some(1.0)))
+    // differing first value is kept
+    assert(collectTV(SeriesOps.setManyCompact(df, lit(9.0))).head == (1.0 -> Some(5.0)))
+  }
+
+  test("removePoint and seriesEquals (reference remove/__eq__)") {
+    val df = seriesD(Seq(1.0 -> Some(1.0), 2.0 -> Some(2.0)))
+    assert(collectTV(SeriesOps.removePoint(df, lit(1.0))) == Seq(2.0 -> Some(2.0)))
+    assert(SeriesOps.seriesEquals(df, df.orderBy(col("t").desc)))
+    assert(!SeriesOps.seriesEquals(df, SeriesOps.removePoint(df, lit(1.0))))
+  }
+}

@@ -51,6 +51,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("Exchange"), plan)
   }
 
+  test("no driver query plans an unpartitioned window (single-partition trap)") {
+    // a WindowExec with an empty partition spec moves ALL rows to one task;
+    // partitioned windows print "..., [partCols], [ordCols]" (3 bracket
+    // groups), global ones only 2 — the round-1 scale-killer this guards
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val plan = planOf(fn(spark, "/root/testdata/sf0.001"))
+      plan.linesIterator
+        .filter(l => l.contains("Window ") && l.split("\\], \\[").length < 3)
+        .map(l => s"$name: ${l.trim.take(160)}")
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+
   test("minhash candidate join is an equi hash join, never a cartesian") {
     val plan = planOf(GraftQueries.qMinhashPairs(spark, "/root/testdata/sf0.001"))
     assert(!plan.contains("CartesianProduct"), s"cartesian in LSH join:\n$plan")
