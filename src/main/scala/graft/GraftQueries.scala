@@ -525,6 +525,38 @@ object GraftQueries {
       |SELECT 'all' AS key, t, round(v, 6) AS v FROM c
       |WHERE rn2 = 1 OR pv IS DISTINCT FROM v""".stripMargin
 
+  /** arbitrary-operation K-way merge (traces merge(operation=f),
+    * timeseries.py:1079-1099): ignorant max over the per-sid state vector
+    * with per-series default 0. The sid list is collected driver-side —
+    * the reference's ts_list is equally an in-memory enumeration. */
+  def qMergeMax(spark: SparkSession, dir: String): DataFrame = {
+    val df = spark.read
+      .parquet(s"$dir/events.parquet")
+      .groupBy(col("event_type").as("sid"), tsUs.as("t"))
+      .agg(max("value").as("v"))
+      .withColumn("key", constKey("all", col("sid")))
+    val sids = df.select("sid").distinct().orderBy("sid").collect().map(_.getString(0)).toSeq
+    MergeOps
+      .mergeOp(df, sids, MergeOps.ignorantMaxOf,
+        defaults = sids.map(_ -> lit(0.0)).toMap, bucketBy = dayBucket)
+      .withColumn("v", round(col("v"), 6))
+  }
+
+  val sqlMergeMax: String =
+    """WITH pts AS (
+      |  SELECT event_type AS sid, epoch_us(ts) AS t, max(value) AS v
+      |  FROM events GROUP BY 1, 2),
+      |tms AS (SELECT DISTINCT t FROM pts),
+      |sds AS (SELECT DISTINCT sid FROM pts),
+      |grid AS (SELECT sid, t FROM sds, tms),
+      |st AS (SELECT g.sid, g.t, coalesce(p.v, 0.0) AS v
+      |       FROM grid g ASOF LEFT JOIN pts p ON g.sid = p.sid AND g.t >= p.t),
+      |m AS (SELECT t, max(v) AS v FROM st GROUP BY 1),
+      |c AS (SELECT t, v, lag(v) OVER (ORDER BY t) AS pv,
+      |        row_number() OVER (ORDER BY t) AS rn FROM m)
+      |SELECT 'all' AS key, t, round(v, 6) AS v FROM c
+      |WHERE rn = 1 OR pv IS DISTINCT FROM v""".stripMargin
+
   def qCountActive(spark: SparkSession, dir: String): DataFrame = {
     val ev = spark.read.parquet(s"$dir/events.parquet")
     val open = ev.filter(col("value") >= 100)

@@ -61,7 +61,9 @@ object SparkEntry {
     "q33_dist_day_of_week" -> (qDistDayOfWeek _),
     "q34_count_by_value" -> (qCountByValue _),
     "q35_threshold" -> (qThreshold _),
-    "q36_quantiles" -> (qQuantiles _)
+    "q36_quantiles" -> (qQuantiles _),
+    // --- round 2: arbitrary-op merge + previously test-only operators ---
+    "q37_merge_max" -> (qMergeMax _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -99,6 +101,7 @@ object SparkEntry {
     "q33_dist_day_of_week" -> sqlDistDayOfWeek,
     "q34_count_by_value" -> sqlCountByValue,
     "q35_threshold" -> sqlThreshold,
-    "q36_quantiles" -> sqlQuantiles
+    "q36_quantiles" -> sqlQuantiles,
+    "q37_merge_max" -> sqlMergeMax
   )
 }

@@ -169,6 +169,100 @@ object MergeOps {
     }
   }
 
+  /** The reference's `iter_merge` (traces/timeseries.py:1048-1077): at each
+    * distinct union time, the K-slot state vector AFTER all transitions at
+    * that time — slot i carries series `sids(i)`'s latest value, or its
+    * default before its first measurement. Output (key, t, vs) with
+    * `vs: array<double>` ordered like `sids`.
+    *
+    * The K dimension is pivoted to K carry-forward struct columns filled in
+    * ONE window pass (no |times| x K row blowup): right for the reference's
+    * in-memory K (a handful to a few thousand series). For huge K with an
+    * associative op, use the delta specialization ([[mergeSum]]) instead —
+    * the same O(K) state-copy-per-yield cost the reference documents for
+    * iter_merge (docs/merge_strategies.rst) applies here as the array
+    * materialization. `bucketBy` (function of t) makes the carry-forward
+    * skew-safe via [[graft.core.BucketedOps]].
+    */
+  def iterMerge(
+      df: DataFrame, // columns: key, sid, t, v
+      sids: Seq[String],
+      defaults: Map[String, Column] = Map.empty,
+      bucketBy: Option[Column] = None): DataFrame = {
+    require(sids.nonEmpty && sids.distinct == sids, s"bad sids: $sids")
+    val idx = sids.zipWithIndex
+    val marks = idx.map { case (s, i) => when(col("sid") === s, struct(col(V))).as(s"_m$i") }
+    val base = df.select((col(K) +: col(T) +: marks): _*)
+    val filled = bucketBy match {
+      case Some(bk) =>
+        graft.core.BucketedOps
+          .running(base, bk, Nil, Nil,
+            carries = idx.map { case (_, i) => s"_l$i" -> col(s"_m$i") })
+          .withColumn("_nt", lead(col(T), 1).over(graft.core.BucketedOps.wInBucket(Nil)))
+      case None =>
+        val ord = Window.partitionBy(K).orderBy(col(T).asc)
+        val wCum = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        idx.foldLeft(base) { case (acc, (_, i)) =>
+          acc.withColumn(s"_l$i", last(col(s"_m$i"), ignoreNulls = true).over(wCum))
+        }.withColumn("_nt", lead(col(T), 1).over(ord))
+    }
+    // the positionally-last row at each distinct t has absorbed every
+    // simultaneous transition (iter_merge emits once per unique t)
+    val vals = idx.map { case (s, i) =>
+      when(col(s"_l$i").isNull, defaults.getOrElse(s, lit(null)).cast("double"))
+        .otherwise(col(s"_l$i").getField(V))
+    }
+    filled
+      .filter(!(col("_nt") <=> col(T)))
+      .select(col(K), col(T), array(vals: _*).as("vs"))
+  }
+
+  /** The reference's `merge(ts_list, operation=f)` for an ARBITRARY
+    * operation (traces/timeseries.py:1079-1099): `f` maps the state-vector
+    * column (array<double>, ordered like `sids`) to the merged value;
+    * output is compacted like merge(compact=True) — the first merged point
+    * is always kept (set's len==0 short-circuit, timeseries.py:187-191).
+    * [[mergeSum]] stays the delta-form specialization for associative sums
+    * at unbounded K; property-tested equivalent via mergeOp(ignorant-sum).
+    */
+  def mergeOp(
+      df: DataFrame,
+      sids: Seq[String],
+      f: Column => Column,
+      defaults: Map[String, Column] = Map.empty,
+      bucketBy: Option[Column] = None): DataFrame = {
+    val merged = iterMerge(df, sids, defaults, bucketBy)
+      .select(col(K), col(T), f(col("vs")).cast("double").as(V))
+    bucketBy match {
+      case Some(bk) => graft.core.SeriesOps.compactBucketed(merged, bk)
+      case None     => graft.core.SeriesOps.compact(merged)
+    }
+  }
+
+  /** ignorant_sum over a state vector (nulls dropped; all-null -> sum of
+    * empty = 0, like Python sum([]) — traces/operations.py:4-6). */
+  def ignorantSumOf(vs: Column): Column =
+    aggregate(filter(vs, _.isNotNull), lit(0.0), (acc, x) => acc + x)
+
+  /** strict_sum: any null makes the result null (traces/operations.py:9-11). */
+  def strictSumOf(vs: Column): Column =
+    when(exists(vs, _.isNull), lit(null).cast("double")).otherwise(ignorantSumOf(vs))
+
+  /** ignorant max over a state vector (array_max skips nulls; all-null ->
+    * null). The reference's merge(operation=max) over all-None state would
+    * raise — callers there pass non-None defaults, as should ours. */
+  def ignorantMaxOf(vs: Column): Column = array_max(vs)
+
+  /** ignorant min (array_min skips nulls; all-null -> null). */
+  def ignorantMinOf(vs: Column): Column = array_min(vs)
+
+  /** ignorant mean: mean of the non-null slots; all-null -> null (the
+    * reference's ignorant(mean) raises there — callers pass defaults). */
+  def ignorantMeanOf(vs: Column): Column = {
+    val n = size(filter(vs, _.isNotNull))
+    when(n > 0, ignorantSumOf(vs) / n.cast("double"))
+  }
+
   /** The flat transition stream of K series (reference
     * `iter_merge_transitions`, traces/timeseries.py:1006-1046): one row per
     * measurement, ordered (t, sid) with the series' previous value

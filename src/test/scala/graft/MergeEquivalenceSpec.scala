@@ -29,4 +29,68 @@ class MergeEquivalenceSpec extends SparkSpec {
       approxEq(got, trial.expected.map { case (t, v) => (t, v) })
     }
   }
+
+  private def trialDf(input: Seq[(Int, Int, Option[Double], Option[Double])]) = {
+    val s = spark
+    import s.implicits._
+    input
+      .map { case (sid, t, v, _) =>
+        ("g", sid.toString, t.toDouble, v.map(Double.box).orNull.asInstanceOf[java.lang.Double])
+      }
+      .toDF("key", "sid", "t", "v")
+      .withColumn("v", col("v").cast("double"))
+  }
+
+  test("mergeOp(max/min/mean) matches the reference on 18 random trials") {
+    val ops: Map[String, org.apache.spark.sql.Column => org.apache.spark.sql.Column] = Map(
+      "max" -> MergeOps.ignorantMaxOf, "min" -> MergeOps.ignorantMinOf,
+      "mean" -> MergeOps.ignorantMeanOf)
+    Goldens.mergeOpTrials.foreach { trial =>
+      val df = trialDf(trial.input)
+      val sids = (0 until trial.k).map(_.toString)
+      val defaults = trial.input
+        .map { case (sid, _, _, d) => sid.toString -> lit(d.get) }.toMap
+      val got = collectTV(MergeOps.mergeOp(df, sids, ops(trial.op), defaults))
+      approxEq(got, trial.expected)
+    }
+  }
+
+  test("mergeOp(ignorant/strict sum) ≡ mergeSum delta form (plain + bucketed)") {
+    val s = spark
+    import s.implicits._
+    Goldens.mergeTrials.take(10).foreach { trial =>
+      val df = trialDf(trial.input).persist()
+      val sids = trial.input.map(_._1).distinct.sorted.map(_.toString)
+      val defMap = trial.input
+        .map { case (sid, _, _, d) =>
+          sid.toString -> d.map(x => lit(x)).getOrElse(lit(null).cast("double"))
+        }.toMap
+      val f = if (trial.strict) MergeOps.strictSumOf _ else MergeOps.ignorantSumOf _
+      val viaOp = collectTV(MergeOps.mergeOp(df, sids, f, defMap))
+      val viaOpBucketed = collectTV(
+        MergeOps.mergeOp(df, sids, f, defMap, Some(floor(col("t") / 7).cast("long"))))
+      approxEq(viaOp, trial.expected)
+      approxEq(viaOpBucketed, trial.expected)
+      df.unpersist()
+    }
+  }
+
+  test("iterMerge emits the post-transition state once per distinct time") {
+    val s = spark
+    import s.implicits._
+    // two series with a simultaneous transition at t=2 (iter_merge dedups)
+    val df = Seq(
+      ("g", "a", 1.0, 1.0), ("g", "a", 2.0, 3.0),
+      ("g", "b", 2.0, 5.0), ("g", "b", 4.0, 7.0))
+      .toDF("key", "sid", "t", "v")
+    val got = MergeOps.iterMerge(df, Seq("a", "b"), Map("b" -> lit(0.0)))
+      .orderBy("t")
+      .collect()
+      .map(r => (r.getDouble(1), r.getSeq[Any](2).map(Option(_).map(_.asInstanceOf[Double]))))
+      .toSeq
+    assert(got == Seq(
+      1.0 -> Seq(Some(1.0), Some(0.0)),
+      2.0 -> Seq(Some(3.0), Some(5.0)),
+      4.0 -> Seq(Some(3.0), Some(7.0))))
+  }
 }
