@@ -854,6 +854,218 @@ object GraftQueries {
       |  CAST(CASE WHEN modality = 'video' THEN 1 + n % 32 ELSE 1 END AS INT) AS n_frames
       |FROM m""".stripMargin
 
+  // ---------- round-2 driver entries for previously test-only operators ----------
+
+  /** sample_interval (traces/timeseries.py:616-745): time-weighted mean /
+    * min / max per 6-hour grid cell. Cells fully inside one constant
+    * segment get the segment value — the reference reaches that via its
+    * trailing ffill() of cells without inflexion points; full-coverage
+    * aggregation over split segments is the same function, computed
+    * directly. */
+  def qSampleInterval(spark: SparkSession, dir: String): DataFrame = {
+    val pts = points(spark, dir)
+    val (h0, h1) = dayBounds(pts)
+    Regularize
+      .sampleInterval(pts, h0, h1, 6 * HOUR, nullD)
+      .select(col("key"), col("cell_start"),
+        round(col("mean"), 6).as("mean"), col("min"), col("max"))
+  }
+
+  val sqlSampleInterval: String = {
+    val p = 6 * HOUR
+    sqlPrefix() +
+      s""", bb AS (SELECT (tmin // $DAY) * $DAY AS h0, ((tmax // $DAY) + 1) * $DAY AS h1 FROM b),
+         |clipped AS (
+         |  SELECT key,
+         |         CASE WHEN ot IS NULL THEN (SELECT h0 FROM bb) ELSE t0 END AS t0,
+         |         CASE WHEN lst THEN (SELECT h1 FROM bb) ELSE t1 END AS t1, v
+         |  FROM segs),
+         |cells AS (
+         |  SELECT key, v,
+         |         greatest(t0, $p * cell) AS t0, least(t1, $p * (cell + 1)) AS t1,
+         |         $p * cell AS cell_start
+         |  FROM clipped, unnest(generate_series(t0 // $p, t1 // $p)) c(cell)
+         |  WHERE t1 > t0)
+         |SELECT key, cell_start,
+         |  round(sum(v * (t1 - t0)) / $p.0, 6) AS mean,
+         |  min(v) AS min, max(v) AS max
+         |FROM cells WHERE t1 > t0 GROUP BY 1, 2""".stripMargin
+  }
+
+  /** to_bool + threshold + Python-truthiness logical and/or/xor over one
+    * as-of alignment pass (traces/timeseries.py:1430-1517: and/or return
+    * OPERANDS, xor returns a bool; None stays None). */
+  def qLogicalOps(spark: SparkSession, dir: String): DataFrame = {
+    val pts = points(spark, dir)
+    val a = SeriesOps.toBool(pts.filter(col("key") === "click"))
+      .withColumn("key", constKey("pair", col("key")))
+    val b = SeriesOps.threshold(pts.filter(col("key") === "view"), lit(150.0))
+      .withColumn("key", constKey("pair", col("key")))
+    val aligned = MergeOps.alignPair(a, b, nullD, nullD, dayBucket)
+    val ta = SeriesOps.truthy(col("va")); val tb = SeriesOps.truthy(col("vb"))
+    aligned.select(
+      col("key"), col("t"),
+      when(ta, col("vb")).otherwise(col("va")).as("and_v"),
+      when(ta, col("va")).otherwise(col("vb")).as("or_v"),
+      (ta =!= tb).cast("double").as("xor_v"))
+  }
+
+  val sqlLogicalOps: String =
+    """WITH pts AS (
+      |  SELECT event_type AS key, epoch_us(ts) AS t, max(value) AS v
+      |  FROM events WHERE event_type IN ('click', 'view') GROUP BY 1, 2),
+      |u AS (
+      |  SELECT t,
+      |    CASE WHEN key = 'click' THEN CAST(v <> 0.0 AS DOUBLE) END AS va,
+      |    CASE WHEN key = 'view' THEN CAST(v > 150.0 AS DOUBLE) END AS vb,
+      |    CASE WHEN key = 'click' THEN 0 ELSE 1 END AS side
+      |  FROM pts),
+      |f AS (SELECT t, side,
+      |        last_value(va IGNORE NULLS) OVER (ORDER BY t, side ROWS UNBOUNDED PRECEDING) AS la,
+      |        last_value(vb IGNORE NULLS) OVER (ORDER BY t, side ROWS UNBOUNDED PRECEDING) AS lb,
+      |        row_number() OVER (PARTITION BY t ORDER BY side DESC) AS rn
+      |      FROM u),
+      |g AS (SELECT t, la, lb,
+      |        (la IS NOT NULL AND la <> 0.0) AS ta,
+      |        (lb IS NOT NULL AND lb <> 0.0) AS tb
+      |      FROM f WHERE rn = 1)
+      |SELECT 'pair' AS key, t,
+      |  CASE WHEN ta THEN lb ELSE la END AS and_v,
+      |  CASE WHEN ta THEN la ELSE lb END AS or_v,
+      |  CAST(ta <> tb AS DOUBLE) AS xor_v
+      |FROM g""".stripMargin
+
+  /** Histogram statistics of the duration-weighted state distribution:
+    * total/mean/min/max/variance/stddev (traces/histogram.py:100-170,
+    * ddof=0, None keys dropped, zero-weight values excluded from min/max)
+    * plus the normalized weight of state 0 (histogram.normalized,
+    * :139-148). */
+  def qHistStats(spark: SparkSession, dir: String): DataFrame = {
+    val pts = points(spark, dir).withColumn("v", floor(col("v") / 50).cast("double"))
+    val (tmin, tmax) = bounds(pts)
+    val segs = SeriesOps.segmentsInRange(pts, lit(tmin), lit(tmax), nullD)
+    val dist = AggOps.distribution(segs, normalized = false)
+    val stats = AggOps.histogramStats(dist)
+    val norm = dist
+      .filter(col("v").isNotNull)
+      .groupBy(col("key"))
+      .agg((sum(when(col("v") === 0.0, col("weight"))).cast("double") /
+        sum(col("weight"))).as("norm_w0"))
+    stats.join(norm, Seq("key"))
+      .select(col("key"),
+        round(col("total"), 6).as("total"), round(col("mean"), 6).as("mean"),
+        col("min"), col("max"),
+        round(col("variance"), 6).as("variance"), round(col("stddev"), 6).as("stddev"),
+        round(col("norm_w0"), 6).as("norm_w0"))
+  }
+
+  val sqlHistStats: String =
+    sqlPrefix() +
+      """, hist AS (
+        |  SELECT key, CAST(floor(v / 50) AS DOUBLE) AS state,
+        |         CAST(sum(t1 - t0) AS DOUBLE) AS w
+        |  FROM segs WHERE t1 > t0 AND v IS NOT NULL GROUP BY 1, 2),
+        |base AS (
+        |  SELECT key, sum(w) AS total, sum(state * w) / sum(w) AS mean,
+        |         min(CASE WHEN w > 0 THEN state END) AS mn,
+        |         max(CASE WHEN w > 0 THEN state END) AS mx,
+        |         sum(CASE WHEN state = 0.0 THEN w END) / sum(w) AS norm_w0
+        |  FROM hist GROUP BY 1),
+        |vr AS (
+        |  SELECT h.key, sum(h.w * (h.state - b.mean) ^ 2) / sum(h.w) AS variance
+        |  FROM hist h JOIN base b USING (key) GROUP BY 1)
+        |SELECT b.key, round(b.total, 6) AS total, round(b.mean, 6) AS mean,
+        |  b.mn AS min, b.mx AS max,
+        |  round(v.variance, 6) AS variance, round(sqrt(v.variance), 6) AS stddev,
+        |  round(b.norm_w0, 6) AS norm_w0
+        |FROM base b JOIN vr v USING (key)""".stripMargin
+
+  private val SI_START = 1704240000000000L // 2024-01-03
+  private val SI_END = SI_START + 2 * DAY
+
+  /** set_interval(start, end, value) (traces/timeseries.py:224-271):
+    * points in [start, end] removed, `value` written at start and the OLD
+    * as-of value at end. */
+  def qSetInterval(spark: SparkSession, dir: String): DataFrame =
+    SeriesOps.setInterval(points(spark, dir), lit(SI_START), lit(SI_END), lit(42.0), nullD)
+
+  val sqlSetInterval: String =
+    s"""WITH pts AS (
+       |  SELECT event_type AS key, epoch_us(ts) AS t, max(value) AS v
+       |  FROM events GROUP BY 1, 2),
+       |keys AS (SELECT DISTINCT key FROM pts),
+       |olde AS (SELECT key, max_by(v, t) AS v FROM pts WHERE t <= $SI_END GROUP BY 1)
+       |SELECT key, t, v FROM pts WHERE t < $SI_START OR t > $SI_END
+       |UNION ALL SELECT key, $SI_START AS t, 42.0 AS v FROM keys
+       |UNION ALL SELECT k.key, $SI_END AS t, o.v FROM keys k LEFT JOIN olde o USING (key)""".stripMargin
+
+  /** slice(start, end) (traces/timeseries.py:542-557): as-of value at
+    * start, interior points, plus the value at end (inclusive lookup). */
+  def qSlice(spark: SparkSession, dir: String): DataFrame =
+    SeriesOps.sliceSeries(points(spark, dir), lit(SI_START), lit(SI_END), nullD)
+
+  val sqlSlice: String =
+    s"""WITH pts AS (
+       |  SELECT event_type AS key, epoch_us(ts) AS t, max(value) AS v
+       |  FROM events GROUP BY 1, 2),
+       |keys AS (SELECT DISTINCT key FROM pts),
+       |asof_s AS (SELECT key, max_by(v, t) AS v FROM pts WHERE t <= $SI_START GROUP BY 1),
+       |asof_e AS (SELECT key, max_by(v, t) AS v FROM pts WHERE t <= $SI_END GROUP BY 1)
+       |SELECT k.key, $SI_START AS t, s.v FROM keys k LEFT JOIN asof_s s USING (key)
+       |UNION ALL SELECT key, t, v FROM pts WHERE t > $SI_START AND t < $SI_END
+       |UNION ALL SELECT k.key, $SI_END AS t, e.v FROM keys k LEFT JOIN asof_e e USING (key)""".stripMargin
+
+  /** per-key masked n_points: the mask is a boolean TimeSeries
+    * (threshold > 150) composed exactly like the reference's mask path
+    * (timeseries.py:975-989 over iterperiods(value=True) intervals). */
+  def qMaskedNPoints(spark: SparkSession, dir: String): DataFrame = {
+    val pts = points(spark, dir)
+    val (tmin, tmax) = bounds(pts)
+    val maskSeries = SeriesOps.threshold(pts, lit(150.0))
+    val mask = SeriesOps.trueIntervals(maskSeries, lit(tmin), lit(tmax), lit(0.0))
+    SeriesOps.nPointsMasked(pts, mask)
+  }
+
+  val sqlMaskedNPoints: String =
+    """WITH pts AS (
+      |  SELECT event_type AS key, epoch_us(ts) AS t, max(value) AS v
+      |  FROM events GROUP BY 1, 2),
+      |b AS (SELECT min(t) AS tmin, max(t) AS tmax FROM pts),
+      |bsegs AS (
+      |  SELECT key, t AS m0,
+      |         coalesce(lead(t) OVER (PARTITION BY key ORDER BY t),
+      |                  (SELECT tmax FROM b)) AS m1,
+      |         CAST(v > 150.0 AS DOUBLE) AS bv
+      |  FROM pts),
+      |mask AS (SELECT key, m0, m1 FROM bsegs WHERE bv = 1.0 AND m1 > m0),
+      |cnt AS (
+      |  SELECT p.key, count(*) AS n FROM pts p
+      |  JOIN mask m ON p.key = m.key AND p.t >= m.m0 AND p.t < m.m1
+      |  GROUP BY 1)
+      |SELECT k.key, coalesce(c.n, 0) AS n_points
+      |FROM (SELECT DISTINCT key FROM pts) k LEFT JOIN cnt c USING (key)""".stripMargin
+
+  /** embedding cosine near-duplicate pairs inside sign-bit LSH buckets
+    * (threshold picked from the data's in-bucket cosine range). */
+  def qEmbeddingNearDup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingNearDup(embD(spark, dir), threshold = 0.3)
+      .select(col("a"), col("b"), round(col("cos"), 6).as("cos"))
+
+  val sqlEmbeddingNearDup: String =
+    """WITH e AS (
+      |  SELECT vec_id, embedding,
+      |    (SELECT sum(CASE WHEN embedding[i + 1] >= 0 THEN 1 << i ELSE 0 END)
+      |     FROM generate_series(0, 7) s(i)) AS bucket
+      |  FROM embeddings),
+      |p AS (
+      |  SELECT x.vec_id AS a, y.vec_id AS b,
+      |    (SELECT sum(x.embedding[i]::DOUBLE * y.embedding[i]::DOUBLE)
+      |     FROM generate_series(1, 64) d(i)) /
+      |    (sqrt((SELECT sum(x.embedding[i]::DOUBLE ^ 2) FROM generate_series(1, 64) d(i))) *
+      |     sqrt((SELECT sum(y.embedding[i]::DOUBLE ^ 2) FROM generate_series(1, 64) d(i)))) AS cos
+      |  FROM e x JOIN e y ON x.bucket = y.bucket AND x.vec_id < y.vec_id)
+      |SELECT a, b, round(cos, 6) AS cos FROM p WHERE cos >= 0.3""".stripMargin
+
   // classic relational smoke (lineitem)
   def qLineitemAgg(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/lineitem.parquet")

@@ -63,7 +63,14 @@ object SparkEntry {
     "q35_threshold" -> (qThreshold _),
     "q36_quantiles" -> (qQuantiles _),
     // --- round 2: arbitrary-op merge + previously test-only operators ---
-    "q37_merge_max" -> (qMergeMax _)
+    "q37_merge_max" -> (qMergeMax _),
+    "q38_sample_interval" -> (qSampleInterval _),
+    "q39_logical_ops" -> (qLogicalOps _),
+    "q40_hist_stats" -> (qHistStats _),
+    "q41_set_interval" -> (qSetInterval _),
+    "q42_slice" -> (qSlice _),
+    "q43_masked_npoints" -> (qMaskedNPoints _),
+    "q44_embedding_neardup" -> (qEmbeddingNearDup _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -102,6 +109,13 @@ object SparkEntry {
     "q34_count_by_value" -> sqlCountByValue,
     "q35_threshold" -> sqlThreshold,
     "q36_quantiles" -> sqlQuantiles,
-    "q37_merge_max" -> sqlMergeMax
+    "q37_merge_max" -> sqlMergeMax,
+    "q38_sample_interval" -> sqlSampleInterval,
+    "q39_logical_ops" -> sqlLogicalOps,
+    "q40_hist_stats" -> sqlHistStats,
+    "q41_set_interval" -> sqlSetInterval,
+    "q42_slice" -> sqlSlice,
+    "q43_masked_npoints" -> sqlMaskedNPoints,
+    "q44_embedding_neardup" -> sqlEmbeddingNearDup
   )
 }

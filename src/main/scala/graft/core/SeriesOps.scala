@@ -332,6 +332,28 @@ object SeriesOps {
     df.filter(lo && hi).groupBy(col(K)).agg(count(lit(1)).as("n_points"))
   }
 
+  /** `n_points` over a mask (reference timeseries.py:975-989, default
+    * include_start/exclude_end flags): per mask-true period [m0, m1),
+    * count points with m0 <= t < m1. `mask` = (key, m0, m1) per-key
+    * intervals (build from a boolean series via [[trueIntervals]] — the
+    * reference composes masks as boolean TimeSeries and iterates
+    * iterperiods(value=True)). Keys present in `df` but fully masked out
+    * count 0, like the reference. True intervals are disjoint, so the
+    * interval join never double-counts; the join is an equi-join on key
+    * plus range predicates — broadcastable when the mask is small.
+    */
+  def nPointsMasked(df: DataFrame, mask: DataFrame): DataFrame = {
+    val m = mask.select(col(K), col("m0"), col("m1"))
+    val counted = df
+      .join(m, Seq(K))
+      .filter(col(T) >= col("m0") && col(T) < col("m1"))
+      .groupBy(col(K))
+      .agg(count(lit(1)).as("_n"))
+    df.select(col(K)).distinct()
+      .join(counted, Seq(K), "left")
+      .select(col(K), coalesce(col("_n"), lit(0L)).as("n_points"))
+  }
+
   // ---------- scalar / unary value operators (traces/timeseries.py:1430-1517) ----------
 
   /** Python truthiness of a numeric value (0/None falsy). */

@@ -29,6 +29,19 @@ object MergeOps {
       f: (Column, Column) => Column,
       defaultA: Column = lit(null).cast("double"),
       defaultB: Column = lit(null).cast("double"),
+      bucketBy: Option[Column] = None): DataFrame =
+    alignPair(a, b, defaultA, defaultB, bucketBy)
+      .select(col(K), col(T), f(col("va"), col("vb")).cast("double").as(V))
+
+  /** The as-of alignment underlying [[operate]], exposed so callers can
+    * evaluate SEVERAL binary ops over one alignment pass: (key, t, va, vb)
+    * at the union of measurement times, each side carrying forward its
+    * latest value (or default). */
+  def alignPair(
+      a: DataFrame,
+      b: DataFrame,
+      defaultA: Column = lit(null).cast("double"),
+      defaultB: Column = lit(null).cast("double"),
       bucketBy: Option[Column] = None): DataFrame = {
     val sa = a.select(
       col(K), col(T),
@@ -61,10 +74,11 @@ object MergeOps {
           // a row_number over (key, t) would add a second full shuffle
           .withColumn("_nt", lead(col(T), 1).over(ord))
     }
-    val last2 = u.filter(!(col("_nt") <=> col(T)))
-    val va = when(col("_la").isNull, defaultA).otherwise(col("_la").getField(V))
-    val vb = when(col("_lb").isNull, defaultB).otherwise(col("_lb").getField(V))
-    last2.select(col(K), col(T), f(va, vb).cast("double").as(V))
+    u.filter(!(col("_nt") <=> col(T)))
+      .select(
+        col(K), col(T),
+        when(col("_la").isNull, defaultA).otherwise(col("_la").getField(V)).as("va"),
+        when(col("_lb").isNull, defaultB).otherwise(col("_lb").getField(V)).as("vb"))
   }
 
   /** a(t) - b(t) at the union of times (traces/timeseries.py:1499-1501). */
