@@ -827,6 +827,12 @@ object GraftQueries {
       |FROM r
       |QUALIFY rank <= 10""".stripMargin
 
+  /** IVF-Flat probe path with SEEDED centroids (vec_id < 8) so the whole
+    * pipeline — assignment argmax, probe ranking, in-cell top-k — is
+    * reproducible in the DuckDB oracle (similarities rounded to 6 before
+    * every argmax/rank; see Ann.ivfAssign). The production index builder is
+    * Ann.kMeans (Lloyd's), recall-tested in AnnSpec; its trained centroids
+    * aren't SQL-expressible, which is why the oracle query pins seeds. */
   def qAnnIvf(spark: SparkSession, dir: String): DataFrame = {
     val emb = embD(spark, dir)
     val centroids = emb.filter(col("vec_id") < 8)
@@ -834,6 +840,37 @@ object GraftQueries {
     Ann.ivfTopK(assigned, centroids, emb.filter(col("vec_id") < 5), 10, 3)
       .select("q_id", "n_id", "cos", "rank")
   }
+
+  val sqlAnnIvf: String =
+    """WITH c AS (SELECT vec_id AS cell, embedding AS cv FROM embeddings WHERE vec_id < 8),
+      |ec AS (
+      |  SELECT e.vec_id, c.cell,
+      |    round(sum(e.embedding[i]::DOUBLE * c.cv[i]::DOUBLE)
+      |      / (sqrt(sum(e.embedding[i]::DOUBLE ^ 2)) * sqrt(sum(c.cv[i]::DOUBLE ^ 2))), 6) AS sim
+      |  FROM embeddings e, c, unnest(generate_series(1, 64)) d(i)
+      |  GROUP BY 1, 2),
+      |asg AS (
+      |  SELECT vec_id, cell FROM ec
+      |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell ASC) = 1),
+      |qc AS (
+      |  SELECT vec_id AS q_id, cell FROM ec WHERE vec_id < 5
+      |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell ASC) <= 3),
+      |cand AS (
+      |  SELECT qc.q_id, a.vec_id AS n_id
+      |  FROM qc JOIN asg a USING (cell)
+      |  WHERE qc.q_id <> a.vec_id),
+      |s AS (
+      |  SELECT cd.q_id, cd.n_id,
+      |    round(sum(q.embedding[i]::DOUBLE * n.embedding[i]::DOUBLE)
+      |      / (sqrt(sum(q.embedding[i]::DOUBLE ^ 2)) * sqrt(sum(n.embedding[i]::DOUBLE ^ 2))), 6) AS cos
+      |  FROM cand cd
+      |  JOIN embeddings q ON q.vec_id = cd.q_id
+      |  JOIN embeddings n ON n.vec_id = cd.n_id,
+      |  unnest(generate_series(1, 64)) d(i)
+      |  GROUP BY 1, 2)
+      |SELECT q_id, n_id, cos,
+      |  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rank
+      |FROM s QUALIFY rank <= 10""".stripMargin
 
   def qMultimodalMeta(spark: SparkSession, dir: String): DataFrame = {
     val s = spark; import s.implicits._

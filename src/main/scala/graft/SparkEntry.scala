@@ -52,7 +52,7 @@ object SparkEntry {
     "q26_simhash" -> (qSimhash _),
     "q27_jaccard" -> (qJaccard _),
     "q28_cosine_topk" -> (qCosineTopK _),
-    "q29_ann_ivf" -> (qAnnIvf _), // no SQL oracle: rows-only check
+    "q29_ann_ivf" -> (qAnnIvf _),
     "q30_multimodal_meta" -> (qMultimodalMeta _),
     // --- classic relational smoke ---
     "q31_lineitem_agg" -> (qLineitemAgg _),
@@ -102,6 +102,7 @@ object SparkEntry {
     "q26_simhash" -> sqlSimhash,
     "q27_jaccard" -> sqlJaccard,
     "q28_cosine_topk" -> sqlCosineTopK,
+    "q29_ann_ivf" -> sqlAnnIvf,
     "q30_multimodal_meta" -> sqlMultimodalMeta,
     "q31_lineitem_agg" -> sqlLineitemAgg,
     "q32_dist_hour_of_day" -> sqlDistHourOfDay,

@@ -39,31 +39,41 @@ object Ann {
   }
 
   /** IVF cell assignment: nearest of `centroids` (tiny, broadcast) by
-    * cosine. Returns corpus + `cell`. */
+    * cosine. Similarities are rounded to 6 digits before the argmax (ties
+    * then break on cell asc) so assignments are reproducible across engines
+    * and summation orders — the DuckDB oracle evaluates the same rule.
+    * Returns corpus + `cell`. */
   def ivfAssign(corpus: DataFrame, centroids: DataFrame,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val cents = broadcast(centroids.select(col(idCol).as("cell"), col(vecCol).as("c_vec")))
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      cellCol: String = null): DataFrame = {
+    val cc = Option(cellCol).getOrElse(idCol)
+    val cents = broadcast(centroids.select(col(cc).as("cell"), col(vecCol).as("c_vec")))
     val w = Window.partitionBy(col(idCol)).orderBy(col("sim").desc, col("cell").asc)
     corpus
       .crossJoin(cents)
-      .select(col(idCol), col(vecCol), col("cell"), cosine(col(vecCol), col("c_vec")).as("sim"))
+      .select(col(idCol), col(vecCol), col("cell"),
+        round(cosine(col(vecCol), col("c_vec")), 6).as("sim"))
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1)
       .drop("_rn", "sim")
   }
 
   /** IVF top-k: per query, probe the nProbe nearest cells and brute-force
-    * only inside them. */
+    * only inside them. Probe ranking uses the same rounded-cosine rule as
+    * [[ivfAssign]]. */
   def ivfTopK(
       assigned: DataFrame, centroids: DataFrame, queries: DataFrame,
       k: Int, nProbe: Int,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val cents = broadcast(centroids.select(col(idCol).as("cell"), col(vecCol).as("c_vec")))
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      cellCol: String = null): DataFrame = {
+    val cc = Option(cellCol).getOrElse(idCol)
+    val cents = broadcast(centroids.select(col(cc).as("cell"), col(vecCol).as("c_vec")))
     val qCells = queries
       .select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
       .crossJoin(cents)
       .withColumn("_rn", row_number().over(
-        Window.partitionBy("q_id").orderBy(cosine(col("q_vec"), col("c_vec")).desc, col("cell").asc)))
+        Window.partitionBy("q_id")
+          .orderBy(round(cosine(col("q_vec"), col("c_vec")), 6).desc, col("cell").asc)))
       .filter(col("_rn") <= nProbe)
       .select(col("q_id"), col("q_vec"), col("cell"))
     val c = assigned.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"), col("cell"))
@@ -73,4 +83,53 @@ object Ann {
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
+
+  /** Lloyd's k-means over double embedding vectors — the real IVF coarse
+    * quantizer (k-means|| at cluster scale differs only in seeding; Lloyd's
+    * iterations are the same distributed shape: one broadcast-join
+    * assignment pass + one groupBy mean per iteration). Deterministic:
+    * seeds are the k lowest-id vectors; assignment uses the rounded-cosine
+    * argmax of [[ivfAssign]]. Centroids live on the driver between
+    * iterations (k x dim doubles — model state, not data; the per-iteration
+    * collect is k rows). Empty cells keep their previous centroid.
+    * Returns the centroid table (cell: long, embedding: array<double>).
+    */
+  def kMeans(
+      corpus: DataFrame, k: Int, iters: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    var cents: Seq[(Long, Seq[Double])] = corpus
+      .orderBy(col(idCol))
+      .limit(k)
+      .select(col(vecCol))
+      .collect()
+      .zipWithIndex
+      .map { case (r, i) => (i.toLong, r.getSeq[Double](0)) }
+      .toSeq
+    for (_ <- 1 to iters) {
+      val centsDf = cents.toDF("cell", vecCol)
+      val assigned = ivfAssign(corpus, centsDf, idCol, vecCol, cellCol = "cell")
+      val means = assigned
+        .select(col("cell"), posexplode(col(vecCol)))
+        .groupBy(col("cell"), col("pos"))
+        .agg(avg(col("col")).as("m"))
+        .groupBy(col("cell"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cell"), transform(col("pm"), p => p.getField("m")).as(vecCol))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1)))
+        .toMap
+      cents = cents.map { case (c, v) => (c, means.getOrElse(c, v)) }
+    }
+    cents.toDF("cell", vecCol)
+  }
+
+  /** recall@k of an ANN result against the brute-force ground truth —
+    * both in (q_id, n_id, rank) form. */
+  def recallAtK(ann: DataFrame, exact: DataFrame): DataFrame =
+    exact.select(col("q_id"), col("n_id"))
+      .join(ann.select(col("q_id"), col("n_id"), lit(1).as("_hit")), Seq("q_id", "n_id"), "left")
+      .groupBy(col("q_id"))
+      .agg((sum(coalesce(col("_hit"), lit(0))).cast("double") / count(lit(1))).as("recall"))
 }

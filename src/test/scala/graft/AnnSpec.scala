@@ -1,0 +1,58 @@
+package graft
+
+import graft.ann.Ann
+import org.apache.spark.sql.functions._
+
+/** k-means IVF index quality: on synthetically clustered vectors the
+  * trained coarse quantizer must recover the clusters, and probe-limited
+  * search must hit near-exact recall vs the brute-force ground truth. */
+class AnnSpec extends SparkSpec {
+  val rnd = new scala.util.Random(99)
+  val dim = 16
+
+  /** 4 well-separated clusters: center = one-hot-ish basis direction,
+    * members = center + small noise. */
+  def clustered(perCluster: Int): org.apache.spark.sql.DataFrame = {
+    val s = spark
+    import s.implicits._
+    val rows = for {
+      c <- 0 until 4
+      i <- 0 until perCluster
+    } yield {
+      val v = Array.tabulate(dim)(d =>
+        (if (d == c * 4) 10.0 else 0.0) + rnd.nextGaussian() * 0.3)
+      ((c * perCluster + i).toLong, c, v.toSeq)
+    }
+    rows.toDF("vec_id", "true_cluster", "embedding")
+  }
+
+  test("kMeans recovers well-separated clusters (deterministic seeding)") {
+    val corpus = clustered(25).persist()
+    val cents = Ann.kMeans(corpus, k = 4, iters = 5).persist()
+    assert(cents.count() == 4)
+    val assigned = Ann.ivfAssign(corpus, cents, cellCol = "cell")
+    // purity: every learned cell maps to exactly one true cluster
+    val purity = assigned
+      .join(corpus.select("vec_id", "true_cluster"), "vec_id")
+      .groupBy("cell")
+      .agg(countDistinct("true_cluster").as("n"))
+      .agg(max("n")).head().getLong(0)
+    assert(purity == 1L, s"impure cells (purity=$purity)")
+    // determinism: a second fit yields identical centroids
+    val again = Ann.kMeans(corpus, k = 4, iters = 5)
+    assert(cents.exceptAll(again).isEmpty && again.exceptAll(cents).isEmpty)
+    corpus.unpersist(); cents.unpersist()
+  }
+
+  test("kMeans-IVF with nProbe=1 reaches recall@5 >= 0.9 on clustered data") {
+    val corpus = clustered(25).persist()
+    val queries = corpus.filter(col("vec_id") % 25 === 3)
+    val cents = Ann.kMeans(corpus, k = 4, iters = 5)
+    val assigned = Ann.ivfAssign(corpus, cents, cellCol = "cell")
+    val ann = Ann.ivfTopK(assigned, cents, queries, k = 5, nProbe = 1, cellCol = "cell")
+    val exact = Ann.bruteForceTopK(corpus, queries, 5)
+    val recall = Ann.recallAtK(ann, exact).agg(avg("recall")).head().getDouble(0)
+    assert(recall >= 0.9, s"recall@5 = $recall")
+    corpus.unpersist()
+  }
+}
