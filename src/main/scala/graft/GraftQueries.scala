@@ -128,9 +128,7 @@ object GraftQueries {
   def qSamplePrev(spark: SparkSession, dir: String): DataFrame = {
     val pts = points(spark, dir)
     val (tmin, tmax) = bounds(pts)
-    val s = spark; import s.implicits._
-    val grid = Regularize.gridDf(pts, Regularize.gridLongs(tmin, tmax, HOUR).toDF("t"))
-    Regularize.samplePrevious(pts, grid, nullD)
+    Regularize.samplePrevious(pts, Regularize.gridSeq(pts, tmin, tmax, HOUR), nullD)
   }
 
   val sqlSamplePrev: String =
@@ -144,9 +142,8 @@ object GraftQueries {
   def qSampleLinear(spark: SparkSession, dir: String): DataFrame = {
     val pts = points(spark, dir)
     val (tmin, tmax) = bounds(pts)
-    val s = spark; import s.implicits._
-    val grid = Regularize.gridDf(pts, Regularize.gridLongs(tmin, tmax, HOUR).toDF("t"))
-    Regularize.sampleLinear(pts, grid, nullD).withColumn("v", round(col("v"), 6))
+    Regularize.sampleLinear(pts, Regularize.gridSeq(pts, tmin, tmax, HOUR), nullD)
+      .withColumn("v", round(col("v"), 6))
   }
 
   val sqlSampleLinear: String =
@@ -228,7 +225,7 @@ object GraftQueries {
     val pts = points(spark, dir)
     val (tmin, tmax) = bounds(pts)
     Regularize
-      .movingAverage(pts, Regularize.gridLongs(tmin, tmax, HOUR), 6 * HOUR, "center", nullD)
+      .movingAverage(pts, tmin, tmax, HOUR, 6 * HOUR, "center", nullD)
       .withColumn("mean", round(col("mean"), 6))
   }
 

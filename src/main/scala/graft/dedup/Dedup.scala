@@ -84,16 +84,37 @@ object Dedup {
   }
 
   /** Candidate near-duplicate pairs (a < b) sharing at least one LSH
-    * band bucket. */
+    * band bucket. Buckets larger than `maxBucket` members are EXCLUDED
+    * from pair generation: a degenerate bucket (e.g. millions of
+    * boilerplate/empty docs sharing one band hash) would otherwise emit a
+    * quadratic pair blowup inside one task. Members of such buckets are
+    * either exact duplicates (already caught by [[exact]], which shuffles
+    * 16-byte digests, never pairs) or need a cheaper grouping than
+    * pairwise verification; audit them with [[lshOversizedBuckets]].
+    */
   def minhashCandidates(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
-      nh: Int = 16, bands: Int = 4, shingleN: Int = 3): DataFrame = {
+      nh: Int = 16, bands: Int = 4, shingleN: Int = 3, maxBucket: Int = 2000): DataFrame = {
     val bandsDf = lshBands(minhashSignature(docs, textCol, nh, shingleN, idCol), idCol, bands, nh / bands)
+      .withColumn("_cnt",
+        count(lit(1)).over(Window.partitionBy("band", "band_hash")))
+      .filter(col("_cnt") <= maxBucket)
+      .drop("_cnt")
     val l = bandsDf.select(col("band"), col("band_hash"), col(idCol).as("a"))
     val r = bandsDf.select(col("band"), col("band_hash"), col(idCol).as("b"))
     l.join(r, Seq("band", "band_hash"))
       .filter(col("a") < col("b"))
       .select("a", "b").distinct()
   }
+
+  /** Audit of LSH buckets the `maxBucket` cap would drop: (band, band_hash,
+    * n_docs). Emit/log this next to candidate generation so capped coverage
+    * is visible, never silent. */
+  def lshOversizedBuckets(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+      nh: Int = 16, bands: Int = 4, shingleN: Int = 3, maxBucket: Int = 2000): DataFrame =
+    lshBands(minhashSignature(docs, textCol, nh, shingleN, idCol), idCol, bands, nh / bands)
+      .groupBy(col("band"), col("band_hash"))
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") > maxBucket)
 
   /** Exact n-gram Jaccard similarity for given candidate pairs
     * (columns a, b): |shingles_a ∩ shingles_b| / |union|. */

@@ -59,6 +59,45 @@ object CheckpointedRollup {
     allBuckets.filterNot(done)
   }
 
+  /** Contiguous runs [lo, hi] (inclusive) of a sorted pending-bucket list —
+    * resume work is expressed per run so filters are range predicates, not
+    * thousand-literal `isin`s, and each run needs only ONE per-key as-of
+    * carry-in lookup. */
+  private[graft] def contiguousRuns(buckets: Seq[Long]): Seq[(Long, Long)] =
+    buckets.sorted.foldLeft(Vector.empty[(Long, Long)]) {
+      case (acc :+ ((lo, hi)), b) if b == hi + 1 => acc :+ (lo, b)
+      case (acc, b)                              => acc :+ (b, b)
+    }
+
+  private def inRuns(c: org.apache.spark.sql.Column, rs: Seq[(Long, Long)]): org.apache.spark.sql.Column =
+    rs.map { case (lo, hi) => c >= lo && c <= hi }.reduce(_ || _)
+
+  /** The resume-efficient input for one pending run of day-buckets
+    * [lo, hi]: only the points inside the run, plus ONE row per key for the
+    * as-of carry-in (the key's latest point before the run — compact and
+    * gap-fill then behave exactly as in a full-history pass) and, when
+    * `withSuccessors`, one row per key after the run so keys with no
+    * earlier/in-run points still emit their gap-fill default rows. The
+    * predecessor/successor lookups are aggregations producing <= one row
+    * per key — no full-history window.
+    */
+  private[graft] def runInput(
+      pts: DataFrame, lo: Long, hi: Long, withSuccessors: Boolean): DataFrame = {
+    val inRange = pts.filter(col(T) >= lo * DAY && col(T) < (hi + 1) * DAY)
+      .select(col(K), col(T), col(V))
+    val pred = pts.filter(col(T) < lo * DAY)
+      .groupBy(col(K))
+      .agg(max_by(struct(col(T), col(V)), col(T)).as("_p"))
+      .select(col(K), col("_p").getField(T).as(T), col("_p").getField(V).as(V))
+    val base = inRange.unionByName(pred)
+    if (!withSuccessors) base
+    else base.unionByName(
+      pts.filter(col(T) >= (hi + 1) * DAY)
+        .groupBy(col(K))
+        .agg(min_by(struct(col(T), col(V)), col(T)).as("_s"))
+        .select(col(K), col("_s").getField(T).as(T), col("_s").getField(V).as(V)))
+  }
+
   /** Run (or resume) the full tier cascade over a series points DataFrame.
     * Returns the output dir layout:
     *   dir/chunks/    (key, bucket, n_points, blob)   [per day-bucket]
@@ -77,24 +116,32 @@ object CheckpointedRollup {
       }
       val allBuckets = (Math.floorDiv(minT, DAY) to Math.floorDiv(maxT, DAY)).toSeq
 
-      // ---- tier: chunks (raw, compacted, compressed) per day-bucket
+      // ---- tier: chunks (raw, compacted, compressed) per day-bucket.
+      // Input = pending points + per-key carry-in; compacting that equals
+      // filter(compact(full)) because a row's keep/drop decision depends
+      // only on its predecessor row, which the carry-in supplies — so chunk
+      // contents are independent of which buckets run together.
       runTier(spark, dir, "chunks", allBuckets) { buckets =>
-        val in = pts.filter(floor(col(T) / DAY).isin(buckets: _*))
+        val rs = contiguousRuns(buckets)
+        val in = rs.map { case (lo, hi) => runInput(pts, lo, hi, withSuccessors = false) }
+          .reduce(_ unionByName _)
         val out = ChunkOps
           .writeChunks(graft.core.SeriesOps.compact(in), DAY)
           .withColumn("partition", col("bucket"))
+          .filter(inRuns(col("partition"), rs)) // carry-in rows chunk outside the runs
         (out, out.groupBy(col("partition"))
           .agg(sum("n_points").as("input_rows"), count(lit(1)).as("row_count")))
       }
 
-      // ---- tier: hourly stats from raw points (gap-filled segments)
-      val hStart = Math.floorDiv(minT, DAY) * DAY
-      val hEnd = (Math.floorDiv(maxT, DAY) + 1) * DAY
+      // ---- tier: hourly stats from pending-day points only (+ carry-in /
+      // successor rows for exact gap-fill at the run edges)
       runTier(spark, dir, "hourly", allBuckets) { buckets =>
-        val out = Rollup
-          .tierStats(pts, hStart, hEnd, HOUR)
+        val rs = contiguousRuns(buckets)
+        val out = rs.map { case (lo, hi) =>
+          Rollup.tierStats(runInput(pts, lo, hi, withSuccessors = true),
+            lo * DAY, (hi + 1) * DAY, HOUR)
+        }.reduce(_ unionByName _)
           .withColumn("partition", floor(col("bin_start") / DAY).cast("long"))
-          .filter(col("partition").isin(buckets: _*))
         (out, out.groupBy("partition")
           .agg(sum("n_points").as("input_rows"), count(lit(1)).as("row_count")))
       }
@@ -103,7 +150,7 @@ object CheckpointedRollup {
       val hourly = spark.read.parquet(s"$dir/hourly")
       runTier(spark, dir, "daily", allBuckets) { buckets =>
         val out = hourly
-          .filter(col("partition").isin(buckets: _*))
+          .filter(inRuns(col("partition"), contiguousRuns(buckets)))
           .groupBy(col(K), (floor(col("bin_start") / DAY) * DAY).cast("long").as("bin_start"))
           .agg(
             sum(col("covered_us")).as("covered_us"),
@@ -115,12 +162,15 @@ object CheckpointedRollup {
           .agg(sum("n_points").as("input_rows"), count(lit(1)).as("row_count")))
       }
 
-      // ---- tier: weekly rebinned FROM daily (partition = week bucket)
+      // ---- tier: weekly rebinned FROM daily (partition = week bucket);
+      // input pruned to the daily rows whose week is pending
       val daily = spark.read.parquet(s"$dir/daily")
       val weekBuckets = allBuckets.map(b => Math.floorDiv(b * DAY - 4 * DAY, WEEK)).distinct
       runTier(spark, dir, "weekly", weekBuckets) { buckets =>
+        val rs = contiguousRuns(buckets)
         val wkStart = Rollup.floorWeek(col("bin_start"))
         val out = daily
+          .filter(inRuns(floor((col("bin_start") - 4 * DAY) / WEEK).cast("long"), rs))
           .groupBy(col(K), wkStart.as("bin_start"))
           .agg(
             sum(col("covered_us")).as("covered_us"),
@@ -128,23 +178,29 @@ object CheckpointedRollup {
             min("min").as("min"), max("max").as("max"),
             sum("n_points").as("n_points"))
           .withColumn("partition", floor((col("bin_start") - 4 * DAY) / WEEK).cast("long"))
-          .filter(col("partition").isin(buckets: _*))
         (out, out.groupBy("partition")
           .agg(sum("n_points").as("input_rows"), count(lit(1)).as("row_count")))
       }
     } finally pts.unpersist()
   }
 
-  /** Process only pending partitions of a tier, write them (append,
-    * partitioned by `partition`), then commit checkpoint rows with counts —
-    * idempotent: a rerun skips committed partitions entirely.
+  /** Process only pending partitions of a tier, write them with DYNAMIC
+    * partition overwrite (only the partitions present in this batch are
+    * replaced), then commit checkpoint rows with counts. Idempotent even
+    * across a crash BETWEEN the data write and the checkpoint append: the
+    * rerun re-processes the uncommitted partitions and overwrites — never
+    * appends a second copy into — their directories.
     */
   private def runTier(spark: SparkSession, dir: String, tier: String, allBuckets: Seq[Long])(
       f: Seq[Long] => (DataFrame, DataFrame)): Unit = {
     val pending = pendingBuckets(spark, dir, tier, allBuckets)
     if (pending.isEmpty) return
     val (out, counts) = f(pending)
-    out.write.mode(SaveMode.Append).partitionBy("partition").parquet(s"$dir/$tier")
+    out.write
+      .option("partitionOverwriteMode", "dynamic")
+      .mode(SaveMode.Overwrite)
+      .partitionBy("partition")
+      .parquet(s"$dir/$tier")
     val countRows = counts.collect()
     val got = countRows.map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     val ticks = pending.map { b =>

@@ -114,6 +114,38 @@ class BucketedSpec extends SparkSpec {
     assert(!plan.contains("windowspecdefinition(t"), plan)
   }
 
+  test("gridSeq times == gridLongs times (awkward inner chunking)") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(("a", 0L, 1.0), ("b", 0L, 2.0)).toDF("key", "t", "v")
+    for ((start, end, period, inner) <- Seq(
+        (0L, 1000L, 7L, 16L), (5L, 5000L, 13L, 8192L), (100L, 101L, 1L, 4L))) {
+      val exec = graft.regularize.Regularize.gridSeq(df, start, end, period, inner)
+        .filter(col("key") === "a").select("t").collect().map(_.getLong(0)).sorted.toSeq
+      val drv = graft.regularize.Regularize.gridLongs(start, end, period)
+      assert(exec == drv, s"grid mismatch for ($start,$end,$period,$inner)")
+    }
+  }
+
+  test("LSH bucket cap bounds degenerate buckets without a pair explosion") {
+    val s = spark
+    import s.implicits._
+    // 5000 identical docs (one giant bucket per band) + 6 near-dup docs
+    val words = (1 to 30).map(i => s"w$i").mkString(" ")
+    val docs = ((0 until 5000).map(i => (i.toLong, "same text in every one of these documents " + "pad " * 10)) ++
+      (0 until 6).map(i => (9000L + i, words + (if (i % 2 == 0) "" else " tail"))))
+      .toDF("doc_id", "text")
+    val t0 = System.nanoTime()
+    val pairs = graft.dedup.Dedup.minhashCandidates(docs, maxBucket = 100).collect()
+    val sec = (System.nanoTime() - t0) / 1e9
+    // without the cap this would be ~12.5M pairs from the giant bucket
+    assert(pairs.length < 100, s"cap leaked ${pairs.length} pairs")
+    assert(pairs.forall(r => r.getLong(0) >= 9000L), "giant-bucket ids escaped the cap")
+    val audit = graft.dedup.Dedup.lshOversizedBuckets(docs, maxBucket = 100).collect()
+    assert(audit.nonEmpty && audit.forall(_.getLong(2) == 5000L), s"audit: ${audit.mkString(",")}")
+    assert(sec < 120, s"cap did not bound runtime: $sec s")
+  }
+
   test("setManyCompact drops the leading run equal to the default") {
     val df = seriesD(Seq(1.0 -> Some(5.0), 2.0 -> Some(5.0), 3.0 -> Some(2.0), 4.0 -> Some(5.0)))
     assert(collectTV(SeriesOps.setManyCompact(df, lit(5.0))) ==

@@ -64,6 +64,84 @@ class PipelineSpec extends SparkSpec {
     assert(cp2.filter(col("tier") === "daily" && col("partition") === victim).count() == 1)
   }
 
+  test("resume input holds only pending-day points plus <=2 rows per key") {
+    val series = Pages.toSeries(Pages.synthPages(spark, 3000)).persist()
+    val days = series.select(floor(col("t") / CheckpointedRollup.DAY).cast("long").as("d"))
+      .groupBy("d").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val nKeys = series.select("key").distinct().count()
+    val mid = days.keys.toSeq.sorted.apply(days.size / 2)
+    val in = CheckpointedRollup.runInput(series, mid, mid, withSuccessors = true)
+    val n = in.count()
+    assert(n <= days(mid) + 2 * nKeys, s"resume input too big: $n rows")
+    assert(n >= days(mid), s"resume input lost pending rows: $n")
+    // carry-in correctness: gap-filled hourly over the pending day from the
+    // pruned input equals the same slice of a full-history computation
+    val lo = mid * CheckpointedRollup.DAY; val hi = lo + CheckpointedRollup.DAY
+    val fromPruned = graft.rollup.Rollup.tierStats(in, lo, hi, CheckpointedRollup.HOUR)
+    val all = series.agg(min("t"), max("t")).head()
+    val fullRange = graft.rollup.Rollup.tierStats(series,
+      Math.floorDiv(all.getLong(0), CheckpointedRollup.DAY) * CheckpointedRollup.DAY,
+      (Math.floorDiv(all.getLong(1), CheckpointedRollup.DAY) + 1) * CheckpointedRollup.DAY,
+      CheckpointedRollup.HOUR)
+      .filter(col("bin_start") >= lo && col("bin_start") < hi)
+    assert(fromPruned.exceptAll(fullRange).isEmpty && fullRange.exceptAll(fromPruned).isEmpty,
+      "pruned-input hourly differs from full-history hourly")
+    series.unpersist()
+  }
+
+  test("crash between data write and checkpoint append does not duplicate rows") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_crash").toString
+    val series = Pages.toSeries(Pages.synthPages(spark, 2000))
+    CheckpointedRollup.run(series, dir)
+    val cp = CheckpointedRollup.readCheckpoint(spark, dir)
+    val hourlyRows = spark.read.parquet(s"$dir/hourly").collect().map(_.toString).sorted.toSeq
+    // simulate the crash: one hourly partition's DATA is on disk but its
+    // checkpoint row is missing — the rerun must overwrite, not append
+    val victim = cp.filter(col("tier") === "hourly").select("partition").head().getLong(0)
+    import spark.implicits._
+    val keep = cp.collect().filterNot(r => r.getString(0) == "hourly" && r.getLong(1) == victim)
+      .map(r => CheckpointedRollup.Tick(r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4), r.getString(5))).toSeq.toDF()
+    val cpPath = CheckpointedRollup.checkpointPath(dir)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(cpPath))
+    keep.coalesce(1).write.parquet(cpPath)
+    CheckpointedRollup.run(series, dir)
+    val after = spark.read.parquet(s"$dir/hourly").collect().map(_.toString).sorted.toSeq
+    assert(after == hourlyRows, "re-run after simulated crash changed/duplicated hourly rows")
+  }
+
+  test("resumed chunk partitions are byte-identical to a fresh run's") {
+    val s = spark
+    import s.implicits._
+    val day = CheckpointedRollup.DAY
+    // values repeat across the day boundary so compaction decisions depend
+    // on the carry-in (the fresh/resume divergence ADVICE flagged)
+    val pts = Seq(
+      ("u", day / 2, 1.0), ("u", day - 1, 1.0), // day 0, repeated value
+      ("u", day + 5, 1.0),                      // day 1 opens with the SAME value
+      ("u", day + 10, 2.0), ("u", 2 * day + 3, 2.0), ("u", 2 * day + 9, 3.0))
+      .toDF("key", "t", "v")
+    val fresh = java.nio.file.Files.createTempDirectory("graft_fresh").toString
+    val resumed = java.nio.file.Files.createTempDirectory("graft_resumed").toString
+    CheckpointedRollup.run(pts, fresh)
+    CheckpointedRollup.run(pts, resumed)
+    // wipe day-1 chunks + its checkpoint row, then resume
+    val cp = CheckpointedRollup.readCheckpoint(spark, resumed)
+    val keep = cp.collect().filterNot(r => r.getString(0) == "chunks" && r.getLong(1) == 1L)
+      .map(r => CheckpointedRollup.Tick(r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4), r.getString(5))).toSeq.toDF()
+    val cpPath = CheckpointedRollup.checkpointPath(resumed)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(cpPath))
+    keep.coalesce(1).write.parquet(cpPath)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s"$resumed/chunks/partition=1"))
+    CheckpointedRollup.run(pts, resumed)
+    def chunkRows(d: String) = spark.read.parquet(s"$d/chunks")
+      .select(col("key"), col("partition"), col("n_points"), hex(col("blob")).as("blob"))
+      .collect().map(_.toString).sorted.toSeq
+    val a = chunkRows(fresh); val b = chunkRows(resumed)
+    assert(a == b, s"resumed chunks differ:\n${a.mkString("\n")}\nvs\n${b.mkString("\n")}")
+  }
+
   test("retention keeps only fresh raw/hourly/daily and all weekly") {
     val series = Pages.toSeries(Pages.synthPages(spark, 1000))
     val now = series.agg(max("t")).head().getLong(0)
