@@ -14,12 +14,18 @@ object ScalingBench {
     val rows = sys.env.getOrElse("SPARK_GRAFT_ROWS", "4000000").toLong
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
     val spark = Bench.session(cpus)
-    // one full-size untimed warmup: JIT + codegen + page cache all settle
-    // only after a complete pass (observed reps kept improving otherwise)
-    Bench.rollupJob(spark, rows)
-    // best-of-reps: the sandbox is a shared VM (nonzero steal time), so a
-    // single run is noise-dominated; minimum is the least-contended sample
-    val secs = (1 to reps).map(_ => Bench.rollupJob(spark, rows)._2)
+    // one full-size untimed warmup (inside minOfReps): JIT + codegen + page
+    // cache settle only after a complete pass; then best-of-reps — the
+    // sandbox is a shared VM (nonzero steal time), so the minimum is the
+    // least-contended sample
+    val secs = {
+      Bench.rollupJob(spark, rows) // warmup
+      (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        Bench.rollupJob(spark, rows)
+        (System.nanoTime() - t0) / 1e9
+      }
+    }
     val sec = secs.min
     println(f"""{"cpus":$cpus,"points":$rows,"sec":$sec%.3f,"points_per_sec":${rows / sec}%.0f,"all_secs":${secs.map(s => f"$s%.2f").mkString("[", ",", "]")}}""")
     spark.stop()
