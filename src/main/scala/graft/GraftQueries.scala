@@ -378,7 +378,7 @@ object GraftQueries {
       .parquet(s"$dir/events.parquet")
       .groupBy(col("event_type").as("sid"), tsUs.as("t"))
       .agg(floor(max("value") / 100).cast("double").as("v"))
-    MergeOps.countByValue(df)
+    MergeOps.countByValue(df, bucketBy = dayBucket)
       .select(col("key").as("state"), col("t"), col("v").cast("long").as("cnt"))
   }
 

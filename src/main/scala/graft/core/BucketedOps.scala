@@ -71,8 +71,13 @@ object BucketedOps {
         carries.map { case (n, _) =>
           last(col(s"_t_$n"), ignoreNulls = true).over(wOff).as(s"_o_$n")
         }
-    val offsets = totals.select((col(K) +: col("_bkt") +: offCols): _*)
-    val joined = d3.join(offsets, Seq(K, "_bkt"))
+    val offsets = totals.select((col(K).as("_hk") +: col("_bkt").as("_hb") +: offCols): _*)
+    // null-SAFE join: the key can legitimately be null (countByValue's
+    // None-value series) and seed rows ride the null time bucket — a plain
+    // equi-join would silently drop both
+    val joined = d3
+      .join(offsets, d3(K) <=> offsets("_hk") && d3("_bkt") <=> offsets("_hb"))
+      .drop("_hk", "_hb")
     val withSums = sums.foldLeft(joined) { case (acc, (n, _)) =>
       val zero = lit(0).cast(acc.schema(s"_d_$n").dataType)
       acc.withColumn(n,

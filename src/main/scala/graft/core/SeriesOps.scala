@@ -69,8 +69,11 @@ object SeriesOps {
       .rowsBetween(Window.unboundedPreceding, -1)
     val opens = closings
       .withColumn("_open", last(col("_close"), ignoreNulls = true).over(wOff))
-      .select(col(K), col("_bkt"), col("_open"))
-    d2.join(opens, Seq(K, "_bkt"))
+      .select(col(K).as("_hk"), col("_bkt").as("_hb"), col("_open"))
+    // null-safe join: series keys may be null (e.g. countByValue's
+    // None-value series) — a plain equi-join would drop their rows
+    d2.join(opens, d2(K) <=> opens("_hk") && d2("_bkt") <=> opens("_hb"))
+      .drop("_hk", "_hb")
       .withColumn("_prev", coalesce(lag(struct(col(V)), 1).over(wIn), col("_open")))
       // null _prev = globally first row of the key: always kept
       .filter(col("_prev").isNull || !(col("_prev").getField(V) <=> col(V)))

@@ -304,7 +304,8 @@ object MergeOps {
     */
   def countByValue(
       df: DataFrame, // columns: sid, t, v
-      defaults: Option[DataFrame] = None): DataFrame = {
+      defaults: Option[DataFrame] = None,
+      bucketBy: Option[Column] = None): DataFrame = {
     val wSid = Window.partitionBy("sid").orderBy(T)
     val prevStruct = lag(struct(col(V)), 1).over(wSid)
     val withDef = defaults match {
@@ -322,15 +323,27 @@ object MergeOps {
       .agg(first("default").as("val"))
       .select(col("val"), lit(null).cast(df.schema(T).dataType).as(T), lit(1L).as("d"))
     val all = plus.unionByName(minus).unionByName(seedRows)
+    // the running count partitions by VALUE — a boolean-valued corpus has
+    // only two partitions, so `bucketBy` (a function of t) matters here as
+    // much as for constant merge keys: seeds ride in the null time bucket,
+    // which sorts before every real bucket in the offset handoff
     val byT = all.groupBy(col("val"), col(T)).agg(sum("d").as("d"))
-    val wRun = Window
-      .partitionBy("val")
-      .orderBy(col(T).asc_nulls_first)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val counted = byT
-      .withColumn("cnt", sum("d").over(wRun))
+      .select(col("val").as(K), col(T), col("d"))
+    val counted = (bucketBy match {
+      case Some(bk) =>
+        graft.core.BucketedOps.running(byT, bk, Nil, sums = Seq("cnt" -> col("d")))
+      case None =>
+        val wRun = Window
+          .partitionBy(K)
+          .orderBy(col(T).asc_nulls_first)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        byT.withColumn("cnt", sum("d").over(wRun))
+    })
       .filter(col(T).isNotNull) // drop the seed pseudo-time rows
-      .select(col("val").as(K), col(T), col("cnt").cast("double").as(V))
-    graft.core.SeriesOps.compact(counted)
+      .select(col(K), col(T), col("cnt").cast("double").as(V))
+    bucketBy match {
+      case Some(bk) => graft.core.SeriesOps.compactBucketed(counted, bk)
+      case None     => graft.core.SeriesOps.compact(counted)
+    }
   }
 }

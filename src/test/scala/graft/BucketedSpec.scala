@@ -68,6 +68,27 @@ class BucketedSpec extends SparkSpec {
     }
   }
 
+  test("countByValue bucketed ≡ plain (few hot values, defaults, 6 trials)") {
+    val s = spark
+    import s.implicits._
+    (1 to 6).foreach { trial =>
+      val rows = for {
+        sid <- 0 until 5
+        t <- Seq.fill(1 + rnd.nextInt(30))(rnd.nextInt(1000).toLong).distinct
+      } yield (s"s$sid", t,
+        if (rnd.nextInt(8) == 0) null else java.lang.Double.valueOf(rnd.nextInt(2).toDouble))
+      val df = rows.toDF("sid", "t", "v").withColumn("v", col("v").cast("double")).persist()
+      val defaults =
+        if (trial % 2 == 0) None
+        else Some((0 until 5).map(i => (s"s$i",
+          if (rnd.nextBoolean()) null else java.lang.Double.valueOf(rnd.nextInt(2).toDouble)))
+          .toDF("sid", "default").withColumn("default", col("default").cast("double")))
+      same(MergeOps.countByValue(df, defaults, bucket),
+        MergeOps.countByValue(df, defaults), s"countByValue trial $trial")
+      df.unpersist()
+    }
+  }
+
   test("operate/difference bucketed ≡ plain (nulls + scalar defaults, 8 trials)") {
     (1 to 8).foreach { trial =>
       def side() = {

@@ -52,14 +52,14 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("no driver query plans an unpartitioned window (single-partition trap)") {
-    // a WindowExec with an empty partition spec moves ALL rows to one task;
-    // partitioned windows print "..., [partCols], [ordCols]" (3 bracket
-    // groups), global ones only 2 — the round-1 scale-killer this guards
+    // a WindowExec with an empty partition spec moves ALL rows to one task —
+    // the round-1 scale-killer this guards (inspected on the plan tree;
+    // AQE is off in the test session so executedPlan is the real tree)
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
-      val plan = planOf(fn(spark, "/root/testdata/sf0.001"))
-      plan.linesIterator
-        .filter(l => l.contains("Window ") && l.split("\\], \\[").length < 3)
-        .map(l => s"$name: ${l.trim.take(160)}")
+      fn(spark, "/root/testdata/sf0.001").queryExecution.executedPlan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec if w.partitionSpec.isEmpty =>
+          s"$name: ${w.simpleString(120)}"
+      }
     }
     assert(offenders.isEmpty, offenders.mkString("\n"))
   }
