@@ -554,6 +554,58 @@ object GraftQueries {
       |SELECT 'all' AS key, t, round(v, 6) AS v FROM c
       |WHERE rn = 1 OR pv IS DISTINCT FROM v""".stripMargin
 
+  /** the raw iter_merge state-vector stream (timeseries.py:1048-1077),
+    * exploded to (t, slot, v) rows so the oracle hashes scalars; slot i =
+    * i-th sid in name order, default 0 before a series' first point. */
+  def qIterMerge(spark: SparkSession, dir: String): DataFrame = {
+    val df = spark.read
+      .parquet(s"$dir/events.parquet")
+      .groupBy(col("event_type").as("sid"), tsUs.as("t"))
+      .agg(max("value").as("v"))
+      .withColumn("key", constKey("all", col("sid")))
+    val sids = df.select("sid").distinct().orderBy("sid").collect().map(_.getString(0)).toSeq
+    MergeOps
+      .iterMerge(df, sids, defaults = sids.map(_ -> lit(0.0)).toMap, bucketBy = dayBucket)
+      .select(col("t"), posexplode(col("vs")).as(Seq("slot", "v")))
+      .select(col("t"), col("slot"), round(col("v"), 6).as("v"))
+  }
+
+  val sqlIterMerge: String =
+    """WITH pts AS (
+      |  SELECT event_type AS sid, epoch_us(ts) AS t, max(value) AS v
+      |  FROM events GROUP BY 1, 2),
+      |tms AS (SELECT DISTINCT t FROM pts),
+      |sds AS (SELECT sid, row_number() OVER (ORDER BY sid) - 1 AS slot
+      |        FROM (SELECT DISTINCT sid FROM pts)),
+      |grid AS (SELECT sid, slot, t FROM sds, tms)
+      |SELECT g.t, CAST(g.slot AS INT) AS slot, round(coalesce(p.v, 0.0), 6) AS v
+      |FROM grid g ASOF LEFT JOIN pts p ON g.sid = p.sid AND g.t >= p.t""".stripMargin
+
+  /** the flat transition stream (iter_merge_transitions,
+    * timeseries.py:1006-1046): one row per measurement with the series'
+    * previous value attached (default before the first). */
+  def qMergeTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val df = spark.read
+      .parquet(s"$dir/events.parquet")
+      .groupBy(col("event_type").as("sid"), tsUs.as("t"))
+      .agg(max("value").as("v"))
+      .withColumn("key", constKey("all", col("sid")))
+    val s = spark; import s.implicits._
+    val defaults = df.select("sid").distinct()
+      .withColumn("default", lit(0.0))
+    MergeOps.mergeTransitions(df, Some(defaults))
+      .select(col("sid"), col("t"), round(col("prev"), 6).as("prev"), round(col("v"), 6).as("v"))
+  }
+
+  val sqlMergeTransitions: String =
+    """WITH pts AS (
+      |  SELECT event_type AS sid, epoch_us(ts) AS t, max(value) AS v
+      |  FROM events GROUP BY 1, 2)
+      |SELECT sid, t,
+      |  round(coalesce(lag(v) OVER (PARTITION BY sid ORDER BY t), 0.0), 6) AS prev,
+      |  round(v, 6) AS v
+      |FROM pts""".stripMargin
+
   def qCountActive(spark: SparkSession, dir: String): DataFrame = {
     val ev = spark.read.parquet(s"$dir/events.parquet")
     val open = ev.filter(col("value") >= 100)

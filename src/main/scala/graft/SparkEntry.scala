@@ -70,7 +70,9 @@ object SparkEntry {
     "q41_set_interval" -> (qSetInterval _),
     "q42_slice" -> (qSlice _),
     "q43_masked_npoints" -> (qMaskedNPoints _),
-    "q44_embedding_neardup" -> (qEmbeddingNearDup _)
+    "q44_embedding_neardup" -> (qEmbeddingNearDup _),
+    "q45_iter_merge" -> (qIterMerge _),
+    "q46_merge_transitions" -> (qMergeTransitions _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -117,6 +119,8 @@ object SparkEntry {
     "q41_set_interval" -> sqlSetInterval,
     "q42_slice" -> sqlSlice,
     "q43_masked_npoints" -> sqlMaskedNPoints,
-    "q44_embedding_neardup" -> sqlEmbeddingNearDup
+    "q44_embedding_neardup" -> sqlEmbeddingNearDup,
+    "q45_iter_merge" -> sqlIterMerge,
+    "q46_merge_transitions" -> sqlMergeTransitions
   )
 }
