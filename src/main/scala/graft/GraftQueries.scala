@@ -198,6 +198,44 @@ object GraftQueries {
         |FROM segs JOIN mask ON t0 < m1 AND t1 > m0
         |WHERE t1 > t0 GROUP BY 1, 2""".stripMargin
 
+  /** distribution(interpolate="linear") (timeseries.py:905-930): per
+    * segment the value is the linear interpolation at the segment MIDPOINT
+    * between the bracketing measurements; values rounded to 6 BEFORE the
+    * group-by so both engines bucket identically (the SQL repeats the
+    * exact same expression term-for-term — all inputs are exact longs
+    * below 2^53, so the double arithmetic is IEEE-identical). */
+  def qDistributionLinear(spark: SparkSession, dir: String): DataFrame = {
+    val pts = points(spark, dir)
+    val (tmin, tmax) = bounds(pts)
+    // lookahead: the point AT tmax is the bracketing measurement for the
+    // final segment's interpolation (get(mid,"linear") bisects to it)
+    val segs = SeriesOps.segmentsInRange(pts, lit(tmin), lit(tmax), nullD, lookahead = true)
+    segs
+      .groupBy(col("key"), round(SeriesOps.segmentValue("linear", nullD), 6).as("state"))
+      .agg(sum(col("t1") - col("t0")).cast("long").as("weight_us"))
+  }
+
+  val sqlDistributionLinear: String =
+    """WITH pts AS (
+      |  SELECT event_type AS key, epoch_us(ts) AS t, max(value) AS v
+      |  FROM events GROUP BY 1, 2),
+      |b AS (SELECT min(t) AS tmin, max(t) AS tmax FROM pts),
+      |segs AS (
+      |  SELECT key, t AS t0,
+      |         coalesce(lead(t) OVER w, (SELECT tmax FROM b)) AS t1,
+      |         v, t AS p0, lead(t) OVER w AS p1, lead(v) OVER w AS vn
+      |  FROM pts WINDOW w AS (PARTITION BY key ORDER BY t)
+      |  UNION ALL
+      |  SELECT key, (SELECT tmin FROM b), min(t), NULL, NULL, NULL, NULL
+      |  FROM pts GROUP BY key)
+      |SELECT key,
+      |  round(CASE WHEN p0 IS NULL THEN NULL
+      |             WHEN p1 IS NULL THEN v
+      |             ELSE v + ((t0 + t1) / 2.0 - p0) / (p1 - p0) * (vn - v) END, 6) AS state,
+      |  CAST(sum(t1 - t0) AS BIGINT) AS weight_us
+      |FROM segs WHERE t1 > t0
+      |GROUP BY 1, 2""".stripMargin
+
   def qTwaMean(spark: SparkSession, dir: String): DataFrame = {
     val pts = points(spark, dir)
     val (tmin, tmax) = bounds(pts)

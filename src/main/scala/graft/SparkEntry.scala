@@ -72,7 +72,8 @@ object SparkEntry {
     "q43_masked_npoints" -> (qMaskedNPoints _),
     "q44_embedding_neardup" -> (qEmbeddingNearDup _),
     "q45_iter_merge" -> (qIterMerge _),
-    "q46_merge_transitions" -> (qMergeTransitions _)
+    "q46_merge_transitions" -> (qMergeTransitions _),
+    "q47_distribution_linear" -> (qDistributionLinear _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -121,6 +122,7 @@ object SparkEntry {
     "q43_masked_npoints" -> sqlMaskedNPoints,
     "q44_embedding_neardup" -> sqlEmbeddingNearDup,
     "q45_iter_merge" -> sqlIterMerge,
-    "q46_merge_transitions" -> sqlMergeTransitions
+    "q46_merge_transitions" -> sqlMergeTransitions,
+    "q47_distribution_linear" -> sqlDistributionLinear
   )
 }
