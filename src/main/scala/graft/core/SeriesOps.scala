@@ -60,7 +60,10 @@ object SeriesOps {
     * `bucketOf` must be a function of t. Output ≡ [[compact]].
     */
   def compactBucketed(df: DataFrame, bucketOf: Column): DataFrame = {
+    // persisted: consumed by both the closings aggregate and the row-side
+    // join (see BucketedOps.running on why exchange reuse can't share them)
     val d2 = df.withColumn("_bkt", bucketOf)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val wIn = Window.partitionBy(K, "_bkt").orderBy(T)
     val closings = d2
       .groupBy(col(K), col("_bkt"))
