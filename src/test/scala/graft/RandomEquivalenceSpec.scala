@@ -55,4 +55,30 @@ class RandomEquivalenceSpec extends SparkSpec {
       approxEq(got, tr.expected, 1e-9)
     }
   }
+
+  test("setManyCompact matches reference set_many(compact=True) on 12 trials") {
+    Goldens.smcTrials.zipWithIndex.foreach { case (tr, i) =>
+      val got = collectTV(SeriesOps.setManyCompact(seriesD(tr.points), defCol(tr.default)))
+      approxEq(got, tr.expected, 1e-9)
+    }
+  }
+
+  test("sliceSeries matches reference slice() on 12 random boundary trials") {
+    Goldens.sliceTrials.zipWithIndex.foreach { case (tr, i) =>
+      val got = collectTV(SeriesOps.sliceSeries(
+        seriesD(tr.points), lit(tr.start.toDouble), lit(tr.end.toDouble), nullD))
+      approxEq(got, tr.expected, 1e-9)
+    }
+  }
+
+  test("nPointsMasked matches reference n_points(mask=...) on 12 trials") {
+    Goldens.maskNTrials.zipWithIndex.foreach { case (tr, i) =>
+      val df = seriesD(tr.points)
+      val (tmin, tmax) = (tr.points.map(_._1).min, tr.points.map(_._1).max)
+      val maskSeries = SeriesOps.threshold(df, lit(tr.thresh))
+      val mask = SeriesOps.trueIntervals(maskSeries, lit(tmin), lit(tmax), lit(0.0))
+      val got = SeriesOps.nPointsMasked(df, mask).select("n_points").head().getLong(0)
+      assert(got == tr.expected.toLong, s"trial $i: $got vs ${tr.expected}")
+    }
+  }
 }
