@@ -31,6 +31,52 @@ object StreamingRollup {
   case class PointEvent(key: String, t: Long, v: Double)
   case class Carried(key: String, t: Long, v: Double, prev: Option[Double])
 
+  case class SidEvent(key: String, sid: String, t: Long, v: Option[Double])
+  case class MergedPoint(key: String, t: Long, v: Double)
+
+  /** Streaming ignorant-sum K-way merge: the batch transition-delta trick
+    * (MergeOps.mergeSum) held as per-key state — the running sum plus each
+    * series' last value — so state is O(#series per key), never O(#events).
+    * Emits the post-transition merged value once per distinct time, exactly
+    * like iter_merge. Events must reach each key in nondecreasing
+    * event-time order ACROSS micro-batches (in-batch reordering is sorted
+    * out); a time-partitioned or log-compacted source provides that, which
+    * is the same ordering contract the batch resume pipeline relies on.
+    */
+  def mergeSumStream(events: Dataset[SidEvent]): Dataset[MergedPoint] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        (key: String, rows: Iterator[SidEvent], state: GroupState[(Double, Map[String, Double])]) => {
+          var (sum, lastBySid) = state.getOption.getOrElse((0.0, Map.empty[String, Double]))
+          val sorted = rows.toSeq.sortBy(e => (e.t, e.sid))
+          val out = Seq.newBuilder[MergedPoint]
+          var i = 0
+          while (i < sorted.length) {
+            val e = sorted(i)
+            sum += e.v.getOrElse(0.0) - lastBySid.getOrElse(e.sid, 0.0)
+            lastBySid = lastBySid.updated(e.sid, e.v.getOrElse(0.0))
+            // emit once per distinct time, after all simultaneous transitions
+            if (i + 1 >= sorted.length || sorted(i + 1).t != e.t)
+              out += MergedPoint(key, e.t, sum)
+            i += 1
+          }
+          state.update((sum, lastBySid))
+          out.result().iterator
+        })
+  }
+
+  /** Streaming exact dedup: keep the first document per content digest.
+    * `dropDuplicates` holds O(#distinct digests) state (16-byte digests,
+    * never text); add an ingest-time watermark column + dropDuplicates on
+    * (digest) with withWatermark upstream to bound state for
+    * bounded-lateness windows. */
+  def dedupStream(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs
+      .withColumn("digest", md5(col(textCol).cast("binary")))
+      .dropDuplicates("digest")
+
   /** Stateful per-key carry-forward: each event is emitted with the
     * previous value of its series (the streaming transition stream that
     * feeds compaction / delta encoding). `mapGroupsWithState` keeps one

@@ -31,6 +31,44 @@ class StreamingSpec extends SparkSpec {
     assert(got.count() >= exp.count() - 5 * 2, s"${got.count()} vs ${exp.count()}")
   }
 
+  test("streaming mergeSum equals the batch delta-form merge after compaction") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val rows = for {
+      sid <- Seq("a", "b", "c")
+      t <- Seq.fill(40)(rnd.nextInt(500).toLong).distinct
+    } yield StreamingRollup.SidEvent("g", sid, t, if (rnd.nextInt(6) == 0) None else Some(rnd.nextInt(5).toDouble))
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream3").toString
+    rows.toDS().write.mode("overwrite").parquet(s"$dir/in")
+    val src = spark.readStream
+      .schema(implicitly[org.apache.spark.sql.Encoder[StreamingRollup.SidEvent]].schema)
+      .parquet(s"$dir/in").as[StreamingRollup.SidEvent]
+    val q = StreamingRollup.mergeSumStream(src)
+      .writeStream.format("memory").queryName("merged_out").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    // batch mergeSum compacts; compact the streaming points the same way
+    val got = collectTV(graft.core.SeriesOps.compact(
+      spark.table("merged_out").select(col("key"), col("t"), col("v"))))
+    val batchIn = rows.map(e => ("g", e.sid, e.t, e.v.map(Double.box).orNull.asInstanceOf[java.lang.Double]))
+      .toDF("key", "sid", "t", "v").withColumn("v", col("v").cast("double"))
+    val exp = collectTV(graft.merge.MergeOps.mergeSum(batchIn, strict = false))
+    approxEq(got, exp, 1e-9)
+  }
+
+  test("streaming exact dedup keeps one doc per digest") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream4").toString
+    Seq((1L, "alpha"), (2L, "alpha"), (3L, "beta"), (4L, "alpha"), (5L, "beta"), (6L, "gamma"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(s"$dir/in")
+    val src = spark.readStream
+      .schema("doc_id LONG, text STRING").parquet(s"$dir/in")
+    val q = StreamingRollup.dedupStream(src)
+      .writeStream.format("memory").queryName("dedup_out").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("dedup_out").select("text").collect().map(_.getString(0)).sorted.toSeq
+    assert(got == Seq("alpha", "beta", "gamma"), got.toString)
+  }
+
   test("stateful carry-forward emits previous value per key") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_stream2").toString
