@@ -45,10 +45,15 @@ object Bench {
     s
   }
 
-  /** Untimed warmup + minimum of `reps` timed runs. */
-  def minOfReps[A](reps: Int)(job: () => A): (A, Double) = {
+  /** Untimed warmup + minimum of `reps` timed runs. Spark's cache is
+    * cleared before every timed run: operators that persist internal
+    * diamonds (BucketedOps) would otherwise be served the warmup's
+    * InMemoryRelation via CacheManager plan-matching, and the "timed" run
+    * would skip the very computation it claims to measure. */
+  def minOfReps[A](spark: SparkSession, reps: Int)(job: () => A): (A, Double) = {
     job() // warmup: JIT, codegen cache, parquet footer/page cache
     val timed = (1 to reps).map { _ =>
+      spark.catalog.clearCache()
       val t0 = System.nanoTime()
       val a = job()
       (a, (System.nanoTime() - t0) / 1e9)
@@ -162,20 +167,22 @@ object Bench {
     val results = headline.flatMap { name =>
       qs.get(name).map { fn =>
         val sec =
-          try minOfReps(reps)(() => fn(spark, sfDir).count())._2
+          try minOfReps(spark, reps)(() => fn(spark, sfDir).count())._2
           catch { case e: Throwable => System.err.println(s"[bench] $name: $e"); -1.0 }
         name -> sec
       }
     }
-    val (_, rollupSec) = minOfReps(reps)(() => rollupJob(spark, rollupRows))
+    val (_, rollupSec) = minOfReps(spark, reps)(() => rollupJob(spark, rollupRows))
     val pps = rollupRows / rollupSec
-    val (_, mergeSec) = minOfReps(reps)(() => mergeJob(spark, mergeRows))
+    val (_, mergeSec) = minOfReps(spark, reps)(() => mergeJob(spark, mergeRows))
     val tps = mergeRows / mergeSec
     // skew head-to-head: one shared JIT warmup (bucketed), then ONE timed
     // run per path — the plain path is the deliberately-bad control, so
-    // min-of-reps would just double a slow run to prove a known point
+    // min-of-reps would just double a slow run to prove a known point.
+    // Cache cleared before each timed run (see minOfReps).
     mergeSkewJob(spark, skewRows, bucketed = true)
     def timeOnce(job: () => Long): Double = {
+      spark.catalog.clearCache()
       val t0 = System.nanoTime(); job(); (System.nanoTime() - t0) / 1e9
     }
     val skewBucketedSec = timeOnce(() => mergeSkewJob(spark, skewRows, bucketed = true))

@@ -573,7 +573,11 @@ object GraftQueries {
     val df = spark.read
       .parquet(s"$dir/events.parquet")
       .groupBy(col("event_type").as("sid"), tsUs.as("t"))
-      .agg(max("value").as("v"))
+      // measured nulls coalesce to the same 0.0 default the oracle uses:
+      // the SQL's coalesce(p.v, 0.0) cannot distinguish a measured None
+      // from the pre-first default, so the query pins them equal (the
+      // operator itself carries None in the state slot — see iterMerge)
+      .agg(coalesce(max("value"), lit(0.0)).as("v"))
       .withColumn("key", constKey("all", col("sid")))
     val sids = df.select("sid").distinct().orderBy("sid").collect().map(_.getString(0)).toSeq
     MergeOps
@@ -584,7 +588,7 @@ object GraftQueries {
 
   val sqlMergeMax: String =
     """WITH pts AS (
-      |  SELECT event_type AS sid, epoch_us(ts) AS t, max(value) AS v
+      |  SELECT event_type AS sid, epoch_us(ts) AS t, coalesce(max(value), 0.0) AS v
       |  FROM events GROUP BY 1, 2),
       |tms AS (SELECT DISTINCT t FROM pts),
       |sds AS (SELECT DISTINCT sid FROM pts),
@@ -604,7 +608,7 @@ object GraftQueries {
     val df = spark.read
       .parquet(s"$dir/events.parquet")
       .groupBy(col("event_type").as("sid"), tsUs.as("t"))
-      .agg(max("value").as("v"))
+      .agg(coalesce(max("value"), lit(0.0)).as("v")) // see qMergeMax note
       .withColumn("key", constKey("all", col("sid")))
     val sids = df.select("sid").distinct().orderBy("sid").collect().map(_.getString(0)).toSeq
     MergeOps
@@ -615,7 +619,7 @@ object GraftQueries {
 
   val sqlIterMerge: String =
     """WITH pts AS (
-      |  SELECT event_type AS sid, epoch_us(ts) AS t, max(value) AS v
+      |  SELECT event_type AS sid, epoch_us(ts) AS t, coalesce(max(value), 0.0) AS v
       |  FROM events GROUP BY 1, 2),
       |tms AS (SELECT DISTINCT t FROM pts),
       |sds AS (SELECT sid, row_number() OVER (ORDER BY sid) - 1 AS slot
@@ -631,9 +635,8 @@ object GraftQueries {
     val df = spark.read
       .parquet(s"$dir/events.parquet")
       .groupBy(col("event_type").as("sid"), tsUs.as("t"))
-      .agg(max("value").as("v"))
+      .agg(coalesce(max("value"), lit(0.0)).as("v")) // see qMergeMax note
       .withColumn("key", constKey("all", col("sid")))
-    val s = spark; import s.implicits._
     val defaults = df.select("sid").distinct()
       .withColumn("default", lit(0.0))
     MergeOps.mergeTransitions(df, Some(defaults))
@@ -642,7 +645,7 @@ object GraftQueries {
 
   val sqlMergeTransitions: String =
     """WITH pts AS (
-      |  SELECT event_type AS sid, epoch_us(ts) AS t, max(value) AS v
+      |  SELECT event_type AS sid, epoch_us(ts) AS t, coalesce(max(value), 0.0) AS v
       |  FROM events GROUP BY 1, 2)
       |SELECT sid, t,
       |  round(coalesce(lag(v) OVER (PARTITION BY sid ORDER BY t), 0.0), 6) AS prev,
@@ -821,8 +824,13 @@ object GraftQueries {
       |SELECT d.doc_id, CAST(coalesce(x.fp, 0) AS BIGINT) AS fp
       |FROM documents d LEFT JOIN x USING (doc_id)""".stripMargin
 
+  /** one cap constant shared by the Spark call AND the SQL oracles — an
+    * unmirrored cap would silently diverge the candidate sets the moment a
+    * (band, band_hash) bucket exceeds it at larger scale factors. */
+  final val LSH_MAX_BUCKET = 2000
+
   def qMinhashPairs(spark: SparkSession, dir: String): DataFrame =
-    Dedup.minhashCandidates(docs(spark, dir))
+    Dedup.minhashCandidates(docs(spark, dir), maxBucket = LSH_MAX_BUCKET)
 
   private val sqlBandsCte: String =
     s"""WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS tk FROM documents),
@@ -839,9 +847,12 @@ object GraftQueries {
        |    min(((1000003 * (j + 1) * 2 + 1) * x + 7919 * (j + 1)) % ${Dedup.MINHASH_P}) AS h
        |  FROM xs, unnest(generate_series(0, 15)) jj(j)
        |  GROUP BY 1, 2),
-       |bands AS (
+       |bands0 AS (
        |  SELECT doc_id, j // 4 AS band, string_agg(h::VARCHAR, '|' ORDER BY j) AS band_hash
-       |  FROM mh GROUP BY 1, 2)""".stripMargin
+       |  FROM mh GROUP BY 1, 2),
+       |bands AS (
+       |  SELECT doc_id, band, band_hash FROM bands0
+       |  QUALIFY count(*) OVER (PARTITION BY band, band_hash) <= $LSH_MAX_BUCKET)""".stripMargin
 
   val sqlMinhashPairs: String =
     sqlBandsCte +
@@ -872,7 +883,7 @@ object GraftQueries {
 
   def qJaccard(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir)
-    Dedup.ngramJaccard(d, Dedup.minhashCandidates(d))
+    Dedup.ngramJaccard(d, Dedup.minhashCandidates(d, maxBucket = LSH_MAX_BUCKET))
   }
 
   val sqlJaccard: String =
@@ -1025,7 +1036,10 @@ object GraftQueries {
     * as-of alignment pass (traces/timeseries.py:1430-1517: and/or return
     * OPERANDS, xor returns a bool; None stays None). */
   def qLogicalOps(spark: SparkSession, dir: String): DataFrame = {
-    val pts = points(spark, dir)
+    // measured nulls pinned to 0.0: the oracle's last_value(... IGNORE
+    // NULLS) carry-forward would SKIP a measured None that the operator's
+    // struct-wrapped carry faithfully holds (see qMergeMax note)
+    val pts = points(spark, dir).withColumn("v", coalesce(col("v"), lit(0.0)))
     val a = SeriesOps.toBool(pts.filter(col("key") === "click"))
       .withColumn("key", constKey("pair", col("key")))
     val b = SeriesOps.threshold(pts.filter(col("key") === "view"), lit(150.0))
@@ -1041,7 +1055,7 @@ object GraftQueries {
 
   val sqlLogicalOps: String =
     """WITH pts AS (
-      |  SELECT event_type AS key, epoch_us(ts) AS t, max(value) AS v
+      |  SELECT event_type AS key, epoch_us(ts) AS t, coalesce(max(value), 0.0) AS v
       |  FROM events WHERE event_type IN ('click', 'view') GROUP BY 1, 2),
       |u AS (
       |  SELECT t,

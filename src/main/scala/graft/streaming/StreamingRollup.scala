@@ -32,24 +32,28 @@ object StreamingRollup {
   case class Carried(key: String, t: Long, v: Double, prev: Option[Double])
 
   case class SidEvent(key: String, sid: String, t: Long, v: Option[Double])
-  case class MergedPoint(key: String, t: Long, v: Double)
+  case class MergedPoint(key: String, t: Long, v: Double, seq: Long)
 
   /** Streaming ignorant-sum K-way merge: the batch transition-delta trick
     * (MergeOps.mergeSum) held as per-key state — the running sum plus each
     * series' last value — so state is O(#series per key), never O(#events).
-    * Emits the post-transition merged value once per distinct time, exactly
-    * like iter_merge. Events must reach each key in nondecreasing
+    * Emits the post-transition merged value once per distinct time within a
+    * batch, like iter_merge. Events must reach each key in nondecreasing
     * event-time order ACROSS micro-batches (in-batch reordering is sorted
-    * out); a time-partitioned or log-compacted source provides that, which
-    * is the same ordering contract the batch resume pipeline relies on.
+    * out); when simultaneous transitions straddle a batch boundary the
+    * later batch RE-emits the corrected point at the same t with a higher
+    * `seq` — the output is an UPSERT stream keyed by (key, t), last `seq`
+    * wins (the streaming face of the reference's SortedDict overwrite
+    * semantics; downstream: max_by(struct(v), seq) per (key, t)).
     */
   def mergeSumStream(events: Dataset[SidEvent]): Dataset[MergedPoint] = {
     import events.sparkSession.implicits._
     events
       .groupByKey(_.key)
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
-        (key: String, rows: Iterator[SidEvent], state: GroupState[(Double, Map[String, Double])]) => {
-          var (sum, lastBySid) = state.getOption.getOrElse((0.0, Map.empty[String, Double]))
+        (key: String, rows: Iterator[SidEvent],
+            state: GroupState[(Double, Map[String, Double], Long)]) => {
+          var (sum, lastBySid, seq) = state.getOption.getOrElse((0.0, Map.empty[String, Double], 0L))
           val sorted = rows.toSeq.sortBy(e => (e.t, e.sid))
           val out = Seq.newBuilder[MergedPoint]
           var i = 0
@@ -58,11 +62,13 @@ object StreamingRollup {
             sum += e.v.getOrElse(0.0) - lastBySid.getOrElse(e.sid, 0.0)
             lastBySid = lastBySid.updated(e.sid, e.v.getOrElse(0.0))
             // emit once per distinct time, after all simultaneous transitions
-            if (i + 1 >= sorted.length || sorted(i + 1).t != e.t)
-              out += MergedPoint(key, e.t, sum)
+            if (i + 1 >= sorted.length || sorted(i + 1).t != e.t) {
+              seq += 1
+              out += MergedPoint(key, e.t, sum, seq)
+            }
             i += 1
           }
-          state.update((sum, lastBySid))
+          state.update((sum, lastBySid, seq))
           out.result().iterator
         })
   }

@@ -46,13 +46,44 @@ class StreamingSpec extends SparkSpec {
     val q = StreamingRollup.mergeSumStream(src)
       .writeStream.format("memory").queryName("merged_out").outputMode("append").start()
     q.processAllAvailable(); q.stop()
-    // batch mergeSum compacts; compact the streaming points the same way
-    val got = collectTV(graft.core.SeriesOps.compact(
-      spark.table("merged_out").select(col("key"), col("t"), col("v"))))
+    // resolve the upsert stream (last seq wins per (key, t)), then compact
+    // like batch mergeSum does
+    val resolved = spark.table("merged_out")
+      .groupBy(col("key"), col("t"))
+      .agg(max_by(col("v"), col("seq")).as("v"))
+    val got = collectTV(graft.core.SeriesOps.compact(resolved))
     val batchIn = rows.map(e => ("g", e.sid, e.t, e.v.map(Double.box).orNull.asInstanceOf[java.lang.Double]))
       .toDF("key", "sid", "t", "v").withColumn("v", col("v").cast("double"))
     val exp = collectTV(graft.merge.MergeOps.mergeSum(batchIn, strict = false))
     approxEq(got, exp, 1e-9)
+  }
+
+  test("same-t transitions straddling a batch boundary resolve by seq upsert") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream5").toString
+    // two parquet files + maxFilesPerTrigger=1 => two micro-batches, both
+    // carrying a transition at the SAME event time t=10
+    Seq(StreamingRollup.SidEvent("g", "a", 10L, Some(1.0))).toDS()
+      .coalesce(1).write.parquet(s"$dir/in/f1")
+    Seq(StreamingRollup.SidEvent("g", "b", 10L, Some(2.0))).toDS()
+      .coalesce(1).write.parquet(s"$dir/in/f2")
+    val src = spark.readStream
+      .schema(implicitly[org.apache.spark.sql.Encoder[StreamingRollup.SidEvent]].schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("recursiveFileLookup", "true")
+      .parquet(s"$dir/in").as[StreamingRollup.SidEvent]
+    val q = StreamingRollup.mergeSumStream(src)
+      .writeStream.format("memory").queryName("upsert_out").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("upsert_out").as[StreamingRollup.MergedPoint]
+      .collect().sortBy(_.seq).toSeq
+    // both emissions present (append mode cannot retract)...
+    assert(rows.map(r => (r.t, r.v)) == Seq((10L, 1.0), (10L, 3.0)), rows.toString)
+    // ...and the upsert resolution yields the single corrected point
+    val resolved = spark.table("upsert_out")
+      .groupBy(col("key"), col("t")).agg(max_by(col("v"), col("seq")).as("v"))
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq
+    assert(resolved == Seq((10L, 3.0)), resolved.toString)
   }
 
   test("streaming exact dedup keeps one doc per digest") {
