@@ -1211,6 +1211,62 @@ object GraftQueries {
       |  FROM e x JOIN e y ON x.bucket = y.bucket AND x.vec_id < y.vec_id)
       |SELECT a, b, round(cos, 6) AS cos FROM p WHERE cos >= 0.3""".stripMargin
 
+  /** iterintervals(3) (traces/timeseries.py:450-472): sliding 3-tuples of
+    * consecutive points, exploded to (key, t, pos, ti, vi) scalar rows. */
+  def qSlidingIntervals(spark: SparkSession, dir: String): DataFrame =
+    SeriesOps
+      .slidingIntervals(points(spark, dir), 3)
+      .select(col("key"), col("t"), posexplode(arrays_zip(col("ts"), col("vs"))))
+      .select(col("key"), col("t"), col("pos"),
+        col("col").getField("ts").as("ti"), col("col").getField("vs").as("vi"))
+
+  val sqlSlidingIntervals: String =
+    """WITH pts AS (
+      |  SELECT event_type AS key, epoch_us(ts) AS t, max(value) AS v
+      |  FROM events GROUP BY 1, 2),
+      |x AS (
+      |  SELECT key, t, v,
+      |    lead(t, 1) OVER w AS t1, lead(v, 1) OVER w AS v1,
+      |    lead(t, 2) OVER w AS t2, lead(v, 2) OVER w AS v2
+      |  FROM pts WINDOW w AS (PARTITION BY key ORDER BY t))
+      |SELECT key, t, CAST(i AS INT) AS pos,
+      |  ([t, t1, t2])[i + 1] AS ti, ([v, v1, v2])[i + 1] AS vi
+      |FROM x, unnest(generate_series(0, 2)) s(i)
+      |WHERE t2 IS NOT NULL""".stripMargin
+
+  /** ordered navigation: first/last item, get_item_by_index (positive and
+    * negative), n_measurements (traces/timeseries.py:154-180, 390-396). */
+  def qNavigation(spark: SparkSession, dir: String): DataFrame = {
+    val pts = points(spark, dir)
+    def ren(df: DataFrame, p: String) =
+      df.select(col("key"), col("t").as(s"${p}_t"), col("v").as(s"${p}_v"))
+    ren(SeriesOps.firstItem(pts), "first")
+      .join(ren(SeriesOps.lastItem(pts), "last"), "key")
+      .join(ren(SeriesOps.itemByIndex(pts, 1), "item1"), "key")
+      .join(ren(SeriesOps.itemByIndex(pts, -2), "itemm2"), "key")
+      .join(pts.groupBy("key").agg(count(lit(1)).as("n_measurements")), "key")
+  }
+
+  val sqlNavigation: String =
+    """WITH pts AS (
+      |  SELECT event_type AS key, epoch_us(ts) AS t, max(value) AS v
+      |  FROM events GROUP BY 1, 2),
+      |r AS (SELECT key, t, v,
+      |        row_number() OVER (PARTITION BY key ORDER BY t) AS rn,
+      |        count(*) OVER (PARTITION BY key) AS n
+      |      FROM pts)
+      |SELECT key,
+      |  max(CASE WHEN rn = 1 THEN t END) AS first_t,
+      |  max(CASE WHEN rn = 1 THEN v END) AS first_v,
+      |  max(CASE WHEN rn = n THEN t END) AS last_t,
+      |  max(CASE WHEN rn = n THEN v END) AS last_v,
+      |  max(CASE WHEN rn = 2 THEN t END) AS item1_t,
+      |  max(CASE WHEN rn = 2 THEN v END) AS item1_v,
+      |  max(CASE WHEN rn = n - 1 THEN t END) AS itemm2_t,
+      |  max(CASE WHEN rn = n - 1 THEN v END) AS itemm2_v,
+      |  max(n) AS n_measurements
+      |FROM r GROUP BY key""".stripMargin
+
   // classic relational smoke (lineitem)
   def qLineitemAgg(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/lineitem.parquet")

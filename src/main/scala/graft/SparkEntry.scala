@@ -73,7 +73,9 @@ object SparkEntry {
     "q44_embedding_neardup" -> (qEmbeddingNearDup _),
     "q45_iter_merge" -> (qIterMerge _),
     "q46_merge_transitions" -> (qMergeTransitions _),
-    "q47_distribution_linear" -> (qDistributionLinear _)
+    "q47_distribution_linear" -> (qDistributionLinear _),
+    "q48_sliding_intervals" -> (qSlidingIntervals _),
+    "q49_navigation" -> (qNavigation _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -123,6 +125,8 @@ object SparkEntry {
     "q44_embedding_neardup" -> sqlEmbeddingNearDup,
     "q45_iter_merge" -> sqlIterMerge,
     "q46_merge_transitions" -> sqlMergeTransitions,
-    "q47_distribution_linear" -> sqlDistributionLinear
+    "q47_distribution_linear" -> sqlDistributionLinear,
+    "q48_sliding_intervals" -> sqlSlidingIntervals,
+    "q49_navigation" -> sqlNavigation
   )
 }
