@@ -64,6 +64,33 @@ class PlanAuditSpec extends SparkSpec {
     assert(offenders.isEmpty, offenders.mkString("\n"))
   }
 
+  test("time-range reads of the chunk tier prune storage partitions") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_prune").toString
+    val s = spark
+    import s.implicits._
+    val day = graft.regularize.CalendarFloor.DAY
+    val pts = (0L until 2000L).map(i => ("u" + i % 7, i * (10 * day / 2000) , (i % 5).toDouble))
+      .toDF("key", "t", "v")
+    graft.chunk.ChunkOps.writeChunks(pts, day)
+      .withColumn("partition", col("bucket"))
+      .write.partitionBy("partition").parquet(s"$dir/chunks")
+    val read = spark.read.parquet(s"$dir/chunks")
+      .filter(col("partition") >= 3 && col("partition") <= 4)
+    val plan = planOf(read)
+    // retention drops and range reads must touch only the matching
+    // bucket directories — the scan's PartitionFilters carry the range
+    assert(plan.contains("PartitionFilters") &&
+      plan.replaceAll("\\s+", " ").contains("partition#"), plan)
+    val parts = read.select(col("partition").cast("long")).distinct().collect().map(_.getLong(0)).sorted
+    assert(parts.toSeq == Seq(3L, 4L), parts.mkString(","))
+    // physical proof: only the two matching bucket directories are scanned
+    val scanned = read.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.selectedPartitions.partitionCount
+    }
+    assert(scanned.nonEmpty && scanned.head == 2, s"partitions scanned: $scanned")
+  }
+
   test("minhash candidate join is an equi hash join, never a cartesian") {
     val plan = planOf(GraftQueries.qMinhashPairs(spark, "/root/testdata/sf0.001"))
     assert(!plan.contains("CartesianProduct"), s"cartesian in LSH join:\n$plan")
