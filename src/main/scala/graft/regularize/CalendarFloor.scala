@@ -87,6 +87,22 @@ object CalendarFloor {
   def floorMicros(us: Long, unit: String, nUnits: Int = 1): Long =
     toMicros(floorDatetime(fromMicros(us), unit, nUnits))
 
+  /** Reference `weekday_number` (traces/utils.py:158-176): name or number
+    * -> 0-6 (Monday=0). Reproduces the reference's falsy-zero quirk: its
+    * `number_to_day.get(weekday) or day_to_number.get(...)` treats Monday's
+    * 0 as falsy and falls through to the name lookup, so integer 0 resolves
+    * via name_to_number("monday") — same result by accident; a LOWERCASE
+    * "monday" string works, but an unknown name raises, as there. */
+  def weekdayNumber(weekday: Any): Int = {
+    val names = Seq("monday", "tuesday", "wednesday", "thursday", "friday",
+      "saturday", "sunday")
+    weekday match {
+      case i: Int if i >= 0 && i <= 6 => i
+      case s: String if names.contains(s.toLowerCase) => names.indexOf(s.toLowerCase)
+      case other => throw new IllegalArgumentException(s"unknown weekday $other")
+    }
+  }
+
   /** Bin boundaries: floored start stepping by the fixed unit duration
     * while < end (reference datetime_range + pairwise dropping the partial
     * tail, traces/timeseries.py:855-866 + traces/utils.py:76-88). Returns

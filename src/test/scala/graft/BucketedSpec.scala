@@ -179,6 +179,14 @@ class BucketedSpec extends SparkSpec {
     assert(collectTV(SeriesOps.setManyCompact(df, lit(9.0))).head == (1.0 -> Some(5.0)))
   }
 
+  test("weekdayNumber resolves names and numbers like the reference") {
+    import graft.regularize.CalendarFloor.weekdayNumber
+    assert(weekdayNumber("monday") == 0 && weekdayNumber("Sunday") == 6)
+    assert(weekdayNumber(0) == 0 && weekdayNumber(3) == 3)
+    intercept[IllegalArgumentException](weekdayNumber("notaday"))
+    intercept[IllegalArgumentException](weekdayNumber(7))
+  }
+
   test("removePoint and seriesEquals (reference remove/__eq__)") {
     val df = seriesD(Seq(1.0 -> Some(1.0), 2.0 -> Some(2.0)))
     assert(collectTV(SeriesOps.removePoint(df, lit(1.0))) == Seq(2.0 -> Some(2.0)))
