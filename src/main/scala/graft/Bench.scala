@@ -158,7 +158,9 @@ object Bench {
     // comparable wall-clock and reports the amortized throughput
     val rollupRows = sys.env.getOrElse("SPARK_GRAFT_ROWS", "8000000").toLong
     val mergeRows = sys.env.getOrElse("SPARK_GRAFT_MERGE_ROWS", "20000000").toLong
-    val skewRows = sys.env.getOrElse("SPARK_GRAFT_SKEW_ROWS", "32000000").toLong
+    // 24M keeps the hot key past the single-task spill threshold (~20M
+    // rows) while bounding total bench wall-clock under driver timeouts
+    val skewRows = sys.env.getOrElse("SPARK_GRAFT_SKEW_ROWS", "24000000").toLong
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json")
     val spark = session(cpus)
