@@ -1267,6 +1267,125 @@ object GraftQueries {
       |  max(n) AS n_measurements
       |FROM r GROUP BY key""".stripMargin
 
+  // ---------- sources round-trips, remove, equality, ffill ----------
+
+  /** from_csv round-trip (traces/timeseries.py:1172-1239): the series is
+    * exported to CSV with µs-precision time strings and re-parsed by
+    * Sources.fromCsv; the result must equal the original points — the
+    * oracle is the untouched series. */
+  def qCsvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    val out = "/tmp/graft_csv_roundtrip_" + dir.replaceAll("[^0-9A-Za-z]", "_")
+    points(spark, dir)
+      .select(
+        col("key"),
+        date_format(timestamp_micros(col("t")), fmt).as("time"),
+        col("v").as("value"))
+      .write.mode("overwrite").option("header", "true").csv(out)
+    graft.sources.Sources.fromCsv(spark, out, "time", "value",
+      keyColumn = Some("key"), timeFormat = fmt)
+  }
+
+  val sqlCsvRoundtrip: String =
+    """SELECT event_type AS key, epoch_us(ts) AS t, max(value) AS v
+      |FROM events GROUP BY 1, 2""".stripMargin
+
+  /** to_json -> from_json round-trip (traces/timeseries.py:1241-1397):
+    * ISO-8601 times with offset, JSON-lines records; must reproduce the
+    * original points exactly. */
+  def qJsonRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = "/tmp/graft_json_roundtrip_" + dir.replaceAll("[^0-9A-Za-z]", "_")
+    graft.sources.Sources.toJson(points(spark, dir), out)
+    graft.sources.Sources.fromJson(spark, out, keyColumn = Some("key"), multiLine = false)
+  }
+
+  val sqlJsonRoundtrip: String = sqlCsvRoundtrip
+
+  /** remove / __delitem__ (traces/timeseries.py:356-365): delete the exact
+    * points at the global first and last measurement times. */
+  def qRemovePoint(spark: SparkSession, dir: String): DataFrame = {
+    val pts = points(spark, dir)
+    val (tmin, tmax) = bounds(pts)
+    SeriesOps.removePoint(SeriesOps.removePoint(pts, lit(tmin)), lit(tmax))
+  }
+
+  val sqlRemovePoint: String =
+    """WITH pts AS (
+      |  SELECT event_type AS key, epoch_us(ts) AS t, max(value) AS v
+      |  FROM events GROUP BY 1, 2),
+      |b AS (SELECT min(t) AS tmin, max(t) AS tmax FROM pts)
+      |SELECT key, t, v FROM pts
+      |WHERE t <> (SELECT tmin FROM b) AND t <> (SELECT tmax FROM b)""".stripMargin
+
+  /** __eq__ (traces/timeseries.py:1581-1582) as a distributed per-key
+    * comparison: the series vs a copy with its global-earliest point
+    * removed — the key holding that point compares unequal, the rest
+    * equal. The default is deliberately NOT compared (reference quirk). */
+  def qSeriesEquals(spark: SparkSession, dir: String): DataFrame = {
+    val pts = points(spark, dir)
+    val (tmin, _) = bounds(pts)
+    SeriesOps.seriesEqualsBy(pts, SeriesOps.removePoint(pts, lit(tmin)))
+  }
+
+  val sqlSeriesEquals: String =
+    """WITH pts AS (
+      |  SELECT event_type AS key, epoch_us(ts) AS t, max(value) AS v
+      |  FROM events GROUP BY 1, 2),
+      |b AS (SELECT min(t) AS tmin FROM pts),
+      |b2 AS (SELECT key, t, v FROM pts WHERE t <> (SELECT tmin FROM b)),
+      |j AS (SELECT coalesce(p.key, q.key) AS key,
+      |        (p.key IS NOT NULL AND q.key IS NOT NULL
+      |         AND p.v IS NOT DISTINCT FROM q.v) AS eq
+      |      FROM pts p FULL OUTER JOIN b2 q ON p.key = q.key AND p.t = q.t)
+      |SELECT key, bool_and(eq) AS equal FROM j GROUP BY key""".stripMargin
+
+  /** sample_interval's trailing ffill (timeseries.py:744-745): values under
+    * 150 are treated as None, so cells whose entire coverage is null
+    * aggregate to null and forward-fill from the previous cell; leading
+    * null cells stay null (pandas ffill leaves leading NaN). */
+  def qSampleIntervalFfill(spark: SparkSession, dir: String): DataFrame = {
+    val pts = points(spark, dir)
+      .withColumn("v", when(col("v") < 150.0, nullD).otherwise(col("v")))
+    val (h0, h1) = dayBounds(pts)
+    Regularize.sampleInterval(pts, h0, h1, 6 * HOUR, nullD, ffill = true)
+      .select(col("key"), col("cell_start"),
+        round(col("mean"), 6).as("mean"), col("min"), col("max"))
+  }
+
+  val sqlSampleIntervalFfill: String = {
+    val p = 6 * HOUR
+    s"""WITH pts AS (
+       |  SELECT event_type AS key, epoch_us(ts) AS t,
+       |         CASE WHEN max(value) < 150.0 THEN NULL ELSE max(value) END AS v
+       |  FROM events GROUP BY 1, 2),
+       |b AS (SELECT min(t) AS tmin, max(t) AS tmax FROM pts),
+       |bb AS (SELECT (tmin // $DAY) * $DAY AS h0, ((tmax // $DAY) + 1) * $DAY AS h1 FROM b),
+       |segs AS (
+       |  SELECT key, t AS t0,
+       |         coalesce(lead(t) OVER (PARTITION BY key ORDER BY t),
+       |                  (SELECT h1 FROM bb)) AS t1, v
+       |  FROM pts
+       |  UNION ALL
+       |  SELECT key, (SELECT h0 FROM bb), min(t), NULL FROM pts GROUP BY key),
+       |cells AS (
+       |  SELECT key, v,
+       |         greatest(t0, $p * cell) AS t0, least(t1, $p * (cell + 1)) AS t1,
+       |         $p * cell AS cell_start
+       |  FROM segs, unnest(generate_series(t0 // $p, t1 // $p)) c(cell)
+       |  WHERE t1 > t0),
+       |ag AS (
+       |  SELECT key, cell_start,
+       |    sum(v * (t1 - t0)) / $p.0 AS mean, min(v) AS min, max(v) AS max
+       |  FROM cells WHERE t1 > t0 GROUP BY 1, 2)
+       |SELECT key, cell_start,
+       |  round(last_value(mean IGNORE NULLS) OVER w, 6) AS mean,
+       |  last_value(min IGNORE NULLS) OVER w AS min,
+       |  last_value(max IGNORE NULLS) OVER w AS max
+       |FROM ag
+       |WINDOW w AS (PARTITION BY key ORDER BY cell_start
+       |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin
+  }
+
   // classic relational smoke (lineitem)
   def qLineitemAgg(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/lineitem.parquet")

@@ -75,7 +75,13 @@ object SparkEntry {
     "q46_merge_transitions" -> (qMergeTransitions _),
     "q47_distribution_linear" -> (qDistributionLinear _),
     "q48_sliding_intervals" -> (qSlidingIntervals _),
-    "q49_navigation" -> (qNavigation _)
+    "q49_navigation" -> (qNavigation _),
+    // --- sources round-trips + remaining small-surface ops ---
+    "q50_csv_roundtrip" -> (qCsvRoundtrip _),
+    "q51_json_roundtrip" -> (qJsonRoundtrip _),
+    "q52_remove_point" -> (qRemovePoint _),
+    "q53_series_equals" -> (qSeriesEquals _),
+    "q54_sample_interval_ffill" -> (qSampleIntervalFfill _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -127,6 +133,11 @@ object SparkEntry {
     "q46_merge_transitions" -> sqlMergeTransitions,
     "q47_distribution_linear" -> sqlDistributionLinear,
     "q48_sliding_intervals" -> sqlSlidingIntervals,
-    "q49_navigation" -> sqlNavigation
+    "q49_navigation" -> sqlNavigation,
+    "q50_csv_roundtrip" -> sqlCsvRoundtrip,
+    "q51_json_roundtrip" -> sqlJsonRoundtrip,
+    "q52_remove_point" -> sqlRemovePoint,
+    "q53_series_equals" -> sqlSeriesEquals,
+    "q54_sample_interval_ffill" -> sqlSampleIntervalFfill
   )
 }

@@ -114,6 +114,22 @@ object SeriesOps {
     ca.exceptAll(cb).isEmpty && cb.exceptAll(ca).isEmpty
   }
 
+  /** Distributed per-key form of [[seriesEquals]]: one boolean row per key,
+    * true iff both sides hold exactly the same (t, v) measurements for that
+    * key. A struct wrapper distinguishes present-with-null-value from
+    * absent; times are unique per series (sorted-map invariant), so the
+    * (key, t) full-outer join is the multiset comparison. Output
+    * (key, equal). */
+  def seriesEqualsBy(a: DataFrame, b: DataFrame): DataFrame = {
+    val ca = a.select(col(K), col(T), struct(col(V)).as("_va"))
+    val cb = b.select(col(K), col(T), struct(col(V)).as("_vb"))
+    ca.join(cb, Seq(K, T), "full_outer")
+      .groupBy(col(K))
+      .agg(min(
+        col("_va").isNotNull && col("_vb").isNotNull &&
+          (col("_va").getField(V) <=> col("_vb").getField(V))).as("equal"))
+  }
+
   /** Consecutive-point segments over each key's full measured domain
     * [first_t, last_t): rows (key, t0, t1, v, vn) where vn is the value at
     * t1 (for linear interpolation). The last point opens no segment —

@@ -193,4 +193,20 @@ class BucketedSpec extends SparkSpec {
     assert(SeriesOps.seriesEquals(df, df.orderBy(col("t").desc)))
     assert(!SeriesOps.seriesEquals(df, SeriesOps.removePoint(df, lit(1.0))))
   }
+
+  test("seriesEqualsBy: per-key __eq__ distinguishes null-valued from absent points") {
+    val a = seriesD(Seq(1.0 -> Some(1.0), 2.0 -> None), key = "k1")
+      .unionByName(seriesD(Seq(1.0 -> Some(3.0)), key = "k2"))
+      .unionByName(seriesD(Seq(1.0 -> Some(9.0), 2.0 -> Some(9.0)), key = "k3"))
+    val b = seriesD(Seq(2.0 -> None, 1.0 -> Some(1.0)), key = "k1") // same, reordered
+      .unionByName(seriesD(Seq(1.0 -> Some(4.0)), key = "k2")) // value differs
+      .unionByName(seriesD(Seq(1.0 -> Some(9.0)), key = "k3")) // point missing
+    val got = SeriesOps.seriesEqualsBy(a, b).collect()
+      .map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(got == Map("k1" -> true, "k2" -> false, "k3" -> false))
+    // a null-VALUED point is not the same as an absent point
+    val c = seriesD(Seq(1.0 -> Some(1.0)), key = "k1")
+    val d = seriesD(Seq(1.0 -> Some(1.0), 2.0 -> None), key = "k1")
+    assert(SeriesOps.seriesEqualsBy(c, d).head().getBoolean(1) == false)
+  }
 }

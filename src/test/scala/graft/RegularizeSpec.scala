@@ -73,6 +73,27 @@ class RegularizeSpec extends SparkSpec {
     }
   }
 
+  test("sample_interval ffill fills all-null cells forward; leading nulls stay (timeseries.py:744-745)") {
+    // segments with null default: [0,12) null, [12,18) 5, [18,32) null, [32,40) 7
+    val df = seriesL(Seq(12L -> Some(5.0), 18L -> None, 32L -> Some(7.0)))
+    def cells(ffill: Boolean): Map[Long, (Option[Double], Option[Double], Option[Double])] =
+      Regularize.sampleInterval(df, 0L, 40L, 10L, nullD, ffill = ffill)
+        .collect()
+        .map { r =>
+          def g(i: Int) = if (r.isNullAt(i)) None else Some(r.getDouble(i))
+          r.getLong(1) -> ((g(2), g(3), g(4)))
+        }.toMap
+    val plain = cells(ffill = false)
+    assert(plain(0L) == ((None, None, None)))          // all-null cell
+    assert(plain(10L) == ((Some(3.0), Some(5.0), Some(5.0)))) // 5*6/10
+    assert(plain(20L) == ((None, None, None)))         // all-null cell
+    assert(plain(30L) == ((Some(5.6), Some(7.0), Some(7.0)))) // 7*8/10
+    val filled = cells(ffill = true)
+    assert(filled(0L) == ((None, None, None)))         // leading NaN stays (pandas ffill)
+    assert(filled(20L) == ((Some(3.0), Some(5.0), Some(5.0)))) // carried from cell 1
+    assert(filled(10L) == plain(10L) && filled(30L) == plain(30L))
+  }
+
   test("calendar floor weeks reproduces Python %W quirk (utils.py:91-128)") {
     // 2018-12-13 07:43:15 floors to Monday 2018-12-10 (test_methods.py:254-284)
     assert(CalendarFloor.floorMicros(Goldens.binStartUs, "weeks") == 1544400000000000L)
