@@ -1386,6 +1386,37 @@ object GraftQueries {
        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin
   }
 
+  /** masked sample (traces/timeseries.py:592-614 with mask): the per-key
+    * mask is the boolean threshold series' true intervals, and the hourly
+    * grid restarts at every mask-true period (inclusive of its end),
+    * exactly like the reference's per-period `while current_time <= end`
+    * loop. Completes the mask-composition surface: distribution (q06),
+    * n_points (q43), sample (here). */
+  def qMaskedSample(spark: SparkSession, dir: String): DataFrame = {
+    val pts = points(spark, dir)
+    val (tmin, tmax) = bounds(pts)
+    val mask = SeriesOps.trueIntervals(
+      SeriesOps.threshold(pts, lit(150.0)), lit(tmin), lit(tmax), lit(0.0))
+    Regularize.sampleMasked(pts, mask, HOUR, nullD)
+  }
+
+  val sqlMaskedSample: String =
+    s"""WITH pts AS (
+       |  SELECT event_type AS key, epoch_us(ts) AS t, max(value) AS v
+       |  FROM events GROUP BY 1, 2),
+       |b AS (SELECT min(t) AS tmin, max(t) AS tmax FROM pts),
+       |bsegs AS (
+       |  SELECT key, t AS m0,
+       |         coalesce(lead(t) OVER (PARTITION BY key ORDER BY t),
+       |                  (SELECT tmax FROM b)) AS m1,
+       |         (v > 150.0) AS bv
+       |  FROM pts),
+       |mask AS (SELECT key, m0, m1 FROM bsegs WHERE bv AND m1 > m0),
+       |grid AS (
+       |  SELECT key, gt FROM mask, unnest(generate_series(m0, m1, $HOUR)) g(gt))
+       |SELECT g.key AS key, g.gt AS t, p.v AS v
+       |FROM grid g ASOF LEFT JOIN pts p ON g.key = p.key AND g.gt >= p.t""".stripMargin
+
   // classic relational smoke (lineitem)
   def qLineitemAgg(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/lineitem.parquet")

@@ -81,7 +81,8 @@ object SparkEntry {
     "q51_json_roundtrip" -> (qJsonRoundtrip _),
     "q52_remove_point" -> (qRemovePoint _),
     "q53_series_equals" -> (qSeriesEquals _),
-    "q54_sample_interval_ffill" -> (qSampleIntervalFfill _)
+    "q54_sample_interval_ffill" -> (qSampleIntervalFfill _),
+    "q55_masked_sample" -> (qMaskedSample _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -138,6 +139,7 @@ object SparkEntry {
     "q51_json_roundtrip" -> sqlJsonRoundtrip,
     "q52_remove_point" -> sqlRemovePoint,
     "q53_series_equals" -> sqlSeriesEquals,
-    "q54_sample_interval_ffill" -> sqlSampleIntervalFfill
+    "q54_sample_interval_ffill" -> sqlSampleIntervalFfill,
+    "q55_masked_sample" -> sqlMaskedSample
   )
 }

@@ -94,6 +94,20 @@ class RegularizeSpec extends SparkSpec {
     assert(filled(10L) == plain(10L) && filled(30L) == plain(30L))
   }
 
+  test("sampleMasked restarts the grid per mask period, inclusive of each end (timeseries.py:592-614)") {
+    // series: 0->1, 100->2; mask periods [0,25] and [40,45] (global mask)
+    val df = seriesL(Seq(0L -> Some(1.0), 100L -> Some(2.0)))
+    val s = spark; import s.implicits._
+    val mask = Seq((0L, 25L), (40L, 45L)).toDF("m0", "m1")
+    val got = collectTV(Regularize.sampleMasked(df, mask, 10L, nullD)).sortBy(_._1)
+    // first period anchors 0,10,20 (25 not a multiple); second restarts at 40
+    assert(got == Seq(0.0 -> Some(1.0), 10.0 -> Some(1.0), 20.0 -> Some(1.0),
+      40.0 -> Some(1.0)))
+    // inclusive end: period [0,20] emits t=20 (reference `while current <= end`)
+    val inc = collectTV(Regularize.sampleMasked(df, Seq((0L, 20L)).toDF("m0", "m1"), 10L, nullD))
+    assert(inc.map(_._1).sorted == Seq(0.0, 10.0, 20.0))
+  }
+
   test("calendar floor weeks reproduces Python %W quirk (utils.py:91-128)") {
     // 2018-12-13 07:43:15 floors to Monday 2018-12-10 (test_methods.py:254-284)
     assert(CalendarFloor.floorMicros(Goldens.binStartUs, "weeks") == 1544400000000000L)
