@@ -1417,6 +1417,52 @@ object GraftQueries {
        |SELECT g.key AS key, g.gt AS t, p.v AS v
        |FROM grid g ASOF LEFT JOIN pts p ON g.key = p.key AND g.gt >= p.t""".stripMargin
 
+  /** multiply / __mul__ (traces/timeseries.py:1503-1505): click(t) × view(t)
+    * at the union of measurement times, both sides defaulting to 1.0 before
+    * their first point; same skew-safe bucketed alignment as q19. */
+  def qMultiply(spark: SparkSession, dir: String): DataFrame = {
+    val pts = points(spark, dir)
+    val a = pts.filter(col("key") === "click").withColumn("key", constKey("pair", col("key")))
+    val b = pts.filter(col("key") === "view").withColumn("key", constKey("pair", col("key")))
+    MergeOps.multiply(a, b, lit(1.0), lit(1.0), dayBucket)
+      .withColumn("v", round(col("v"), 6))
+  }
+
+  val sqlMultiply: String =
+    """WITH pts AS (
+      |  SELECT event_type AS key, epoch_us(ts) AS t, max(value) AS v
+      |  FROM events WHERE event_type IN ('click', 'view') GROUP BY 1, 2),
+      |u AS (
+      |  SELECT t, CASE WHEN key = 'click' THEN v END AS va,
+      |         CASE WHEN key = 'view' THEN v END AS vb,
+      |         CASE WHEN key = 'click' THEN 0 ELSE 1 END AS side
+      |  FROM pts),
+      |f AS (SELECT t, side,
+      |        last_value(va IGNORE NULLS) OVER (ORDER BY t, side ROWS UNBOUNDED PRECEDING) AS la,
+      |        last_value(vb IGNORE NULLS) OVER (ORDER BY t, side ROWS UNBOUNDED PRECEDING) AS lb,
+      |        row_number() OVER (PARTITION BY t ORDER BY side DESC) AS rn
+      |      FROM u)
+      |SELECT 'pair' AS key, t, round(coalesce(la, 1.0) * coalesce(lb, 1.0), 6) AS v
+      |FROM f WHERE rn = 1""".stripMargin
+
+  /** remove_points_from_interval (traces/timeseries.py:367-388, [start,end)
+    * half-open) chained with is_not_none (timeseries.py:330-354): values
+    * under 150 are treated as None measurements, the interval's points are
+    * deleted, and the availability series maps value→not-None. */
+  def qRemoveIntervalNotNone(spark: SparkSession, dir: String): DataFrame = {
+    val pts = points(spark, dir)
+      .withColumn("v", when(col("v") < 150.0, nullD).otherwise(col("v")))
+    SeriesOps.isNotNone(SeriesOps.removeInterval(pts, lit(SI_START), lit(SI_END)))
+  }
+
+  val sqlRemoveIntervalNotNone: String =
+    s"""WITH pts AS (
+       |  SELECT event_type AS key, epoch_us(ts) AS t,
+       |         CASE WHEN max(value) < 150.0 THEN NULL ELSE max(value) END AS v
+       |  FROM events GROUP BY 1, 2)
+       |SELECT key, t, CAST(v IS NOT NULL AS DOUBLE) AS v
+       |FROM pts WHERE NOT (t >= $SI_START AND t < $SI_END)""".stripMargin
+
   // classic relational smoke (lineitem)
   def qLineitemAgg(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/lineitem.parquet")

@@ -82,7 +82,9 @@ object SparkEntry {
     "q52_remove_point" -> (qRemovePoint _),
     "q53_series_equals" -> (qSeriesEquals _),
     "q54_sample_interval_ffill" -> (qSampleIntervalFfill _),
-    "q55_masked_sample" -> (qMaskedSample _)
+    "q55_masked_sample" -> (qMaskedSample _),
+    "q56_multiply" -> (qMultiply _),
+    "q57_remove_interval_not_none" -> (qRemoveIntervalNotNone _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -140,6 +142,8 @@ object SparkEntry {
     "q52_remove_point" -> sqlRemovePoint,
     "q53_series_equals" -> sqlSeriesEquals,
     "q54_sample_interval_ffill" -> sqlSampleIntervalFfill,
-    "q55_masked_sample" -> sqlMaskedSample
+    "q55_masked_sample" -> sqlMaskedSample,
+    "q56_multiply" -> sqlMultiply,
+    "q57_remove_interval_not_none" -> sqlRemoveIntervalNotNone
   )
 }

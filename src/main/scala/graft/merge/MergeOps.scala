@@ -87,8 +87,9 @@ object MergeOps {
     operate(a, b, (x, y) => x - y, defaultA, defaultB, bucketBy)
 
   /** a(t) * b(t) (traces/timeseries.py:1503-1505). */
-  def multiply(a: DataFrame, b: DataFrame, defaultA: Column = lit(null), defaultB: Column = lit(null)): DataFrame =
-    operate(a, b, (x, y) => x * y, defaultA, defaultB)
+  def multiply(a: DataFrame, b: DataFrame, defaultA: Column = lit(null), defaultB: Column = lit(null),
+      bucketBy: Option[Column] = None): DataFrame =
+    operate(a, b, (x, y) => x * y, defaultA, defaultB, bucketBy)
 
   /** Python-truthiness logical ops: `and`/`or` return an OPERAND, not a
     * boolean (tests/test_operations.py:183-207); xor returns a boolean.
