@@ -1275,7 +1275,10 @@ object GraftQueries {
     * oracle is the untouched series. */
   def qCsvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     val fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
-    val out = "/tmp/graft_csv_roundtrip_" + dir.replaceAll("[^0-9A-Za-z]", "_")
+    // applicationId-scoped path: concurrent driver runs over the same data
+    // dir must not clobber each other's files mid-read
+    val out = "/tmp/graft_csv_roundtrip_" + spark.sparkContext.applicationId +
+      "_" + dir.replaceAll("[^0-9A-Za-z]", "_")
     points(spark, dir)
       .select(
         col("key"),
@@ -1294,7 +1297,8 @@ object GraftQueries {
     * ISO-8601 times with offset, JSON-lines records; must reproduce the
     * original points exactly. */
   def qJsonRoundtrip(spark: SparkSession, dir: String): DataFrame = {
-    val out = "/tmp/graft_json_roundtrip_" + dir.replaceAll("[^0-9A-Za-z]", "_")
+    val out = "/tmp/graft_json_roundtrip_" + spark.sparkContext.applicationId +
+      "_" + dir.replaceAll("[^0-9A-Za-z]", "_")
     graft.sources.Sources.toJson(points(spark, dir), out)
     graft.sources.Sources.fromJson(spark, out, keyColumn = Some("key"), multiLine = false)
   }

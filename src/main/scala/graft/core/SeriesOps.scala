@@ -118,13 +118,16 @@ object SeriesOps {
     * true iff both sides hold exactly the same (t, v) measurements for that
     * key. A struct wrapper distinguishes present-with-null-value from
     * absent; times are unique per series (sorted-map invariant), so the
-    * (key, t) full-outer join is the multiset comparison. Output
+    * (key, t) full-outer join is the multiset comparison. The join is
+    * null-safe on the key (series keys may be null, e.g. countByValue's
+    * None-value series — same reason compactBucketed joins with `<=>`), so
+    * a null-keyed series correctly compares equal to itself. Output
     * (key, equal). */
   def seriesEqualsBy(a: DataFrame, b: DataFrame): DataFrame = {
     val ca = a.select(col(K), col(T), struct(col(V)).as("_va"))
-    val cb = b.select(col(K), col(T), struct(col(V)).as("_vb"))
-    ca.join(cb, Seq(K, T), "full_outer")
-      .groupBy(col(K))
+    val cb = b.select(col(K).as("_kb"), col(T).as("_tb"), struct(col(V)).as("_vb"))
+    ca.join(cb, col(K) <=> col("_kb") && col(T) <=> col("_tb"), "full_outer")
+      .groupBy(coalesce(col(K), col("_kb")).as(K))
       .agg(min(
         col("_va").isNotNull && col("_vb").isNotNull &&
           (col("_va").getField(V) <=> col("_vb").getField(V))).as("equal"))

@@ -208,5 +208,11 @@ class BucketedSpec extends SparkSpec {
     val c = seriesD(Seq(1.0 -> Some(1.0)), key = "k1")
     val d = seriesD(Seq(1.0 -> Some(1.0), 2.0 -> None), key = "k1")
     assert(SeriesOps.seriesEqualsBy(c, d).head().getBoolean(1) == false)
+    // null-keyed series (countByValue's None-value series) compare equal to
+    // themselves — the join must be null-safe on the key
+    val n = seriesD(Seq(1.0 -> Some(1.0), 2.0 -> Some(2.0)), key = "k1")
+      .withColumn("key", lit(null).cast("string"))
+    val eqN = SeriesOps.seriesEqualsBy(n, n).collect()
+    assert(eqN.length == 1 && eqN.head.isNullAt(0) && eqN.head.getBoolean(1))
   }
 }
