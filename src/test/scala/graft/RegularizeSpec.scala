@@ -108,6 +108,25 @@ class RegularizeSpec extends SparkSpec {
     assert(inc.map(_._1).sorted == Seq(0.0, 10.0, 20.0))
   }
 
+  test("sampleMasked chunked grid is innerLen-invariant (incl. boundary-exact masks)") {
+    // probes must not depend on the chunk size: innerLen=3 forces several
+    // outer chunks, incl. a mask end landing exactly on an outer boundary
+    // (m1 = m0 + k*innerLen*period) and a short tail chunk
+    val df = seriesL(Seq(0L -> Some(1.0), 500L -> Some(2.0)))
+    val s = spark; import s.implicits._
+    val masks = Seq(
+      Seq((0L, 90L)),           // 0..90: end on outer boundary at innerLen=3, period=10
+      Seq((0L, 95L)),           // tail chunk shorter than innerLen
+      Seq((5L, 5L)),            // degenerate single-probe period
+      Seq((0L, 29L), (60L, 200L))) // multiple periods
+    for (m <- masks) {
+      val mask = m.toDF("m0", "m1")
+      val small = collectTV(Regularize.sampleMasked(df, mask, 10L, nullD, innerLen = 3L)).sorted
+      val big = collectTV(Regularize.sampleMasked(df, mask, 10L, nullD, innerLen = 1 << 20)).sorted
+      assert(small == big, s"mask $m: innerLen=3 gave $small, unchunked gave $big")
+    }
+  }
+
   test("calendar floor weeks reproduces Python %W quirk (utils.py:91-128)") {
     // 2018-12-13 07:43:15 floors to Monday 2018-12-10 (test_methods.py:254-284)
     assert(CalendarFloor.floorMicros(Goldens.binStartUs, "weeks") == 1544400000000000L)
