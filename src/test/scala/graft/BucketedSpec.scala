@@ -214,5 +214,9 @@ class BucketedSpec extends SparkSpec {
       .withColumn("key", lit(null).cast("string"))
     val eqN = SeriesOps.seriesEqualsBy(n, n).collect()
     assert(eqN.length == 1 && eqN.head.isNullAt(0) && eqN.head.getBoolean(1))
+    // the null-safe (<=>) join condition must still plan as an equi-join
+    val plan = SeriesOps.seriesEqualsBy(a, b).queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+      s"null-safe __eq__ join fell back to a non-equi join:\n$plan")
   }
 }
