@@ -197,6 +197,23 @@ object SeriesOps {
       .filter(col("t1") > col("t0"))
   }
 
+  /** Explode the consecutive long range [c0, c1] (step 1) as column `as`,
+    * two-level chunked like the sampling grids (Regularize.gridSeq): outer
+    * ids step `innerLen`, inner arrays hold at most `innerLen` elements.
+    * A range spanning millions of ids — a year-long constant segment split
+    * at second-scale cells or window buckets — never materializes one
+    * giant sequence() array in a single row. */
+  def explodeRangeChunked(
+      df: DataFrame,
+      c0: Column,
+      c1: Column,
+      as: String,
+      innerLen: Long = 8192L): DataFrame = {
+    df.withColumn("_rc0", explode(sequence(c0, c1, lit(innerLen))))
+      .withColumn(as, explode(sequence(col("_rc0"), least(col("_rc0") + (innerLen - 1), c1))))
+      .drop("_rc0")
+  }
+
   /** Skew-safe variant of [[segmentsInRange]] for hot keys: points are
     * windowed per (key, time-bucket) instead of per key, so a url with
     * 10^9 points spreads across tasks — the salting that does NOT break
@@ -222,12 +239,11 @@ object SeriesOps {
       .agg(max_by(struct(col(T), col(V)), col(T)).as("_close"))
     // full bucket spine per key over [start, end) — empty buckets still
     // carry the step function, so they get an opening row too
-    val spine = df
-      .select(col(K)).distinct()
-      .select(col(K),
-        explode(sequence(
-          floor(start / b).cast("long"),
-          floor((end - 1) / b).cast("long"))).as("_bkt"))
+    val spine = explodeRangeChunked(
+      df.select(col(K)).distinct(),
+      floor(start / b).cast("long"),
+      floor((end - 1) / b).cast("long"),
+      "_bkt")
     // opening value of each bucket = latest closing from any EARLIER bucket
     // (including pre-start buckets, which carry the as-of value INTO the
     // spine but emit no segments themselves)
