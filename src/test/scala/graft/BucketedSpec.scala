@@ -219,4 +219,18 @@ class BucketedSpec extends SparkSpec {
     assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
       s"null-safe __eq__ join fell back to a non-equi join:\n$plan")
   }
+
+  test("explodeRangeChunked equals a plain sequence explode at every chunk boundary") {
+    val s = spark; import s.implicits._
+    // (c0, c1) ranges crossing each edge: empty-ish single id, exactly one
+    // chunk, one-past a chunk, several chunks with a short tail
+    val ranges = Seq((0L, 0L), (5L, 9L), (0L, 4L), (0L, 5L), (3L, 23L), (-7L, 6L))
+    for ((c0, c1) <- ranges; inner <- Seq(1L, 5L, 1024L)) {
+      val df = Seq(("k", c0, c1)).toDF("key", "c0", "c1")
+      val got = SeriesOps
+        .explodeRangeChunked(df, col("c0"), col("c1"), "id", innerLen = inner)
+        .select("id").as[Long].collect().sorted.toSeq
+      assert(got == (c0 to c1), s"range ($c0,$c1) innerLen=$inner: $got")
+    }
+  }
 }
