@@ -185,4 +185,49 @@ object Dedup {
       .select(col("a"), col("b"), graft.ann.Ann.cosine(col("va"), col("vb")).as("cos"))
       .filter(col("cos") >= threshold)
   }
+
+  /** Signed-random-projection LSH near-duplicates (Charikar STOC'02, the
+    * public SRP-LSH scheme): `bands` bands of `rowsPerBand` deterministic
+    * seeded Gaussian hyperplanes; a pair is a candidate when it shares ALL
+    * sign bits in AT LEAST ONE band (OR-amplification across bands recovers
+    * the near-dups a single signature misses — the recall gap of
+    * [[embeddingNearDup]]'s one axis-aligned signature), then exact cosine
+    * verifies. Same scale shape as [[minhashCandidates]]: candidates come
+    * from an equi-join on (band, signature) with an oversized-bucket cap,
+    * never a cross join; the exact cosine runs on candidates only.
+    *
+    * The sign-bit dots fold in fixed array order inside one row (no
+    * cross-row FP reassociation), so signatures are deterministic. */
+  def embeddingNearDupSRP(emb: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding", dim: Int, threshold: Double = 0.9,
+      bands: Int = 8, rowsPerBand: Int = 4, seed: Long = 42L,
+      maxBucket: Int = 10000): DataFrame = {
+    val rng = new java.util.Random(seed)
+    val planes = Array.fill(bands * rowsPerBand)(Array.fill(dim)(rng.nextGaussian()))
+    val bandSigs = (0 until bands).map { b =>
+      (0 until rowsPerBand).map { r =>
+        val dot = aggregate(
+          zip_with(col(vecCol), lit(planes(b * rowsPerBand + r)), (x, w) => x * w),
+          lit(0.0d), (acc, x) => acc + x)
+        when(dot >= 0, shiftleft(lit(1L), r)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }
+    val sigs = emb
+      .select(col(idCol), col(vecCol),
+        explode(array(bandSigs.zipWithIndex.map { case (s, b) =>
+          struct(lit(b).as("band"), s.as("sig"))
+        }: _*)).as("_bs"))
+      .select(col(idCol), col(vecCol),
+        col("_bs.band").as("band"), col("_bs.sig").as("sig"))
+      .withColumn("_cnt", count(lit(1)).over(Window.partitionBy("band", "sig")))
+      .filter(col("_cnt") <= maxBucket)
+      .drop("_cnt")
+    val l = sigs.select(col("band"), col("sig"), col(idCol).as("a"), col(vecCol).as("va"))
+    val r = sigs.select(col("band"), col("sig"), col(idCol).as("b"), col(vecCol).as("vb"))
+    l.join(r, Seq("band", "sig"))
+      .filter(col("a") < col("b"))
+      .dropDuplicates("a", "b")
+      .select(col("a"), col("b"), graft.ann.Ann.cosine(col("va"), col("vb")).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
 }

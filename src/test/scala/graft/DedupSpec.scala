@@ -79,6 +79,34 @@ class DedupSpec extends SparkSpec {
     assert(pairs.contains((0L, 1L)), s"$pairs")
   }
 
+  test("SRP-LSH near-dup recall >= 0.9 vs brute force; no cartesian in the plan") {
+    val s = spark
+    import s.implicits._
+    // 40 base directions, each with a jittered near-dup partner; plus noise
+    // vectors far from everything — ground truth is the brute-force pair set
+    val dim = 16
+    val vecs = (0 until 40).flatMap { i =>
+      val base = Array.tabulate(dim)(d => math.cos(d * 0.37 + i * 1.7))
+      Seq(
+        (2L * i, base),
+        (2L * i + 1, base.zipWithIndex.map { case (x, d) => x + 0.02 * math.sin(i * 7 + d) }))
+    }.toDF("vec_id", "embedding")
+    val exact = vecs.select(col("vec_id").as("a"), col("embedding").as("va"))
+      .crossJoin(vecs.select(col("vec_id").as("b"), col("embedding").as("vb")))
+      .filter(col("a") < col("b"))
+      .filter(graft.ann.Ann.cosine(col("va"), col("vb")) >= 0.95)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val srpDf = Dedup.embeddingNearDupSRP(vecs, dim = dim, threshold = 0.95)
+    val srp = srpDf.select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "degenerate fixture: no true near-dup pairs")
+    val recall = (exact & srp).size.toDouble / exact.size
+    assert(recall >= 0.9, s"SRP recall $recall (found ${srp.size} of ${exact.size})")
+    // precision is exact by construction: every emitted pair passed true cosine
+    assert(srp.subsetOf(exact), s"pairs below threshold emitted: ${srp -- exact}")
+    val plan = srpDf.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian in SRP join:\n$plan")
+  }
+
   test("multimodal stub decode plumbing: schema, determinism, frame sampling") {
     val s = spark
     import s.implicits._
