@@ -65,6 +65,31 @@ object Multimodal {
       .toDF("doc_id", "frame_idx", "frame_bytes")
   }
 
+  /** STUB resize — deterministic nearest-neighbor resample of the flat
+    * payload to a `width`×`height` byte grid, standing in for a real image
+    * resize (no codecs in this container). The Spark plumbing is the real
+    * deployment shape: typed partition-preserving map, no shuffle, explicit
+    * (doc_id, width, height, pixels) output schema sized w·h per row. */
+  def resizeImages(media: Dataset[MediaRow], width: Int, height: Int): DataFrame = {
+    require(width > 0 && height > 0, s"target $width x $height must be positive")
+    import media.sparkSession.implicits._
+    media
+      .filter(_.modality == "image")
+      .map { r =>
+        val out = new Array[Byte](width * height)
+        val n = r.bytes.length
+        if (n > 0) {
+          var i = 0
+          while (i < out.length) {
+            out(i) = r.bytes((i.toLong * n / out.length).toInt)
+            i += 1
+          }
+        }
+        (r.doc_id, width, height, out)
+      }
+      .toDF("doc_id", "width", "height", "pixels")
+  }
+
   /** Build a media table from documents: bytes = utf8(text) as the opaque
     * payload (deterministic; real tables carry actual media bytes). */
   def mediaFromDocs(docs: DataFrame): DataFrame =

@@ -117,5 +117,12 @@ class DedupSpec extends SparkSpec {
     val frames = Multimodal.sampleFrames(media)
     assert(frames.columns.toSeq == Seq("doc_id", "frame_idx", "frame_bytes"))
     assert(frames.count() >= 1)
+    val resized = Multimodal.resizeImages(media, 32, 24).collect()
+    assert(resized.nonEmpty)
+    assert(resized.forall(r => r.getAs[Array[Byte]]("pixels").length == 32 * 24))
+    // deterministic: same input, same pixels
+    val again = Multimodal.resizeImages(media, 32, 24).collect()
+    assert(resized.map(_.getAs[Array[Byte]]("pixels").toSeq).toSeq ==
+      again.map(_.getAs[Array[Byte]]("pixels").toSeq).toSeq)
   }
 }
