@@ -1211,6 +1211,44 @@ object GraftQueries {
       |  FROM e x JOIN e y ON x.bucket = y.bucket AND x.vec_id < y.vec_id)
       |SELECT a, b, round(cos, 6) AS cos FROM p WHERE cos >= 0.3""".stripMargin
 
+  /** Banded signed-random-projection LSH near-dup (q58): candidates share
+    * all sign bits in at least one band of seeded integer-valued Gaussian
+    * hyperplanes, then exact cosine filters. The signature arithmetic is
+    * integer-exact (Dedup.embeddingNearDupSRP), so the oracle replays the
+    * very same plane constants and sign decisions bit-for-bit. */
+  def qSrpNearDup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingNearDupSRP(embD(spark, dir), dim = 64, threshold = 0.3,
+      bands = 4, rowsPerBand = 8, seed = 42L)
+      .select(col("a"), col("b"), round(col("cos"), 6).as("cos"))
+
+  val sqlSrpNearDup: String = {
+    val bands = 4; val rowsPerBand = 8
+    val planes = Dedup.srpPlanes(bands, rowsPerBand, 64, 42L)
+    val rows = for (b <- 0 until bands; r <- 0 until rowsPerBand) yield {
+      val p = planes(b * rowsPerBand + r).map(_.toLong).mkString(", ")
+      s"($b, $r, [$p]::DOUBLE[])"
+    }
+    s"""WITH planes(band, r, p) AS (VALUES ${rows.mkString(", ")}),
+       |sig AS (
+       |  SELECT e.vec_id, pl.band,
+       |    sum(CASE WHEN (SELECT sum(round(e.embedding[i]::DOUBLE * 1024) * pl.p[i])
+       |                   FROM generate_series(1, 64) d(i)) >= 0
+       |        THEN 1 << pl.r ELSE 0 END) AS s
+       |  FROM embeddings e CROSS JOIN planes pl
+       |  GROUP BY 1, 2),
+       |cand AS (
+       |  SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+       |  FROM sig x JOIN sig y ON x.band = y.band AND x.s = y.s AND x.vec_id < y.vec_id),
+       |p2 AS (
+       |  SELECT c.a, c.b,
+       |    (SELECT sum(x.embedding[i]::DOUBLE * y.embedding[i]::DOUBLE)
+       |     FROM generate_series(1, 64) d(i)) /
+       |    (sqrt((SELECT sum(x.embedding[i]::DOUBLE ^ 2) FROM generate_series(1, 64) d(i))) *
+       |     sqrt((SELECT sum(y.embedding[i]::DOUBLE ^ 2) FROM generate_series(1, 64) d(i)))) AS cos
+       |  FROM cand c JOIN embeddings x ON x.vec_id = c.a JOIN embeddings y ON y.vec_id = c.b)
+       |SELECT a, b, round(cos, 6) AS cos FROM p2 WHERE cos >= 0.3""".stripMargin
+  }
+
   /** iterintervals(3) (traces/timeseries.py:450-472): sliding 3-tuples of
     * consecutive points, exploded to (key, t, pos, ti, vi) scalar rows. */
   def qSlidingIntervals(spark: SparkSession, dir: String): DataFrame =

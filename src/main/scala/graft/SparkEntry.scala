@@ -84,7 +84,8 @@ object SparkEntry {
     "q54_sample_interval_ffill" -> (qSampleIntervalFfill _),
     "q55_masked_sample" -> (qMaskedSample _),
     "q56_multiply" -> (qMultiply _),
-    "q57_remove_interval_not_none" -> (qRemoveIntervalNotNone _)
+    "q57_remove_interval_not_none" -> (qRemoveIntervalNotNone _),
+    "q58_srp_neardup" -> (qSrpNearDup _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -144,6 +145,7 @@ object SparkEntry {
     "q54_sample_interval_ffill" -> sqlSampleIntervalFfill,
     "q55_masked_sample" -> sqlMaskedSample,
     "q56_multiply" -> sqlMultiply,
-    "q57_remove_interval_not_none" -> sqlRemoveIntervalNotNone
+    "q57_remove_interval_not_none" -> sqlRemoveIntervalNotNone,
+    "q58_srp_neardup" -> sqlSrpNearDup
   )
 }

@@ -196,18 +196,23 @@ object Dedup {
     * from an equi-join on (band, signature) with an oversized-bucket cap,
     * never a cross join; the exact cosine runs on candidates only.
     *
-    * The sign-bit dots fold in fixed array order inside one row (no
-    * cross-row FP reassociation), so signatures are deterministic. */
+    * The signature arithmetic is EXACT, not FP-tolerant: plane entries are
+    * integer-valued (round(1000·gaussian)) and embedding elements quantize
+    * to round(x·1024) — ·1024 is a power of two, so the scaled value is
+    * computed exactly by any IEEE engine — making every sign bit (and thus
+    * every bucket) bit-identical across engines; a SQL oracle can replay
+    * the signatures verbatim (q58). The ~1e-3 relative quantization error
+    * is far below the sign-resolution of a random projection. */
   def embeddingNearDupSRP(emb: DataFrame, idCol: String = "vec_id",
       vecCol: String = "embedding", dim: Int, threshold: Double = 0.9,
       bands: Int = 8, rowsPerBand: Int = 4, seed: Long = 42L,
       maxBucket: Int = 10000): DataFrame = {
-    val rng = new java.util.Random(seed)
-    val planes = Array.fill(bands * rowsPerBand)(Array.fill(dim)(rng.nextGaussian()))
+    val planes = srpPlanes(bands, rowsPerBand, dim, seed)
     val bandSigs = (0 until bands).map { b =>
       (0 until rowsPerBand).map { r =>
         val dot = aggregate(
-          zip_with(col(vecCol), lit(planes(b * rowsPerBand + r)), (x, w) => x * w),
+          zip_with(col(vecCol), lit(planes(b * rowsPerBand + r)),
+            (x, w) => round(x.cast("double") * 1024) * w),
           lit(0.0d), (acc, x) => acc + x)
         when(dot >= 0, shiftleft(lit(1L), r)).otherwise(lit(0L))
       }.reduce(_ + _)
@@ -229,5 +234,14 @@ object Dedup {
       .dropDuplicates("a", "b")
       .select(col("a"), col("b"), graft.ann.Ann.cosine(col("va"), col("vb")).as("cos"))
       .filter(col("cos") >= threshold)
+  }
+
+  /** The deterministic integer-valued hyperplanes behind
+    * [[embeddingNearDupSRP]], exposed so an external oracle can embed the
+    * exact same constants (plane p = round(1000·N(0,1)) draws from
+    * java.util.Random(seed), row-major over planes then dims). */
+  def srpPlanes(bands: Int, rowsPerBand: Int, dim: Int, seed: Long): Array[Array[Double]] = {
+    val rng = new java.util.Random(seed)
+    Array.fill(bands * rowsPerBand)(Array.fill(dim)(math.round(1000.0 * rng.nextGaussian()).toDouble))
   }
 }
