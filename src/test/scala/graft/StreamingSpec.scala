@@ -31,6 +31,34 @@ class StreamingSpec extends SparkSpec {
     assert(got.count() >= exp.count() - 5 * 2, s"${got.count()} vs ${exp.count()}")
   }
 
+  test("watermark drops late events: closed hourly windows never re-emit") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(String, java.sql.Timestamp, Double)]
+    val src = mem.toDF().toDF("key", "ts", "v")
+    val q = StreamingRollup.hourlyStats(src, "30 minutes")
+      .writeStream.format("memory").queryName("late_out").outputMode("append").start()
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // batch 1: two points in hour 0; one in hour 3 advances the watermark
+    // to 02:30, closing and emitting the hour-0 window
+    mem.addData(("k", ts("2024-01-01 00:10:00"), 1.0),
+      ("k", ts("2024-01-01 00:40:00"), 2.0), ("k", ts("2024-01-01 03:00:00"), 3.0))
+    q.processAllAvailable()
+    // batch 2: a LATE hour-0 point (behind the watermark, must be dropped)
+    // plus an hour-4 point that closes the hour-3 window
+    mem.addData(("k", ts("2024-01-01 00:20:00"), 9.0),
+      ("k", ts("2024-01-01 04:45:00"), 4.0))
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("late_out")
+      .select(date_format(col("bin_start"), "HH").cast("int").as("h"), col("n_points"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toList.sorted
+    // hour 0 emitted ONCE with the 2 on-time points — the late 00:20 event
+    // neither re-emits the window nor inflates the count; hour 3 emitted
+    assert(rows.count(_._1 == 0) == 1 && rows.contains((0, 2L)), s"$rows")
+    assert(rows.contains((3, 1L)), s"$rows")
+  }
+
   test("streaming mergeSum equals the batch delta-form merge after compaction") {
     import spark.implicits._
     val rnd = new scala.util.Random(5)
