@@ -1032,6 +1032,54 @@ object GraftQueries {
          |FROM cells WHERE t1 > t0 GROUP BY 1, 2""".stripMargin
   }
 
+  /** sample_interval(idx=...) (q59, traces/timeseries.py:616-745 explicit-
+    * boundary branch): NON-uniform cells cycling widths 1h/3h/2h/6h within
+    * each 12h block over the day-floored series span — the mean divides by
+    * each cell's actual width. */
+  def qSampleIntervalIdx(spark: SparkSession, dir: String): DataFrame = {
+    val pts = points(spark, dir)
+    val (tmin, tmax) = bounds(pts)
+    val h0 = tmin / DAY * DAY
+    val h1 = (tmax / DAY + 1) * DAY
+    val block = 12 * HOUR
+    val offs = Array(0L, 1 * HOUR, 4 * HOUR, 6 * HOUR)
+    val nBlocks = ((h1 - h0) / block).toInt
+    val bnds = (0 until nBlocks).flatMap(blk => offs.map(o => h0 + blk * block + o)) :+ h1
+    import spark.implicits._
+    val cells = bnds.zip(bnds.drop(1)).toDF("cell_start", "cell_end")
+    Regularize.sampleIntervalAt(pts, cells, h0, h1, nullD, 6 * HOUR)
+      .select(col("key"), col("cell_start"),
+        round(col("mean"), 6).as("mean"), col("min"), col("max"))
+  }
+
+  val sqlSampleIntervalIdx: String = {
+    val blk = 12 * HOUR
+    sqlPrefix() +
+      s""", bb AS (SELECT (tmin // $DAY) * $DAY AS h0, ((tmax // $DAY) + 1) * $DAY AS h1 FROM b),
+         |cells AS (
+         |  SELECT h0 + (i // 4) * $blk +
+         |           CASE i % 4 WHEN 0 THEN 0 WHEN 1 THEN $HOUR WHEN 2 THEN ${4 * HOUR} ELSE ${6 * HOUR} END
+         |           AS cell_start,
+         |         CASE WHEN i % 4 = 3 THEN h0 + ((i // 4) + 1) * $blk
+         |              ELSE h0 + (i // 4) * $blk +
+         |                CASE i % 4 WHEN 0 THEN $HOUR WHEN 1 THEN ${4 * HOUR} ELSE ${6 * HOUR} END
+         |         END AS cell_end
+         |  FROM bb, unnest(generate_series(0, ((h1 - h0) // $blk) * 4 - 1)) g(i)),
+         |clipped AS (
+         |  SELECT key,
+         |         CASE WHEN ot IS NULL THEN (SELECT h0 FROM bb) ELSE t0 END AS t0,
+         |         CASE WHEN lst THEN (SELECT h1 FROM bb) ELSE t1 END AS t1, v
+         |  FROM segs),
+         |ov AS (
+         |  SELECT key, c.cell_start, c.cell_end, v,
+         |         greatest(t0, c.cell_start) AS o0, least(t1, c.cell_end) AS o1
+         |  FROM clipped s JOIN cells c ON s.t0 < c.cell_end AND s.t1 > c.cell_start)
+         |SELECT key, cell_start,
+         |  round(sum(v * (o1 - o0)) / (cell_end - cell_start), 6) AS mean,
+         |  min(v) AS min, max(v) AS max
+         |FROM ov WHERE o1 > o0 GROUP BY key, cell_start, cell_end""".stripMargin
+  }
+
   /** to_bool + threshold + Python-truthiness logical and/or/xor over one
     * as-of alignment pass (traces/timeseries.py:1430-1517: and/or return
     * OPERANDS, xor returns a bool; None stays None). */

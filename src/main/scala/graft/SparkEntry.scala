@@ -85,7 +85,8 @@ object SparkEntry {
     "q55_masked_sample" -> (qMaskedSample _),
     "q56_multiply" -> (qMultiply _),
     "q57_remove_interval_not_none" -> (qRemoveIntervalNotNone _),
-    "q58_srp_neardup" -> (qSrpNearDup _)
+    "q58_srp_neardup" -> (qSrpNearDup _),
+    "q59_sample_interval_idx" -> (qSampleIntervalIdx _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -146,6 +147,7 @@ object SparkEntry {
     "q55_masked_sample" -> sqlMaskedSample,
     "q56_multiply" -> sqlMultiply,
     "q57_remove_interval_not_none" -> sqlRemoveIntervalNotNone,
-    "q58_srp_neardup" -> sqlSrpNearDup
+    "q58_srp_neardup" -> sqlSrpNearDup,
+    "q59_sample_interval_idx" -> sqlSampleIntervalIdx
   )
 }

@@ -108,6 +108,27 @@ class RegularizeSpec extends SparkSpec {
     assert(inc.map(_._1).sorted == Seq(0.0, 10.0, 20.0))
   }
 
+  test("sampleIntervalAt with uniform cells equals sampleInterval; non-uniform widths divide correctly") {
+    val s = spark; import s.implicits._
+    val pts = seriesL(Seq(0L -> Some(2.0), 35L -> Some(6.0), 80L -> Some(1.0), 90L -> None))
+    // uniform boundaries 0,20,...,100 must reproduce the arithmetic-grid path
+    val uni = (0L to 100L by 20).toSeq
+    val uniCells = uni.zip(uni.drop(1)).toDF("cell_start", "cell_end")
+    val viaIdx = Regularize.sampleIntervalAt(pts, uniCells, 0L, 100L, nullD, 7L)
+      .select("key", "cell_start", "mean", "min", "max")
+    val viaGrid = Regularize.sampleInterval(pts, 0L, 100L, 20L, nullD)
+      .select("key", "cell_start", "mean", "min", "max")
+    assert(viaIdx.exceptAll(viaGrid).isEmpty && viaGrid.exceptAll(viaIdx).isEmpty,
+      s"idx ${viaIdx.collect().toSeq} vs grid ${viaGrid.collect().toSeq}")
+    // non-uniform cells [0,10) and [10,50): means divide by 10 and 40
+    val cells = Seq((0L, 10L), (10L, 50L)).toDF("cell_start", "cell_end")
+    val got = Regularize.sampleIntervalAt(pts, cells, 0L, 50L, nullD, 7L)
+      .orderBy("cell_start")
+      .collect().map(r => (r.getLong(1), r.getDouble(3), r.getDouble(4), r.getDouble(5))).toSeq
+    // [0,10): constant 2.0; [10,50): 2.0 for 25µs then 6.0 for 15µs -> (25*2+15*6)/40
+    assert(got == Seq((0L, 2.0, 2.0, 2.0), (10L, (25 * 2.0 + 15 * 6.0) / 40, 2.0, 6.0)), s"$got")
+  }
+
   test("sampleMasked chunked grid is innerLen-invariant (incl. boundary-exact masks)") {
     // probes must not depend on the chunk size: innerLen=3 forces several
     // outer chunks, incl. a mask end landing exactly on an outer boundary
