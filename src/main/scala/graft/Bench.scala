@@ -25,7 +25,8 @@ object Bench {
     "q10_rollup_hourly", "q11_rollup_daily", "q12_rollup_weekly",
     "q13_codec_roundtrip", "q14_merge_sum", "q16_cumsum",
     "q20_dedup_exact", "q25_minhash_pairs", "q26_simhash", "q28_cosine_topk",
-    "q37_merge_max", "q38_sample_interval")
+    "q37_merge_max", "q38_sample_interval",
+    "q55_masked_sample", "q58_srp_neardup", "q59_sample_interval_idx")
 
   def session(cpus: String): SparkSession = {
     // 4 waves of tasks per core: on a shared VM with CPU steal, a stage is
