@@ -1284,9 +1284,12 @@ object GraftQueries {
        |        THEN 1 << pl.r ELSE 0 END) AS s
        |  FROM embeddings e CROSS JOIN planes pl
        |  GROUP BY 1, 2),
+       |sigc AS (
+       |  SELECT vec_id, band, s FROM sig
+       |  QUALIFY count(*) OVER (PARTITION BY band, s) <= 10000),
        |cand AS (
        |  SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
-       |  FROM sig x JOIN sig y ON x.band = y.band AND x.s = y.s AND x.vec_id < y.vec_id),
+       |  FROM sigc x JOIN sigc y ON x.band = y.band AND x.s = y.s AND x.vec_id < y.vec_id),
        |p2 AS (
        |  SELECT c.a, c.b,
        |    (SELECT sum(x.embedding[i]::DOUBLE * y.embedding[i]::DOUBLE)

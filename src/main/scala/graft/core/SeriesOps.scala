@@ -217,7 +217,13 @@ object SeriesOps {
       c1: Column,
       as: String,
       innerLen: Long = 8192L): DataFrame = {
-    df.withColumn("_rc0", explode(sequence(c0, c1, lit(innerLen))))
+    // empty/inverted ranges (c1 < c0) drop the row — sequence() with a
+    // positive step would throw ILLEGAL_SEQUENCE_BOUNDARIES, whereas the
+    // plain sequence(c0, c1) this replaces silently emitted a descending
+    // range for callers' filters to discard
+    val outer = when(c1 >= c0, sequence(c0, c1, lit(innerLen)))
+      .otherwise(lit(Array.empty[Long]))
+    df.withColumn("_rc0", explode(outer))
       .withColumn(as, explode(sequence(col("_rc0"), least(col("_rc0") + (innerLen - 1), c1))))
       .drop("_rc0")
   }

@@ -208,16 +208,22 @@ object Dedup {
       bands: Int = 8, rowsPerBand: Int = 4, seed: Long = 42L,
       maxBucket: Int = 10000): DataFrame = {
     val planes = srpPlanes(bands, rowsPerBand, dim, seed)
+    // a vector of the wrong length would zip_with-pad to a null dot and
+    // silently hash as "negative" on every plane — fail loudly instead
+    val vecChecked = when(size(col(vecCol)) === dim, col(vecCol))
+      .otherwise(raise_error(concat(
+        lit(s"embeddingNearDupSRP: vector length != dim=$dim for id "), col(idCol).cast("string"))))
     val bandSigs = (0 until bands).map { b =>
       (0 until rowsPerBand).map { r =>
         val dot = aggregate(
-          zip_with(col(vecCol), lit(planes(b * rowsPerBand + r)),
+          zip_with(col("_vec"), lit(planes(b * rowsPerBand + r)),
             (x, w) => round(x.cast("double") * 1024) * w),
           lit(0.0d), (acc, x) => acc + x)
         when(dot >= 0, shiftleft(lit(1L), r)).otherwise(lit(0L))
       }.reduce(_ + _)
     }
     val sigs = emb
+      .withColumn("_vec", vecChecked)
       .select(col(idCol), col(vecCol),
         explode(array(bandSigs.zipWithIndex.map { case (s, b) =>
           struct(lit(b).as("band"), s.as("sig"))

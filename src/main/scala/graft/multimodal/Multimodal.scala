@@ -71,7 +71,8 @@ object Multimodal {
     * deployment shape: typed partition-preserving map, no shuffle, explicit
     * (doc_id, width, height, pixels) output schema sized w·h per row. */
   def resizeImages(media: Dataset[MediaRow], width: Int, height: Int): DataFrame = {
-    require(width > 0 && height > 0, s"target $width x $height must be positive")
+    require(width > 0 && height > 0 && width.toLong * height <= Int.MaxValue,
+      s"target $width x $height must be positive and fit an Int pixel count")
     import media.sparkSession.implicits._
     media
       .filter(_.modality == "image")

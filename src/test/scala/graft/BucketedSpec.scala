@@ -232,5 +232,9 @@ class BucketedSpec extends SparkSpec {
         .select("id").as[Long].collect().sorted.toSeq
       assert(got == (c0 to c1), s"range ($c0,$c1) innerLen=$inner: $got")
     }
+    // inverted range drops the row (sequence with a positive step would
+    // throw; the plain form emitted a descending range callers filtered)
+    val inv = Seq(("k", 5L, 4L)).toDF("key", "c0", "c1")
+    assert(SeriesOps.explodeRangeChunked(inv, col("c0"), col("c1"), "id").count() == 0)
   }
 }
