@@ -39,6 +39,12 @@ object Bench {
       .config("spark.sql.shuffle.partitions", parts)
       .config("spark.default.parallelism", parts)
       .config("spark.sql.adaptive.enabled", "true")
+      // AQE's coalescer floors partitions at minPartitionSize (1 MiB): at
+      // bench SF the post-shuffle data is a few hundred KiB, so every stage
+      // collapses to ONE task and 31 cores idle — a pure harness artifact
+      // of small inputs. A 64 KiB floor keeps small stages parallel while
+      // leaving large-job coalescing (64 MiB advisory) untouched.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

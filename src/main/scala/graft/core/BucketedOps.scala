@@ -16,23 +16,33 @@ import org.apache.spark.sql.functions._
   * [[SeriesOps.segmentsInRangeBucketed]], applied to the merge / cumsum /
   * as-of-alignment family.
   *
-  * Plan shape: one shuffle by (key, bucket) for the in-bucket windows; the
-  * handoff side is one row per (key, bucket) — its own window over (key) is
-  * proportional to #buckets, not #rows, so the sequential tail is O(span /
-  * bucket) regardless of data volume.
+  * Plan shape (round-3 rework — the round-2 version persisted the input to
+  * break a diamond; this one has no cache writes at all):
+  *  - the handoff table is aggregated straight off the input with ordinary
+  *    `groupBy(key, bucket)` — map-side partial aggregation collapses it to
+  *    one row per (key, bucket) per input partition before its shuffle, so
+  *    this branch never shuffles the data, only per-bucket summaries. When
+  *    the branch shares lineage with the main pass (it does — same input),
+  *    Spark's exchange reuse dedupes any identical upstream shuffle; what
+  *    cannot be shared is re-run as a cheap scan + partial agg, not a
+  *    second copy of the data in the block manager.
+  *  - per-key offsets are a window over the handoff table — proportional to
+  *    #buckets, not #rows, so the sequential tail is O(span / bucket).
+  *  - offsets join back onto the rows; the offsets side is tiny, so AQE
+  *    plans a broadcast hash join and the big side reaches its ONE shuffle
+  *    — the (key, bucket) exchange feeding the in-bucket window — unshuffled
+  *    by the join. Total big-data movement: one shuffle, one sort.
+  *
+  * Callers whose delta columns are themselves window-priced (e.g.
+  * [[graft.merge.MergeOps.mergeSum]], whose per-row delta needs a per-sid
+  * lag) can pass `handoffTotals` computed by cheaper algebra (mergeSum's
+  * per-bucket delta-sums telescope to last-minus-previous-closing per sid,
+  * needing no lag over the data at all).
   *
   * Correctness relies on `bucketOf` being a function of t alone (rows with
   * equal t always share a bucket — in-bucket `lead(t)` still detects "last
   * row per distinct t") and on `ties` being ascending, struct-orderable
   * columns.
-  *
-  * The shared intermediate is persisted (MEMORY_AND_DISK) because the
-  * handoff aggregate and the row-side join form a diamond that exchange
-  * reuse cannot deduplicate (per-branch column pruning makes the subtrees
-  * non-identical) — measured 5x on the 32M-row skew bench. Long-lived
-  * services issuing thousands of calls should clear
-  * `spark.catalog.clearCache()` periodically; blocks are LRU-evicted
-  * under memory pressure either way.
   */
 object BucketedOps {
 
@@ -49,35 +59,45 @@ object BucketedOps {
     * struct-typed, null = "nothing to carry"): a column `name` with the
     * latest non-null `m` at-or-before the current row across the whole key.
     * The output keeps a `_bkt` column for follow-up in-bucket windows.
+    *
+    * `handoffTotals`: optional caller-supplied per-(key, bucket) totals with
+    * columns `(key, _bkt, _t_<name>...)` — for each sum, the SUM of its
+    * deltas within the bucket; for each carry, the bucket's closing marker
+    * (latest non-null `m`), null when the bucket holds none. Must cover
+    * exactly the nonempty buckets of `df`.
+    *
+    * `exposeOffsets`: keep the per-bucket offset columns `_o_<name>` in the
+    * output (for sums: the cumulative total through the END of the previous
+    * nonempty bucket, null when there is none — i.e. null marks "first
+    * nonempty bucket of the key"; for carries: the carry entering the
+    * bucket). Lets callers fuse follow-up passes (e.g. cross-bucket
+    * compaction) without a second handoff join.
     */
   def running(
       df: DataFrame,
       bucketOf: Column,
       ties: Seq[Column],
       sums: Seq[(String, Column)],
-      carries: Seq[(String, Column)] = Nil): DataFrame = {
+      carries: Seq[(String, Column)] = Nil,
+      handoffTotals: Option[DataFrame] = None,
+      exposeOffsets: Boolean = false): DataFrame = {
     val names = (sums ++ carries).map(_._1)
     require(names.distinct == names, s"duplicate output names: $names")
     val base = df.withColumn("_bkt", bucketOf)
     val d2 = sums.foldLeft(base) { case (acc, (n, e)) => acc.withColumn(s"_d_$n", e) }
-    // persist the shared input: the handoff aggregate and the row-side join
-    // both consume it, and per-branch column pruning makes the two subtrees
-    // non-identical so Spark's exchange reuse cannot deduplicate them — an
-    // unpersisted diamond re-evaluates the (often window-bearing) lineage
-    // twice. MEMORY_AND_DISK; LRU-evicted, never pinned.
     val d3 = carries.foldLeft(d2) { case (acc, (n, e)) => acc.withColumn(s"_m_$n", e) }
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val wIn = wInBucket(ties).rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val ordStruct = struct((col(T) +: ties): _*)
     // handoff table: per-bucket totals / closing values — one row per
     // (key, bucket); max_by ignores rows whose ordering expr is null, so the
     // closing value is the latest row where the carry struct is non-null
-    val aggs =
-      sums.map { case (n, _) => sum(col(s"_d_$n")).as(s"_t_$n") } ++
-        carries.map { case (n, _) =>
-          max_by(col(s"_m_$n"), when(col(s"_m_$n").isNotNull, ordStruct)).as(s"_t_$n")
-        }
-    val totals = d3.groupBy(col(K), col("_bkt")).agg(aggs.head, aggs.tail: _*)
+    val totals = handoffTotals.getOrElse {
+      val aggs =
+        sums.map { case (n, _) => sum(col(s"_d_$n")).as(s"_t_$n") } ++
+          carries.map { case (n, _) =>
+            max_by(col(s"_m_$n"), when(col(s"_m_$n").isNotNull, ordStruct)).as(s"_t_$n")
+          }
+      d3.groupBy(col(K), col("_bkt")).agg(aggs.head, aggs.tail: _*)
+    }
     val wOff = Window.partitionBy(K).orderBy("_bkt")
       .rowsBetween(Window.unboundedPreceding, -1)
     val offCols =
@@ -88,10 +108,13 @@ object BucketedOps {
     val offsets = totals.select((col(K).as("_hk") +: col("_bkt").as("_hb") +: offCols): _*)
     // null-SAFE join: the key can legitimately be null (countByValue's
     // None-value series) and seed rows ride the null time bucket — a plain
-    // equi-join would silently drop both
+    // equi-join would silently drop both. The offsets side is one row per
+    // (key, bucket): AQE sees its post-shuffle size and broadcasts it, so
+    // the row side flows into the in-bucket window without a join shuffle.
     val joined = d3
       .join(offsets, d3(K) <=> offsets("_hk") && d3("_bkt") <=> offsets("_hb"))
       .drop("_hk", "_hb")
+    val wIn = wInBucket(ties).rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val withSums = sums.foldLeft(joined) { case (acc, (n, _)) =>
       val zero = lit(0).cast(acc.schema(s"_d_$n").dataType)
       acc.withColumn(n,
@@ -101,6 +124,8 @@ object BucketedOps {
       acc.withColumn(n,
         coalesce(last(col(s"_m_$n"), ignoreNulls = true).over(wIn), col(s"_o_$n")))
     }
-    withCarries.drop(names.flatMap(n => Seq(s"_d_$n", s"_m_$n", s"_t_$n", s"_o_$n")): _*)
+    val internal = names.flatMap(n => Seq(s"_d_$n", s"_m_$n", s"_t_$n")) ++
+      (if (exposeOffsets) Nil else names.map(n => s"_o_$n"))
+    withCarries.drop(internal: _*)
   }
 }

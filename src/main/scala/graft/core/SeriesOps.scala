@@ -60,10 +60,14 @@ object SeriesOps {
     * `bucketOf` must be a function of t. Output ≡ [[compact]].
     */
   def compactBucketed(df: DataFrame, bucketOf: Column): DataFrame = {
-    // persisted: consumed by both the closings aggregate and the row-side
-    // join (see BucketedOps.running on why exchange reuse can't share them)
+    // no persist (round-3): the closings branch is a plain groupBy whose
+    // map-side partial aggregation collapses to one row per (key, bucket)
+    // per input partition — any shuffle it shares with the row side is
+    // deduped by exchange reuse, and what isn't shared re-runs as a cheap
+    // scan + partial agg rather than occupying the block manager. The
+    // opens side is tiny, so AQE broadcasts the join and the row side
+    // reaches the in-bucket lag window with exactly one shuffle.
     val d2 = df.withColumn("_bkt", bucketOf)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val wIn = Window.partitionBy(K, "_bkt").orderBy(T)
     val closings = d2
       .groupBy(col(K), col("_bkt"))

@@ -137,50 +137,150 @@ object MergeOps {
       case Some(d) => df.join(broadcast(d), Seq("sid"), "left")
       case None    => df.withColumn("default", lit(null).cast("double"))
     }
-    val wSid = Window.partitionBy(K, "sid").orderBy(T)
-    val prevStruct = lag(struct(col(V)), 1).over(wSid)
-    val prevV = when(prevStruct.isNull, col("default")).otherwise(prevStruct.getField(V))
-    val rows = withDef
-      .withColumn("_pv", prevV)
-      .withColumn("_d", coalesce(col(V), lit(0.0)) - coalesce(col("_pv"), lit(0.0)))
-      .withColumn("_dn", col(V).isNull.cast("long") - col("_pv").isNull.cast("long"))
     // seed: sum over sids of default values (ignorant: nulls -> 0) and count
     // of null defaults; every sid contributes its default before its first point
-    val seeds = withDef
+    def seedsOf(src: DataFrame): DataFrame = src
       .groupBy(col(K), col("sid"))
       .agg(first("default").as("_def"))
       .groupBy(col(K))
       .agg(
         sum(coalesce(col("_def"), lit(0.0))).as("_seed"),
         sum(col("_def").isNull.cast("long")).as("_seedn"))
+    def mval(cs: Column, cn: Column): Column =
+      when(lit(strict) && (cn + col("_seedn")) > 0, lit(null).cast("double"))
+        .otherwise(cs + col("_seed"))
+    def deltas(src: DataFrame): DataFrame = {
+      val wSid = Window.partitionBy(K, "sid").orderBy(T)
+      val prevStruct = lag(struct(col(V)), 1).over(wSid)
+      val prevV = when(prevStruct.isNull, col("default")).otherwise(prevStruct.getField(V))
+      src
+        .withColumn("_pv", prevV)
+        .withColumn("_d", coalesce(col(V), lit(0.0)) - coalesce(col("_pv"), lit(0.0)))
+        .withColumn("_dn", col(V).isNull.cast("long") - col("_pv").isNull.cast("long"))
+    }
     val ties = Seq(col("sid"))
-    val run = (bucketBy match {
+    bucketBy match {
       case Some(bk) =>
         // skew-safe running sums: per-(key, time-bucket) windows + the tiny
         // per-bucket offset handoff — the constant-key global merge no
-        // longer collapses onto one task
-        graft.core.BucketedOps
-          .running(rows, bk, ties, sums = Seq("_cs" -> col("_d"), "_cn" -> col("_dn")))
-          .withColumn("_nt", lead(col(T), 1).over(graft.core.BucketedOps.wInBucket(ties)))
+        // longer collapses onto one task. ONE big exchange total, and it is
+        // the skew-free hash(key, bucket) one:
+        //  - per-bucket closings/totals/seeds all come off a map-side-
+        //    combined groupBy of the input (the per-(key,sid,bucket) delta-
+        //    sum TELESCOPES to closing-minus-previous-closing, so no per-row
+        //    lag is ever needed for the handoff), then tiny-table windows;
+        //  - the per-row delta needs its sid's previous value: WITHIN a
+        //    bucket that is an in-bucket lag (clustered by hash(key,bucket)
+        //    since {key,_bkt} ⊆ {key,sid,_bkt}); at a bucket's first row it
+        //    is the sid's closing value from the previous bucket, which
+        //    rides in on a broadcast join from the tiny closings table. The
+        //    skewed hash(key, sid) lag exchange of the naive plan never
+        //    happens — a hot series spreads over its time buckets.
+        val withB = withDef.withColumn("_bkt", bk)
+        // scalar max_by (primitive buffer) keeps this branch in
+        // HashAggregate with map-side combine — a struct-valued max_by
+        // would fall back to SortAggregate and full-data pre-sorts. Every
+        // (key, sid, bucket) group is nonempty by construction, so a null
+        // closing value can only mean "measured None", never "absent"; the
+        // struct wrapper that disambiguates those is re-applied by the lag
+        // on the tiny aggregated table below.
+        val sidB = withB
+          .groupBy(col(K), col("sid"), col("_bkt"))
+          .agg(max_by(col(V), col(T)).as("_lvv"), first("default").as("_def"))
+        val wSidB = Window.partitionBy(K, "sid").orderBy("_bkt")
+        val pc = lag(struct(col("_lvv")), 1).over(wSidB)
+        // _pcv: the sid's closing value entering this bucket (its previous
+        // nonempty bucket's last value, or its default before any point)
+        val sidC = sidB
+          .withColumn("_pcv", when(pc.isNull, col("_def")).otherwise(pc.getField("_lvv")))
+          .withColumn("_sd",
+            coalesce(col("_lvv"), lit(0.0)) - coalesce(col("_pcv"), lit(0.0)))
+          .withColumn("_sdn",
+            col("_lvv").isNull.cast("long") - col("_pcv").isNull.cast("long"))
+          .withColumn("_fst", pc.isNull)
+        // EVERYTHING the big side needs — per-sid bucket-entry value,
+        // per-key cross-bucket offsets, per-key seeds — lands in ONE tiny
+        // frame with a SINGLE consumer, so the per-bucket aggregate chain is
+        // evaluated once (three separate handoff frames each re-ran it: the
+        // subtrees prune differently, so exchange reuse cannot dedupe them).
+        // The offsets use a RANGE frame on the bucket id (strictly earlier
+        // buckets, any sid); null ⇔ no earlier nonempty bucket of the key.
+        val wOffR = Window.partitionBy(K).orderBy(col("_bkt"))
+          .rangeBetween(Window.unboundedPreceding, -1)
+        val wK = Window.partitionBy(K)
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        val handoff = sidC.select(
+          col(K).as("_hk"), col("sid").as("_hs"), col("_bkt").as("_hb"), col("_pcv"),
+          sum(col("_sd")).over(wOffR).as("_o__cs"),
+          sum(col("_sdn")).over(wOffR).as("_o__cn"),
+          sum(when(col("_fst"), coalesce(col("_def"), lit(0.0))).otherwise(lit(0.0)))
+            .over(wK).as("_seed"),
+          sum(when(col("_fst") && col("_def").isNull, lit(1L)).otherwise(lit(0L)))
+            .over(wK).as("_seedn"))
+        // the one big exchange: hash(key, bucket) satisfies both window
+        // clusterings below ({key,_bkt} ⊆ {key,sid,_bkt}), so the in-bucket
+        // per-sid lag and the running sums share it; AQE broadcasts the
+        // handoff side when small, else degrades to a co-partitioned join
+        val placed = withB
+          .join(handoff,
+            col(K) <=> col("_hk") && col("sid") <=> col("_hs") && col("_bkt") <=> col("_hb"))
+          .drop("_hk", "_hs", "_hb")
+          .repartition(col(K), col("_bkt"))
+        val wLag = Window.partitionBy(col(K), col("sid"), col("_bkt")).orderBy(col(T))
+        val prevStruct = lag(struct(col(V)), 1).over(wLag)
+        val wIn = graft.core.BucketedOps.wInBucket(ties)
+        val wInCum = wIn.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val run = placed
+          .withColumn("_pv", when(prevStruct.isNull, col("_pcv")).otherwise(prevStruct.getField(V)))
+          .withColumn("_d", coalesce(col(V), lit(0.0)) - coalesce(col("_pv"), lit(0.0)))
+          .withColumn("_dn", col(V).isNull.cast("long") - col("_pv").isNull.cast("long"))
+          .withColumn("_cs",
+            coalesce(col("_o__cs"), lit(0.0)) + coalesce(sum(col("_d")).over(wInCum), lit(0.0)))
+          .withColumn("_cn",
+            coalesce(col("_o__cn"), lit(0L)) + coalesce(sum(col("_dn")).over(wInCum), lit(0L)))
+          .withColumn("_nt", lead(col(T), 1).over(wIn))
+          .filter(!(col("_nt") <=> col(T)))
+        // fused merge(compact=True): the previous distinct-t merged value is
+        // the in-bucket lag over the kept rows, or — for a bucket's first
+        // kept row — the previous nonempty bucket's closing state, which IS
+        // the exposed offset (_o__cs/_o__cn: cumulative totals through the
+        // end of the previous nonempty bucket; both-null ⇔ no earlier point
+        // exists, and merge ALWAYS keeps the first merged point: set()'s
+        // len==0 short-circuit, timeseries.py:187-191). No second handoff
+        // join, no trailing compactBucketed pass.
+        val wKept = graft.core.BucketedOps.wInBucket(ties)
+        val pCs = lag(col("_cs"), 1).over(wKept)
+        val pCn = lag(col("_cn"), 1).over(wKept)
+        val prevVal = when(pCs.isNotNull, mval(pCs, pCn))
+          .otherwise(mval(col("_o__cs"), col("_o__cn")))
+        val isFirst = pCs.isNull && col("_o__cs").isNull
+        run
+          .withColumn("_mv", mval(col("_cs"), col("_cn")))
+          .withColumn("_keep", isFirst || !(prevVal <=> col("_mv")))
+          .filter(col("_keep"))
+          .select(col(K), col(T), col("_mv").as(V))
       case None =>
+        // ONE data shuffle: pre-partitioning by key alone satisfies BOTH the
+        // (key, sid) clustering of the per-sid lag and the (key) clustering
+        // of the running sum — hash(key) co-locates every (key, sid) — so
+        // the two windows run back-to-back with in-partition re-sorts and
+        // no second exchange. (Deliberately not skew-safe: that is what
+        // `bucketBy` is for.)
+        val pre = withDef.repartition(col(K))
+        val seeds = seedsOf(pre)
+        val rows = deltas(pre)
         val ord = Window.partitionBy(K).orderBy(col(T).asc, col("sid").asc)
         val wRun = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        rows
+        val run = rows
           .withColumn("_cs", sum(col("_d")).over(wRun))
           .withColumn("_cn", sum(col("_dn")).over(wRun))
           // last row per distinct t carries the fully-updated state; lead()
           // over the same (key) ordering reuses the running-sum shuffle+sort
           .withColumn("_nt", lead(col(T), 1).over(ord))
-    })
-      .filter(!(col("_nt") <=> col(T)))
-      .join(broadcast(seeds), Seq(K))
-    val merged = run.select(
-      col(K), col(T),
-      when(lit(strict) && (col("_cn") + col("_seedn")) > 0, lit(null).cast("double"))
-        .otherwise(col("_cs") + col("_seed")).as(V))
-    bucketBy match {
-      case Some(bk) => graft.core.SeriesOps.compactBucketed(merged, bk)
-      case None     => graft.core.SeriesOps.compact(merged)
+          .filter(!(col("_nt") <=> col(T)))
+          .join(broadcast(seeds), Seq(K))
+        val merged = run.select(col(K), col(T), mval(col("_cs"), col("_cn")).as(V))
+        graft.core.SeriesOps.compact(merged)
     }
   }
 

@@ -1,0 +1,49 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev-only micro-prober: time one named query / bench job without paying
+  * for the whole Bench headline sweep. Usage:
+  *   sbt "runMain graft.tools.Probe q14_merge_sum [reps]"
+  *   sbt "runMain graft.tools.Probe mergeJob|rollupJob|skewBucketed|skewPlain [reps]"
+  * Uses the same session shape as Bench (local[32], 128 shuffle parts).
+  */
+object Probe {
+  def main(args: Array[String]): Unit = {
+    val name = args.headOption.getOrElse("q14_merge_sum")
+    val reps = if (args.length > 1) args(1).toInt else 2
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = graft.Bench.session(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    val job: () => Long = name match {
+      case "mergeJob"     => () => graft.Bench.mergeJob(spark, 20000000L)
+      case "rollupJob"    => () => graft.Bench.rollupJob(spark, 8000000L)
+      case "skewBucketed" => () => graft.Bench.mergeSkewJob(spark, 24000000L, bucketed = true)
+      case "skewPlain"    => () => graft.Bench.mergeSkewJob(spark, 24000000L, bucketed = false)
+      case q              => () => graft.SparkEntry.queries(q)(spark, sfDir).count()
+    }
+    val (_, sec) = graft.Bench.minOfReps(spark, reps)(job)
+    println(f"PROBE $name min-of-$reps: $sec%.3f s")
+    if (sys.env.contains("SPARK_GRAFT_STAGES")) {
+      // one instrumented run with per-stage wall-clock
+      val stages = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Long, Long, Int, String)]()
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val i = sc.stageInfo
+          stages.add((i.stageId,
+            i.completionTime.getOrElse(0L) - i.submissionTime.getOrElse(0L),
+            i.taskMetrics.shuffleWriteMetrics.recordsWritten,
+            i.numTasks, i.name.takeWhile(_ != '\n')))
+        }
+      })
+      spark.catalog.clearCache()
+      job()
+      Thread.sleep(500)
+      import scala.jdk.CollectionConverters._
+      stages.asScala.toSeq.sortBy(_._1).foreach { case (id, ms, recs, nt, nm) =>
+        println(f"STAGE $id%4d ${ms}%6d ms  $recs%9d shufrecs  $nt%3d tasks  $nm")
+      }
+    }
+    spark.stop()
+  }
+}
