@@ -579,10 +579,10 @@ object GraftQueries {
       // operator itself carries None in the state slot — see iterMerge)
       .agg(coalesce(max("value"), lit(0.0)).as("v"))
       .withColumn("key", constKey("all", col("sid")))
-    val sids = df.select("sid").distinct().orderBy("sid").collect().map(_.getString(0)).toSeq
+    val defaults = df.select("sid").distinct().withColumn("default", lit(0.0))
     MergeOps
-      .mergeOp(df, sids, MergeOps.ignorantMaxOf,
-        defaults = sids.map(_ -> lit(0.0)).toMap, bucketBy = dayBucket)
+      .mergeAggDynamic(df, max(_), // ignorant max: max skips nulls
+        defaults = Some(defaults), bucketBy = dayBucket)
       .withColumn("v", round(col("v"), 6))
   }
 
@@ -610,10 +610,15 @@ object GraftQueries {
       .groupBy(col("event_type").as("sid"), tsUs.as("t"))
       .agg(coalesce(max("value"), lit(0.0)).as("v")) // see qMergeMax note
       .withColumn("key", constKey("all", col("sid")))
-    val sids = df.select("sid").distinct().orderBy("sid").collect().map(_.getString(0)).toSeq
+    val defaults = df.select("sid").distinct().withColumn("default", lit(0.0))
+    // slot = rank of the sid in name order, derived distributedly (the
+    // round-2 version collected sids driver-side and pivoted K columns)
+    val slots = df.select(col("key"), col("sid")).distinct()
+      .withColumn("slot",
+        (row_number().over(Window.partitionBy("key").orderBy("sid")) - 1).cast("int"))
     MergeOps
-      .iterMerge(df, sids, defaults = sids.map(_ -> lit(0.0)).toMap, bucketBy = dayBucket)
-      .select(col("t"), posexplode(col("vs")).as(Seq("slot", "v")))
+      .iterMergeEntries(df, Some(defaults), bucketBy = dayBucket)
+      .join(slots, Seq("key", "sid"))
       .select(col("t"), col("slot"), round(col("v"), 6).as("v"))
   }
 

@@ -69,9 +69,15 @@ object SeriesOps {
     // reaches the in-bucket lag window with exactly one shuffle.
     val d2 = df.withColumn("_bkt", bucketOf)
     val wIn = Window.partitionBy(K, "_bkt").orderBy(T)
+    // scalar max_by keeps the closings in a map-side-combined HashAggregate
+    // (a struct-valued max_by would fall back to SortAggregate with a
+    // full-data pre-sort); groups are nonempty by construction, so the
+    // null-value-vs-absent distinction is re-established by the struct
+    // wrap AFTER the aggregate, on the tiny table
     val closings = d2
       .groupBy(col(K), col("_bkt"))
-      .agg(max_by(struct(col(V)), col(T)).as("_close"))
+      .agg(max_by(col(V), col(T)).as("_cv"))
+      .select(col(K), col("_bkt"), struct(col("_cv").as(V)).as("_close"))
     val wOff = Window.partitionBy(K).orderBy("_bkt")
       .rowsBetween(Window.unboundedPreceding, -1)
     val opens = closings

@@ -332,6 +332,201 @@ object MergeOps {
       .select(col(K), col(T), array(vals: _*).as("vs"))
   }
 
+  /** Dynamic-K `iter_merge`: the exploded state stream (key, sid, t, v) —
+    * one row per distinct union measurement time x series, where v is the
+    * series' latest value at-or-before t (its default before its first
+    * point). Equivalent to [[iterMerge]]'s array pivoted long, but the sid
+    * universe is derived DISTRIBUTEDLY (no driver-side collect, no
+    * K-column pivot), so K is unbounded — the reference's in-memory
+    * ts_list enumeration (traces/timeseries.py:1048-1077) becomes a
+    * times x sids grid with an as-of carry-forward.
+    *
+    * The |times| x K row count is the operator's inherent output size (the
+    * reference pays the same O(K) state copy per yielded time,
+    * docs/merge_strategies.rst). `bucketBy` (function of t) makes the
+    * carry skew-safe: the per-(key, sid) carry runs per (key, sid, bucket)
+    * inside ONE hash(key, bucket) exchange, with each sid's bucket-entry
+    * value carried in from a tiny per-(sid, bucket) closings table — the
+    * same single-join handoff as [[mergeSum]].
+    */
+  private def withDefaults(df: DataFrame, defaults: Option[DataFrame]): DataFrame =
+    defaults match {
+      case Some(d) => df.join(broadcast(d), Seq("sid"), "left")
+      case None    => df.withColumn("default", lit(null).cast("double"))
+    }
+
+  /** Bucketed dynamic-K internals: the exploded entry stream (with its
+    * bucket column retained) plus the tiny per-(key, sid, grid-bucket)
+    * bucket-entry table `entry` (`_ek,_es,_eb,_pcv` = each sid's state
+    * ENTERING the bucket).
+    *
+    * The small frames are lazily local-checkpointed: the grid construction
+    * is a diamond-heavy DAG whose branches prune differently, so exchange
+    * reuse cannot dedupe them and every consumer would transitively re-run
+    * the caller's source aggregation (measured: 5-9 re-evaluations). The
+    * checkpoint pins each to ONE evaluation; blocks live on the executors
+    * (never the driver), register nothing in the cache manager, and the
+    * context cleaner frees them once the plan is unreferenced. Sizes:
+    * `times` is output-rows / K; the others are per-(sid, bucket)
+    * summaries — never the data itself.
+    */
+  private case class DynamicParts(entries: DataFrame, entry: DataFrame)
+
+  private def dynamicParts(withDef: DataFrame, bk: Column): DynamicParts = {
+    val times = withDef.select(col(K), col(T)).distinct()
+      .withColumn("_bkt", bk)
+    // each sid's closing value per nonempty DATA bucket + its default
+    // (scalar max_by keeps this a map-side-combined HashAggregate; groups
+    // are nonempty, so null-vs-absent is re-established by the struct wrap
+    // on the tiny result)
+    val sidClose = withDef.withColumn("_bkt", bk)
+      .groupBy(col(K), col("sid"), col("_bkt"))
+      .agg(max_by(col(V), col(T)).as("_lvv"), first("default").as("_def"))
+    val sids = sidClose
+      .groupBy(col(K), col("sid")).agg(first("_def").as("_def"))
+    // every (key, sid, GRID bucket) with the sid's carry INTO the bucket —
+    // latest closing from any strictly earlier bucket, else the default
+    val gridB = times.select(col(K), col("_bkt")).distinct()
+      .join(sids, Seq(K))
+      .join(
+        sidClose.select(col(K), col("sid"), col("_bkt"), struct(col("_lvv")).as("_cl")),
+        Seq(K, "sid", "_bkt"), "left")
+    val wSB = Window.partitionBy(K, "sid").orderBy("_bkt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val entry = gridB
+      .withColumn("_pcs", last(col("_cl"), ignoreNulls = true).over(wSB))
+      .select(col(K).as("_ek"), col("sid").as("_es"), col("_bkt").as("_eb"),
+        when(col("_pcs").isNull, col("_def")).otherwise(col("_pcs").getField("_lvv"))
+          .as("_pcv"))
+    val dat = withDef.select(col(K), col("sid"), col(T), struct(col(V)).as("_m"))
+    val grid = times.join(sids, Seq(K))
+      .join(dat, Seq(K, "sid", T), "left")
+      .join(entry,
+        col(K) <=> col("_ek") && col("sid") <=> col("_es") && col("_bkt") <=> col("_eb"))
+      .drop("_ek", "_es", "_eb")
+      .repartition(col(K), col("_bkt"))
+    val wCumB = Window.partitionBy(col(K), col("sid"), col("_bkt")).orderBy(col(T))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val entries = grid
+      .withColumn("_lm", last(col("_m"), ignoreNulls = true).over(wCumB))
+      .select(col(K), col("sid"), col(T), col("_bkt"),
+        when(col("_lm").isNotNull, col("_lm").getField(V)).otherwise(col("_pcv")).as(V))
+    DynamicParts(entries, entry)
+  }
+
+  def iterMergeEntries(
+      df: DataFrame, // columns: key, sid, t, v
+      defaults: Option[DataFrame] = None, // columns: sid, default
+      bucketBy: Option[Column] = None): DataFrame = {
+    val withDef = withDefaults(df, defaults)
+    bucketBy match {
+      case Some(bk) => dynamicParts(withDef, bk).entries.drop("_bkt")
+      case None =>
+        val times = withDef.select(col(K), col(T)).distinct()
+        val sids = withDef.groupBy(col(K), col("sid")).agg(first("default").as("_def"))
+        val dat = withDef.select(col(K), col("sid"), col(T), struct(col(V)).as("_m"))
+        val grid = times.join(sids, Seq(K)).join(dat, Seq(K, "sid", T), "left")
+        val wCum = Window.partitionBy(K, "sid").orderBy(T)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        grid
+          .withColumn("_lm", last(col("_m"), ignoreNulls = true).over(wCum))
+          .select(col(K), col(T), col("sid"),
+            when(col("_lm").isNotNull, col("_lm").getField(V)).otherwise(col("_def")).as(V))
+          .select(col(K), col("sid"), col(T), col(V))
+    }
+  }
+
+  /** merge(compact=True) against tiny per-bucket opening values: in-bucket
+    * lag plus, at each bucket's first merged row, the bucket's opening
+    * merged value (the state entering the bucket IS the state at the last
+    * time of the previous nonempty bucket — every data point's time is a
+    * grid time, so no transition hides between them). `_ofirst` marks the
+    * key's first grid bucket, whose first row merge always keeps (set()'s
+    * len==0 short-circuit, timeseries.py:187-191). */
+  private def compactAgainstOpens(merged: DataFrame, opens: DataFrame): DataFrame = {
+    val wIn = Window.partitionBy(K, "_bkt").orderBy(T)
+    merged
+      .join(opens, col(K) <=> col("_ok") && col("_bkt") <=> col("_ob"))
+      .withColumn("_pm", lag(struct(col(V)), 1).over(wIn))
+      .withColumn("_keep",
+        when(col("_pm").isNull, col("_ofirst") || !(col("_ov") <=> col(V)))
+          .otherwise(!(col("_pm").getField(V) <=> col(V))))
+      .filter(col("_keep"))
+      .select(col(K), col(T), col(V))
+  }
+
+  private def markFirstBucket(opens: DataFrame): DataFrame =
+    opens.withColumn("_ofirst",
+      row_number().over(Window.partitionBy("_ok").orderBy("_ob")) === 1)
+
+  /** Dynamic-K `merge(operation=f)`: `f` maps the per-time state MAP
+    * (sid -> latest value, every sid of the key present) to the merged
+    * value; sids never touch the driver. Output compacted like
+    * merge(compact=True) (first merged point always kept). Use
+    * `map_values(state)` for vector-style operations
+    * ([[ignorantMaxOf]] etc.). For aggregate-expressible operations prefer
+    * [[mergeAggDynamic]], which never materializes the map. */
+  def mergeOpDynamic(
+      df: DataFrame,
+      f: Column => Column,
+      defaults: Option[DataFrame] = None,
+      bucketBy: Option[Column] = None): DataFrame = {
+    val withDef = withDefaults(df, defaults)
+    // sids are unique per (key, t), so the sorted entry list is map-safe
+    def stateOf(sidC: Column, vC: Column): Column =
+      map_from_entries(array_sort(collect_list(struct(sidC, vC))))
+    bucketBy match {
+      case Some(bk) =>
+        val parts = dynamicParts(withDef, bk)
+        val merged = parts.entries
+          .groupBy(col(K), col("_bkt"), col(T))
+          .agg(stateOf(col("sid"), col(V)).as("_st"))
+          .select(col(K), col("_bkt"), col(T), f(col("_st")).cast("double").as(V))
+        val opens = markFirstBucket(
+          parts.entry.groupBy(col("_ek").as("_ok"), col("_eb").as("_ob"))
+            .agg(stateOf(col("_es"), col("_pcv")).as("_om"))
+            .select(col("_ok"), col("_ob"), f(col("_om")).cast("double").as("_ov")))
+        compactAgainstOpens(merged, opens)
+      case None =>
+        val merged = iterMergeEntries(df, defaults, None)
+          .groupBy(col(K), col(T))
+          .agg(stateOf(col("sid"), col(V)).as("_st"))
+          .select(col(K), col(T), f(col("_st")).cast("double").as(V))
+        graft.core.SeriesOps.compact(merged)
+    }
+  }
+
+  /** Dynamic-K merge for an AGGREGATE operation: `aggOf` builds a Spark
+    * aggregate expression over the per-time state VALUES (e.g. `max(_)`,
+    * `min(_)`, `avg(_)`, or a conditional-sum for strict semantics).
+    * Cheaper than [[mergeOpDynamic]] — the state never materializes as a
+    * map; each distinct time aggregates its K entry rows directly, with
+    * map-side partial aggregation inside the (key, bucket) layout. Output
+    * compacted like merge(compact=True). */
+  def mergeAggDynamic(
+      df: DataFrame,
+      aggOf: Column => Column,
+      defaults: Option[DataFrame] = None,
+      bucketBy: Option[Column] = None): DataFrame = {
+    val withDef = withDefaults(df, defaults)
+    bucketBy match {
+      case Some(bk) =>
+        val parts = dynamicParts(withDef, bk)
+        val merged = parts.entries
+          .groupBy(col(K), col("_bkt"), col(T))
+          .agg(aggOf(col(V)).cast("double").as(V))
+        val opens = markFirstBucket(
+          parts.entry.groupBy(col("_ek").as("_ok"), col("_eb").as("_ob"))
+            .agg(aggOf(col("_pcv")).cast("double").as("_ov")))
+        compactAgainstOpens(merged, opens)
+      case None =>
+        val merged = iterMergeEntries(df, defaults, None)
+          .groupBy(col(K), col(T))
+          .agg(aggOf(col(V)).cast("double").as(V))
+        graft.core.SeriesOps.compact(merged)
+    }
+  }
+
   /** The reference's `merge(ts_list, operation=f)` for an ARBITRARY
     * operation (traces/timeseries.py:1079-1099): `f` maps the state-vector
     * column (array<double>, ordered like `sids`) to the merged value;

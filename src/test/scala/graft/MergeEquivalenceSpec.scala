@@ -75,6 +75,59 @@ class MergeEquivalenceSpec extends SparkSpec {
     }
   }
 
+  test("dynamic-K mergeOpDynamic/iterMergeEntries match the pivot form on random trials") {
+    Goldens.mergeTrials.take(10).foreach { trial =>
+      val s = spark
+      import s.implicits._
+      val df = trialDf(trial.input).persist()
+      val defaults = trial.input
+        .map { case (sid, _, _, d) => (sid.toString, d.map(Double.box).orNull.asInstanceOf[java.lang.Double]) }
+        .distinct
+        .toDF("sid", "default")
+        .withColumn("default", col("default").cast("double"))
+      val f: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        st => if (trial.strict) MergeOps.strictSumOf(map_values(st)) else MergeOps.ignorantSumOf(map_values(st))
+      val plain = collectTV(MergeOps.mergeOpDynamic(df, f, Some(defaults)))
+      val bucketed = collectTV(
+        MergeOps.mergeOpDynamic(df, f, Some(defaults), Some(floor(col("t") / 7).cast("long"))))
+      approxEq(plain, trial.expected)
+      approxEq(bucketed, trial.expected)
+      // the exploded entry stream agrees with the bounded-K pivot
+      val sids = trial.input.map(_._1).distinct.sorted.map(_.toString)
+      val defMap = trial.input.map { case (sid, _, _, d) =>
+        sid.toString -> d.map(x => lit(x)).getOrElse(lit(null).cast("double"))
+      }.toMap
+      val viaPivot = MergeOps.iterMerge(df, sids, defMap)
+        .select(col("t"), posexplode(col("vs")).as(Seq("slot", "v")))
+        .collect().map(r => (r.getDouble(0), r.getInt(1), Option(r.get(2)))).toSet
+      val slotOf = sids.zipWithIndex.toMap
+      val viaEntries = MergeOps.iterMergeEntries(df, Some(defaults))
+        .collect().map(r => (r.getDouble(2), slotOf(r.getString(1)), Option(r.get(3)))).toSet
+      assert(viaEntries == viaPivot)
+      df.unpersist()
+    }
+  }
+
+  test("dynamic-K merge at K=10,000 sids ≡ mergeSum, no driver-side sid collect") {
+    val s = spark
+    import s.implicits._
+    // 10,000 series sharing 6 distinct times (the grid is |times| x K —
+    // coinciding times keep the test bounded while K exceeds the
+    // reference's own K=1,000 benchmark, merge_strategies.rst:292-301)
+    val df = spark.range(10000)
+      .select(
+        lit("g").as("key"),
+        concat(lit("s"), format_string("%05d", col("id"))).as("sid"),
+        (col("id") % 6).cast("double").as("t"),
+        (col("id") % 13).cast("double").as("v"))
+    val bucket = Some(floor(col("t") / 2).cast("long"))
+    val viaDynamic = collectTV(
+      MergeOps.mergeOpDynamic(df, st => MergeOps.ignorantSumOf(map_values(st)), None, bucket))
+    val viaDelta = collectTV(MergeOps.mergeSum(df, strict = false, None, bucket))
+    approxEq(viaDynamic, viaDelta)
+    assert(viaDynamic.nonEmpty)
+  }
+
   test("iterMerge emits the post-transition state once per distinct time") {
     val s = spark
     import s.implicits._

@@ -96,4 +96,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), s"cartesian in LSH join:\n$plan")
     assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"), plan)
   }
+
+  test("bucketed merge family leaves no cache entries behind (round-2 verdict #2)") {
+    // BucketedOps/compactBucketed used to persist internal diamonds with no
+    // unpersist lifecycle; the round-3 handoff shape has no cache writes at
+    // all, so a long-lived service never accumulates LRU-evictable blocks
+    spark.catalog.clearCache()
+    Seq("q14_merge_sum", "q37_merge_max", "q45_iter_merge", "q34_count_by_value")
+      .foreach { q => SparkEntry.queries(q)(spark, "/root/testdata/sf0.001").count() }
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "operators left entries in the cache manager")
+  }
 }
