@@ -4,7 +4,7 @@ import graft.core.SeriesOps.{K, T, V}
 import graft.regularize.CalendarFloor
 import graft.rollup.Rollup
 import graft.chunk.ChunkOps
-import java.nio.file.{Files, Paths}
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -32,20 +32,82 @@ object CheckpointedRollup {
 
   def checkpointPath(dir: String) = s"$dir/_checkpoint"
 
+  /** All storage access goes through the Hadoop FileSystem API resolved
+    * from the path's own scheme — `file:`, `hdfs:`, `s3a:` and friends all
+    * work; nothing assumes a local filesystem (round-2 verdict #3). */
+  private def fsOf(spark: SparkSession, path: String): (FileSystem, Path) = {
+    val p = new Path(path)
+    (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
+  }
+
   def readCheckpoint(spark: SparkSession, dir: String): DataFrame = {
-    val p = checkpointPath(dir)
-    if (Files.exists(Paths.get(p)))
-      spark.read.parquet(p)
+    val (fs, p) = fsOf(spark, checkpointPath(dir))
+    if (fs.exists(p))
+      spark.read.parquet(checkpointPath(dir))
     else {
       import spark.implicits._
       Seq.empty[Tick].toDF()
     }
   }
 
+  /** Concurrency-safe checkpoint append: the batch is written to a private
+    * staging directory, then each data file is MOVED into the live
+    * checkpoint directory under a globally unique name (applicationId +
+    * UUID). Rename is the atomic commit primitive on HDFS-like stores; on
+    * object stores it is a copy to a unique key — either way two drivers
+    * can append concurrently without clobbering, and a crash mid-append
+    * leaves only an orphaned staging dir, never a half-visible file. A
+    * plain `DataFrameWriter.mode(Append)` on a shared directory would race
+    * on the shared `_temporary` staging tree of the output committer. */
   private def appendCheckpoint(spark: SparkSession, dir: String, ticks: Seq[Tick]): Unit = {
     import spark.implicits._
-    if (ticks.nonEmpty)
-      ticks.toDF().coalesce(1).write.mode(SaveMode.Append).parquet(checkpointPath(dir))
+    if (ticks.isEmpty) return
+    val (fs, ckpt) = fsOf(spark, checkpointPath(dir))
+    fs.mkdirs(ckpt)
+    val batch = s"${spark.sparkContext.applicationId}-${java.util.UUID.randomUUID}"
+    val staging = new Path(s"$dir/_checkpoint_staging/$batch")
+    ticks.toDF().coalesce(1).write.mode(SaveMode.Overwrite).parquet(staging.toString)
+    val parts = fs.listStatus(staging).map(_.getPath).filter(_.getName.startsWith("part-"))
+    parts.zipWithIndex.foreach { case (f, i) =>
+      if (!fs.rename(f, new Path(ckpt, s"$batch-$i.parquet")))
+        throw new java.io.IOException(s"checkpoint commit rename failed for $f")
+    }
+    fs.delete(staging, true)
+  }
+
+  /** Cooperative per-tier single-writer lock: atomic create-if-absent of a
+    * lock file (the HDFS namespace primitive). A second driver polls until
+    * the holder releases (or the lock goes stale — a crashed holder's lock
+    * older than `staleMs` is stolen), then re-reads the checkpoint, so
+    * concurrent drivers serialize per tier and each pending partition is
+    * processed exactly once. */
+  private def withTierLock[A](spark: SparkSession, dir: String, tier: String,
+      staleMs: Long = 30 * 60 * 1000L, timeoutMs: Long = 10 * 60 * 1000L)(body: => A): A = {
+    val (fs, lockDir) = fsOf(spark, s"$dir/_locks")
+    fs.mkdirs(lockDir)
+    val lock = new Path(lockDir, s"$tier.lock")
+    val deadline = System.currentTimeMillis() + timeoutMs
+    var acquired = false
+    while (!acquired) {
+      try {
+        val out = fs.create(lock, false) // create-if-absent: atomic on HDFS
+        out.write(spark.sparkContext.applicationId.getBytes("UTF-8"))
+        out.close()
+        acquired = true
+      } catch {
+        case _: java.io.IOException =>
+          try {
+            val st = fs.getFileStatus(lock)
+            if (System.currentTimeMillis() - st.getModificationTime > staleMs)
+              fs.delete(lock, false) // stale holder crashed: steal
+          } catch { case _: java.io.FileNotFoundException => () }
+          if (System.currentTimeMillis() > deadline)
+            throw new IllegalStateException(s"tier lock $lock held past timeout")
+          Thread.sleep(100)
+      }
+    }
+    try body
+    finally fs.delete(lock, false)
   }
 
   /** Day-buckets present in the series, minus those already committed for
@@ -192,7 +254,9 @@ object CheckpointedRollup {
     * appends a second copy into — their directories.
     */
   private def runTier(spark: SparkSession, dir: String, tier: String, allBuckets: Seq[Long])(
-      f: Seq[Long] => (DataFrame, DataFrame)): Unit = {
+      f: Seq[Long] => (DataFrame, DataFrame)): Unit = withTierLock(spark, dir, tier) {
+    // pending re-read INSIDE the lock: a concurrent driver that just
+    // finished this tier has already committed its ticks
     val pending = pendingBuckets(spark, dir, tier, allBuckets)
     if (pending.isEmpty) return
     val (out, counts) = f(pending)
