@@ -251,13 +251,21 @@ object GraftQueries {
   def qNPoints(spark: SparkSession, dir: String): DataFrame = {
     val pts = points(spark, dir)
     val (tmin, tmax) = bounds(pts)
-    SeriesOps.nPoints(pts, lit(tmin), lit(tmax), includeStart = false, includeEnd = true)
+    val np = SeriesOps.nPoints(pts, lit(tmin), lit(tmax), includeStart = false, includeEnd = true)
+    val nn = SeriesOps
+      .nPoints(pts, lit(tmin), lit(tmax), includeStart = false, includeEnd = true,
+        normalized = true)
+      .withColumnRenamed("n_points", "n_norm")
+    np.join(nn, Seq("key")).withColumn("n_norm", round(col("n_norm"), 6))
   }
 
   val sqlNPoints: String =
     sqlPrefix() +
-      """ SELECT key, count(*) AS n_points FROM pts
-        | WHERE t > (SELECT tmin FROM b) AND t <= (SELECT tmax FROM b) GROUP BY 1""".stripMargin
+      """ SELECT key,
+        |   count(*) FILTER (WHERE t > (SELECT tmin FROM b) AND t <= (SELECT tmax FROM b)) AS n_points,
+        |   round(count(*) FILTER (WHERE t > (SELECT tmin FROM b) AND t <= (SELECT tmax FROM b))
+        |         / count(*), 6) AS n_norm
+        | FROM pts GROUP BY 1""".stripMargin
 
   def qMovingAverage(spark: SparkSession, dir: String): DataFrame = {
     val pts = points(spark, dir)
@@ -980,6 +988,106 @@ object GraftQueries {
       |  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rank
       |FROM s QUALIFY rank <= 10""".stripMargin
 
+  /** IVF-vs-brute-force recall@10 with TRAINED centroids (round-2 verdict
+    * #7): Lloyd's k-means (k=8, 2 iterations, coordinates pinned to 6
+    * decimals) provides the coarse quantizer; the query emits per-query
+    * recall of nProbe=3 IVF against the exact baseline. The oracle replays
+    * the SAME deterministic Lloyd iterations in SQL. AnnSpec pins
+    * recall >= 0.9. */
+  def qAnnRecall(spark: SparkSession, dir: String): DataFrame = {
+    val emb = embD(spark, dir)
+    val cents = Ann.kMeans(emb, 8, iters = 2, roundTo = Some(6))
+    val assigned = Ann.ivfAssign(emb, cents, cellCol = "cell")
+    val queries = emb.filter(col("vec_id") < 5)
+    val ivf = Ann.ivfTopK(assigned, cents, queries, 10, 3, cellCol = "cell")
+    val exact = Ann.bruteForceTopK(emb, queries, 10)
+    Ann.recallAtK(ivf, exact).select(col("q_id"), round(col("recall"), 6).as("recall"))
+  }
+
+  /** DuckDB replay of [[qAnnRecall]]: seeds = 8 lowest-id vectors (rounded),
+    * then per iteration argmax-assign on rounded cosine + per-cell rounded
+    * means (empty cells keep the previous centroid), then IVF nProbe=3
+    * vs brute-force recall@10. Generated by a loop so the iteration count
+    * stays in ONE place. */
+  val sqlAnnRecall: String = {
+    val iters = 2
+    def simOver(vecExpr: String, centsCte: String): String =
+      s"""SELECT e.vec_id, c.cell,
+         |    round(sum(e.embedding[i]::DOUBLE * c.cv[i]) /
+         |      (sqrt(sum(e.embedding[i]::DOUBLE ^ 2)) * sqrt(sum(c.cv[i] ^ 2))), 6) AS sim
+         |  FROM embeddings e, $centsCte c, unnest(generate_series(1, 64)) d(i)
+         |  GROUP BY 1, 2""".stripMargin
+    val seed =
+      """c0 AS (
+        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+        |         list_transform(embedding, x -> round(x::DOUBLE, 6)) AS cv
+        |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8))""".stripMargin
+    val iterCtes = (0 until iters).map { n =>
+      s"""ec$n AS (
+         |  ${simOver("cv", s"c$n")}),
+         |asg$n AS (
+         |  SELECT vec_id, cell FROM ec$n
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell ASC) = 1),
+         |mv$n AS (
+         |  SELECT cell, list(m ORDER BY i) AS cv FROM (
+         |    SELECT a.cell, d.i, round(avg(e.embedding[i]::DOUBLE), 6) AS m
+         |    FROM asg$n a JOIN embeddings e USING (vec_id),
+         |      unnest(generate_series(1, 64)) d(i)
+         |    GROUP BY 1, 2)
+         |  GROUP BY cell),
+         |c${n + 1} AS (
+         |  SELECT p.cell, coalesce(v.cv, p.cv) AS cv
+         |  FROM c$n p LEFT JOIN mv$n v USING (cell))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $seed,
+       |$iterCtes,
+       |ecF AS (
+       |  ${simOver("cv", s"c$iters")}),
+       |asgF AS (
+       |  SELECT vec_id, cell FROM ecF
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell ASC) = 1),
+       |qc AS (
+       |  SELECT vec_id AS q_id, cell FROM ecF WHERE vec_id < 5
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell ASC) <= 3),
+       |cand AS (
+       |  SELECT qc.q_id, a.vec_id AS n_id FROM qc JOIN asgF a USING (cell)
+       |  WHERE qc.q_id <> a.vec_id),
+       |ivf AS (
+       |  SELECT cd.q_id, cd.n_id FROM cand cd
+       |  JOIN embeddings q ON q.vec_id = cd.q_id
+       |  JOIN embeddings n ON n.vec_id = cd.n_id,
+       |  unnest(generate_series(1, 64)) d(i)
+       |  GROUP BY 1, 2
+       |  QUALIFY row_number() OVER (PARTITION BY cd.q_id ORDER BY
+       |    round(sum(q.embedding[i]::DOUBLE * n.embedding[i]::DOUBLE) /
+       |      (sqrt(sum(q.embedding[i]::DOUBLE ^ 2)) * sqrt(sum(n.embedding[i]::DOUBLE ^ 2))), 6) DESC,
+       |    cd.n_id ASC) <= 10),
+       |bf AS (
+       |  SELECT q.vec_id AS q_id, n.vec_id AS n_id
+       |  FROM embeddings q, embeddings n, unnest(generate_series(1, 64)) d(i)
+       |  WHERE q.vec_id < 5 AND q.vec_id <> n.vec_id
+       |  GROUP BY 1, 2
+       |  QUALIFY row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |    round(sum(q.embedding[i]::DOUBLE * n.embedding[i]::DOUBLE) /
+       |      (sqrt(sum(q.embedding[i]::DOUBLE ^ 2)) * sqrt(sum(n.embedding[i]::DOUBLE ^ 2))), 6) DESC,
+       |    n.vec_id ASC) <= 10)
+       |SELECT b.q_id, round(sum(CASE WHEN i.n_id IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+       |       / count(*), 6) AS recall
+       |FROM bf b LEFT JOIN ivf i ON b.q_id = i.q_id AND b.n_id = i.n_id
+       |GROUP BY 1""".stripMargin
+  }
+
+  /** from_json/to_json DICT form roundtrip (timeseries.py:1322-1329,
+    * 1381-1385): every series renders to ONE `{iso_time: value}` JSON
+    * object, then parses back — output must equal the input points. */
+  def qJsonDictRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val dict = graft.sources.Sources.toJsonDict(points(spark, dir))
+    graft.sources.Sources.fromJsonDict(dict, "key", "series")
+  }
+
+  // lazy: sqlCsvRoundtrip is declared later in the object
+  lazy val sqlJsonDictRoundtrip: String = sqlCsvRoundtrip
+
   def qMultimodalMeta(spark: SparkSession, dir: String): DataFrame = {
     val s = spark; import s.implicits._
     val media = Multimodal.mediaFromDocs(docs(spark, dir)).as[Multimodal.MediaRow]
@@ -1367,20 +1475,34 @@ object GraftQueries {
     * exported to CSV with µs-precision time strings and re-parsed by
     * Sources.fromCsv; the result must equal the original points — the
     * oracle is the untouched series. */
+  /** applicationId-scoped scratch path: concurrent driver runs over the
+    * same data dir must not clobber each other's files mid-read. */
+  private def roundtripScratch(spark: SparkSession, kind: String, dir: String): String =
+    s"/tmp/graft_${kind}_roundtrip_" + spark.sparkContext.applicationId +
+      "_" + dir.replaceAll("[^0-9A-Za-z]", "_")
+
+  /** Materialize the re-parsed roundtrip result, then delete the scratch
+    * dir (repeated Verify runs used to accumulate unbounded /tmp dirs).
+    * The localCheckpoint pins the rows on the executors so the returned
+    * frame stays valid after the files are gone. */
+  private def materializeThenClean(df: DataFrame, scratch: String): DataFrame = {
+    val pinned = df.localCheckpoint(true)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(scratch))
+    pinned
+  }
+
   def qCsvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     val fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
-    // applicationId-scoped path: concurrent driver runs over the same data
-    // dir must not clobber each other's files mid-read
-    val out = "/tmp/graft_csv_roundtrip_" + spark.sparkContext.applicationId +
-      "_" + dir.replaceAll("[^0-9A-Za-z]", "_")
+    val out = roundtripScratch(spark, "csv", dir)
     points(spark, dir)
       .select(
         col("key"),
         date_format(timestamp_micros(col("t")), fmt).as("time"),
         col("v").as("value"))
       .write.mode("overwrite").option("header", "true").csv(out)
-    graft.sources.Sources.fromCsv(spark, out, "time", "value",
-      keyColumn = Some("key"), timeFormat = fmt)
+    materializeThenClean(
+      graft.sources.Sources.fromCsv(spark, out, "time", "value",
+        keyColumn = Some("key"), timeFormat = fmt), out)
   }
 
   val sqlCsvRoundtrip: String =
@@ -1391,10 +1513,10 @@ object GraftQueries {
     * ISO-8601 times with offset, JSON-lines records; must reproduce the
     * original points exactly. */
   def qJsonRoundtrip(spark: SparkSession, dir: String): DataFrame = {
-    val out = "/tmp/graft_json_roundtrip_" + spark.sparkContext.applicationId +
-      "_" + dir.replaceAll("[^0-9A-Za-z]", "_")
+    val out = roundtripScratch(spark, "json", dir)
     graft.sources.Sources.toJson(points(spark, dir), out)
-    graft.sources.Sources.fromJson(spark, out, keyColumn = Some("key"), multiLine = false)
+    materializeThenClean(
+      graft.sources.Sources.fromJson(spark, out, keyColumn = Some("key"), multiLine = false), out)
   }
 
   val sqlJsonRoundtrip: String = sqlCsvRoundtrip

@@ -54,6 +54,8 @@ object SparkEntry {
     "q28_cosine_topk" -> (qCosineTopK _),
     "q29_ann_ivf" -> (qAnnIvf _),
     "q30_multimodal_meta" -> (qMultimodalMeta _),
+    "q60_ann_recall" -> (qAnnRecall _),
+    "q61_json_dict_roundtrip" -> (qJsonDictRoundtrip _),
     // --- classic relational smoke ---
     "q31_lineitem_agg" -> (qLineitemAgg _),
     // --- calendar-mask distributions, value-count states, scalar ops ---
@@ -120,6 +122,8 @@ object SparkEntry {
     "q28_cosine_topk" -> sqlCosineTopK,
     "q29_ann_ivf" -> sqlAnnIvf,
     "q30_multimodal_meta" -> sqlMultimodalMeta,
+    "q60_ann_recall" -> sqlAnnRecall,
+    "q61_json_dict_roundtrip" -> sqlJsonDictRoundtrip,
     "q31_lineitem_agg" -> sqlLineitemAgg,
     "q32_dist_hour_of_day" -> sqlDistHourOfDay,
     "q33_dist_day_of_week" -> sqlDistDayOfWeek,

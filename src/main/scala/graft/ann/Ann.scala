@@ -96,13 +96,19 @@ object Ann {
     */
   def kMeans(
       corpus: DataFrame, k: Int, iters: Int,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      roundTo: Option[Int] = None): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
+    // roundTo pins seed and mean coordinates to fixed decimals so the
+    // trained centroids are bit-identical across engines/summation orders
+    // (the oracle replays the same Lloyd iterations in SQL)
+    def rounded(c: Column): Column =
+      roundTo.fold(c)(d => transform(c, x => round(x, d)))
     var cents: Seq[(Long, Seq[Double])] = corpus
       .orderBy(col(idCol))
       .limit(k)
-      .select(col(vecCol))
+      .select(rounded(col(vecCol)))
       .collect()
       .zipWithIndex
       .map { case (r, i) => (i.toLong, r.getSeq[Double](0)) }
@@ -113,7 +119,7 @@ object Ann {
       val means = assigned
         .select(col("cell"), posexplode(col(vecCol)))
         .groupBy(col("cell"), col("pos"))
-        .agg(avg(col("col")).as("m"))
+        .agg(roundTo.fold(avg(col("col")))(d => round(avg(col("col")), d)).as("m"))
         .groupBy(col("cell"))
         .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
         .select(col("cell"), transform(col("pm"), p => p.getField("m")).as(vecCol))

@@ -133,9 +133,24 @@ object SeriesOps {
     * None-value series — same reason compactBucketed joins with `<=>`), so
     * a null-keyed series correctly compares equal to itself. Output
     * (key, equal). */
-  def seriesEqualsBy(a: DataFrame, b: DataFrame): DataFrame = {
-    val ca = a.select(col(K), col(T), struct(col(V)).as("_va"))
-    val cb = b.select(col(K).as("_kb"), col(T).as("_tb"), struct(col(V)).as("_vb"))
+  def seriesEqualsBy(a: DataFrame, b: DataFrame, checkUnique: Boolean = false): DataFrame = {
+    // the unique-(key, t) sorted-map invariant is a caller contract; a
+    // violated invariant would fan the full-outer join out and min() could
+    // silently report equal=true for multiplicity differences. checkUnique
+    // turns that into a loud runtime error (one extra count window per
+    // side) for untrusted inputs.
+    def guarded(df: DataFrame): DataFrame =
+      if (!checkUnique) df
+      else {
+        val c = count(lit(1)).over(Window.partitionBy(col(K), col(T)))
+        df.withColumn("_dup",
+            when(c > lit(1),
+              raise_error(concat(lit("seriesEqualsBy: duplicate (key,t) for key="),
+                col(K).cast("string")))))
+          .filter(col("_dup").isNull).drop("_dup")
+      }
+    val ca = guarded(a).select(col(K), col(T), struct(col(V)).as("_va"))
+    val cb = guarded(b).select(col(K).as("_kb"), col(T).as("_tb"), struct(col(V)).as("_vb"))
     ca.join(cb, col(K) <=> col("_kb") && col(T) <=> col("_tb"), "full_outer")
       .groupBy(coalesce(col(K), col("_kb")).as(K))
       .agg(min(
@@ -391,10 +406,17 @@ object SeriesOps {
       start: Column,
       end: Column,
       includeStart: Boolean,
-      includeEnd: Boolean): DataFrame = {
+      includeEnd: Boolean,
+      normalized: Boolean = false): DataFrame = {
     val lo = if (includeStart) col(T) >= start else col(T) > start
     val hi = if (includeEnd) col(T) <= end else col(T) < end
-    df.filter(lo && hi).groupBy(col(K)).agg(count(lit(1)).as("n_points"))
+    // one conditional-count pass; `normalized` divides by n_measurements()
+    // (the series' UNBOUNDED point count — timeseries.py:992-993)
+    val agg = df.groupBy(col(K))
+      .agg(count(when(lo && hi, 1)).as("_n"), count(lit(1)).as("_total"))
+    if (normalized)
+      agg.select(col(K), (col("_n").cast("double") / col("_total")).as("n_points"))
+    else agg.select(col(K), col("_n").as("n_points"))
   }
 
   /** `n_points` over a mask (reference timeseries.py:975-989, default
@@ -407,16 +429,19 @@ object SeriesOps {
     * interval join never double-counts; the join is an equi-join on key
     * plus range predicates — broadcastable when the mask is small.
     */
-  def nPointsMasked(df: DataFrame, mask: DataFrame): DataFrame = {
+  def nPointsMasked(df: DataFrame, mask: DataFrame, normalized: Boolean = false): DataFrame = {
     val m = mask.select(col(K), col("m0"), col("m1"))
     val counted = df
       .join(m, Seq(K))
       .filter(col(T) >= col("m0") && col(T) < col("m1"))
       .groupBy(col(K))
       .agg(count(lit(1)).as("_n"))
-    df.select(col(K)).distinct()
+    val base = df.groupBy(col(K)).agg(count(lit(1)).as("_total"))
       .join(counted, Seq(K), "left")
-      .select(col(K), coalesce(col("_n"), lit(0L)).as("n_points"))
+    if (normalized)
+      base.select(col(K),
+        (coalesce(col("_n"), lit(0L)).cast("double") / col("_total")).as("n_points"))
+    else base.select(col(K), coalesce(col("_n"), lit(0L)).as("n_points"))
   }
 
   // ---------- scalar / unary value operators (traces/timeseries.py:1430-1517) ----------

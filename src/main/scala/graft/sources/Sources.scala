@@ -50,6 +50,47 @@ object Sources {
       col(valueKey).cast("double").as(V))
   }
 
+  /** from_json dict form `{"t1": v1, "t2": v2, ...}` — the reference's
+    * second accepted input shape (traces/timeseries.py:1322-1329) — as a
+    * column transform: `jsonCol` holds one dict string per row (one row
+    * per series), exploded into canonical (key, t, v) points. */
+  def fromJsonDict(df: DataFrame, keyCol: String, jsonCol: String): DataFrame =
+    df.select(col(keyCol).as(K),
+        explode(from_json(col(jsonCol), org.apache.spark.sql.types.DataType.fromDDL("map<string,string>"))).as(Seq("_jt", "_jv")))
+      .select(
+        col(K),
+        unix_micros(to_timestamp(regexp_replace(col("_jt"), "Z$", "+00:00"))).as(T),
+        col("_jv").cast("double").as(V))
+
+  /** from_json dict form from FILES: each file (or JSON-line) is one
+    * `{"key": k, "series": {t: v, ...}}` record, mirroring the reference's
+    * single-object file (traces/timeseries.py:1322-1329) keyed for the
+    * multi-series table. */
+  def fromJsonDictFile(spark: SparkSession, path: String): DataFrame = {
+    val raw = spark.read
+      .schema("key STRING, series STRING")
+      .option("multiLine", "false")
+      .json(path)
+    fromJsonDict(raw, "key", "series")
+  }
+
+  /** to_json(dict_format=True) (traces/timeseries.py:1381-1385): one JSON
+    * object `{"t1": v1, ...}` per series, times ISO-formatted, entries in
+    * time order (the reference iterates the sorted dict). Returns
+    * (key, series) — the whole series renders as ONE string, exactly like
+    * the reference's in-memory dict; write with `toJsonDictFile`. */
+  def toJsonDict(points: DataFrame): DataFrame =
+    points
+      .select(col(K),
+        date_format(timestamp_micros(col(T)), "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX").as("_ts"),
+        col(V))
+      .groupBy(col(K))
+      .agg(to_json(map_from_entries(array_sort(collect_list(struct(col("_ts"), col(V))))))
+        .as("series"))
+
+  def toJsonDictFile(points: DataFrame, path: String): Unit =
+    toJsonDict(points).write.mode("overwrite").json(path)
+
   /** to_json list format with ISO times (traces/timeseries.py:1335-1397). */
   def toJson(points: DataFrame, path: String): Unit =
     points

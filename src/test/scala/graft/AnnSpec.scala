@@ -55,4 +55,13 @@ class AnnSpec extends SparkSpec {
     assert(recall >= 0.9, s"recall@5 = $recall")
     corpus.unpersist()
   }
+
+  test("driver q60: trained-IVF recall@10 >= 0.9 at nProbe=3 (pinned)") {
+    // sf0.01 = the driver's correctness-gate scale; at sf0.001 the corpus
+    // is ~50 vectors and cell populations are too thin for a recall bound
+    val got = GraftQueries.qAnnRecall(spark, "/root/testdata/sf0.01")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got.nonEmpty)
+    got.foreach { case (q, r) => assert(r >= 0.9, s"recall@10 for query $q = $r < 0.9") }
+  }
 }

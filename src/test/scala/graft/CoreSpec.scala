@@ -72,4 +72,18 @@ class CoreSpec extends SparkSpec {
     val out = SeriesOps.dedupe(df, col("seq")).orderBy("t").select("v").collect().map(_.getDouble(0))
     assert(out.toSeq == Seq(2.0, 5.0))
   }
+
+  test("seriesEqualsBy(checkUnique) errors loudly on duplicate (key,t) input") {
+    val s2 = spark
+    import s2.implicits._
+    val good = seriesD(Seq(1.0 -> Some(1.0), 2.0 -> Some(2.0)))
+    val dup = Seq(("s", 1.0, 1.0), ("s", 1.0, 1.0)).toDF("key", "t", "v")
+    // clean inputs pass through the guard unchanged
+    val ok = graft.core.SeriesOps.seriesEqualsBy(good, good, checkUnique = true).collect()
+    assert(ok.forall(_.getBoolean(1)))
+    val e = intercept[Exception] {
+      graft.core.SeriesOps.seriesEqualsBy(dup, good, checkUnique = true).collect()
+    }
+    assert(e.getMessage != null)
+  }
 }

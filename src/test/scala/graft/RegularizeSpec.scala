@@ -192,4 +192,13 @@ class RegularizeSpec extends SparkSpec {
       .collect().map(r => (r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
     assert(a == b && a.nonEmpty)
   }
+
+  test("sampleMasked drops inverted mask intervals as empty ranges") {
+    val s2 = spark
+    import s2.implicits._
+    val pts = seriesL(Seq(0L -> Some(1.0), 100L -> Some(2.0)))
+    val mask = Seq(("s", 40L, 20L), ("s", 0L, 30L)).toDF("key", "m0", "m1")
+    val got = collectTVL(graft.regularize.Regularize.sampleMasked(pts, mask, 10L, lit(null)))
+    assert(got == Seq(0L, 10L, 20L, 30L).map(_ -> Some(1.0)), got.toString)
+  }
 }
