@@ -1095,16 +1095,34 @@ object GraftQueries {
       .select("doc_id", "modality", "byte_len", "width", "height", "n_frames")
   }
 
+  /** Replays the REAL container arithmetic: BMP byte length = 54-byte
+    * headers + height x 4-byte-padded rows; WAV = 44-byte canonical header
+    * + samples x channels data bytes; video = the opaque stub formulas. */
   val sqlMultimodalMeta: String =
     """WITH m AS (
       |  SELECT doc_id,
       |    (['image', 'audio', 'video'])[CAST(doc_id % 3 AS INT) + 1] AS modality,
-      |    octet_length(encode(text)) AS n
+      |    octet_length(encode(coalesce(text, ''))) AS n,
+      |    4 + doc_id % 13 AS bw, 3 + doc_id % 7 AS bh,
+      |    1 + doc_id % 2 AS ch, 16 + octet_length(encode(coalesce(text, ''))) % 241 AS ns
       |  FROM documents)
-      |SELECT doc_id, modality, CAST(n AS INT) AS byte_len,
-      |  CAST(16 + (n * 7919) % 1024 AS INT) AS width,
-      |  CAST(16 + (n * 104729) % 768 AS INT) AS height,
-      |  CAST(CASE WHEN modality = 'video' THEN 1 + n % 32 ELSE 1 END AS INT) AS n_frames
+      |SELECT doc_id, modality,
+      |  CAST(CASE modality
+      |    WHEN 'image' THEN 54 + bh * (((3 * bw + 3) // 4) * 4)
+      |    WHEN 'audio' THEN 44 + ns * ch
+      |    ELSE n END AS INT) AS byte_len,
+      |  CAST(CASE modality
+      |    WHEN 'image' THEN bw
+      |    WHEN 'audio' THEN 8000 + (doc_id % 8) * 1000
+      |    ELSE 16 + (n * 7919) % 1024 END AS INT) AS width,
+      |  CAST(CASE modality
+      |    WHEN 'image' THEN bh
+      |    WHEN 'audio' THEN 8
+      |    ELSE 16 + (n * 104729) % 768 END AS INT) AS height,
+      |  CAST(CASE modality
+      |    WHEN 'image' THEN 1
+      |    WHEN 'audio' THEN ns
+      |    ELSE 1 + n % 32 END AS INT) AS n_frames
       |FROM m""".stripMargin
 
   // ---------- round-2 driver entries for previously test-only operators ----------

@@ -4,11 +4,13 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: image/audio/video as opaque binary columns
-  * with typed metadata. The DECODE step is a clearly-marked deterministic
-  * STUB (the real image/audio codecs aren't in this container); everything
-  * Spark-side — schema, batch shape, partition-preserving typed map,
-  * feature-vector layout — is real and tested, so swapping a real decoder
-  * in changes one function.
+  * with typed metadata. The IMAGE and AUDIO decode paths are REAL pure-JVM
+  * parsers ([[Codecs]]: 24-bit BMP and RIFF WAV PCM — width/height/sample
+  * metadata comes from the actual binary headers); only VIDEO keeps a
+  * clearly-marked deterministic stub (no practical pure-JVM video
+  * container). The Spark shape — schema, batch layout, partition-
+  * preserving typed map, feature-vector layout — is the real deployment
+  * shape throughout.
   */
 object Multimodal {
 
@@ -17,11 +19,41 @@ object Multimodal {
       doc_id: Long, modality: String, byte_len: Int,
       width: Int, height: Int, n_frames: Int, features: Array[Float])
 
-  /** STUB decoder — deterministic fake standing in for a real
-    * image/audio/video decode (e.g. via javacv / a Pandas UDF in a PySpark
-    * deployment). Width/height/frames derive purely from the byte content
-    * so tests are reproducible; `features` is an 8-dim byte-histogram
-    * sketch (a real pipeline would emit a model embedding here).
+  /** Dispatching decoder: real BMP/WAV header parses for image/audio
+    * (falling back to the stub on unrecognized bytes), stub for video.
+    * Mapping: image -> (width, height, 1 frame); audio -> (sample_rate as
+    * width, bits_per_sample as height, n_samples as frames). */
+  def decode(r: MediaRow): DecodedRow = r.modality match {
+    case "image" =>
+      Codecs.parseBmpHeader(r.bytes) match {
+        case Some(h) =>
+          DecodedRow(r.doc_id, r.modality, r.bytes.length, h.width, h.height, 1, histogram(r.bytes))
+        case None => stubDecode(r)
+      }
+    case "audio" =>
+      Codecs.parseWavHeader(r.bytes) match {
+        case Some(h) =>
+          DecodedRow(r.doc_id, r.modality, r.bytes.length,
+            h.sampleRate, h.bitsPerSample, h.nSamples, histogram(r.bytes))
+        case None => stubDecode(r)
+      }
+    case _ => stubDecode(r)
+  }
+
+  /** 8-dim byte-histogram sketch (a real pipeline would emit a model
+    * embedding here). */
+  private def histogram(bytes: Array[Byte]): Array[Float] = {
+    val n = bytes.length
+    val feats = new Array[Float](8)
+    var i = 0
+    while (i < n) { feats(bytes(i) & 7) += 1f; i += 1 }
+    if (n > 0) { var j = 0; while (j < 8) { feats(j) /= n; j += 1 } }
+    feats
+  }
+
+  /** STUB decoder (video only now) — deterministic fake standing in for a
+    * real video decode. Width/height/frames derive purely from the byte
+    * content so tests are reproducible.
     */
   def stubDecode(r: MediaRow): DecodedRow = {
     val n = r.bytes.length
@@ -31,11 +63,7 @@ object Multimodal {
     val width = (16L + (n.toLong * 7919L) % 1024L).toInt
     val height = (16L + (n.toLong * 104729L) % 768L).toInt
     val frames = if (r.modality == "video") 1 + n % 32 else 1
-    val feats = new Array[Float](8)
-    var i = 0
-    while (i < n) { feats(r.bytes(i) & 7) += 1f; i += 1 }
-    if (n > 0) { var j = 0; while (j < 8) { feats(j) /= n; j += 1 } }
-    DecodedRow(r.doc_id, r.modality, n, width, height, frames, feats)
+    DecodedRow(r.doc_id, r.modality, n, width, height, frames, histogram(r.bytes))
   }
 
   /** Batch decode: typed partition-preserving map (no shuffle); the batch
@@ -43,7 +71,7 @@ object Multimodal {
     * mapInPandas/mapInArrow deployment would see. */
   def decodeAll(media: Dataset[MediaRow]): Dataset[DecodedRow] = {
     import media.sparkSession.implicits._
-    media.mapPartitions(_.map(stubDecode))
+    media.mapPartitions(_.map(decode))
   }
 
   /** Frame sampling for "video" blobs: every strideth 256-byte window as a
@@ -65,11 +93,12 @@ object Multimodal {
       .toDF("doc_id", "frame_idx", "frame_bytes")
   }
 
-  /** STUB resize — deterministic nearest-neighbor resample of the flat
-    * payload to a `width`×`height` byte grid, standing in for a real image
-    * resize (no codecs in this container). The Spark plumbing is the real
-    * deployment shape: typed partition-preserving map, no shuffle, explicit
-    * (doc_id, width, height, pixels) output schema sized w·h per row. */
+  /** REAL image resize: decode the 24-bit BMP pixel grid (bottom-up rows,
+    * padding honored), then nearest-neighbor resample the luminance plane
+    * to `width` x `height`. Non-BMP payloads fall back to a flat-byte
+    * resample (the old stub behavior) so the operator stays total. The
+    * Spark plumbing is the deployment shape: typed partition-preserving
+    * map, no shuffle, explicit (doc_id, width, height, pixels) schema. */
   def resizeImages(media: Dataset[MediaRow], width: Int, height: Int): DataFrame = {
     require(width > 0 && height > 0 && width.toLong * height <= Int.MaxValue,
       s"target $width x $height must be positive and fit an Int pixel count")
@@ -78,25 +107,68 @@ object Multimodal {
       .filter(_.modality == "image")
       .map { r =>
         val out = new Array[Byte](width * height)
-        val n = r.bytes.length
-        if (n > 0) {
-          var i = 0
-          while (i < out.length) {
-            out(i) = r.bytes((i.toLong * n / out.length).toInt)
-            i += 1
-          }
+        Codecs.decodeBmp24Luma(r.bytes) match {
+          case Some((sw, sh, luma)) =>
+            var y = 0
+            while (y < height) {
+              val sy = (y.toLong * sh / height).toInt
+              var x = 0
+              while (x < width) {
+                val sx = (x.toLong * sw / width).toInt
+                out(y * width + x) = luma(sy * sw + sx)
+                x += 1
+              }
+              y += 1
+            }
+          case None =>
+            val n = r.bytes.length
+            if (n > 0) {
+              var i = 0
+              while (i < out.length) {
+                out(i) = r.bytes((i.toLong * n / out.length).toInt)
+                i += 1
+              }
+            }
         }
         (r.doc_id, width, height, out)
       }
       .toDF("doc_id", "width", "height", "pixels")
   }
 
-  /** Build a media table from documents: bytes = utf8(text) as the opaque
-    * payload (deterministic; real tables carry actual media bytes). */
-  def mediaFromDocs(docs: DataFrame): DataFrame =
-    docs.select(
-      col("doc_id"),
-      element_at(array(lit("image"), lit("audio"), lit("video")),
-        (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("modality"),
-      col("text").cast("binary").as("bytes"))
+  /** Build a media table from documents with REAL container bytes:
+    * image rows carry a deterministic 24-bit BMP (dims + pixel content
+    * derived from doc_id/text), audio rows a RIFF WAV PCM blob, video rows
+    * the opaque utf8(text) payload for the stub. Deterministic, so the
+    * q30 oracle can replay the header arithmetic from the documents
+    * table. */
+  def mediaFromDocs(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(col("doc_id").cast("long"), coalesce(col("text"), lit("")).as("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val payload = text.getBytes("UTF-8")
+        def pay(i: Int): Int = if (payload.isEmpty) 0 else payload(i % payload.length) & 0xFF
+        java.lang.Math.floorMod(id, 3L).toInt match {
+          case 0 =>
+            val w = 4 + java.lang.Math.floorMod(id, 13L).toInt
+            val h = 3 + java.lang.Math.floorMod(id, 7L).toInt
+            val bmp = Codecs.encodeBmp24(w, h, (x, y) => {
+              val g = pay(x + y * w)
+              (g << 16) | (g << 8) | g
+            })
+            MediaRow(id, "image", bmp)
+          case 1 =>
+            val sampleRate = 8000 + java.lang.Math.floorMod(id, 8L).toInt * 1000
+            val channels = 1 + java.lang.Math.floorMod(id, 2L).toInt
+            val nSamples = 16 + payload.length % 241
+            val data = Array.tabulate(nSamples * channels)(i => pay(i).toByte)
+            MediaRow(id, "audio", Codecs.encodeWavPcm(sampleRate, channels, 8, data))
+          case _ =>
+            MediaRow(id, "video", payload)
+        }
+      }
+      .toDF("doc_id", "modality", "bytes")
+  }
 }

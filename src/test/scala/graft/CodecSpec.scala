@@ -1,0 +1,39 @@
+package graft
+
+import graft.multimodal.Codecs
+
+/** Pure-JVM container codecs: encode -> parse roundtrips, row padding,
+  * malformed-input rejection. */
+class CodecSpec extends SparkSpec {
+
+  test("BMP 24-bit roundtrip across padding widths") {
+    for (w <- 1 to 9; h <- Seq(1, 3, 5)) {
+      val bytes = Codecs.encodeBmp24(w, h, (x, y) => ((x * 37 + y * 101) % 256) * 0x010101)
+      assert(bytes.length == 54 + h * Codecs.bmpRowStride(w), s"$w x $h size")
+      val hd = Codecs.parseBmpHeader(bytes).get
+      assert(hd.width == w && hd.height == h && hd.bitCount == 24 && hd.dataOffset == 54)
+      val (dw, dh, luma) = Codecs.decodeBmp24Luma(bytes).get
+      assert(dw == w && dh == h)
+      // top-down pixel recovery through the bottom-up encoding
+      for (y <- 0 until h; x <- 0 until w)
+        assert((luma(y * w + x) & 0xFF) == (x * 37 + y * 101) % 256, s"pixel $x,$y of $w x $h")
+    }
+  }
+
+  test("BMP parser rejects malformed input") {
+    assert(Codecs.parseBmpHeader(Array[Byte](1, 2, 3)).isEmpty)
+    assert(Codecs.parseBmpHeader("not a bitmap at all, just text".getBytes).isEmpty)
+    val truncated = Codecs.encodeBmp24(8, 8, (_, _) => 0xFFFFFF).take(60)
+    assert(Codecs.decodeBmp24Luma(truncated).isEmpty, "truncated pixel data must not decode")
+  }
+
+  test("WAV PCM roundtrip and sample accounting") {
+    val data = Array.tabulate(480)(i => (i % 251).toByte)
+    val bytes = Codecs.encodeWavPcm(16000, 2, 8, data)
+    assert(bytes.length == 44 + 480)
+    val h = Codecs.parseWavHeader(bytes).get
+    assert(h.sampleRate == 16000 && h.channels == 2 && h.bitsPerSample == 8)
+    assert(h.dataLen == 480 && h.nSamples == 240) // 2 channels x 1 byte
+    assert(Codecs.parseWavHeader("RIFFxxxxNOPE".getBytes).isEmpty)
+  }
+}

@@ -107,13 +107,25 @@ class DedupSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), s"cartesian in SRP join:\n$plan")
   }
 
-  test("multimodal stub decode plumbing: schema, determinism, frame sampling") {
+  test("multimodal decode plumbing: real BMP/WAV headers, determinism, frames") {
     val s = spark
     import s.implicits._
     val media = Multimodal.mediaFromDocs(docsDf).as[Multimodal.MediaRow]
     val dec = Multimodal.decodeAll(media).collect()
     assert(dec.length == 6)
-    assert(dec.forall(d => d.features.length == 8 && d.width >= 16 && d.height >= 16))
+    assert(dec.forall(_.features.length == 8))
+    // image dims come from the actual BMP header, audio shape from the
+    // actual WAV header; only video uses the stub formulas
+    dec.foreach { d =>
+      d.modality match {
+        case "image" =>
+          assert(d.width == 4 + (d.doc_id % 13).toInt && d.height == 3 + (d.doc_id % 7).toInt, d.toString)
+        case "audio" =>
+          assert(d.width >= 8000 && d.height == 8 && d.n_frames >= 16, d.toString)
+        case _ =>
+          assert(d.width >= 16 && d.height >= 16, d.toString)
+      }
+    }
     val frames = Multimodal.sampleFrames(media)
     assert(frames.columns.toSeq == Seq("doc_id", "frame_idx", "frame_bytes"))
     assert(frames.count() >= 1)
