@@ -152,7 +152,11 @@ object Bench {
         ((col("id") / 128) % k).cast("string").as("sid"),
         col("id").as("t"),
         (col("id") % 7).cast("double").as("v"))
-    val bucketBy = if (bucketed) Some(floor(col("t") / (n / 512 + 1)).cast("long")) else None
+    // bucket width derived from the data span (BucketedOps.adaptiveWidth),
+    // not a hand-tuned divisor — the round-2 bench hardcoded n/512
+    val bucketBy =
+      if (bucketed) Some(graft.core.BucketedOps.adaptiveBucket(df.select(col("t"))))
+      else None
     val out = graft.merge.MergeOps.mergeSum(df, strict = false, bucketBy = bucketBy).count()
     require(out > 0)
     n
@@ -197,10 +201,27 @@ object Bench {
     val skewBucketedSec = timeOnce(() => mergeSkewJob(spark, skewRows, bucketed = true))
     val skewPlainSec = timeOnce(() => mergeSkewJob(spark, skewRows, bucketed = false))
 
+    // 10x scale probes (round-2 verdict #8): ONE timed run each at ~10x the
+    // standard rows — the trend rows for whether throughput holds past the
+    // 24-32M-row evidence. The smaller timed jobs above already served as
+    // JIT/codegen warmup for these plans. SPARK_GRAFT_SCALE_PROBES=0 skips.
+    val probesOn = sys.env.getOrElse("SPARK_GRAFT_SCALE_PROBES", "1") != "0"
+    val scaleRollupRows = sys.env.getOrElse("SPARK_GRAFT_SCALE_ROLLUP_ROWS", "80000000").toLong
+    val scaleMergeRows = sys.env.getOrElse("SPARK_GRAFT_SCALE_MERGE_ROWS", "200000000").toLong
+    val scaleJson =
+      if (!probesOn) ""
+      else {
+        if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"/tmp/graft_pages_$scaleRollupRows")))
+          pagesTable(spark, scaleRollupRows) // untimed one-off generation
+        val scaleRollupSec = timeOnce(() => rollupJob(spark, scaleRollupRows))
+        val scaleMergeSec = timeOnce(() => mergeJob(spark, scaleMergeRows))
+        f""","scale_rollup_points":$scaleRollupRows,"scale_rollup_sec":$scaleRollupSec%.3f,"scale_rollup_points_per_sec":${scaleRollupRows / scaleRollupSec}%.0f,"scale_merge_transitions":$scaleMergeRows,"scale_merge_sec":$scaleMergeSec%.3f,"scale_merge_transitions_per_sec":${scaleMergeRows / scaleMergeSec}%.0f"""
+      }
+
     val qjson = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qjson,"sf":"$sfDir","cpus":$cpus,"reps":$reps,"rollup_points":$rollupRows,"rollup_sec":$rollupSec%.3f,"rollup_points_per_sec":$pps%.0f,"merge_transitions":$mergeRows,"merge_sec":$mergeSec%.3f,"merge_transitions_per_sec":$tps%.0f,"skew_transitions":$skewRows,"skew_plain_sec":$skewPlainSec%.3f,"skew_plain_tps":${skewRows / skewPlainSec}%.0f,"skew_bucketed_sec":$skewBucketedSec%.3f,"skew_bucketed_tps":${skewRows / skewBucketedSec}%.0f}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qjson,"sf":"$sfDir","cpus":$cpus,"reps":$reps,"rollup_points":$rollupRows,"rollup_sec":$rollupSec%.3f,"rollup_points_per_sec":$pps%.0f,"merge_transitions":$mergeRows,"merge_sec":$mergeSec%.3f,"merge_transitions_per_sec":$tps%.0f,"skew_transitions":$skewRows,"skew_plain_sec":$skewPlainSec%.3f,"skew_plain_tps":${skewRows / skewPlainSec}%.0f,"skew_bucketed_sec":$skewBucketedSec%.3f,"skew_bucketed_tps":${skewRows / skewBucketedSec}%.0f$scaleJson}"""
     println(json)
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), json + "\n")
     spark.stop()

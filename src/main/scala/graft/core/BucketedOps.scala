@@ -46,6 +46,31 @@ import org.apache.spark.sql.functions._
   */
 object BucketedOps {
 
+  /** Skew-safe bucket width derived from the DATA SPAN instead of a
+    * caller-guessed constant (round-2 verdict #9): width =
+    * max(1, span / (factor * defaultParallelism)), so the per-key handoff
+    * table holds ~factor x cores buckets regardless of units or range — a
+    * century span never degenerates into a million-entry sequential
+    * handoff window, and an hour span never pays per-bucket overhead for
+    * buckets holding single rows. Costs one 2-column min/max aggregate job
+    * on `df` (driver sees two longs, never data). Output is
+    * bucketing-invariant: every BucketedOps consumer produces identical
+    * results for ANY bucket width (property-tested), so the width is purely
+    * a performance knob. */
+  def adaptiveWidth(df: DataFrame, factor: Int = 4): Long = {
+    val r = df.agg(min(col(T)).cast("long"), max(col(T)).cast("long")).head()
+    if (r.isNullAt(0)) 1L
+    else {
+      val span = r.getLong(1) - r.getLong(0) + 1
+      val parts = math.max(df.sparkSession.sparkContext.defaultParallelism, 1)
+      math.max(1L, span / (factor.toLong * parts))
+    }
+  }
+
+  /** `bucketOf` column for [[running]] from [[adaptiveWidth]]. */
+  def adaptiveBucket(df: DataFrame, factor: Int = 4): Column =
+    floor(col(T) / adaptiveWidth(df, factor)).cast("long")
+
   /** The in-bucket ordered window, exposed for callers that need a
     * consistent `lead`/`lag` alongside [[running]]'s outputs. */
   def wInBucket(ties: Seq[Column]): org.apache.spark.sql.expressions.WindowSpec =

@@ -17,6 +17,8 @@ object Probe {
     val job: () => Long = name match {
       case "mergeJob"     => () => graft.Bench.mergeJob(spark, 20000000L)
       case "rollupJob"    => () => graft.Bench.rollupJob(spark, 8000000L)
+      case "mergeJob200"  => () => graft.Bench.mergeJob(spark, 200000000L)
+      case "rollupJob80"  => () => graft.Bench.rollupJob(spark, 80000000L)
       case "skewBucketed" => () => graft.Bench.mergeSkewJob(spark, 24000000L, bucketed = true)
       case "skewPlain"    => () => graft.Bench.mergeSkewJob(spark, 24000000L, bucketed = false)
       case q              => () => graft.SparkEntry.queries(q)(spark, sfDir).count()

@@ -237,4 +237,44 @@ class BucketedSpec extends SparkSpec {
     val inv = Seq(("k", 5L, 4L)).toDF("key", "c0", "c1")
     assert(SeriesOps.explodeRangeChunked(inv, col("c0"), col("c1"), "id").count() == 0)
   }
+
+  test("adaptive bucket width: bucketing-invariant results at extreme spans") {
+    val s2 = spark
+    import s2.implicits._
+    // century span in micros-like units and an hour-scale span: same merge
+    // answer for plain, fixed-DAY-style, and adaptive bucketing
+    val spans = Seq(3155760000000000L /* ~100y */, 3600000000L /* 1h */)
+    spans.foreach { span =>
+      val df = spark.range(600)
+        .select(
+          lit("g").as("key"),
+          (col("id") % 4).cast("string").as("sid"),
+          (col("id") * (span / 600)).as("t"),
+          (col("id") % 5).cast("double").as("v"))
+      val width = graft.core.BucketedOps.adaptiveWidth(df)
+      assert(width >= 1L && width <= span, s"width $width for span $span")
+      val plain = collectTVL(graft.merge.MergeOps.mergeSum(df, strict = false))
+      val fixed = collectTVL(graft.merge.MergeOps.mergeSum(df, strict = false,
+        bucketBy = Some(floor(col("t") / 86400000000L).cast("long"))))
+      val adaptive = collectTVL(graft.merge.MergeOps.mergeSum(df, strict = false,
+        bucketBy = Some(graft.core.BucketedOps.adaptiveBucket(df))))
+      assert(fixed == plain, s"fixed-bucket merge diverged at span $span")
+      assert(adaptive == plain, s"adaptive-bucket merge diverged at span $span")
+    }
+  }
+
+  test("adaptiveWidth targets ~factor x parallelism buckets and floors at 1") {
+    val s2 = spark
+    import s2.implicits._
+    val df = spark.range(1000).select(lit("k").as("key"), col("id").as("t"), lit(1.0).as("v"))
+    val w = graft.core.BucketedOps.adaptiveWidth(df, factor = 4)
+    val buckets = 1000.0 / w
+    val target = 4.0 * spark.sparkContext.defaultParallelism
+    assert(buckets <= target * 2 + 1, s"too many buckets: $buckets vs target $target")
+    // degenerate span: width never 0
+    val tiny = spark.range(3).select(lit("k").as("key"), col("id").as("t"), lit(1.0).as("v"))
+    assert(graft.core.BucketedOps.adaptiveWidth(tiny) == 1L)
+    val empty = tiny.filter(col("t") < 0)
+    assert(graft.core.BucketedOps.adaptiveWidth(empty) == 1L)
+  }
 }
