@@ -29,8 +29,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // 48g default: the bench's 10x scale probes (80M-point rollup, 200M
-  // merge) need real execution memory on this 128 GiB box; -Xmx is a cap,
-  // not an allocation, so small runs are unaffected
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  // 12g default (measured): 8g OOMs the 80M-point scale probe
+  // (UNABLE_TO_ACQUIRE_MEMORY in the window sorts) while 48g slows the
+  // small jobs ~30% (GC geometry); 12g runs every bench job and is
+  // fastest at 80M (45.5s vs 59s at 16-48g)
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "12g")}",
 )

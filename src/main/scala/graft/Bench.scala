@@ -185,38 +185,43 @@ object Bench {
         name -> sec
       }
     }
+    def timeOnce(job: () => Long): Double = {
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime(); job(); (System.nanoTime() - t0) / 1e9
+    }
+
     val (_, rollupSec) = minOfReps(spark, reps)(() => rollupJob(spark, rollupRows))
     val pps = rollupRows / rollupSec
+    // 10x scale probes (round-2 verdict #8): ONE timed run each at ~10x the
+    // standard rows — the trend rows for whether throughput holds past the
+    // 24-32M-row evidence. Each probe runs IMMEDIATELY after its warmed
+    // small-size counterpart and right after its input table is generated
+    // (the generation write leaves the page cache hot) — running them
+    // after the skew section instead measured disk-cold reads, not the
+    // operator. SPARK_GRAFT_SCALE_PROBES=0 skips.
+    val probesOn = sys.env.getOrElse("SPARK_GRAFT_SCALE_PROBES", "1") != "0"
+    val scaleRollupRows = sys.env.getOrElse("SPARK_GRAFT_SCALE_ROLLUP_ROWS", "80000000").toLong
+    val scaleMergeRows = sys.env.getOrElse("SPARK_GRAFT_SCALE_MERGE_ROWS", "200000000").toLong
+    val scaleRollupSec =
+      if (!probesOn) 0.0
+      else {
+        pagesTable(spark, scaleRollupRows) // untimed one-off generation
+        timeOnce(() => rollupJob(spark, scaleRollupRows))
+      }
     val (_, mergeSec) = minOfReps(spark, reps)(() => mergeJob(spark, mergeRows))
     val tps = mergeRows / mergeSec
+    val scaleMergeSec = if (!probesOn) 0.0 else timeOnce(() => mergeJob(spark, scaleMergeRows))
+    val scaleJson =
+      if (!probesOn) ""
+      else f""","scale_rollup_points":$scaleRollupRows,"scale_rollup_sec":$scaleRollupSec%.3f,"scale_rollup_points_per_sec":${scaleRollupRows / scaleRollupSec}%.0f,"scale_merge_transitions":$scaleMergeRows,"scale_merge_sec":$scaleMergeSec%.3f,"scale_merge_transitions_per_sec":${scaleMergeRows / scaleMergeSec}%.0f"""
+
     // skew head-to-head: one shared JIT warmup (bucketed), then ONE timed
     // run per path — the plain path is the deliberately-bad control, so
     // min-of-reps would just double a slow run to prove a known point.
     // Cache cleared before each timed run (see minOfReps).
     mergeSkewJob(spark, skewRows, bucketed = true)
-    def timeOnce(job: () => Long): Double = {
-      spark.catalog.clearCache()
-      val t0 = System.nanoTime(); job(); (System.nanoTime() - t0) / 1e9
-    }
     val skewBucketedSec = timeOnce(() => mergeSkewJob(spark, skewRows, bucketed = true))
     val skewPlainSec = timeOnce(() => mergeSkewJob(spark, skewRows, bucketed = false))
-
-    // 10x scale probes (round-2 verdict #8): ONE timed run each at ~10x the
-    // standard rows — the trend rows for whether throughput holds past the
-    // 24-32M-row evidence. The smaller timed jobs above already served as
-    // JIT/codegen warmup for these plans. SPARK_GRAFT_SCALE_PROBES=0 skips.
-    val probesOn = sys.env.getOrElse("SPARK_GRAFT_SCALE_PROBES", "1") != "0"
-    val scaleRollupRows = sys.env.getOrElse("SPARK_GRAFT_SCALE_ROLLUP_ROWS", "80000000").toLong
-    val scaleMergeRows = sys.env.getOrElse("SPARK_GRAFT_SCALE_MERGE_ROWS", "200000000").toLong
-    val scaleJson =
-      if (!probesOn) ""
-      else {
-        if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"/tmp/graft_pages_$scaleRollupRows")))
-          pagesTable(spark, scaleRollupRows) // untimed one-off generation
-        val scaleRollupSec = timeOnce(() => rollupJob(spark, scaleRollupRows))
-        val scaleMergeSec = timeOnce(() => mergeJob(spark, scaleMergeRows))
-        f""","scale_rollup_points":$scaleRollupRows,"scale_rollup_sec":$scaleRollupSec%.3f,"scale_rollup_points_per_sec":${scaleRollupRows / scaleRollupSec}%.0f,"scale_merge_transitions":$scaleMergeRows,"scale_merge_sec":$scaleMergeSec%.3f,"scale_merge_transitions_per_sec":${scaleMergeRows / scaleMergeSec}%.0f"""
-      }
 
     val qjson = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
