@@ -33,12 +33,7 @@ import org.apache.spark.sql.functions._
   *    — the (key, bucket) exchange feeding the in-bucket window — unshuffled
   *    by the join. Total big-data movement: one shuffle, one sort.
   *
-  * Callers whose delta columns are themselves window-priced (e.g.
-  * [[graft.merge.MergeOps.mergeSum]], whose per-row delta needs a per-sid
-  * lag) can pass `handoffTotals` computed by cheaper algebra (mergeSum's
-  * per-bucket delta-sums telescope to last-minus-previous-closing per sid,
-  * needing no lag over the data at all).
-  *
+
   * Correctness relies on `bucketOf` being a function of t alone (rows with
   * equal t always share a bucket — in-bucket `lead(t)` still detects "last
   * row per distinct t") and on `ties` being ascending, struct-orderable
@@ -85,27 +80,17 @@ object BucketedOps {
     * latest non-null `m` at-or-before the current row across the whole key.
     * The output keeps a `_bkt` column for follow-up in-bucket windows.
     *
-    * `handoffTotals`: optional caller-supplied per-(key, bucket) totals with
-    * columns `(key, _bkt, _t_<name>...)` — for each sum, the SUM of its
-    * deltas within the bucket; for each carry, the bucket's closing marker
-    * (latest non-null `m`), null when the bucket holds none. Must cover
-    * exactly the nonempty buckets of `df`.
-    *
-    * `exposeOffsets`: keep the per-bucket offset columns `_o_<name>` in the
-    * output (for sums: the cumulative total through the END of the previous
-    * nonempty bucket, null when there is none — i.e. null marks "first
-    * nonempty bucket of the key"; for carries: the carry entering the
-    * bucket). Lets callers fuse follow-up passes (e.g. cross-bucket
-    * compaction) without a second handoff join.
+    * (Callers with cheaper algebra for the handoff — e.g.
+    * [[graft.merge.MergeOps.mergeSum]]'s telescoped per-(key, sid, bucket)
+    * closings — inline the same plan shape directly rather than going
+    * through this generic entry point.)
     */
   def running(
       df: DataFrame,
       bucketOf: Column,
       ties: Seq[Column],
       sums: Seq[(String, Column)],
-      carries: Seq[(String, Column)] = Nil,
-      handoffTotals: Option[DataFrame] = None,
-      exposeOffsets: Boolean = false): DataFrame = {
+      carries: Seq[(String, Column)] = Nil): DataFrame = {
     val names = (sums ++ carries).map(_._1)
     require(names.distinct == names, s"duplicate output names: $names")
     val base = df.withColumn("_bkt", bucketOf)
@@ -115,7 +100,7 @@ object BucketedOps {
     // handoff table: per-bucket totals / closing values — one row per
     // (key, bucket); max_by ignores rows whose ordering expr is null, so the
     // closing value is the latest row where the carry struct is non-null
-    val totals = handoffTotals.getOrElse {
+    val totals = {
       val aggs =
         sums.map { case (n, _) => sum(col(s"_d_$n")).as(s"_t_$n") } ++
           carries.map { case (n, _) =>
@@ -149,8 +134,6 @@ object BucketedOps {
       acc.withColumn(n,
         coalesce(last(col(s"_m_$n"), ignoreNulls = true).over(wIn), col(s"_o_$n")))
     }
-    val internal = names.flatMap(n => Seq(s"_d_$n", s"_m_$n", s"_t_$n")) ++
-      (if (exposeOffsets) Nil else names.map(n => s"_o_$n"))
-    withCarries.drop(internal: _*)
+    withCarries.drop(names.flatMap(n => Seq(s"_d_$n", s"_m_$n", s"_t_$n", s"_o_$n")): _*)
   }
 }
