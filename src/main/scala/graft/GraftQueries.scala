@@ -251,12 +251,9 @@ object GraftQueries {
   def qNPoints(spark: SparkSession, dir: String): DataFrame = {
     val pts = points(spark, dir)
     val (tmin, tmax) = bounds(pts)
-    val np = SeriesOps.nPoints(pts, lit(tmin), lit(tmax), includeStart = false, includeEnd = true)
-    val nn = SeriesOps
-      .nPoints(pts, lit(tmin), lit(tmax), includeStart = false, includeEnd = true,
-        normalized = true)
-      .withColumnRenamed("n_points", "n_norm")
-    np.join(nn, Seq("key")).withColumn("n_norm", round(col("n_norm"), 6))
+    SeriesOps
+      .nPointsWithNormalized(pts, lit(tmin), lit(tmax), includeStart = false, includeEnd = true)
+      .withColumn("n_norm", round(col("n_norm"), 6))
   }
 
   val sqlNPoints: String =
@@ -1011,7 +1008,7 @@ object GraftQueries {
     * stays in ONE place. */
   val sqlAnnRecall: String = {
     val iters = 2
-    def simOver(vecExpr: String, centsCte: String): String =
+    def simOver(centsCte: String): String =
       s"""SELECT e.vec_id, c.cell,
          |    round(sum(e.embedding[i]::DOUBLE * c.cv[i]) /
          |      (sqrt(sum(e.embedding[i]::DOUBLE ^ 2)) * sqrt(sum(c.cv[i] ^ 2))), 6) AS sim
@@ -1024,7 +1021,7 @@ object GraftQueries {
         |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8))""".stripMargin
     val iterCtes = (0 until iters).map { n =>
       s"""ec$n AS (
-         |  ${simOver("cv", s"c$n")}),
+         |  ${simOver(s"c$n")}),
          |asg$n AS (
          |  SELECT vec_id, cell FROM ec$n
          |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell ASC) = 1),
@@ -1042,7 +1039,7 @@ object GraftQueries {
     s"""WITH $seed,
        |$iterCtes,
        |ecF AS (
-       |  ${simOver("cv", s"c$iters")}),
+       |  ${simOver(s"c$iters")}),
        |asgF AS (
        |  SELECT vec_id, cell FROM ecF
        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell ASC) = 1),

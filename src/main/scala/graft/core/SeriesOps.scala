@@ -144,9 +144,9 @@ object SeriesOps {
       else {
         val c = count(lit(1)).over(Window.partitionBy(col(K), col(T)))
         df.withColumn("_dup",
-            when(c > lit(1),
-              raise_error(concat(lit("seriesEqualsBy: duplicate (key,t) for key="),
-                col(K).cast("string")))))
+            assert_true(c <= lit(1),
+              concat(lit("seriesEqualsBy: duplicate (key,t) for key="),
+                col(K).cast("string"))))
           .filter(col("_dup").isNull).drop("_dup")
       }
     val ca = guarded(a).select(col(K), col(T), struct(col(V)).as("_va"))
@@ -417,6 +417,22 @@ object SeriesOps {
     if (normalized)
       agg.select(col(K), (col("_n").cast("double") / col("_total")).as("n_points"))
     else agg.select(col(K), col("_n").as("n_points"))
+  }
+
+  /** Both [[nPoints]] forms in one aggregation pass: (key, n_points,
+    * n_norm) — the count over the range and its normalized fraction. */
+  def nPointsWithNormalized(
+      df: DataFrame,
+      start: Column,
+      end: Column,
+      includeStart: Boolean,
+      includeEnd: Boolean): DataFrame = {
+    val lo = if (includeStart) col(T) >= start else col(T) > start
+    val hi = if (includeEnd) col(T) <= end else col(T) < end
+    df.groupBy(col(K))
+      .agg(count(when(lo && hi, 1)).as("n_points"), count(lit(1)).as("_total"))
+      .select(col(K), col("n_points"),
+        (col("n_points").cast("double") / col("_total")).as("n_norm"))
   }
 
   /** `n_points` over a mask (reference timeseries.py:975-989, default

@@ -278,7 +278,11 @@ object MergeOps {
           // over the same (key) ordering reuses the running-sum shuffle+sort
           .withColumn("_nt", lead(col(T), 1).over(ord))
           .filter(!(col("_nt") <=> col(T)))
-          .join(broadcast(seeds), Seq(K))
+          // null-SAFE: a null merge key is legitimate (countByValue's
+          // None-value series); Seq(K) equi-join would silently drop it,
+          // diverging from the bucketed branch's <=> joins
+          .join(broadcast(seeds.withColumnRenamed(K, "_sk")), col(K) <=> col("_sk"))
+          .drop("_sk")
         val merged = run.select(col(K), col(T), mval(col("_cs"), col("_cn")).as(V))
         graft.core.SeriesOps.compact(merged)
     }
@@ -360,15 +364,16 @@ object MergeOps {
     * bucket-entry table `entry` (`_ek,_es,_eb,_pcv` = each sid's state
     * ENTERING the bucket).
     *
-    * The small frames are lazily local-checkpointed: the grid construction
-    * is a diamond-heavy DAG whose branches prune differently, so exchange
-    * reuse cannot dedupe them and every consumer would transitively re-run
-    * the caller's source aggregation (measured: 5-9 re-evaluations). The
-    * checkpoint pins each to ONE evaluation; blocks live on the executors
-    * (never the driver), register nothing in the cache manager, and the
-    * context cleaner frees them once the plan is unreferenced. Sizes:
+    * The grid construction is a diamond-heavy DAG whose branches prune
+    * differently, so exchange reuse cannot always dedupe them and some
+    * tiny-frame lineage (including the caller's source aggregation) is
+    * re-evaluated by 2-3 consumers. Measured: materializing the small
+    * frames with lazy localCheckpoint was SLOWER here (serialized
+    * materialization jobs + lost codegen fusion outweigh the re-runs at
+    * any tested size), so the frames stay lazy; each re-run is a map-side-
+    * combined aggregate pass, never a second copy of the data. Sizes:
     * `times` is output-rows / K; the others are per-(sid, bucket)
-    * summaries — never the data itself.
+    * summaries.
     */
   private case class DynamicParts(entries: DataFrame, entry: DataFrame)
 

@@ -55,11 +55,20 @@ object Codecs {
       Some(BmpHeader(buf.getInt(18), buf.getInt(22), buf.getShort(28) & 0xFFFF, buf.getInt(10)))
     }
 
+  /** Sanity bounds for a parsed header: 24-bit, positive dims that cannot
+    * overflow the pixel-count arithmetic, and a data offset at or past the
+    * 54-byte headers (a corrupt negative offset would otherwise pass the
+    * length check and index out of bounds). */
+  def plausible(h: BmpHeader): Boolean =
+    h.bitCount == 24 && h.width > 0 && h.height > 0 &&
+      h.width <= (1 << 20) && h.height <= (1 << 20) && h.dataOffset >= 54
+
   /** Decode 24-bit bottom-up pixel data to a TOP-down luminance grid
-    * ((r+g+b)/3 per pixel). None for non-24-bit or truncated payloads. */
+    * ((r+g+b)/3 per pixel). None for non-24-bit, implausible, or truncated
+    * payloads. */
   def decodeBmp24Luma(bytes: Array[Byte]): Option[(Int, Int, Array[Byte])] =
     parseBmpHeader(bytes)
-      .filter(h => h.bitCount == 24 && h.width > 0 && h.height > 0)
+      .filter(plausible)
       .flatMap { h =>
         val stride = bmpRowStride(h.width)
         if (bytes.length < h.dataOffset.toLong + stride.toLong * h.height) None

@@ -25,7 +25,9 @@ object Multimodal {
     * width, bits_per_sample as height, n_samples as frames). */
   def decode(r: MediaRow): DecodedRow = r.modality match {
     case "image" =>
-      Codecs.parseBmpHeader(r.bytes) match {
+      // plausible() guards corrupt 'BM'-prefixed blobs (negative dims /
+      // offsets, non-24-bit) — they fall back to the stub, not garbage
+      Codecs.parseBmpHeader(r.bytes).filter(Codecs.plausible) match {
         case Some(h) =>
           DecodedRow(r.doc_id, r.modality, r.bytes.length, h.width, h.height, 1, histogram(r.bytes))
         case None => stubDecode(r)

@@ -91,23 +91,50 @@ object CheckpointedRollup {
     while (!acquired) {
       try {
         val out = fs.create(lock, false) // create-if-absent: atomic on HDFS
-        out.write(spark.sparkContext.applicationId.getBytes("UTF-8"))
-        out.close()
+        try {
+          out.write(spark.sparkContext.applicationId.getBytes("UTF-8"))
+          out.close()
+        } catch {
+          // create succeeded but the write failed (transient store error):
+          // release our own half-written lock instead of spinning against it
+          case e: Throwable => fs.delete(lock, false); throw e
+        }
         acquired = true
       } catch {
         case _: java.io.IOException =>
           try {
             val st = fs.getFileStatus(lock)
-            if (System.currentTimeMillis() - st.getModificationTime > staleMs)
-              fs.delete(lock, false) // stale holder crashed: steal
+            if (System.currentTimeMillis() - st.getModificationTime > staleMs) {
+              // steal by RENAME, not delete: rename is atomic, so if two
+              // waiters race only ONE wins the rename (the loser's rename
+              // fails on the missing source) — a delete here could remove a
+              // lock another waiter just re-created
+              val tomb = new Path(lockDir, s"$tier.stale-${java.util.UUID.randomUUID}")
+              if (fs.rename(lock, tomb)) fs.delete(tomb, false)
+            }
           } catch { case _: java.io.FileNotFoundException => () }
           if (System.currentTimeMillis() > deadline)
             throw new IllegalStateException(s"tier lock $lock held past timeout")
           Thread.sleep(100)
       }
     }
+    // heartbeat: a live holder refreshes the lock mtime so a long tier run
+    // (> staleMs) is never mistaken for a crashed holder and stolen
+    val beat = new Thread(() => {
+      try {
+        while (!Thread.currentThread().isInterrupted) {
+          Thread.sleep(math.max(staleMs / 3, 1000L))
+          fs.setTimes(lock, System.currentTimeMillis(), -1)
+        }
+      } catch { case _: InterruptedException => () case _: java.io.IOException => () }
+    }, s"graft-lock-heartbeat-$tier")
+    beat.setDaemon(true)
+    beat.start()
     try body
-    finally fs.delete(lock, false)
+    finally {
+      beat.interrupt()
+      fs.delete(lock, false)
+    }
   }
 
   /** Day-buckets present in the series, minus those already committed for
