@@ -81,7 +81,7 @@ object CheckpointedRollup {
     * older than `staleMs` is stolen), then re-reads the checkpoint, so
     * concurrent drivers serialize per tier and each pending partition is
     * processed exactly once. */
-  private def withTierLock[A](spark: SparkSession, dir: String, tier: String,
+  private[graft] def withTierLock[A](spark: SparkSession, dir: String, tier: String,
       staleMs: Long = 30 * 60 * 1000L, timeoutMs: Long = 10 * 60 * 1000L)(body: => A): A = {
     val (fs, lockDir) = fsOf(spark, s"$dir/_locks")
     fs.mkdirs(lockDir)
@@ -123,7 +123,7 @@ object CheckpointedRollup {
     val beat = new Thread(() => {
       try {
         while (!Thread.currentThread().isInterrupted) {
-          Thread.sleep(math.max(staleMs / 3, 1000L))
+          Thread.sleep(math.max(staleMs / 3, 100L))
           fs.setTimes(lock, System.currentTimeMillis(), -1)
         }
       } catch { case _: InterruptedException => () case _: java.io.IOException => () }

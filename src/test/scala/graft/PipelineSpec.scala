@@ -191,6 +191,40 @@ class PipelineSpec extends SparkSpec {
     assert(rows(dir) == rows(ref), "two-driver hourly output differs from single-driver")
   }
 
+  test("tier lock: stale locks are stolen, live locks heartbeat and block") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_lock").toString
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val lock = new org.apache.hadoop.fs.Path(s"$dir/_locks/chunks.lock")
+    // 1) a crashed holder's stale lock is stolen and acquisition proceeds
+    fs.mkdirs(lock.getParent)
+    fs.create(lock, false).close()
+    fs.setTimes(lock, System.currentTimeMillis() - 3600 * 1000L, -1)
+    var ran = false
+    CheckpointedRollup.withTierLock(spark, dir, "chunks",
+      staleMs = 1000L, timeoutMs = 5000L) { ran = true }
+    assert(ran, "stale lock was not stolen")
+    assert(!fs.exists(lock), "lock not released after body")
+    // 2) a LIVE holder's lock heartbeats past staleMs and blocks a second
+    //    driver until the holder finishes (never stolen mid-run)
+    val t0 = System.currentTimeMillis()
+    @volatile var holderDone = 0L
+    @volatile var waiterRan = 0L
+    val holder = new Thread(() =>
+      CheckpointedRollup.withTierLock(spark, dir, "chunks",
+        staleMs = 400L, timeoutMs = 10000L) {
+        Thread.sleep(1500) // longer than staleMs: heartbeat must protect it
+        holderDone = System.currentTimeMillis()
+      })
+    holder.start()
+    Thread.sleep(200) // let the holder acquire first
+    CheckpointedRollup.withTierLock(spark, dir, "chunks",
+      staleMs = 400L, timeoutMs = 10000L) { waiterRan = System.currentTimeMillis() }
+    holder.join()
+    assert(holderDone > 0 && waiterRan >= holderDone,
+      s"waiter entered at $waiterRan before holder finished at $holderDone (start $t0)")
+  }
+
   test("retention keeps only fresh raw/hourly/daily and all weekly") {
     val series = Pages.toSeries(Pages.synthPages(spark, 1000))
     val now = series.agg(max("t")).head().getLong(0)
