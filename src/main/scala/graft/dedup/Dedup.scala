@@ -213,17 +213,29 @@ object Dedup {
     val vecChecked = when(size(col(vecCol)) === dim, col(vecCol))
       .otherwise(raise_error(concat(
         lit(s"embeddingNearDupSRP: vector length != dim=$dim for id "), col(idCol).cast("string"))))
+    // the 32 hyperplane dots are higher-order-function expressions (outside
+    // whole-stage codegen), so the per-vector cost is real: quantize the
+    // vector ONCE (shared by every plane) and spread the rows across cores
+    // first — a single-file parquet scan would otherwise compute every
+    // signature in one task
+    // NOTE on form: a fixed-index expansion (2048 GetArrayItem terms) was
+    // tried and measured 3x SLOWER end-to-end — the optimizer/codegen cost
+    // of the huge tree dwarfs the interpreted-HOF overhead at any tested
+    // size. The HOF form with a SHARED quantized vector and an explicit
+    // repartition (a single-file scan would compute every signature in one
+    // task) is the measured best.
     val bandSigs = (0 until bands).map { b =>
       (0 until rowsPerBand).map { r =>
         val dot = aggregate(
-          zip_with(col("_vec"), lit(planes(b * rowsPerBand + r)),
-            (x, w) => round(x.cast("double") * 1024) * w),
+          zip_with(col("_q"), lit(planes(b * rowsPerBand + r)), (x, w) => x * w),
           lit(0.0d), (acc, x) => acc + x)
         when(dot >= 0, shiftleft(lit(1L), r)).otherwise(lit(0L))
       }.reduce(_ + _)
     }
     val sigs = emb
+      .repartition(emb.sparkSession.sparkContext.defaultParallelism)
       .withColumn("_vec", vecChecked)
+      .withColumn("_q", transform(col("_vec"), x => round(x.cast("double") * 1024)))
       .select(col(idCol), col(vecCol),
         explode(array(bandSigs.zipWithIndex.map { case (s, b) =>
           struct(lit(b).as("band"), s.as("sig"))
