@@ -57,7 +57,11 @@ object Dedup {
     */
   def minhashSignature(docs: DataFrame, textCol: String = "text", nh: Int = 16, shingleN: Int = 3,
       idCol: String = "doc_id"): DataFrame = {
+    // spread the tokenize/shingle/md5 work across cores first: a
+    // single-file docs scan would otherwise compute every signature in one
+    // task (measured: 0.8s serial at sf0.1)
     val ex = docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .select(col(idCol), graft.text.TextOps.wsTokens(col(textCol)).as("_tk"))
       .select(col(idCol), explode(shinglesOf(col("_tk"), shingleN)).as("_s"))
       .select(col(idCol),
