@@ -128,6 +128,26 @@ class MergeEquivalenceSpec extends SparkSpec {
     assert(viaDynamic.nonEmpty)
   }
 
+  test("mergeAggDynamic(max) ≡ pivot mergeOp(max) incl. nulls across buckets") {
+    Goldens.mergeOpTrials.filter(_.op == "max").foreach { trial =>
+      val s2 = spark
+      import s2.implicits._
+      val df = trialDf(trial.input).persist()
+      val defaults = trial.input
+        .map { case (sid, _, _, d) => (sid.toString, d.map(Double.box).orNull.asInstanceOf[java.lang.Double]) }
+        .distinct.toDF("sid", "default")
+        .withColumn("default", col("default").cast("double"))
+      // narrow buckets force bucket-boundary compaction through the tiny
+      // opens table (the fused merge-compact path q37 uses)
+      val bucketed = collectTV(MergeOps.mergeAggDynamic(df, max(_), Some(defaults),
+        Some(floor(col("t") / 5).cast("long"))))
+      val plain = collectTV(MergeOps.mergeAggDynamic(df, max(_), Some(defaults), None))
+      approxEq(bucketed, trial.expected)
+      approxEq(plain, trial.expected)
+      df.unpersist()
+    }
+  }
+
   test("iterMerge emits the post-transition state once per distinct time") {
     val s = spark
     import s.implicits._
