@@ -20,6 +20,8 @@ object Probe {
       case "mergeJob200"  => () => graft.Bench.mergeJob(spark, 200000000L)
       case "rollupJob80"  => () => graft.Bench.rollupJob(spark, 80000000L)
       case "skewBucketed" => () => graft.Bench.mergeSkewJob(spark, 24000000L, bucketed = true)
+      case "skewBucketed40" => () => graft.Bench.mergeSkewJob(spark, 40000000L, bucketed = true)
+      case "skewBucketed64" => () => graft.Bench.mergeSkewJob(spark, 64000000L, bucketed = true)
       case "skewPlain"    => () => graft.Bench.mergeSkewJob(spark, 24000000L, bucketed = false)
       case q              => () => graft.SparkEntry.queries(q)(spark, sfDir).count()
     }
