@@ -584,10 +584,11 @@ object GraftQueries {
       // operator itself carries None in the state slot — see iterMerge)
       .agg(coalesce(max("value"), lit(0.0)).as("v"))
       .withColumn("key", constKey("all", col("sid")))
-    val defaults = df.select("sid").distinct().withColumn("default", lit(0.0))
+    // every series defaults to 0.0: the uniform-constant form skips the
+    // per-sid defaults frame (whose lineage re-ran the source aggregation)
     MergeOps
       .mergeAggDynamic(df, max(_), // ignorant max: max skips nulls
-        defaults = Some(defaults), bucketBy = dayBucket)
+        bucketBy = dayBucket, constDefault = Some(lit(0.0)))
       .withColumn("v", round(col("v"), 6))
   }
 

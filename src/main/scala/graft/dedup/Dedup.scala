@@ -212,48 +212,63 @@ object Dedup {
       bands: Int = 8, rowsPerBand: Int = 4, seed: Long = 42L,
       maxBucket: Int = 10000): DataFrame = {
     val planes = srpPlanes(bands, rowsPerBand, dim, seed)
-    // a vector of the wrong length would zip_with-pad to a null dot and
-    // silently hash as "negative" on every plane — fail loudly instead
+    val nPlanes = bands * rowsPerBand
+    // a vector of the wrong length would silently hash as "missing
+    // dimensions" on every plane — fail loudly instead
     val vecChecked = when(size(col(vecCol)) === dim, col(vecCol))
       .otherwise(raise_error(concat(
         lit(s"embeddingNearDupSRP: vector length != dim=$dim for id "), col(idCol).cast("string"))))
-    // the 32 hyperplane dots are higher-order-function expressions (outside
-    // whole-stage codegen), so the per-vector cost is real: quantize the
-    // vector ONCE (shared by every plane) and spread the rows across cores
-    // first — a single-file parquet scan would otherwise compute every
-    // signature in one task
-    // NOTE on form: a fixed-index expansion (2048 GetArrayItem terms) was
-    // tried and measured 3x SLOWER end-to-end — the optimizer/codegen cost
-    // of the huge tree dwarfs the interpreted-HOF overhead at any tested
-    // size. The HOF form with a SHARED quantized vector and an explicit
-    // repartition (a single-file scan would compute every signature in one
-    // task) is the measured best.
+    // Signature plan (round-4 rework, each step measured):
+    //  - posexplode the vector to (id, pos, x) rows, then the 32 plane
+    //    dots are codegen'd HASH-AGGREGATE sums of x * element_at(litW, pos)
+    //    — constant-array lookups inside whole-stage codegen. The previous
+    //    form (32 aggregate/zip_with higher-order functions per vector) was
+    //    interpreted and dominated the query (~1.1s of 3.3s at sf0.1); a
+    //    2048-term fixed-index expansion was worse still (3x: optimizer
+    //    cost of the huge tree). Every id's element rows stay inside one
+    //    partition (they come from one input row), so partial aggregation
+    //    collapses them before the tiny per-id exchange.
+    //  - all arithmetic is integer-valued doubles (quantized x, integer
+    //    planes; |dot| < 2^53), so the sums are EXACT and order-free — the
+    //    signatures stay bit-identical to the spec the oracle replays.
+    //  - the repartition spreads the work: a single-file parquet scan
+    //    would otherwise compute every signature in one task.
+    val exploded = emb
+      .repartition(emb.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol), posexplode(vecChecked).as(Seq("_p", "_x")))
+      .select(col(idCol), col("_p"), round(col("_x").cast("double") * 1024).as("_q"))
+    val dotAggs = (0 until nPlanes).map { p =>
+      sum(col("_q") * element_at(lit(planes(p)), col("_p") + 1)).as(s"_d$p")
+    }
+    val dots = exploded.groupBy(col(idCol)).agg(dotAggs.head, dotAggs.tail: _*)
     val bandSigs = (0 until bands).map { b =>
       (0 until rowsPerBand).map { r =>
-        val dot = aggregate(
-          zip_with(col("_q"), lit(planes(b * rowsPerBand + r)), (x, w) => x * w),
-          lit(0.0d), (acc, x) => acc + x)
-        when(dot >= 0, shiftleft(lit(1L), r)).otherwise(lit(0L))
+        when(col(s"_d${b * rowsPerBand + r}") >= 0, shiftleft(lit(1L), r)).otherwise(lit(0L))
       }.reduce(_ + _)
     }
-    val sigs = emb
-      .repartition(emb.sparkSession.sparkContext.defaultParallelism)
-      .withColumn("_vec", vecChecked)
-      .withColumn("_q", transform(col("_vec"), x => round(x.cast("double") * 1024)))
-      .select(col(idCol), col(vecCol),
+    val sigs = dots
+      .select(col(idCol),
         explode(array(bandSigs.zipWithIndex.map { case (s, b) =>
           struct(lit(b).as("band"), s.as("sig"))
         }: _*)).as("_bs"))
-      .select(col(idCol), col(vecCol),
-        col("_bs.band").as("band"), col("_bs.sig").as("sig"))
+      .select(col(idCol), col("_bs.band").as("band"), col("_bs.sig").as("sig"))
       .withColumn("_cnt", count(lit(1)).over(Window.partitionBy("band", "sig")))
       .filter(col("_cnt") <= maxBucket)
       .drop("_cnt")
-    val l = sigs.select(col("band"), col("sig"), col(idCol).as("a"), col(vecCol).as("va"))
-    val r = sigs.select(col("band"), col("sig"), col(idCol).as("b"), col(vecCol).as("vb"))
-    l.join(r, Seq("band", "sig"))
+    // candidate pairs ride the bucket join as BARE IDS — the 64-double
+    // vectors never shuffle with the band rows (they used to: ~38 MB of
+    // payload at sf0.1, and at 100 TB the difference between shuffling
+    // signatures and shuffling the corpus); the exact cosine fetches
+    // vectors for the few surviving unique pairs only
+    val l = sigs.select(col("band"), col("sig"), col(idCol).as("a"))
+    val r = sigs.select(col("band"), col("sig"), col(idCol).as("b"))
+    val pairs = l.join(r, Seq("band", "sig"))
       .filter(col("a") < col("b"))
-      .dropDuplicates("a", "b")
+      .select(col("a"), col("b")).distinct()
+    val vecs = emb.select(col(idCol), col(vecCol))
+    pairs
+      .join(vecs.select(col(idCol).as("a"), col(vecCol).as("va")), Seq("a"))
+      .join(vecs.select(col(idCol).as("b"), col(vecCol).as("vb")), Seq("b"))
       .select(col("a"), col("b"), graft.ann.Ann.cosine(col("va"), col("vb")).as("cos"))
       .filter(col("cos") >= threshold)
   }

@@ -131,7 +131,12 @@ object MergeOps {
       df: DataFrame, // columns: key, sid, t, v
       strict: Boolean,
       defaults: Option[DataFrame] = None, // columns: sid, default
-      bucketBy: Option[Column] = None // skew-safe: function of t (BucketedOps)
+      // skew-safe: function of t (BucketedOps). MUST produce an INTEGRAL
+      // (numeric) bucket id — the cross-bucket offset below uses a RANGE
+      // frame ordered by the bucket column, which Spark only analyzes for
+      // numeric order keys (a date_trunc bucket fails analysis; use
+      // unix_micros/floor-division buckets, e.g. BucketedOps.adaptiveBucket)
+      bucketBy: Option[Column] = None
   ): DataFrame = {
     val withDef = defaults match {
       case Some(d) => df.join(broadcast(d), Seq("sid"), "left")
@@ -347,122 +352,211 @@ object MergeOps {
     *
     * The |times| x K row count is the operator's inherent output size (the
     * reference pays the same O(K) state copy per yielded time,
-    * docs/merge_strategies.rst). `bucketBy` (function of t) makes the
-    * carry skew-safe: the per-(key, sid) carry runs per (key, sid, bucket)
-    * inside ONE hash(key, bucket) exchange, with each sid's bucket-entry
-    * value carried in from a tiny per-(sid, bucket) closings table — the
-    * same single-join handoff as [[mergeSum]].
-    */
-  private def withDefaults(df: DataFrame, defaults: Option[DataFrame]): DataFrame =
-    defaults match {
-      case Some(d) => df.join(broadcast(d), Seq("sid"), "left")
-      case None    => df.withColumn("default", lit(null).cast("double"))
-    }
-
-  /** Bucketed dynamic-K internals: the exploded entry stream (with its
-    * bucket column retained) plus the tiny per-(key, sid, grid-bucket)
-    * bucket-entry table `entry` (`_ek,_es,_eb,_pcv` = each sid's state
-    * ENTERING the bucket).
+    * docs/merge_strategies.rst) — and at scale a silent 10^12-row grid is
+    * a job-killer, so the plan carries a guard: each (key, grid-bucket)
+    * whose predicted n_times x n_sids exceeds `maxGridPerBucket` fails
+    * loudly with raise_error (opt out with maxGridPerBucket <= 0; audit
+    * candidates first with [[mergeGridAudit]] — the same cap-plus-audit
+    * pattern as [[graft.dedup.Dedup.minhashCandidates]]).
     *
-    * The grid construction is a diamond-heavy DAG whose branches prune
-    * differently, so exchange reuse cannot always dedupe them and some
-    * tiny-frame lineage (including the caller's source aggregation) is
-    * re-evaluated by 2-3 consumers. Measured: materializing the small
-    * frames with lazy localCheckpoint was SLOWER here (serialized
-    * materialization jobs + lost codegen fusion outweigh the re-runs at
-    * any tested size), so the frames stay lazy; each re-run is a map-side-
-    * combined aggregate pass, never a second copy of the data. Sizes:
-    * `times` is output-rows / K; the others are per-(sid, bucket)
-    * summaries.
+    * `bucketBy` (function of t) makes the carry skew-safe: the grid is
+    * built per (key, sid, bucket) inside ONE hash(key, bucket) exchange
+    * with each sid's bucket-entry state riding in as a synthetic t=null
+    * ENTRY row from a tiny windows-only handoff chain (no grid joins on
+    * the data side, no diamond re-evaluation of the tiny lineage — the
+    * round-3 join-built grid re-ran the caller's source aggregation 2-3x).
     */
-  private case class DynamicParts(entries: DataFrame, entry: DataFrame)
-
-  private def dynamicParts(withDef: DataFrame, bk: Column): DynamicParts = {
-    val times = withDef.select(col(K), col(T)).distinct()
-      .withColumn("_bkt", bk)
-    // each sid's closing value per nonempty DATA bucket + its default
-    // (scalar max_by keeps this a map-side-combined HashAggregate; groups
-    // are nonempty, so null-vs-absent is re-established by the struct wrap
-    // on the tiny result)
-    val sidClose = withDef.withColumn("_bkt", bk)
-      .groupBy(col(K), col("sid"), col("_bkt"))
-      .agg(max_by(col(V), col(T)).as("_lvv"), first("default").as("_def"))
-    val sids = sidClose
-      .groupBy(col(K), col("sid")).agg(first("_def").as("_def"))
-    // every (key, sid, GRID bucket) with the sid's carry INTO the bucket —
-    // latest closing from any strictly earlier bucket, else the default
-    val gridB = times.select(col(K), col("_bkt")).distinct()
-      .join(sids, Seq(K))
-      .join(
-        sidClose.select(col(K), col("sid"), col("_bkt"), struct(col("_lvv")).as("_cl")),
-        Seq(K, "sid", "_bkt"), "left")
-    val wSB = Window.partitionBy(K, "sid").orderBy("_bkt")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val entry = gridB
-      .withColumn("_pcs", last(col("_cl"), ignoreNulls = true).over(wSB))
-      .select(col(K).as("_ek"), col("sid").as("_es"), col("_bkt").as("_eb"),
-        when(col("_pcs").isNull, col("_def")).otherwise(col("_pcs").getField("_lvv"))
-          .as("_pcv"))
-    val dat = withDef.select(col(K), col("sid"), col(T), struct(col(V)).as("_m"))
-    val grid = times.join(sids, Seq(K))
-      .join(dat, Seq(K, "sid", T), "left")
-      .join(entry,
-        col(K) <=> col("_ek") && col("sid") <=> col("_es") && col("_bkt") <=> col("_eb"))
-      .drop("_ek", "_es", "_eb")
-      .repartition(col(K), col("_bkt"))
-    val wCumB = Window.partitionBy(col(K), col("sid"), col("_bkt")).orderBy(col(T))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val entries = grid
-      .withColumn("_lm", last(col("_m"), ignoreNulls = true).over(wCumB))
-      .select(col(K), col("sid"), col(T), col("_bkt"),
-        when(col("_lm").isNotNull, col("_lm").getField(V)).otherwise(col("_pcv")).as(V))
-    DynamicParts(entries, entry)
-  }
-
   def iterMergeEntries(
       df: DataFrame, // columns: key, sid, t, v
       defaults: Option[DataFrame] = None, // columns: sid, default
-      bucketBy: Option[Column] = None): DataFrame = {
-    val withDef = withDefaults(df, defaults)
-    bucketBy match {
-      case Some(bk) => dynamicParts(withDef, bk).entries.drop("_bkt")
-      case None =>
-        val times = withDef.select(col(K), col(T)).distinct()
-        val sids = withDef.groupBy(col(K), col("sid")).agg(first("default").as("_def"))
-        val dat = withDef.select(col(K), col("sid"), col(T), struct(col(V)).as("_m"))
-        val grid = times.join(sids, Seq(K)).join(dat, Seq(K, "sid", T), "left")
-        val wCum = Window.partitionBy(K, "sid").orderBy(T)
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        grid
-          .withColumn("_lm", last(col("_m"), ignoreNulls = true).over(wCum))
-          .select(col(K), col(T), col("sid"),
-            when(col("_lm").isNotNull, col("_lm").getField(V)).otherwise(col("_def")).as(V))
-          .select(col(K), col("sid"), col(T), col(V))
-    }
+      bucketBy: Option[Column] = None,
+      maxGridPerBucket: Long = MAX_GRID_PER_BUCKET,
+      // uniform default for EVERY sid (the reference's scalar `default=`
+      // form) — zero extra lineage vs the per-sid defaults frame; ignored
+      // when `defaults` is given
+      constDefault: Option[Column] = None): DataFrame =
+    dynamicEntries(df, defaults, bucketBy.getOrElse(lit(0L)), maxGridPerBucket, constDefault)
+      .filter(!col("_ent"))
+      .select(col(K), col("sid"), col(T), col(V))
+
+  /** Default per-(key, grid-bucket) row bound for the dynamic-K merge
+    * family (~50M rows of grid land in one hash(key, bucket) group). */
+  final val MAX_GRID_PER_BUCKET = 50000000L
+
+  /** Predicted dynamic-K grid sizes above `minGridRows`, per (key,
+    * grid-bucket): (key, bucket, n_times, n_sids, grid_rows). Run this
+    * next to an [[iterMergeEntries]]/[[mergeOpDynamic]] call before
+    * raising `maxGridPerBucket`, so capped coverage is a visible audit
+    * row, never silent (mirrors [[graft.dedup.Dedup.lshOversizedBuckets]]).
+    */
+  def mergeGridAudit(df: DataFrame, bucketBy: Option[Column] = None,
+      minGridRows: Long = MAX_GRID_PER_BUCKET): DataFrame = {
+    val bk = bucketBy.getOrElse(lit(0L))
+    val nt = df.select(col(K), col(T)).distinct()
+      .groupBy(col(K), bk.as("_bkt")).agg(count(lit(1)).as("n_times"))
+    val ns = df.select(col(K), col("sid")).distinct()
+      .groupBy(col(K)).agg(count(lit(1)).as("n_sids"))
+    nt.join(ns.withColumnRenamed(K, "_nk"), col(K) <=> col("_nk"))
+      .select(col(K), col("_bkt").as("bucket"), col("n_times"), col("n_sids"),
+        (col("n_times") * col("n_sids")).as("grid_rows"))
+      .filter(col("grid_rows") > minGridRows)
   }
 
-  /** merge(compact=True) against tiny per-bucket opening values: in-bucket
-    * lag plus, at each bucket's first merged row, the bucket's opening
-    * merged value (the state entering the bucket IS the state at the last
-    * time of the previous nonempty bucket — every data point's time is a
-    * grid time, so no transition hides between them). `_ofirst` marks the
-    * key's first grid bucket, whose first row merge always keeps (set()'s
-    * len==0 short-circuit, timeseries.py:187-191). */
-  private def compactAgainstOpens(merged: DataFrame, opens: DataFrame): DataFrame = {
-    val wIn = Window.partitionBy(K, "_bkt").orderBy(T)
+  /** The shared dynamic-K grid (round-4 plan): one row per
+    * (grid time x sid) with `v` = the sid's latest value at-or-before t
+    * (its default before its first point), PLUS one ENTRY row (t = null,
+    * `_ent` = true) per (key, sid, grid-bucket) carrying the sid's state
+    * entering the bucket — so the per-bucket opening merged state rides
+    * the same stream and downstream merges never re-consume tiny lineage.
+    *
+    * Plan shape — exactly ONE big exchange, hash(key, bucket):
+    *  - `sidClose` (tiny, the single data aggregation of the handoff):
+    *    per-(key, sid, nonempty-bucket) closing value.
+    *  - the entry chain densifies sidClose to every (sid x grid bucket)
+    *    with windows + one explode over the TINY frame — no joins, ONE
+    *    consumer, so the data lineage behind sidClose runs once (the
+    *    round-3 join-built version re-ran it per consumer: measured 2-3
+    *    re-evaluations of the caller's source aggregation; exchange reuse
+    *    cannot dedupe subtrees that prune differently).
+    *  - `times` (distinct union times) joins the tiny entry table on
+    *    (key, bucket) — AQE broadcasts the entry side — emitting one probe
+    *    row per (time, sid); the row at the bucket's min time also emits
+    *    the sid's entry row, so no second consumer of the entry chain.
+    *  - probes ∪ data rows -> repartition(key, bucket) -> one cumulative
+    *    window. hash(key, bucket) then also satisfies the (key, bucket, t)
+    *    merge aggregation and the (key, bucket) compaction window
+    *    downstream — zero further exchanges.
+    * All joins are null-safe (<=>): a null merge key or sid is legitimate
+    * (countByValue's None-value series) and must not be dropped.
+    */
+  private def dynamicEntries(
+      df: DataFrame,
+      defaults: Option[DataFrame],
+      bk: Column,
+      maxGridPerBucket: Long,
+      constDefault: Option[Column] = None): DataFrame = {
+    val tType = df.schema(T).dataType
+    // scalar max_by keeps this a map-side-combined HashAggregate (a struct
+    // max_by would fall back to SortAggregate); groups are nonempty, so a
+    // null closing can only mean "measured None" — the struct wrap below
+    // re-establishes null-vs-absent on the tiny frame
+    val sidClose = df
+      .groupBy(col(K), col("sid"), bk.as("_bkt"))
+      .agg(max_by(col(V), col(T)).as("_lvv"))
+    val withDefs = defaults match {
+      case Some(d) =>
+        sidClose.join(broadcast(d.select(col("sid").as("_ds"), col("default").as("_def"))),
+          col("sid") <=> col("_ds"), "left").drop("_ds")
+      case None => sidClose.withColumn("_def", constDefault.getOrElse(lit(null)).cast("double"))
+    }
+    // entry chain: windows + one explode, all on the tiny frame. The
+    // explicit repartition(key) pins a partitioning that satisfies BOTH
+    // window specs ((key) and (key, sid)), so the planner cannot pick
+    // hash(key, sid) first and force a second tiny exchange.
+    val wKAll = Window.partitionBy(K)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wSid = Window.partitionBy(K, "sid").orderBy("_bkt")
+    val e0 = withDefs.repartition(col(K))
+      .withColumn("_allB", sort_array(array_distinct(collect_list(col("_bkt")).over(wKAll))))
+      .withColumn("_rn", row_number().over(wSid))
+    // each (key, sid)'s FIRST row fans out one probe per grid bucket; every
+    // row contributes its own closing. slice(.., 1, 0) is the empty array
+    // of the right element type (when/otherwise must agree).
+    val probeArr = transform(col("_allB"), b =>
+      struct(b.as("_eb"), lit(null).cast("struct<_lvv:double>").as("_cl"), lit(true).as("_pr")))
+    val e1 = e0.select(col(K), col("sid"), col("_def"), element_at(col("_allB"), 1).as("_b0"),
+      explode(concat(
+        array(struct(col("_bkt").as("_eb"), struct(col("_lvv")).as("_cl"), lit(false).as("_pr"))),
+        when(col("_rn") === 1, probeArr).otherwise(slice(probeArr, 1, 0)))).as("_x"))
+      .select(col(K), col("sid"), col("_def"), col("_b0"),
+        col("_x").getField("_eb").as("_eb"), col("_x").getField("_cl").as("_cl"),
+        col("_x").getField("_pr").as("_pr"))
+    // probe-before-closing at equal bucket (_pr desc: true first) => a
+    // bucket's entry sees strictly-earlier closings only
+    val wCarry = Window.partitionBy(K, "sid")
+      .orderBy(col("_eb").asc, col("_pr").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val entry = e1
+      .withColumn("_pcs", last(col("_cl"), ignoreNulls = true).over(wCarry))
+      .filter(col("_pr"))
+      .select(col(K).as("_ek"), col("sid").as("_es"), col("_eb"),
+        when(col("_pcs").isNull, col("_def")).otherwise(col("_pcs").getField("_lvv")).as("_pcv"),
+        (col("_eb") <=> col("_b0")).as("_ofirst"))
+      .withColumn("_nsid", count(lit(1)).over(Window.partitionBy("_ek", "_eb")))
+    // distinct union times + per-bucket min time (entry-row emission point)
+    // and row count (grid guard input). The per-bucket stats come from a
+    // tiny aggregate joined back (AQE broadcasts it), NOT a window over
+    // `times` — a (key, bucket) window would cost the frame an extra
+    // exchange+sort; both consumers of timesD prune identically, so the
+    // distinct's exchange is computed once and reused.
+    val timesD = df.select(col(K), col(T)).distinct()
+    val tStats = timesD.groupBy(col(K).as("_tk"), bk.as("_tb"))
+      .agg(min(col(T)).as("_tmin"), count(lit(1)).as("_ntime"))
+    val times = timesD.withColumn("_bkt", bk)
+      .join(tStats, col(K) <=> col("_tk") && col("_bkt") <=> col("_tb"))
+      .drop("_tk", "_tb")
+    // lossless inner join: every grid bucket holds >= 1 time and every
+    // time's bucket has entry rows (both derive from the same data buckets)
+    val grid0 = times.join(entry, col(K) <=> col("_ek") && col("_bkt") <=> col("_eb"))
+    val gridOk = lit(maxGridPerBucket <= 0) ||
+      col("_ntime") * col("_nsid") <= lit(maxGridPerBucket)
+    val tOut = when(gridOk, col(T)).otherwise(raise_error(concat(
+      lit("dynamic-K merge grid for key="), col(K).cast("string"),
+      lit(" bucket="), col("_bkt").cast("string"),
+      lit(" would be "), (col("_ntime") * col("_nsid")).cast("string"),
+      lit(s" rows (> maxGridPerBucket=$maxGridPerBucket); use a finer bucketBy," +
+        s" raise maxGridPerBucket explicitly, or audit with mergeGridAudit"))).cast(tType))
+    val mNull = lit(null).cast("struct<v:double>")
+    val probeRow = struct(tOut.as(T), mNull.as("_m"), lit(1).as("_ord"), lit(false).as("_ent"))
+    val entryRow = struct(lit(null).cast(tType).as(T),
+      struct(col("_pcv").as(V)).as("_m"), lit(0).as("_ord"), lit(true).as("_ent"))
+    val probes = grid0.select(
+      col(K), col("_es").as("sid"), col("_bkt"), col("_ofirst"),
+      explode(when(col(T) === col("_tmin"), array(entryRow, probeRow))
+        .otherwise(array(probeRow))).as("_x"))
+      .select(col(K), col("sid"), col("_bkt"), col("_ofirst"),
+        col("_x").getField(T).as(T), col("_x").getField("_m").as("_m"),
+        col("_x").getField("_ord").as("_ord"), col("_x").getField("_ent").as("_ent"),
+        lit(false).as("_isd"))
+    val dat = df.select(col(K), col("sid"), bk.as("_bkt"), lit(false).as("_ofirst"),
+      col(T), struct(col(V)).as("_m"), lit(0).as("_ord"), lit(false).as("_ent"),
+      lit(true).as("_isd"))
+    // THE one big exchange. Within each (key, sid, bucket): entry row first
+    // (t null), then (t, data-before-probe) — the cumulative last() is the
+    // as-of value, never null on probe rows (the entry row seeds it).
+    val big = probes.unionByName(dat).repartition(col(K), col("_bkt"))
+    val wCum = Window.partitionBy(K, "sid", "_bkt")
+      .orderBy(col(T).asc_nulls_first, col("_ord").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    big
+      .withColumn("_lm", last(col("_m"), ignoreNulls = true).over(wCum))
+      .filter(!col("_isd"))
+      .select(col(K), col("sid"), col(T), col("_bkt"),
+        col("_lm").getField(V).as(V), col("_ent"), col("_ofirst"))
+  }
+
+  /** merge(compact=True) over the entry-row-carrying merged stream: each
+    * (key, bucket)'s t=null row IS the bucket's opening merged value (the
+    * state entering the bucket is the state at the last time of the
+    * previous nonempty bucket — every data time is a grid time, so no
+    * transition hides between them). A real row is kept when its value
+    * differs from the previous row's, or when the previous row is the
+    * opening row of the key's FIRST grid bucket (`_of`) — merge always
+    * keeps the first merged point (set()'s len==0 short-circuit,
+    * timeseries.py:187-191). Runs entirely inside the hash(key, bucket)
+    * clustering — no exchange, no join. */
+  private def compactMerged(merged: DataFrame): DataFrame = {
+    val wB = Window.partitionBy(K, "_bkt").orderBy(col(T).asc_nulls_first)
+    val prev = lag(struct(col(T).as("_pt"), col(V).as("_pv"), col("_of").as("_pof")), 1).over(wB)
     merged
-      .join(opens, col(K) <=> col("_ok") && col("_bkt") <=> col("_ob"))
-      .withColumn("_pm", lag(struct(col(V)), 1).over(wIn))
-      .withColumn("_keep",
-        when(col("_pm").isNull, col("_ofirst") || !(col("_ov") <=> col(V)))
-          .otherwise(!(col("_pm").getField(V) <=> col(V))))
-      .filter(col("_keep"))
+      .withColumn("_prev", prev)
+      .filter(col(T).isNotNull)
+      .filter(
+        when(col("_prev").getField("_pt").isNull,
+          col("_prev").getField("_pof") || !(col("_prev").getField("_pv") <=> col(V)))
+          .otherwise(!(col("_prev").getField("_pv") <=> col(V))))
       .select(col(K), col(T), col(V))
   }
-
-  private def markFirstBucket(opens: DataFrame): DataFrame =
-    opens.withColumn("_ofirst",
-      row_number().over(Window.partitionBy("_ok").orderBy("_ob")) === 1)
 
   /** Dynamic-K `merge(operation=f)`: `f` maps the per-time state MAP
     * (sid -> latest value, every sid of the key present) to the merged
@@ -470,35 +564,24 @@ object MergeOps {
     * merge(compact=True) (first merged point always kept). Use
     * `map_values(state)` for vector-style operations
     * ([[ignorantMaxOf]] etc.). For aggregate-expressible operations prefer
-    * [[mergeAggDynamic]], which never materializes the map. */
+    * [[mergeAggDynamic]], which never materializes the map. Grid-size
+    * guard and `bucketBy` semantics as in [[iterMergeEntries]]. */
   def mergeOpDynamic(
       df: DataFrame,
       f: Column => Column,
       defaults: Option[DataFrame] = None,
-      bucketBy: Option[Column] = None): DataFrame = {
-    val withDef = withDefaults(df, defaults)
-    // sids are unique per (key, t), so the sorted entry list is map-safe
-    def stateOf(sidC: Column, vC: Column): Column =
-      map_from_entries(array_sort(collect_list(struct(sidC, vC))))
-    bucketBy match {
-      case Some(bk) =>
-        val parts = dynamicParts(withDef, bk)
-        val merged = parts.entries
-          .groupBy(col(K), col("_bkt"), col(T))
-          .agg(stateOf(col("sid"), col(V)).as("_st"))
-          .select(col(K), col("_bkt"), col(T), f(col("_st")).cast("double").as(V))
-        val opens = markFirstBucket(
-          parts.entry.groupBy(col("_ek").as("_ok"), col("_eb").as("_ob"))
-            .agg(stateOf(col("_es"), col("_pcv")).as("_om"))
-            .select(col("_ok"), col("_ob"), f(col("_om")).cast("double").as("_ov")))
-        compactAgainstOpens(merged, opens)
-      case None =>
-        val merged = iterMergeEntries(df, defaults, None)
-          .groupBy(col(K), col(T))
-          .agg(stateOf(col("sid"), col(V)).as("_st"))
-          .select(col(K), col(T), f(col("_st")).cast("double").as(V))
-        graft.core.SeriesOps.compact(merged)
-    }
+      bucketBy: Option[Column] = None,
+      maxGridPerBucket: Long = MAX_GRID_PER_BUCKET,
+      constDefault: Option[Column] = None): DataFrame = {
+    val e = dynamicEntries(df, defaults, bucketBy.getOrElse(lit(0L)), maxGridPerBucket, constDefault)
+    // sids are unique per (key, t), so the sorted entry list is map-safe;
+    // the t=null group is exactly the bucket's entry rows = opening state
+    val merged = e
+      .groupBy(col(K), col("_bkt"), col(T))
+      .agg(map_from_entries(array_sort(collect_list(struct(col("sid"), col(V))))).as("_st"),
+        max(when(col("_ent"), col("_ofirst"))).as("_of"))
+      .select(col(K), col("_bkt"), col(T), f(col("_st")).cast("double").as(V), col("_of"))
+    compactMerged(merged)
   }
 
   /** Dynamic-K merge for an AGGREGATE operation: `aggOf` builds a Spark
@@ -507,29 +590,21 @@ object MergeOps {
     * Cheaper than [[mergeOpDynamic]] — the state never materializes as a
     * map; each distinct time aggregates its K entry rows directly, with
     * map-side partial aggregation inside the (key, bucket) layout. Output
-    * compacted like merge(compact=True). */
+    * compacted like merge(compact=True). Grid-size guard and `bucketBy`
+    * semantics as in [[iterMergeEntries]]. */
   def mergeAggDynamic(
       df: DataFrame,
       aggOf: Column => Column,
       defaults: Option[DataFrame] = None,
-      bucketBy: Option[Column] = None): DataFrame = {
-    val withDef = withDefaults(df, defaults)
-    bucketBy match {
-      case Some(bk) =>
-        val parts = dynamicParts(withDef, bk)
-        val merged = parts.entries
-          .groupBy(col(K), col("_bkt"), col(T))
-          .agg(aggOf(col(V)).cast("double").as(V))
-        val opens = markFirstBucket(
-          parts.entry.groupBy(col("_ek").as("_ok"), col("_eb").as("_ob"))
-            .agg(aggOf(col("_pcv")).cast("double").as("_ov")))
-        compactAgainstOpens(merged, opens)
-      case None =>
-        val merged = iterMergeEntries(df, defaults, None)
-          .groupBy(col(K), col(T))
-          .agg(aggOf(col(V)).cast("double").as(V))
-        graft.core.SeriesOps.compact(merged)
-    }
+      bucketBy: Option[Column] = None,
+      maxGridPerBucket: Long = MAX_GRID_PER_BUCKET,
+      constDefault: Option[Column] = None): DataFrame = {
+    val e = dynamicEntries(df, defaults, bucketBy.getOrElse(lit(0L)), maxGridPerBucket, constDefault)
+    val merged = e
+      .groupBy(col(K), col("_bkt"), col(T))
+      .agg(aggOf(col(V)).cast("double").as(V),
+        max(when(col("_ent"), col("_ofirst"))).as("_of"))
+    compactMerged(merged)
   }
 
   /** The reference's `merge(ts_list, operation=f)` for an ARBITRARY
