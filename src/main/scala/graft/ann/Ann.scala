@@ -63,12 +63,21 @@ object Ann {
 
   /** IVF top-k: per query, probe the nProbe nearest cells and brute-force
     * only inside them. Probe ranking uses the same rounded-cosine rule as
-    * [[ivfAssign]]. */
+    * [[ivfAssign]].
+    *
+    * `broadcastQueries = true` (default) fits the query-SET shape: the
+    * probe table (queries x nProbe) is broadcast so the corpus never
+    * shuffles. For a query CORPUS (e.g. all-pairs ANN dedup over 100 TB,
+    * where "queries" is the whole embedding table) set it false: both
+    * sides then shuffle-join co-partitioned on `cell`, which is the only
+    * shape that scales when neither side fits an executor (same flag
+    * pattern as `sampleIntervalAt`'s broadcastCells). */
   def ivfTopK(
       assigned: DataFrame, centroids: DataFrame, queries: DataFrame,
       k: Int, nProbe: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      cellCol: String = null): DataFrame = {
+      cellCol: String = null,
+      broadcastQueries: Boolean = true): DataFrame = {
     val cc = Option(cellCol).getOrElse(idCol)
     val cents = broadcast(centroids.select(col(cc).as("cell"), col(vecCol).as("c_vec")))
     val qCells = queries
@@ -80,7 +89,11 @@ object Ann {
       .filter(col("_rn") <= nProbe)
       .select(col("q_id"), col("q_vec"), col("cell"))
     val c = assigned.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"), col("cell"))
-    val scored = c.join(broadcast(qCells), Seq("cell"))
+    val probeSide = if (broadcastQueries) broadcast(qCells) else qCells
+    val joined =
+      if (broadcastQueries) c.join(probeSide, Seq("cell"))
+      else c.repartition(col("cell")).join(probeSide.repartition(col("cell")), Seq("cell"))
+    val scored = joined
       .filter(col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("n_id"), round(cosine(col("q_vec"), col("n_vec")), 6).as("cos"))
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id").asc)

@@ -110,6 +110,15 @@ object Codecs {
     def nSamples: Int = dataLen / math.max(channels * (bitsPerSample / 8), 1)
   }
 
+  /** Field plausibility mirroring the BMP guard: a 'RIFF...WAVE'-tagged
+    * blob with a corrupt fmt/data chunk (negative or over-length dataLen,
+    * zero channels/bits) must fall back to None — not report garbage or
+    * negative frame counts downstream. */
+  def wavPlausible(h: WavHeader, totalLen: Int): Boolean =
+    h.dataLen >= 0 && 44L + h.dataLen <= totalLen &&
+      h.channels > 0 && h.bitsPerSample > 0 && h.bitsPerSample % 8 == 0 &&
+      h.sampleRate > 0
+
   def parseWavHeader(bytes: Array[Byte]): Option[WavHeader] = {
     def tag(off: Int, s: String) =
       bytes.length >= off + 4 && s.getBytes("US-ASCII").indices.forall(i => bytes(off + i) == s.getBytes("US-ASCII")(i))
@@ -122,6 +131,7 @@ object Codecs {
         channels = buf.getShort(22) & 0xFFFF,
         bitsPerSample = buf.getShort(34) & 0xFFFF,
         dataLen = buf.getInt(40)))
+        .filter(wavPlausible(_, bytes.length))
     }
   }
 }

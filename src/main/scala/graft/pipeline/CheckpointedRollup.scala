@@ -68,10 +68,15 @@ object CheckpointedRollup {
     val staging = new Path(s"$dir/_checkpoint_staging/$batch")
     ticks.toDF().coalesce(1).write.mode(SaveMode.Overwrite).parquet(staging.toString)
     val parts = fs.listStatus(staging).map(_.getPath).filter(_.getName.startsWith("part-"))
-    parts.zipWithIndex.foreach { case (f, i) =>
-      if (!fs.rename(f, new Path(ckpt, s"$batch-$i.parquet")))
-        throw new java.io.IOException(s"checkpoint commit rename failed for $f")
-    }
+    // the atomicity claim above holds ONLY because coalesce(1) guarantees a
+    // single part file — one rename = one commit point; a multi-file batch
+    // would need a directory rename or a manifest, so fail fast if the
+    // writer ever stops honoring the coalesce
+    if (parts.length != 1)
+      throw new IllegalStateException(
+        s"checkpoint staging $staging has ${parts.length} part files (expected 1)")
+    if (!fs.rename(parts(0), new Path(ckpt, s"$batch.parquet")))
+      throw new java.io.IOException(s"checkpoint commit rename failed for ${parts(0)}")
     fs.delete(staging, true)
   }
 
@@ -124,9 +129,24 @@ object CheckpointedRollup {
       try {
         while (!Thread.currentThread().isInterrupted) {
           Thread.sleep(math.max(staleMs / 3, 100L))
-          fs.setTimes(lock, System.currentTimeMillis(), -1)
+          // any non-interrupt failure must NOT kill the heartbeat — a dead
+          // heartbeat makes a live holder's lock go stale and be stolen,
+          // producing exactly the duplicate processing the lock prevents.
+          // Stores that don't support setTimes (some object stores throw
+          // UnsupportedOperationException) fall back to rewriting the lock
+          // file, which refreshes its mtime on any FileSystem.
+          try fs.setTimes(lock, System.currentTimeMillis(), -1)
+          catch {
+            case _: InterruptedException => throw new InterruptedException
+            case scala.util.control.NonFatal(_) =>
+              try {
+                val o = fs.create(lock, true)
+                o.write(spark.sparkContext.applicationId.getBytes("UTF-8"))
+                o.close()
+              } catch { case scala.util.control.NonFatal(_) => () } // keep beating
+          }
         }
-      } catch { case _: InterruptedException => () case _: java.io.IOException => () }
+      } catch { case _: InterruptedException => () }
     }, s"graft-lock-heartbeat-$tier")
     beat.setDaemon(true)
     beat.start()
@@ -271,6 +291,42 @@ object CheckpointedRollup {
           .agg(sum("n_points").as("input_rows"), count(lit(1)).as("row_count")))
       }
     } finally pts.unpersist()
+  }
+
+  /** Storage retention pass (round-3 verdict #6 — [[Rollup.applyRetention]]
+    * is the same policy applied to STORAGE, not just a row filter): drop
+    * whole tier partitions older than each horizon — chunks (raw), hourly
+    * and daily each keep `*KeepUs` of history behind `nowUs`; weekly is
+    * kept forever. Each drop runs under the tier lock and is recorded as a
+    * checkpoint tick (status="retained"), so
+    *  - a second `retain` is a no-op (already-retained partitions are
+    *    skipped),
+    *  - a rerun of [[run]] after retention re-processes NOTHING: the
+    *    original "done" ticks survive, so dropped partitions stay
+    *    committed-and-absent rather than pending (PipelineSpec:
+    *    run -> retain -> resume).
+    */
+  def retain(spark: SparkSession, dir: String, nowUs: Long,
+      chunksKeepUs: Long, hourlyKeepUs: Long, dailyKeepUs: Long): Unit = {
+    Seq(("chunks", chunksKeepUs), ("hourly", hourlyKeepUs), ("daily", dailyKeepUs))
+      .foreach { case (tier, keepUs) =>
+        withTierLock(spark, dir, tier) {
+          // a partition (day bucket) is expired when its whole day lies
+          // strictly before the horizon
+          val cutoff = Math.floorDiv(nowUs - keepUs, DAY)
+          val cp = readCheckpoint(spark, dir).filter(col("tier") === tier)
+          def parts(status: String): Set[Long] = cp
+            .filter(col("status") === status && col("partition") < cutoff)
+            .select("partition").distinct().collect().map(_.getLong(0)).toSet
+          val todo = (parts("done") -- parts("retained")).toSeq.sorted
+          if (todo.nonEmpty) {
+            val (fs, base) = fsOf(spark, s"$dir/$tier")
+            todo.foreach(b => fs.delete(new Path(base, s"partition=$b"), true))
+            appendCheckpoint(spark, dir, todo.map(b =>
+              Tick(tier, b, 0L, 0L, lineage = s"retention@$nowUs", status = "retained")))
+          }
+        }
+      }
   }
 
   /** Process only pending partitions of a tier, write them with DYNAMIC

@@ -56,6 +56,46 @@ class AnnSpec extends SparkSpec {
     corpus.unpersist()
   }
 
+  test("ivfTopK broadcastQueries=false shuffle-joins on cell (query-corpus shape)") {
+    // the default broadcasts the probe table (right for query SETS); the
+    // flag must instead co-partition both sides on `cell` — the only shape
+    // that survives when "queries" is the whole corpus (round-3 verdict #2)
+    val corpus = clustered(25).persist()
+    val cents = Ann.kMeans(corpus, k = 4, iters = 3)
+    val assigned = Ann.ivfAssign(corpus, cents, cellCol = "cell")
+    val queries = corpus.filter(col("vec_id") % 25 === 3)
+    // pin static planning so the assertion sees the declared join strategy,
+    // not a size-estimate broadcast of these tiny test frames
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      def planOf(broadcastQueries: Boolean): String =
+        Ann.ivfTopK(assigned, cents, queries, k = 5, nProbe = 1, cellCol = "cell",
+          broadcastQueries = broadcastQueries)
+          .queryExecution.executedPlan.toString
+      // centroid broadcasts (tiny, legitimate) appear in BOTH plans; the
+      // flag controls whether the PROBE join adds one more
+      val nBroadcasts = "BroadcastExchange".r
+      val extra = nBroadcasts.findAllIn(planOf(true)).size -
+        nBroadcasts.findAllIn(planOf(false)).size
+      assert(extra >= 1, "flag=false must drop the probe-side broadcast")
+      // and the results are identical either way
+      val viaShuffle = Ann.ivfTopK(assigned, cents, queries, k = 5, nProbe = 1,
+        cellCol = "cell", broadcastQueries = false)
+        .select("q_id", "n_id", "rank").collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val viaBroadcast = Ann.ivfTopK(assigned, cents, queries, k = 5, nProbe = 1,
+        cellCol = "cell")
+        .select("q_id", "n_id", "rank").collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(viaShuffle == viaBroadcast && viaShuffle.nonEmpty)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      corpus.unpersist()
+    }
+  }
+
   test("driver q60: trained-IVF recall@10 >= 0.9 at nProbe=3 (pinned)") {
     // sf0.01 = the driver's correctness-gate scale; at sf0.001 the corpus
     // is ~50 vectors and cell populations are too thin for a recall bound

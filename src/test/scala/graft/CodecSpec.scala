@@ -36,4 +36,21 @@ class CodecSpec extends SparkSpec {
     assert(h.dataLen == 480 && h.nSamples == 240) // 2 channels x 1 byte
     assert(Codecs.parseWavHeader("RIFFxxxxNOPE".getBytes).isEmpty)
   }
+
+  test("WAV parser rejects corrupt fmt/data fields (ADVICE r03)") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    val good = Codecs.encodeWavPcm(16000, 2, 8, Array.tabulate(480)(_.toByte))
+    def corrupt(f: ByteBuffer => Unit): Array[Byte] = {
+      val b = good.clone()
+      f(ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN)); b
+    }
+    // negative dataLen, over-length dataLen, zero channels, zero bits —
+    // all valid RIFF/WAVE magic, all must parse to None (not garbage
+    // n_frames downstream)
+    assert(Codecs.parseWavHeader(corrupt(_.putInt(40, -100))).isEmpty)
+    assert(Codecs.parseWavHeader(corrupt(_.putInt(40, Int.MaxValue))).isEmpty)
+    assert(Codecs.parseWavHeader(corrupt(_.putShort(22, 0))).isEmpty)
+    assert(Codecs.parseWavHeader(corrupt(_.putShort(34, 0))).isEmpty)
+    assert(Codecs.parseWavHeader(good).nonEmpty) // the clone() base is intact
+  }
 }

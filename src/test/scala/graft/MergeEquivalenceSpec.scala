@@ -148,6 +148,48 @@ class MergeEquivalenceSpec extends SparkSpec {
     }
   }
 
+  test("dynamic-K merge keeps null-keyed series (null-safe grid joins)") {
+    // a null merge key is legitimate (countByValue's None-value series);
+    // round-3's Seq(key) grid joins silently dropped it (ADVICE r03)
+    val s = spark
+    import s.implicits._
+    val rows = Seq(
+      ("a", 1.0, 2.0), ("a", 3.0, 4.0), ("b", 2.0, 1.0), ("b", 5.0, 3.0))
+    def df(key: Option[String]) = rows
+      .map { case (sid, t, v) => (key.orNull, sid, t, v) }
+      .toDF("key", "sid", "t", "v")
+    val bucket = Some(floor(col("t") / 2).cast("long"))
+    for (bk <- Seq(None, bucket)) {
+      val gotNull = collectTV(
+        MergeOps.mergeAggDynamic(df(None), max(_), bucketBy = bk,
+          constDefault = Some(lit(0.0))))
+      val gotNamed = collectTV(
+        MergeOps.mergeAggDynamic(df(Some("g")), max(_), bucketBy = bk,
+          constDefault = Some(lit(0.0))))
+      assert(gotNull.nonEmpty && gotNull == gotNamed, s"bucketBy=$bk")
+      val entries = MergeOps.iterMergeEntries(df(None), bucketBy = bk).count()
+      assert(entries == 8) // 4 distinct times x 2 sids
+    }
+  }
+
+  test("dynamic-K grid guard fails loudly past maxGridPerBucket; audit surfaces it") {
+    val s = spark
+    import s.implicits._
+    // one bucket: 4 times x 3 sids = 12 predicted grid rows
+    val df = (for (sid <- Seq("a", "b", "c"); t <- 1 to 4)
+      yield ("g", sid, t.toDouble, t.toDouble)).toDF("key", "sid", "t", "v")
+    val err = intercept[Exception] {
+      MergeOps.iterMergeEntries(df, maxGridPerBucket = 11).count()
+    }
+    assert(err.getMessage.contains("maxGridPerBucket"), err.getMessage)
+    // the audit names the offending (key, bucket) with its predicted size
+    val audit = MergeOps.mergeGridAudit(df, minGridRows = 11).collect()
+    assert(audit.length == 1 && audit(0).getAs[Long]("grid_rows") == 12L)
+    // at the bound (or opted out) it runs
+    assert(MergeOps.iterMergeEntries(df, maxGridPerBucket = 12).count() == 12)
+    assert(MergeOps.iterMergeEntries(df, maxGridPerBucket = 0).count() == 12)
+  }
+
   test("iterMerge emits the post-transition state once per distinct time") {
     val s = spark
     import s.implicits._

@@ -225,6 +225,44 @@ class PipelineSpec extends SparkSpec {
       s"waiter entered at $waiterRan before holder finished at $holderDone (start $t0)")
   }
 
+  test("run -> retain -> resume: surviving tiers identical, nothing re-processed") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_retain").toString
+    val series = Pages.toSeries(Pages.synthPages(spark, 2000))
+    CheckpointedRollup.run(series, dir)
+    val day = CheckpointedRollup.DAY
+    val now = series.agg(max("t")).head().getLong(0)
+    def tierRows(tier: String) = spark.read.parquet(s"$dir/$tier")
+      .drop("blob").collect().map(_.toString).sorted.toSeq
+    val weeklyBefore = tierRows("weekly")
+    val dailyBefore = tierRows("daily")
+    // horizons chosen so chunks and hourly lose their oldest partitions,
+    // daily keeps everything, weekly is untouched by policy
+    CheckpointedRollup.retain(spark, dir, now,
+      chunksKeepUs = 2 * day, hourlyKeepUs = 3 * day, dailyKeepUs = 365 * day)
+    val chunksCut = Math.floorDiv(now - 2 * day, day)
+    val hourlyCut = Math.floorDiv(now - 3 * day, day)
+    def liveParts(tier: String): Set[Long] = spark.read.parquet(s"$dir/$tier")
+      .select(col("partition").cast("long")).distinct().collect().map(_.getLong(0)).toSet
+    assert(liveParts("chunks").forall(_ >= chunksCut), s"expired chunks survive: ${liveParts("chunks")}")
+    assert(liveParts("hourly").forall(_ >= hourlyCut))
+    assert(tierRows("daily") == dailyBefore && tierRows("weekly") == weeklyBefore)
+    val cp1 = CheckpointedRollup.readCheckpoint(spark, dir)
+    val retained = cp1.filter(col("status") === "retained")
+      .select("tier", "partition").collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(retained.nonEmpty, "retention recorded no ticks")
+    // retain again: idempotent (no new ticks, no errors on absent dirs)
+    CheckpointedRollup.retain(spark, dir, now, 2 * day, 3 * day, 365 * day)
+    assert(CheckpointedRollup.readCheckpoint(spark, dir).count() == cp1.count())
+    // resume after retention: nothing pending, dropped partitions stay
+    // dropped, surviving rows identical
+    val survivingHourly = tierRows("hourly")
+    CheckpointedRollup.run(series, dir)
+    assert(CheckpointedRollup.readCheckpoint(spark, dir).count() == cp1.count(),
+      "resume after retention re-processed partitions")
+    assert(tierRows("hourly") == survivingHourly)
+    assert(liveParts("chunks").forall(_ >= chunksCut), "resume resurrected retained chunks")
+  }
+
   test("retention keeps only fresh raw/hourly/daily and all weekly") {
     val series = Pages.toSeries(Pages.synthPages(spark, 1000))
     val now = series.agg(max("t")).head().getLong(0)
