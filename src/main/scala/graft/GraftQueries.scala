@@ -1537,6 +1537,28 @@ object GraftQueries {
 
   val sqlJsonRoundtrip: String = sqlCsvRoundtrip
 
+  /** from_csv/from_json/to_json `transforms` parity (reference
+    * time_transform/value_transform callables, traces/timeseries.py:
+    * 1178-1235, 1248-1299, 1358-1380): export with NON-default transforms
+    * (raw epoch-µs numeric times instead of ISO strings, doubled values)
+    * and re-parse with the inverse pair — the round-trip reproduces the
+    * original points only if both sides' transforms replace the default
+    * parses. x2 then /2 is exact in IEEE doubles, so the oracle is the
+    * untouched series. */
+  def qTransformsRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = roundtripScratch(spark, "transforms", dir)
+    graft.sources.Sources.toJson(points(spark, dir), out,
+      timeTransform = Some(c => c), // keep the epoch-µs long, not ISO
+      valueTransform = Some(c => c * 2.0))
+    materializeThenClean(
+      graft.sources.Sources.fromJson(spark, out, keyColumn = Some("key"),
+        multiLine = false,
+        timeTransform = Some(c => c.cast("long")),
+        valueTransform = Some(c => c.cast("double") / 2.0)), out)
+  }
+
+  val sqlTransformsRoundtrip: String = sqlCsvRoundtrip
+
   /** remove / __delitem__ (traces/timeseries.py:356-365): delete the exact
     * points at the global first and last measurement times. */
   def qRemovePoint(spark: SparkSession, dir: String): DataFrame = {

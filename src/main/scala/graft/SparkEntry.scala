@@ -88,7 +88,8 @@ object SparkEntry {
     "q56_multiply" -> (qMultiply _),
     "q57_remove_interval_not_none" -> (qRemoveIntervalNotNone _),
     "q58_srp_neardup" -> (qSrpNearDup _),
-    "q59_sample_interval_idx" -> (qSampleIntervalIdx _)
+    "q59_sample_interval_idx" -> (qSampleIntervalIdx _),
+    "q62_transforms_roundtrip" -> (qTransformsRoundtrip _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -152,6 +153,7 @@ object SparkEntry {
     "q56_multiply" -> sqlMultiply,
     "q57_remove_interval_not_none" -> sqlRemoveIntervalNotNone,
     "q58_srp_neardup" -> sqlSrpNearDup,
-    "q59_sample_interval_idx" -> sqlSampleIntervalIdx
+    "q59_sample_interval_idx" -> sqlSampleIntervalIdx,
+    "q62_transforms_roundtrip" -> sqlTransformsRoundtrip
   )
 }

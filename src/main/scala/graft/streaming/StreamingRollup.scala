@@ -34,42 +34,87 @@ object StreamingRollup {
   case class SidEvent(key: String, sid: String, t: Long, v: Option[Double])
   case class MergedPoint(key: String, t: Long, v: Double, seq: Long)
 
+  /** State of one merge key: the running sum and per-sid last values AS OF
+    * just before the retained transition buffer, the buffer itself (every
+    * transition within the lateness horizon, (t, sid, v) in time order),
+    * the emission counter and the max event time seen. Buffer size is
+    * O(transitions within `allowedLatenessUs`), the price of repair. */
+  case class MergeKeyState(
+      baseSum: Double, baseLast: Map[String, Double],
+      recent: List[(Long, String, Option[Double])], seq: Long, maxT: Long)
+
   /** Streaming ignorant-sum K-way merge: the batch transition-delta trick
     * (MergeOps.mergeSum) held as per-key state — the running sum plus each
-    * series' last value — so state is O(#series per key), never O(#events).
-    * Emits the post-transition merged value once per distinct time within a
-    * batch, like iter_merge. Events must reach each key in nondecreasing
-    * event-time order ACROSS micro-batches (in-batch reordering is sorted
-    * out); when simultaneous transitions straddle a batch boundary the
-    * later batch RE-emits the corrected point at the same t with a higher
-    * `seq` — the output is an UPSERT stream keyed by (key, t), last `seq`
-    * wins (the streaming face of the reference's SortedDict overwrite
-    * semantics; downstream: max_by(struct(v), seq) per (key, t)).
-    */
-  def mergeSumStream(events: Dataset[SidEvent]): Dataset[MergedPoint] = {
+    * series' last value — so state is O(#series per key) plus a bounded
+    * repair buffer, never O(#events). Emits the post-transition merged
+    * value once per distinct time within a batch, like iter_merge. The
+    * output is an UPSERT stream keyed by (key, t), last `seq` wins (the
+    * streaming face of the reference's SortedDict overwrite semantics;
+    * downstream: max_by(struct(v), seq) per (key, t)).
+    *
+    * Cross-batch out-of-order events are DETECTED AND REPAIRED within
+    * `allowedLatenessUs` (round-3 verdict #7 — the contract used to be
+    * documented but unenforced, so a late event silently corrupted the
+    * running sum): transitions inside the horizon (maxT - lateness) stay
+    * buffered in state; a late arrival is spliced into the buffer and
+    * every affected (key, t) point re-emits corrected with a higher seq.
+    * An event older than the horizon DETECTS-AND-FAILS loudly instead of
+    * corrupting. The default lateness 0 keeps the strict contract (only
+    * same-t boundary straddles repair) with enforcement. */
+  def mergeSumStream(
+      events: Dataset[SidEvent],
+      allowedLatenessUs: Long = 0L): Dataset[MergedPoint] = {
     import events.sparkSession.implicits._
     events
       .groupByKey(_.key)
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
-        (key: String, rows: Iterator[SidEvent],
-            state: GroupState[(Double, Map[String, Double], Long)]) => {
-          var (sum, lastBySid, seq) = state.getOption.getOrElse((0.0, Map.empty[String, Double], 0L))
-          val sorted = rows.toSeq.sortBy(e => (e.t, e.sid))
-          val out = Seq.newBuilder[MergedPoint]
-          var i = 0
-          while (i < sorted.length) {
-            val e = sorted(i)
-            sum += e.v.getOrElse(0.0) - lastBySid.getOrElse(e.sid, 0.0)
-            lastBySid = lastBySid.updated(e.sid, e.v.getOrElse(0.0))
-            // emit once per distinct time, after all simultaneous transitions
-            if (i + 1 >= sorted.length || sorted(i + 1).t != e.t) {
-              seq += 1
-              out += MergedPoint(key, e.t, sum, seq)
+        (key: String, rows: Iterator[SidEvent], state: GroupState[MergeKeyState]) => {
+          val s0 = state.getOption
+            .getOrElse(MergeKeyState(0.0, Map.empty, Nil, 0L, Long.MinValue))
+          val fresh = rows.toSeq
+          if (fresh.isEmpty) Iterator.empty
+          else {
+            val horizon =
+              if (s0.maxT == Long.MinValue) Long.MinValue
+              else s0.maxT - allowedLatenessUs
+            val lateT = fresh.map(_.t).min
+            if (lateT < horizon)
+              throw new IllegalStateException(
+                s"mergeSumStream: event at t=$lateT for key=$key is older than the " +
+                  s"repair horizon $horizon (maxT=${s0.maxT}, allowedLatenessUs=" +
+                  s"$allowedLatenessUs) — raise allowedLatenessUs or fix the source order")
+            // splice new transitions into the buffered suffix and replay
+            // from the pre-buffer base; re-emit every time >= the earliest
+            // new arrival (those merged values may have changed)
+            val all = (s0.recent ++ fresh.map(e => (e.t, e.sid, e.v)))
+              .sortBy(x => (x._1, x._2))
+            val out = Seq.newBuilder[MergedPoint]
+            var sum = s0.baseSum; var last = s0.baseLast; var seq = s0.seq
+            var i = 0
+            while (i < all.length) {
+              val (t, sid, v) = all(i)
+              sum += v.getOrElse(0.0) - last.getOrElse(sid, 0.0)
+              last = last.updated(sid, v.getOrElse(0.0))
+              // emit once per distinct time, after all simultaneous
+              // transitions, and only for times the new batch touched
+              if ((i + 1 >= all.length || all(i + 1)._1 != t) && t >= lateT) {
+                seq += 1
+                out += MergedPoint(key, t, sum, seq)
+              }
+              i += 1
             }
-            i += 1
+            // age transitions that fell outside the new horizon into the
+            // base (fold order = time order, so the base stays exact)
+            val newMaxT = math.max(s0.maxT, fresh.map(_.t).max)
+            val (aged, kept) = all.partition(_._1 < newMaxT - allowedLatenessUs)
+            var bSum = s0.baseSum; var bLast = s0.baseLast
+            aged.foreach { case (_, sid, v) =>
+              bSum += v.getOrElse(0.0) - bLast.getOrElse(sid, 0.0)
+              bLast = bLast.updated(sid, v.getOrElse(0.0))
+            }
+            state.update(MergeKeyState(bSum, bLast, kept, seq, newMaxT))
+            out.result().iterator
           }
-          state.update((sum, lastBySid, seq))
-          out.result().iterator
         })
   }
 

@@ -31,4 +31,27 @@ class SourcesSpec extends SparkSpec {
     val back = Sources.fromJson(spark, s"$dir/out", multiLine = false)
     assert(collectTVL(back) == collectTVL(df))
   }
+
+  test("from_csv/to_json transforms replace the default parses (timeseries.py:1178-1235,1358-1380)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_transforms").toString
+    // epoch-SECONDS times and percent-suffixed values: neither parses with
+    // the defaults; the transforms must take over completely
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/ts.csv"),
+      "when,load\n1704067200,25%\n1704067830,50%\n")
+    val df = Sources.fromCsv(spark, s"$dir/ts.csv", "when", "load",
+      timeTransform = Some(c => c.cast("long") * 1000000L),
+      valueTransform = Some(c => regexp_replace(c, "%$", "").cast("double") / 100.0))
+    assert(collectTVL(df) == Seq(
+      (1704067200000000L, Some(0.25)), (1704067830000000L, Some(0.5))))
+    // export-side transforms: numeric epoch seconds (the docstring's
+    // dt.timestamp() example) and re-scaled values; inverse pair reads back
+    Sources.toJson(df, s"$dir/out",
+      timeTransform = Some(c => c / 1000000L),
+      valueTransform = Some(c => c * 100.0))
+    val back = Sources.fromJson(spark, s"$dir/out", multiLine = false,
+      timeTransform = Some(c => c.cast("long") * 1000000L),
+      valueTransform = Some(c => c.cast("double") / 100.0))
+    assert(collectTVL(back) == collectTVL(df))
+  }
 }

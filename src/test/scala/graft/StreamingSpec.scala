@@ -114,6 +114,50 @@ class StreamingSpec extends SparkSpec {
     assert(resolved == Seq((10L, 3.0)), resolved.toString)
   }
 
+  test("cross-batch late event repairs within lateness, fails loudly beyond it") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // (a) repair: batch 2 delivers t=15 AFTER batch 1 reached t=30; with
+    // allowedLatenessUs=25 the buffered suffix is replayed and every
+    // affected time re-emits corrected (upsert by seq)
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[StreamingRollup.SidEvent]
+    val q = StreamingRollup.mergeSumStream(mem.toDS(), allowedLatenessUs = 25L)
+      .writeStream.format("memory").queryName("repair_out").outputMode("append").start()
+    mem.addData(
+      StreamingRollup.SidEvent("g", "a", 10L, Some(1.0)),
+      StreamingRollup.SidEvent("g", "a", 20L, Some(2.0)),
+      StreamingRollup.SidEvent("g", "b", 30L, Some(3.0)))
+    q.processAllAvailable()
+    mem.addData(StreamingRollup.SidEvent("g", "b", 15L, Some(10.0))) // late!
+    q.processAllAvailable(); q.stop()
+    val resolved = spark.table("repair_out")
+      .groupBy(col("t")).agg(max_by(col("v"), col("seq")).as("v"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).toSeq
+    // equals the batch merge over ALL four events in time order
+    assert(resolved == Seq((10L, 1.0), (15L, 11.0), (20L, 12.0), (30L, 5.0)), resolved.toString)
+    // the repair re-emitted exactly the affected times (>= 15) with new seqs
+    val reemits = spark.table("repair_out").filter(col("seq") > 3).select("t")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(reemits == Seq(15L, 20L, 30L), reemits.toString)
+
+    // (b) beyond the horizon: detect-and-fail instead of silent corruption
+    val mem2 = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[StreamingRollup.SidEvent]
+    val q2 = StreamingRollup.mergeSumStream(mem2.toDS(), allowedLatenessUs = 5L)
+      .writeStream.format("memory").queryName("repair_fail").outputMode("append").start()
+    mem2.addData(StreamingRollup.SidEvent("g", "a", 100L, Some(1.0)))
+    q2.processAllAvailable()
+    mem2.addData(StreamingRollup.SidEvent("g", "a", 10L, Some(9.0))) // far too late
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q2.processAllAvailable()
+    }
+    assert(err.getMessage.contains("older than the repair horizon") ||
+      Option(err.getCause).exists(_.getMessage.contains("older than the repair horizon")),
+      err.getMessage)
+    q2.stop()
+  }
+
   test("streaming exact dedup keeps one doc per digest") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_stream4").toString
