@@ -85,12 +85,23 @@ object Bench {
   /** The north-rule throughput job: read the pages table -> per-url series
     * (html pruned at the scan) -> compact -> chunk blobs + hourly tier
     * stats. Returns input points; both sinks fully materialized.
+    *
+    * `shard = Some((i, m))` restricts the job to urls with
+    * xxhash64(url) % m == i — the executor stand-in shape for the
+    * multi-JVM scaling study (tools/run_multijvm.sh): m separate JVMs each
+    * own a disjoint hash shard of the SAME table, exactly how a cluster
+    * partitions series by key. Returns the actual points processed.
     */
-  def rollupJob(spark: SparkSession, n: Long): Long = {
+  def rollupJob(spark: SparkSession, n: Long, shard: Option[(Int, Int)] = None): Long = {
     import graft.regularize.CalendarFloor
     val dir = pagesTable(spark, n)
+    val pages0 = spark.read.parquet(dir)
+    val pages = shard match {
+      case Some((i, m)) => pages0.filter(pmod(xxhash64(col("url")), lit(m)) === i)
+      case None         => pages0
+    }
     val series = graft.pipeline.Pages
-      .toSeries(spark.read.parquet(dir))
+      .toSeries(pages)
       .persist()
     val (tmin, tmax) = GraftQueries.bounds(series)
     val h0 = Math.floorDiv(tmin, CalendarFloor.DAY) * CalendarFloor.DAY
@@ -115,8 +126,11 @@ object Bench {
     val phase2 = cnt(decoded).unionAll(cnt(daily)).unionAll(cnt(weekly))
       .collect().map(_.getLong(0))
     require(phase1.forall(_ > 0) && phase2.forall(_ > 0))
+    // sharded: report the points actually processed (≈ n/m; exact count is
+    // a cheap scan of the persisted series)
+    val processed = if (shard.isDefined) series.count() else n
     series.unpersist(); chunks.unpersist(); hourly.unpersist()
-    n
+    processed
   }
 
   /** K-way merge throughput micro-bench, comparable in spirit to the

@@ -1,0 +1,75 @@
+#!/bin/bash
+# Multi-JVM executor-shaped scaling study (round-3 verdict #8): is the
+# single-process 8->32-core saturation a per-JVM ceiling (GC/heap/allocator
+# contention) or a box-wide DRAM-bandwidth ceiling? Run the SAME total work
+# as M separate N-core JVMs with separate heaps — the closest sandboxed
+# stand-in for an M-executor cluster stage — and compare aggregate
+# throughput against one N-core JVM (perfect executor scaling = M x) and
+# against one (M*N)-core JVM (the single-process shape).
+#
+# Phase 0  compile + generate the pages table + 1 x local[N] full-input
+#          baseline (via sbt, which also materializes target/classes).
+# Phase 1  M concurrent `java` processes, each local[N], each owning the
+#          i/M url-hash shard of the SAME table (ScalingBench
+#          SPARK_GRAFT_SHARD). Started together with identical work so the
+#          timed windows overlap; each reports its own best points/sec
+#          under contention from the other M-1. Aggregate = sum of per-JVM
+#          rates; efficiency = aggregate / (M x single-JVM rate).
+#
+# Usage: tools/run_multijvm.sh [N_CORES] [M_JVMS] [ROWS]
+set -e
+N=${1:-8}
+M=${2:-4}
+ROWS=${3:-8000000}
+REPS=${SPARK_GRAFT_REPS:-2}
+cd "$(dirname "$0")/.."
+
+echo "== phase 0: 1 JVM x local[$N], full $ROWS rows =="
+SPARK_GRAFT_ROWS=$ROWS SPARK_GRAFT_REPS=$REPS \
+  timeout 560 sbt -batch "runMain graft.ScalingBench $N" 2>&1 \
+  | grep -oE '\{"cpus".*\}' | tail -1 | tee /tmp/multijvm_single.json
+
+# raw java for the concurrent phase: M sbt instances would serialize on the
+# project lock. Same module opens spark-submit would inject (build.sbt).
+ADD_OPENS=""
+for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
+         java.nio java.util java.util.concurrent java.util.concurrent.atomic; do
+  ADD_OPENS="$ADD_OPENS --add-opens java.base/$p=ALL-UNNAMED"
+done
+for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
+  ADD_OPENS="$ADD_OPENS --add-opens java.base/$p=ALL-UNNAMED"
+done
+CP="target/scala-2.13/classes:/opt/spark/jars/*"
+
+echo "== phase 1: $M concurrent JVMs x local[$N], shard i/$M of the same table =="
+PIDS=()
+for i in $(seq 0 $((M - 1))); do
+  SPARK_GRAFT_ROWS=$ROWS SPARK_GRAFT_REPS=$REPS SPARK_GRAFT_SHARD="$i/$M" \
+  SPARK_GRAFT_CPUS=$N \
+    timeout 560 java $ADD_OPENS -Xmx8g -cp "$CP" graft.ScalingBench $N \
+    > /tmp/multijvm_shard_$i.out 2>&1 &
+  PIDS+=($!)
+done
+FAIL=0
+for p in "${PIDS[@]}"; do wait "$p" || FAIL=1; done
+for i in $(seq 0 $((M - 1))); do
+  grep -oE '\{"cpus".*\}' /tmp/multijvm_shard_$i.out | tail -1 \
+    | tee /tmp/multijvm_shard_$i.json
+done
+[ "$FAIL" = 1 ] && { echo "a shard JVM failed; see /tmp/multijvm_shard_*.out"; exit 1; }
+
+python3 - "$N" "$M" <<'EOF'
+import json, sys
+n, m = int(sys.argv[1]), int(sys.argv[2])
+single = json.load(open("/tmp/multijvm_single.json"))
+shards = [json.load(open(f"/tmp/multijvm_shard_{i}.json")) for i in range(m)]
+agg = sum(s["points_per_sec"] for s in shards)
+eff = agg / (m * single["points_per_sec"])
+print(json.dumps({
+    "single_jvm_cores": n, "single_jvm_pps": single["points_per_sec"],
+    "multi_jvm": f"{m}x local[{n}]",
+    "shard_pps": [s["points_per_sec"] for s in shards],
+    "shard_points": [s["points"] for s in shards],
+    "aggregate_pps": agg,
+    "efficiency_vs_m_singles": round(eff, 3)}))
+EOF
