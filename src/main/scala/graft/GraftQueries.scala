@@ -1721,6 +1721,84 @@ object GraftQueries {
        |SELECT key, t, CAST(v IS NOT NULL AS DOUBLE) AS v
        |FROM pts WHERE NOT (t >= $SI_START AND t < $SI_END)""".stripMargin
 
+  // ---------- categorical (string-valued) series ----------
+
+  /** events -> per-user STATE series (key = user_id, t = µs,
+    * sv = event_type): the reference's dynamic-typing surface — TimeSeries
+    * holds arbitrary hashable values (traces/timeseries.py:47), states
+    * being the canonical non-numeric case. Duplicate (key, t) resolve by
+    * SortedDict overwrite = last write wins; event_id is insertion order,
+    * so max_by(event_type, event_id) is the deterministic tiebreak. */
+  def statePoints(spark: SparkSession, dir: String): DataFrame =
+    spark.read
+      .parquet(s"$dir/events.parquet")
+      .groupBy(col("user_id").as("key"), tsUs.as("t"))
+      .agg(max_by(col("event_type"), col("event_id")).as("sv"))
+
+  private val sqlStatePts: String =
+    """WITH spts AS (
+      |  SELECT user_id AS key, epoch_us(ts) AS t, arg_max(event_type, event_id) AS sv
+      |  FROM events GROUP BY 1, 2)""".stripMargin
+
+  /** Categorical distribution() (traces/timeseries.py:877 over hashable
+    * values; traces/histogram.py keys by value): per-user time-in-state
+    * durations and normalized fractions under previous interpolation. */
+  def qStateDistribution(spark: SparkSession, dir: String): DataFrame =
+    graft.categorical.CategoricalOps.stateDistribution(statePoints(spark, dir))
+
+  val sqlStateDistribution: String =
+    sqlStatePts +
+      """,
+        |segs AS (
+        |  SELECT key, sv, lead(t) OVER (PARTITION BY key ORDER BY t) - t AS dur
+        |  FROM spts QUALIFY dur IS NOT NULL),
+        |d AS (SELECT key, sv, sum(dur) AS dur_us FROM segs GROUP BY 1, 2)
+        |SELECT key, sv, dur_us,
+        |       round(CAST(dur_us AS DOUBLE) / sum(dur_us) OVER (PARTITION BY key), 6) AS frac
+        |FROM d""".stripMargin
+
+  /** State-transition counts — iterintervals(2) (traces/timeseries.py:631)
+    * over every user's state series, aggregated into a (from, to, n)
+    * Markov table; self-transitions count, exactly as iterintervals
+    * yields repeated measurements. */
+  def qStateTransitions(spark: SparkSession, dir: String): DataFrame =
+    graft.categorical.CategoricalOps.transitions(statePoints(spark, dir))
+
+  val sqlStateTransitions: String =
+    sqlStatePts +
+      """,
+        |pr AS (
+        |  SELECT sv AS from_state, lead(sv) OVER (PARTITION BY key ORDER BY t) AS to_state
+        |  FROM spts)
+        |SELECT from_state, to_state, count(*) AS n
+        |FROM pr WHERE to_state IS NOT NULL GROUP BY 1, 2""".stripMargin
+
+  /** String-valued sample() (traces/timeseries.py:1409): each user's
+    * previous-interpolated state on a global 6-hour grid; grid times
+    * before a user's first event carry the default (null), like get()
+    * before the first measurement. Oracle = DuckDB ASOF join. */
+  def qStateSample(spark: SparkSession, dir: String): DataFrame = {
+    val pts = statePoints(spark, dir)
+    val (tmin, tmax) = bounds(pts)
+    val start = Math.floorDiv(tmin, 6 * HOUR) * (6 * HOUR)
+    graft.categorical.CategoricalOps.sampleStates(
+      pts, pts.select("key").distinct(), start, tmax, 6 * HOUR)
+  }
+
+  val sqlStateSample: String =
+    sqlStatePts +
+      s""",
+         |b AS (SELECT min(t) AS tmin, max(t) AS tmax FROM spts),
+         |grid AS (
+         |  SELECT k.key, g.g AS t
+         |  FROM (SELECT DISTINCT key FROM spts) k,
+         |       (SELECT unnest(generate_series(
+         |          (SELECT tmin // ${6 * HOUR} * ${6 * HOUR} FROM b),
+         |          (SELECT tmax FROM b), ${6 * HOUR})) AS g) g)
+         |SELECT grid.key, grid.t, spts.sv
+         |FROM grid ASOF LEFT JOIN spts
+         |  ON grid.key = spts.key AND grid.t >= spts.t""".stripMargin
+
   // classic relational smoke (lineitem)
   def qLineitemAgg(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/lineitem.parquet")

@@ -89,7 +89,10 @@ object SparkEntry {
     "q57_remove_interval_not_none" -> (qRemoveIntervalNotNone _),
     "q58_srp_neardup" -> (qSrpNearDup _),
     "q59_sample_interval_idx" -> (qSampleIntervalIdx _),
-    "q62_transforms_roundtrip" -> (qTransformsRoundtrip _)
+    "q62_transforms_roundtrip" -> (qTransformsRoundtrip _),
+    "q63_state_distribution" -> (qStateDistribution _),
+    "q64_state_transitions" -> (qStateTransitions _),
+    "q65_state_sample" -> (qStateSample _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -154,6 +157,9 @@ object SparkEntry {
     "q57_remove_interval_not_none" -> sqlRemoveIntervalNotNone,
     "q58_srp_neardup" -> sqlSrpNearDup,
     "q59_sample_interval_idx" -> sqlSampleIntervalIdx,
-    "q62_transforms_roundtrip" -> sqlTransformsRoundtrip
+    "q62_transforms_roundtrip" -> sqlTransformsRoundtrip,
+    "q63_state_distribution" -> sqlStateDistribution,
+    "q64_state_transitions" -> sqlStateTransitions,
+    "q65_state_sample" -> sqlStateSample
   )
 }

@@ -1,0 +1,99 @@
+package graft.categorical
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** String-valued ("categorical") series — the value-typed face of the
+  * engine. The reference's TimeSeries holds arbitrary hashable values
+  * (traces/timeseries.py:47 accepts any `data`; the README's canonical
+  * example is a boolean/state series), and `distribution()` over such a
+  * series is the time-in-state histogram (traces/histogram.py keys the
+  * histogram by the measurement VALUE, numeric or not). The double-typed
+  * operators in [[graft.core.SeriesOps]] cover the numeric surface; this
+  * module covers states: points are (key, t: long epoch-µs, sv: string)
+  * and every op uses previous-value interpolation, the reference default.
+  *
+  * Scale shapes: everything here is one lead/last window per key — the
+  * same single hash(key) exchange as the numeric segment family; the
+  * aggregated state tables (keys × distinct states) are small by the
+  * nature of categorical data, so the normalizing window runs over the
+  * post-aggregation frame, never over raw points.
+  */
+object CategoricalOps {
+
+  /** Value-typed segments: (key, t0, t1, sv) — iterperiods
+    * (traces/timeseries.py:589) for a string-valued series; the last
+    * point opens no segment. */
+  def segments(points: DataFrame, valueCol: String = "sv"): DataFrame = {
+    val w = Window.partitionBy("key").orderBy("t")
+    points
+      .select(col("key"), col("t").as("t0"), lead(col("t"), 1).over(w).as("t1"), col(valueCol))
+      .filter(col("t1").isNotNull)
+  }
+
+  /** Time-in-state distribution per key: the categorical
+    * `distribution()` (traces/timeseries.py:877 with previous
+    * interpolation over [first, last)). Returns (key, sv, dur_us, frac)
+    * with frac = dur_us / Σ dur_us per key, rounded to 6 places
+    * (histogram.normalize, traces/histogram.py). dur_us stays exact µs —
+    * the reference's `normalized=False` seconds reading is dur_us/1e6. */
+  def stateDistribution(points: DataFrame, valueCol: String = "sv"): DataFrame = {
+    val durs = segments(points, valueCol)
+      .groupBy(col("key"), col(valueCol))
+      .agg(sum(col("t1") - col("t0")).as("dur_us"))
+    durs.select(col("key"), col(valueCol), col("dur_us"),
+      round(col("dur_us").cast("double") / sum("dur_us").over(Window.partitionBy("key")), 6)
+        .as("frac"))
+  }
+
+  /** Consecutive state pairs aggregated into a transition-count table
+    * (from_state, to_state, n) — `iterintervals(2)`
+    * (traces/timeseries.py:631) over a state series, counted across all
+    * keys; self-transitions (repeated measurements of the same state)
+    * count too, exactly as iterintervals yields them. */
+  def transitions(points: DataFrame, valueCol: String = "sv"): DataFrame = {
+    val w = Window.partitionBy("key").orderBy("t")
+    points
+      .select(col(valueCol).as("from_state"), lead(col(valueCol), 1).over(w).as("to_state"))
+      .filter(col("to_state").isNotNull)
+      .groupBy("from_state", "to_state")
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Previous-interpolated state at regular grid times — `sample()`
+    * (traces/timeseries.py:1409) for a string-valued series. Grid times
+    * before a key's first measurement carry the default (null), like
+    * get() before the first point. Implemented with the union-grid trick:
+    * grid rows ride the same hash(key) exchange as the data and pick up
+    * the last preceding state via one ignore-nulls window — no join, no
+    * per-key loop; `keys` (the distinct key frame) is usually the cheap
+    * distinct of the points' keys. */
+  def sampleStates(
+      points: DataFrame,
+      keys: DataFrame, // single column: key
+      start: Long,
+      end: Long,
+      freqUs: Long,
+      valueCol: String = "sv"): DataFrame = {
+    val spark = points.sparkSession
+    val nGrid = ((end - start) / freqUs + 1).toInt
+    // deliberate keys × grid expansion (that IS the output domain); the
+    // grid side is lit-range tiny, so this plans as a broadcast expansion
+    val grid = keys
+      .crossJoin(spark.range(nGrid).select((lit(start) + col("id") * freqUs).as("t")))
+    // data rows sort before grid rows at the same t (_g = 0 first), so a
+    // grid point AT a measurement time sees that measurement — get()'s
+    // inclusive previous lookup
+    val unioned = points
+      .select(col("key"), col("t"), col(valueCol), lit(0).as("_g"))
+      .unionByName(grid.select(col("key"), col("t"), lit(null).cast("string").as(valueCol),
+        lit(1).as("_g")))
+    val w = Window.partitionBy("key").orderBy(col("t"), col("_g"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    unioned
+      .withColumn("_sv", last(col(valueCol), ignoreNulls = true).over(w))
+      .filter(col("_g") === 1)
+      .select(col("key"), col("t"), col("_sv").as(valueCol))
+  }
+}

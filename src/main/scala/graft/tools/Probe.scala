@@ -23,13 +23,42 @@ object Probe {
       case "skewBucketed40" => () => graft.Bench.mergeSkewJob(spark, 40000000L, bucketed = true)
       case "skewBucketed64" => () => graft.Bench.mergeSkewJob(spark, 64000000L, bucketed = true)
       case "skewPlain"    => () => graft.Bench.mergeSkewJob(spark, 24000000L, bucketed = false)
+      // component probes for the minhash pipeline (dev-only)
+      case "mh_shingles" => () =>
+        graft.GraftQueries.docs(spark, sfDir)
+          .select(org.apache.spark.sql.functions.explode(
+            graft.dedup.Dedup.shingles(org.apache.spark.sql.functions.col("text"))))
+          .count()
+      case "mh_sig" => () =>
+        graft.dedup.Dedup.minhashSignature(graft.GraftQueries.docs(spark, sfDir)).count()
+      case "mh_a" | "mh_b" | "mh_c" => () => {
+        import org.apache.spark.sql.functions._
+        val ex = graft.GraftQueries.docs(spark, sfDir)
+          .repartition(spark.sparkContext.defaultParallelism)
+          .select(col("doc_id"), graft.text.TextOps.wsTokens(col("text")).as("_tk"))
+          .select(col("doc_id"), col("_tk"),
+            explode(sequence(lit(0), greatest(size(col("_tk")) - 3, lit(0)))).as("_i"))
+        val step = name match {
+          case "mh_a" => ex.select(col("doc_id"), col("_i"))
+          case "mh_b" => ex.select(col("doc_id"), concat_ws(" ",
+            (1 to 3).map(d => element_at(col("_tk"), col("_i") + d)): _*).as("_s"))
+          case _ => ex.select(col("doc_id"), concat_ws(" ",
+              (1 to 3).map(d => element_at(col("_tk"), col("_i") + d)): _*).as("_s"))
+            .select(col("doc_id"),
+              conv(substring(md5(col("_s").cast("binary")), 1, 8), 16, 10).cast("long").as("_x"))
+        }
+        step.groupBy("doc_id").count().count()
+      }
+      case "mh_bands" => () =>
+        graft.dedup.Dedup.lshBands(
+          graft.dedup.Dedup.minhashSignature(graft.GraftQueries.docs(spark, sfDir))).count()
       case q              => () => graft.SparkEntry.queries(q)(spark, sfDir).count()
     }
     val (_, sec) = graft.Bench.minOfReps(spark, reps)(job)
     println(f"PROBE $name min-of-$reps: $sec%.3f s")
     if (sys.env.contains("SPARK_GRAFT_STAGES")) {
       // one instrumented run with per-stage wall-clock
-      val stages = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Long, Long, Int, String)]()
+      val stages = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Long, Long, Int, Long, Long, String)]()
       spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
         override def onStageCompleted(
             sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
@@ -37,15 +66,18 @@ object Probe {
           stages.add((i.stageId,
             i.completionTime.getOrElse(0L) - i.submissionTime.getOrElse(0L),
             i.taskMetrics.shuffleWriteMetrics.recordsWritten,
-            i.numTasks, i.name.takeWhile(_ != '\n')))
+            i.numTasks,
+            i.taskMetrics.executorRunTime,
+            i.taskMetrics.executorDeserializeTime,
+            i.name.takeWhile(_ != '\n')))
         }
       })
       spark.catalog.clearCache()
       job()
       Thread.sleep(500)
       import scala.jdk.CollectionConverters._
-      stages.asScala.toSeq.sortBy(_._1).foreach { case (id, ms, recs, nt, nm) =>
-        println(f"STAGE $id%4d ${ms}%6d ms  $recs%9d shufrecs  $nt%3d tasks  $nm")
+      stages.asScala.toSeq.sortBy(_._1).foreach { case (id, ms, recs, nt, run, deser, nm) =>
+        println(f"STAGE $id%4d ${ms}%6d ms  $recs%9d shufrecs  $nt%3d tasks  run=$run%6d ms deser=$deser%5d ms  $nm")
       }
     }
     spark.stop()

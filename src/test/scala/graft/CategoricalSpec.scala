@@ -1,0 +1,66 @@
+package graft
+
+import graft.categorical.CategoricalOps
+import org.apache.spark.sql.functions._
+
+/** String-valued (categorical) series ops vs reference goldens computed
+  * with the traces library itself (PYTHONPATH=/root/reference python3):
+  *   ts[0]="idle"; ts[10]="busy"; ts[15]="idle"; ts[15]="error";
+  *   ts[40]="idle"; ts[60]="busy"
+  *   ts.distribution()            == {busy: 1/12, error: 5/12, idle: 1/2}
+  *   ts.distribution(norm=False)  == {busy: 5, error: 25, idle: 30}
+  *   list(ts.iterintervals(2))    == [(0,idle)->(10,busy), (10,busy)->
+  *     (15,error), (15,error)->(40,idle), (40,idle)->(60,busy)]
+  *   ts.get(12)=="busy"; ts.get(-5) is None; ts.get(15)=="error"
+  */
+class CategoricalSpec extends SparkSpec {
+
+  private def stateSeries = {
+    val s = spark
+    import s.implicits._
+    // two writes at t=15 ("idle" then "error") pre-resolved last-write-wins,
+    // as statePoints' max_by dedupe does for the driver tables
+    Seq(("u", 0L, "idle"), ("u", 10L, "busy"), ("u", 15L, "error"),
+      ("u", 40L, "idle"), ("u", 60L, "busy"))
+      .toDF("key", "t", "sv")
+  }
+
+  test("stateDistribution matches traces distribution() on the golden") {
+    val d = CategoricalOps.stateDistribution(stateSeries)
+      .collect().map(r => (r.getString(1), r.getLong(2), r.getDouble(3))).sortBy(_._1).toSeq
+    assert(d == Seq(
+      ("busy", 5L, 0.083333), ("error", 25L, 0.416667), ("idle", 30L, 0.5)), d.toString)
+  }
+
+  test("transitions = iterintervals(2) pair counts, self-transitions included") {
+    val s = spark
+    import s.implicits._
+    val pts = stateSeries.unionByName(
+      Seq(("w", 0L, "a"), ("w", 5L, "a"), ("w", 9L, "b")).toDF("key", "t", "sv"))
+    val tr = CategoricalOps.transitions(pts)
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    assert(tr == Map(
+      ("idle", "busy") -> 2L, ("busy", "error") -> 1L, ("error", "idle") -> 1L,
+      ("a", "a") -> 1L, ("a", "b") -> 1L), tr.toString)
+  }
+
+  test("sampleStates: previous interpolation, inclusive at points, null before first") {
+    val keys = stateSeries.select("key").distinct()
+    val got = CategoricalOps.sampleStates(stateSeries, keys, -5L, 60L, 5L)
+      .collect().map(r => (r.getLong(1), Option(r.getString(2)))).sortBy(_._1).toSeq
+    val expect = Seq(
+      -5L -> None, 0L -> Some("idle"), 5L -> Some("idle"), 10L -> Some("busy"),
+      15L -> Some("error"), 20L -> Some("error"), 25L -> Some("error"),
+      30L -> Some("error"), 35L -> Some("error"), 40L -> Some("idle"),
+      45L -> Some("idle"), 50L -> Some("idle"), 55L -> Some("idle"),
+      60L -> Some("busy"))
+    assert(got == expect, got.toString)
+  }
+
+  test("segments drop the last point and carry state values") {
+    val segs = CategoricalOps.segments(stateSeries)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getString(3))).sortBy(_._1).toSeq
+    assert(segs == Seq((0L, 10L, "idle"), (10L, 15L, "busy"),
+      (15L, 40L, "error"), (40L, 60L, "idle")), segs.toString)
+  }
+}
