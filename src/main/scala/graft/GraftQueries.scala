@@ -1799,6 +1799,83 @@ object GraftQueries {
          |FROM grid ASOF LEFT JOIN spts
          |  ON grid.key = spts.key AND grid.t >= spts.t""".stripMargin
 
+  // ---------- duplicate clusters / survivors / sampling ----------
+
+  /** Transitive closure of the LSH candidate pairs: every doc labeled with
+    * its duplicate-cluster id (min doc_id of the connected component;
+    * docs in no pair are their own singleton cluster). Engine: pointer-
+    * jumping connected components (Clusters.connectedComponents); oracle:
+    * DuckDB recursive reachability over the same pair graph. */
+  def qDupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.minhashCandidates(docs(spark, dir), maxBucket = LSH_MAX_BUCKET)
+    val cc = graft.dedup.Clusters.connectedComponents(pairs)
+    docs(spark, dir)
+      .select(col("doc_id"))
+      .join(cc.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("cluster"), col("doc_id")).as("cluster_id"))
+  }
+
+  private val sqlCcCte: String =
+    """,
+      |edges AS (
+      |  SELECT x.doc_id AS u, y.doc_id AS v
+      |  FROM bands x JOIN bands y
+      |    ON x.band = y.band AND x.band_hash = y.band_hash AND x.doc_id <> y.doc_id
+      |  GROUP BY 1, 2),
+      |reach(node, r) AS (
+      |  SELECT u, u FROM edges GROUP BY 1, 2
+      |  UNION
+      |  SELECT reach.node, e.v FROM reach JOIN edges e ON e.u = reach.r),
+      |cc AS (SELECT node, min(r) AS cluster FROM reach GROUP BY 1)""".stripMargin
+
+  val sqlDupClusters: String =
+    "WITH RECURSIVE " + sqlBandsCte.stripPrefix("WITH ") + sqlCcCte +
+      """
+        |SELECT d.doc_id, coalesce(cc.cluster, d.doc_id) AS cluster_id
+        |FROM documents d LEFT JOIN cc ON d.doc_id = cc.node""".stripMargin
+
+  /** One survivor per duplicate cluster — keep the longest crawl
+    * (max n_chars, ties to the smallest doc_id), with the cluster size.
+    * The select-best composition every dedup pipeline ends with. */
+  def qDedupSurvivors(spark: SparkSession, dir: String): DataFrame = {
+    val members = qDupClusters(spark, dir)
+      .join(docs(spark, dir).select(col("doc_id"), col("n_chars")), Seq("doc_id"))
+      .select(col("doc_id").as("node"), col("cluster_id").as("cluster"), col("n_chars"))
+    graft.dedup.Clusters.survivors(members, "n_chars")
+      .select(col("cluster").as("cluster_id"), col("survivor").as("survivor_id"),
+        col("cluster_size"))
+  }
+
+  val sqlDedupSurvivors: String =
+    "WITH RECURSIVE " + sqlBandsCte.stripPrefix("WITH ") + sqlCcCte +
+      """,
+        |m AS (
+        |  SELECT d.doc_id, coalesce(cc.cluster, d.doc_id) AS cluster_id, d.n_chars
+        |  FROM documents d LEFT JOIN cc ON d.doc_id = cc.node)
+        |SELECT cluster_id, doc_id AS survivor_id, cluster_size FROM (
+        |  SELECT cluster_id, doc_id,
+        |         count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+        |         row_number() OVER (PARTITION BY cluster_id
+        |                            ORDER BY n_chars DESC, doc_id) AS rn
+        |  FROM m) WHERE rn = 1""".stripMargin
+
+  /** Deterministic stratified sampling (training-data mixing ratios):
+    * membership is a pure hash of doc_id against a per-language fraction,
+    * so the sample is identical in any engine, at any partitioning, and
+    * stable under corpus growth (sample.Sampling). */
+  def qStratifiedSample(spark: SparkSession, dir: String): DataFrame =
+    graft.sample.Sampling.stratifiedSample(
+      docs(spark, dir).select(col("doc_id"), col("lang")),
+      "doc_id", "lang",
+      Map("en" -> 0.5, "de" -> 1.0, "fr" -> 0.25), defaultFraction = 0.1)
+
+  val sqlStratifiedSample: String =
+    """SELECT doc_id, lang FROM documents
+      |WHERE ('0x' || substr(md5('smp' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+      |        / 4294967296.0
+      |      < CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 1.0
+      |                  WHEN 'fr' THEN 0.25 ELSE 0.1 END""".stripMargin
+
   // classic relational smoke (lineitem)
   def qLineitemAgg(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/lineitem.parquet")

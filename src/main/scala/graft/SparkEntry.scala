@@ -92,7 +92,10 @@ object SparkEntry {
     "q62_transforms_roundtrip" -> (qTransformsRoundtrip _),
     "q63_state_distribution" -> (qStateDistribution _),
     "q64_state_transitions" -> (qStateTransitions _),
-    "q65_state_sample" -> (qStateSample _)
+    "q65_state_sample" -> (qStateSample _),
+    "q66_dup_clusters" -> (qDupClusters _),
+    "q67_dedup_survivors" -> (qDedupSurvivors _),
+    "q68_stratified_sample" -> (qStratifiedSample _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -160,6 +163,9 @@ object SparkEntry {
     "q62_transforms_roundtrip" -> sqlTransformsRoundtrip,
     "q63_state_distribution" -> sqlStateDistribution,
     "q64_state_transitions" -> sqlStateTransitions,
-    "q65_state_sample" -> sqlStateSample
+    "q65_state_sample" -> sqlStateSample,
+    "q66_dup_clusters" -> sqlDupClusters,
+    "q67_dedup_survivors" -> sqlDedupSurvivors,
+    "q68_stratified_sample" -> sqlStratifiedSample
   )
 }
