@@ -1876,6 +1876,82 @@ object GraftQueries {
       |      < CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 1.0
       |                  WHEN 'fr' THEN 0.25 ELSE 0.1 END""".stripMargin
 
+  /** PII redaction (CCNet/RefinedWeb-style scrub): the synthetic corpus
+    * carries no PII, so the query first APPENDS deterministic
+    * doc_id-derived email/IP/phone strings in both engines, then counts
+    * and redacts them; the md5 of the redacted text proves byte-exact
+    * replacement, not just counting. */
+  def qPiiRedaction(spark: SparkSession, dir: String): DataFrame = {
+    val withPii = docs(spark, dir).select(col("doc_id"),
+      concat(col("text"),
+        lit(" Contact user"), col("doc_id"), lit("@example.com or 10.0."),
+        pmod(col("doc_id"), lit(256)), lit("."),
+        pmod(floor(col("doc_id") / 256).cast("long"), lit(256)),
+        lit(" call +1415555"),
+        lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")).as("text"))
+    graft.text.TextOps.piiCounts(withPii)
+      .select(col("doc_id"), col("n_emails"), col("n_ips"), col("n_phones"),
+        md5(graft.text.TextOps.redactPii(col("text")).cast("binary")).as("redacted_md5"))
+  }
+
+  val sqlPiiRedaction: String = {
+    import graft.text.TextOps.{EMAIL_RE, IPV4_RE, PHONE_RE}
+    s"""WITH p AS (
+       |  SELECT doc_id,
+       |    text || ' Contact user' || doc_id || '@example.com or 10.0.' ||
+       |      (doc_id % 256) || '.' || ((doc_id // 256) % 256) ||
+       |      ' call +1415555' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
+       |  FROM documents),
+       |e AS (SELECT doc_id, text,
+       |        regexp_replace(text, '$EMAIL_RE', '<EMAIL>', 'g') AS no_email
+       |      FROM p)
+       |SELECT doc_id,
+       |  len(regexp_extract_all(text, '$EMAIL_RE')) AS n_emails,
+       |  len(regexp_extract_all(no_email, '$IPV4_RE')) AS n_ips,
+       |  len(regexp_extract_all(no_email, '$PHONE_RE')) AS n_phones,
+       |  md5(regexp_replace(regexp_replace(no_email,
+       |        '$IPV4_RE', '<IP>', 'g'), '$PHONE_RE', '<PHONE>', 'g')) AS redacted_md5
+       |FROM e""".stripMargin
+  }
+
+  /** Gopher repetition filters (Rae et al. 2021): duplicate-line and
+    * 2-gram repetition statistics per document, plus the published keep
+    * thresholds. The synthetic corpus repeats its filler word heavily, so
+    * top_2gram_frac is a REAL discriminator here, not a constant. */
+  def qRepetition(spark: SparkSession, dir: String): DataFrame =
+    graft.text.TextOps.repetitionFeatures(docs(spark, dir))
+      .select(col("doc_id"), col("n_lines"), col("dup_line_frac"),
+        col("total_2grams"), col("distinct_2grams"),
+        col("top_2gram_frac"), col("dup_2gram_frac"),
+        col("repetition_keep").cast("int").as("repetition_keep"))
+
+  val sqlRepetition: String =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_extract_all(text, '\S+') AS tk,
+      |         list_filter(string_split(text, chr(10)), l -> len(l) > 0) AS lines
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, array_to_string(tk[i : i + 1], ' ') AS gram
+      |  FROM toks, unnest(generate_series(1, len(tk) - 1)) s(i)
+      |  WHERE len(tk) >= 2),
+      |c AS (SELECT doc_id, gram, count(*) AS n FROM g GROUP BY 1, 2),
+      |a AS (SELECT doc_id, sum(n) AS total, count(*) AS dis, max(n) AS top
+      |      FROM c GROUP BY 1)
+      |SELECT t.doc_id,
+      |  CAST(len(t.lines) AS INT) AS n_lines,
+      |  CASE WHEN len(t.lines) > 0
+      |       THEN round(1.0 - len(list_distinct(t.lines)) * 1.0 / len(t.lines), 6)
+      |       ELSE 0.0 END AS dup_line_frac,
+      |  coalesce(a.total, 0) AS total_2grams,
+      |  coalesce(a.dis, 0) AS distinct_2grams,
+      |  coalesce(round(a.top * 1.0 / a.total, 6), 0.0) AS top_2gram_frac,
+      |  coalesce(round(1.0 - a.dis * 1.0 / a.total, 6), 0.0) AS dup_2gram_frac,
+      |  CAST((coalesce(round(a.top * 1.0 / a.total, 6), 0.0) <= 0.2 AND
+      |        (CASE WHEN len(t.lines) > 0
+      |              THEN round(1.0 - len(list_distinct(t.lines)) * 1.0 / len(t.lines), 6)
+      |              ELSE 0.0 END) <= 0.3) AS INT) AS repetition_keep
+      |FROM toks t LEFT JOIN a ON t.doc_id = a.doc_id""".stripMargin
+
   // classic relational smoke (lineitem)
   def qLineitemAgg(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/lineitem.parquet")

@@ -95,7 +95,9 @@ object SparkEntry {
     "q65_state_sample" -> (qStateSample _),
     "q66_dup_clusters" -> (qDupClusters _),
     "q67_dedup_survivors" -> (qDedupSurvivors _),
-    "q68_stratified_sample" -> (qStratifiedSample _)
+    "q68_stratified_sample" -> (qStratifiedSample _),
+    "q69_pii_redaction" -> (qPiiRedaction _),
+    "q70_repetition" -> (qRepetition _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -166,6 +168,8 @@ object SparkEntry {
     "q65_state_sample" -> sqlStateSample,
     "q66_dup_clusters" -> sqlDupClusters,
     "q67_dedup_survivors" -> sqlDedupSurvivors,
-    "q68_stratified_sample" -> sqlStratifiedSample
+    "q68_stratified_sample" -> sqlStratifiedSample,
+    "q69_pii_redaction" -> sqlPiiRedaction,
+    "q70_repetition" -> sqlRepetition
   )
 }

@@ -88,6 +88,73 @@ object TextOps {
       .drop((langMarkers.map { case (c, _) => s"_s_$c" } ++ Seq("_cands", "_maxScore")): _*)
   }
 
+  /** PII redaction (the CCNet/RefinedWeb-style scrub pass): emails,
+    * IPv4 addresses and long international-format digit runs replaced by
+    * typed placeholders. Patterns are deliberately RE2-compatible (no
+    * lookarounds) so any engine reproduces them; emails are redacted
+    * FIRST so the phone pattern cannot eat digits inside an address.
+    * Pure regexp_replace chain — scan-projection, codegen'd, no shuffle.
+    */
+  final val EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  final val IPV4_RE = "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+  final val PHONE_RE = "\\+[0-9]{9,15}\\b"
+
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EMAIL_RE, "<EMAIL>"),
+        IPV4_RE, "<IP>"),
+      PHONE_RE, "<PHONE>")
+
+  def piiCounts(df: DataFrame, text: Column = col("text")): DataFrame =
+    df.withColumn("n_emails", size(regexp_extract_all(text, lit(EMAIL_RE), lit(0))))
+      .withColumn("n_ips",
+        size(regexp_extract_all(regexp_replace(text, EMAIL_RE, "<EMAIL>"), lit(IPV4_RE), lit(0))))
+      .withColumn("n_phones",
+        size(regexp_extract_all(regexp_replace(text, EMAIL_RE, "<EMAIL>"), lit(PHONE_RE), lit(0))))
+
+  /** Repetition features (the Gopher repetition filters, Rae et al. 2021,
+    * public): duplicate-line fraction, duplicate-2-gram fraction, and the
+    * top-2-gram fraction (most frequent 2-gram's share of all 2-grams).
+    * All in-row: the top-gram count runs ONE pass over the sorted gram
+    * array with a (prev, run, best) accumulator — O(n log n) per doc, no
+    * explode, no shuffle; the quadratic count-each-distinct alternative
+    * is the trap. `repetition_keep` applies the published thresholds
+    * (top-2-gram ≤ 0.20 is Gopher's; duplicate-line ≤ 0.30).
+    */
+  def repetitionFeatures(df: DataFrame, text: Column = col("text")): DataFrame = {
+    val lines = filter(split(text, "\n"), l => length(l) > 0)
+    val toks = wsTokens(text)
+    val grams = when(size(toks) >= 2,
+      transform(sequence(lit(0), size(toks) - 2),
+        i => concat_ws(" ", slice(toks, i + 1, lit(2)))))
+      .otherwise(array().cast("array<string>"))
+    val sorted = array_sort(grams)
+    val zero = struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best"))
+    val topRun = aggregate(sorted, zero,
+      (acc, g) => {
+        val run = when(g === acc.getField("prev"), acc.getField("run") + 1).otherwise(lit(1L))
+        struct(g.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+    df.withColumn("n_lines", size(lines))
+      .withColumn("dup_line_frac",
+        when(size(lines) > 0,
+          round(lit(1.0) - size(array_distinct(lines)).cast("double") / size(lines), 6))
+          .otherwise(0.0))
+      .withColumn("total_2grams", size(grams).cast("long"))
+      .withColumn("distinct_2grams", size(array_distinct(grams)).cast("long"))
+      .withColumn("top_2gram_frac",
+        when(size(grams) > 0, round(topRun.cast("double") / size(grams), 6)).otherwise(0.0))
+      .withColumn("dup_2gram_frac",
+        when(size(grams) > 0,
+          round(lit(1.0) - size(array_distinct(grams)).cast("double") / size(grams), 6))
+          .otherwise(0.0))
+      .withColumn("repetition_keep",
+        col("top_2gram_frac") <= 0.2 && col("dup_line_frac") <= 0.3)
+  }
+
   /** Document fingerprint: order-sensitive 64-bit rolling hash over
     * whitespace tokens — bit_xor of md5-derived token hashes scaled by
     * position (overflow-free in int64, reproducible in any engine with md5).

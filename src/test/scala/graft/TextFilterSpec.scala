@@ -1,0 +1,66 @@
+package graft
+
+import graft.text.TextOps
+import org.apache.spark.sql.functions._
+
+/** PII redaction + Gopher repetition filters on hand-built texts with
+  * known answers. */
+class TextFilterSpec extends SparkSpec {
+
+  private def one(text: String) = {
+    val s = spark
+    import s.implicits._
+    Seq((1L, text)).toDF("doc_id", "text")
+  }
+
+  test("redactPii replaces emails, IPs and phone runs; email first") {
+    val df = one("mail a.b+c@foo-bar.org or 192.168.1.200, call +4915123456789 now")
+    val red = df.select(TextOps.redactPii(col("text"))).head().getString(0)
+    assert(red == "mail <EMAIL> or <IP>, call <PHONE> now", red)
+    val counts = TextOps.piiCounts(df)
+      .select("n_emails", "n_ips", "n_phones").head()
+    assert((counts.getInt(0), counts.getInt(1), counts.getInt(2)) == ((1, 1, 1)))
+  }
+
+  test("redactPii leaves clean text untouched and short digit runs alone") {
+    val txt = "version 1.2.3 of thing costs +99 dollars at example.com shop"
+    val red = one(txt).select(TextOps.redactPii(col("text"))).head().getString(0)
+    // 1.2.3 is not 4 octets; +99 is under 9 digits; example.com has no @
+    assert(red == txt, red)
+  }
+
+  test("repetitionFeatures: known 2-gram and line statistics") {
+    // tokens: a b a b a -> 2-grams: "a b","b a","a b","b a" -> top 2/4
+    val df = one("a b a b a")
+    val r = TextOps.repetitionFeatures(df)
+      .select("n_lines", "dup_line_frac", "total_2grams", "distinct_2grams",
+        "top_2gram_frac", "dup_2gram_frac", "repetition_keep").head()
+    assert(r.getInt(0) == 1)
+    assert(r.getDouble(1) == 0.0)
+    assert(r.getLong(2) == 4L && r.getLong(3) == 2L)
+    assert(r.getDouble(4) == 0.5 && r.getDouble(5) == 0.5)
+    assert(!r.getBoolean(6)) // top frac 0.5 > 0.2 -> filtered
+  }
+
+  test("repetitionFeatures: duplicate lines and the keep thresholds") {
+    val df = one("x y z w\nx y z w\nq r s t\n")
+    val r = TextOps.repetitionFeatures(df)
+      .select("n_lines", "dup_line_frac", "repetition_keep").head()
+    assert(r.getInt(0) == 3)
+    assert(math.abs(r.getDouble(1) - 0.333333) < 1e-9, r.getDouble(1).toString)
+    // dup_line_frac 0.33 > 0.3 -> filtered even though grams are unique
+    assert(!r.getBoolean(2))
+    val clean = TextOps.repetitionFeatures(one("all tokens here are fully distinct words"))
+      .select("repetition_keep").head().getBoolean(0)
+    assert(clean)
+  }
+
+  test("repetitionFeatures: degenerate docs (empty, single token)") {
+    val r = TextOps.repetitionFeatures(one("solo"))
+      .select("total_2grams", "top_2gram_frac", "repetition_keep").head()
+    assert(r.getLong(0) == 0L && r.getDouble(1) == 0.0 && r.getBoolean(2))
+    val e = TextOps.repetitionFeatures(one(""))
+      .select("n_lines", "dup_line_frac", "repetition_keep").head()
+    assert(e.getInt(0) == 0 && e.getDouble(1) == 0.0 && e.getBoolean(2))
+  }
+}
