@@ -23,6 +23,30 @@ object Probe {
       case "skewBucketed40" => () => graft.Bench.mergeSkewJob(spark, 40000000L, bucketed = true)
       case "skewBucketed64" => () => graft.Bench.mergeSkewJob(spark, 64000000L, bucketed = true)
       case "skewPlain"    => () => graft.Bench.mergeSkewJob(spark, 24000000L, bucketed = false)
+      // connected-components scale probe: n edges forming chains of 64 —
+      // the worst diameter shape per component for label propagation, so
+      // the pointer-jump O(log n) claim is what is actually measured
+      case "ccJob" | "ccJob40" => () => {
+        import org.apache.spark.sql.functions._
+        val n = if (name == "ccJob40") 40000000L else 10000000L
+        val edges = spark.range(n).filter(col("id") % 64 =!= 63)
+          .select(col("id").as("a"), (col("id") + 1).as("b"))
+        val cc = graft.dedup.Clusters.connectedComponents(edges)
+        val distinct = cc.select(countDistinct(col("cluster"))).head().getLong(0)
+        require(distinct == (n + 63) / 64, s"$distinct components")
+        distinct
+      }
+      // realistic dup-cluster shape: 8-member stars (diameter 2)
+      case "ccStar" => () => {
+        import org.apache.spark.sql.functions._
+        val n = 10000000L
+        val edges = spark.range(n).filter(col("id") % 8 =!= 0)
+          .select(col("id").as("a"), (col("id") - col("id") % 8).as("b"))
+        val cc = graft.dedup.Clusters.connectedComponents(edges)
+        val distinct = cc.select(countDistinct(col("cluster"))).head().getLong(0)
+        require(distinct == (n + 7) / 8, s"$distinct components")
+        distinct
+      }
       // component probes for the minhash pipeline (dev-only)
       case "mh_shingles" => () =>
         graft.GraftQueries.docs(spark, sfDir)
