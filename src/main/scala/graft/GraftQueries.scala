@@ -1952,6 +1952,37 @@ object GraftQueries {
       |              ELSE 0.0 END) <= 0.3) AS INT) AS repetition_keep
       |FROM toks t LEFT JOIN a ON t.doc_id = a.doc_id""".stripMargin
 
+  /** Benchmark decontamination (GPT-3/PaLM-style n-gram overlap): a
+    * deterministic ~1% slice of the corpus plays the evaluation set;
+    * every remaining doc reports how many of its shingles appear in the
+    * benchmark's shingle vocabulary. */
+  def qContamination(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    Dedup.contamination(
+      d.filter(pmod(col("doc_id"), lit(97)) =!= 0),
+      d.filter(pmod(col("doc_id"), lit(97)) === 0))
+      .withColumn("contaminated", col("contaminated").cast("int"))
+  }
+
+  val sqlContamination: String =
+    """WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS tk FROM documents),
+      |sh AS (
+      |  SELECT doc_id,
+      |    list_distinct([array_to_string(tk[i : i + 2], ' ')
+      |                   for i in generate_series(1, greatest(len(tk) - 2, 1))]) AS sh
+      |  FROM toks),
+      |bench AS (SELECT DISTINCT s FROM sh, unnest(sh) t(s) WHERE doc_id % 97 = 0),
+      |docsh AS (SELECT doc_id, s FROM sh, unnest(sh) t(s) WHERE doc_id % 97 <> 0),
+      |a AS (
+      |  SELECT d.doc_id, count(*) AS n_shingles,
+      |         CAST(sum(CASE WHEN b.s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |           AS n_contaminated
+      |  FROM docsh d LEFT JOIN bench b ON d.s = b.s GROUP BY 1)
+      |SELECT doc_id, n_shingles, n_contaminated,
+      |       round(n_contaminated * 1.0 / n_shingles, 6) AS contamination_frac,
+      |       CAST(n_contaminated >= 1 AS INT) AS contaminated
+      |FROM a""".stripMargin
+
   // classic relational smoke (lineitem)
   def qLineitemAgg(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/lineitem.parquet")

@@ -97,7 +97,8 @@ object SparkEntry {
     "q67_dedup_survivors" -> (qDedupSurvivors _),
     "q68_stratified_sample" -> (qStratifiedSample _),
     "q69_pii_redaction" -> (qPiiRedaction _),
-    "q70_repetition" -> (qRepetition _)
+    "q70_repetition" -> (qRepetition _),
+    "q71_contamination" -> (qContamination _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -170,6 +171,7 @@ object SparkEntry {
     "q67_dedup_survivors" -> sqlDedupSurvivors,
     "q68_stratified_sample" -> sqlStratifiedSample,
     "q69_pii_redaction" -> sqlPiiRedaction,
-    "q70_repetition" -> sqlRepetition
+    "q70_repetition" -> sqlRepetition,
+    "q71_contamination" -> sqlContamination
   )
 }

@@ -136,6 +136,40 @@ object Dedup {
             size(array_union(col("sha"), col("shb"))), 6).as("jaccard"))
   }
 
+  /** Benchmark-contamination check: for every corpus doc, how many of its
+    * word shingles appear in the evaluation set's shingle vocabulary
+    * (n-gram-overlap decontamination, the public GPT-3/PaLM appendix
+    * method). Scale shape: the BENCHMARK side is small by definition —
+    * its distinct shingles broadcast; the corpus side is one explode +
+    * broadcast semi-probe + per-doc re-aggregation, no shuffle of text
+    * and no corpus×benchmark join. Returns (idCol, n_shingles,
+    * n_contaminated, contamination_frac, contaminated≥`flagAt`).
+    */
+  def contamination(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      shingleN: Int = 3,
+      flagAt: Int = 1): DataFrame = {
+    val benchShingles = benchmark
+      .select(explode(shingles(col(textCol), shingleN)).as("_s"))
+      .distinct()
+    val docShingles = corpus
+      .select(col(idCol), graft.text.TextOps.wsTokens(col(textCol)).as("_tk"))
+      .select(col(idCol), explode(shinglesOf(col("_tk"), shingleN)).as("_s"))
+    docShingles
+      .join(broadcast(benchShingles.withColumn("_hit", lit(1))), Seq("_s"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("_hit"), lit(0))).as("n_contaminated"))
+      .select(col(idCol), col("n_shingles"), col("n_contaminated"),
+        round(col("n_contaminated").cast("double") / col("n_shingles"), 6)
+          .as("contamination_frac"),
+        (col("n_contaminated") >= flagAt).as("contaminated"))
+  }
+
   /** SimHash as a DataFrame op: token hashes materialized ONCE into a
     * column, then `bits` aggregate() passes over the in-row array (cheap;
     * no md5 duplication across bit positions). */

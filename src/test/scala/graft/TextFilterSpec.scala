@@ -55,6 +55,25 @@ class TextFilterSpec extends SparkSpec {
     assert(clean)
   }
 
+  test("contamination counts benchmark shingle overlaps per doc") {
+    val s = spark
+    import s.implicits._
+    val bench = Seq((100L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    // doc 1 shares shingle "alpha beta gamma" + "beta gamma delta";
+    // doc 2 shares none; doc 3 is a full copy (all shingles hit)
+    val corpus = Seq(
+      (1L, "zero alpha beta gamma delta"),
+      (2L, "totally unrelated words here"),
+      (3L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val got = graft.dedup.Dedup.contamination(corpus, bench)
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getBoolean(4))))
+      .toMap
+    assert(got(1L) == ((3L, 2L, true)), got.toString)
+    assert(got(2L) == ((2L, 0L, false)), got.toString)
+    assert(got(3L) == ((2L, 2L, true)), got.toString)
+  }
+
   test("repetitionFeatures: degenerate docs (empty, single token)") {
     val r = TextOps.repetitionFeatures(one("solo"))
       .select("total_2grams", "top_2gram_frac", "repetition_keep").head()
