@@ -77,7 +77,10 @@ object CategoricalOps {
       freqUs: Long,
       valueCol: String = "sv"): DataFrame = {
     val spark = points.sparkSession
-    val nGrid = ((end - start) / freqUs + 1).toInt
+    require(freqUs > 0, s"sampleStates: freqUs must be positive, got $freqUs")
+    // Long arithmetic throughout: an Int cast would silently wrap on fine
+    // grids over long spans (spark.range takes Long)
+    val nGrid = (end - start) / freqUs + 1
     // deliberate keys × grid expansion (that IS the output domain); the
     // grid side is lit-range tiny, so this plans as a broadcast expansion
     val grid = keys

@@ -57,6 +57,11 @@ object Clusters {
     // the current value), so convergence is "the exact decimal label sum
     // stopped falling" — one aggregate per round instead of a
     // change-detection join (measured 30% of the round's cost)
+    // empty pair graph: no nodes, nothing to iterate (and labelSum would
+    // be SQL-null) — return the empty (node, cluster) frame so callers'
+    // left-join/coalesce yields all-singleton clusters
+    if (labels.head(1).isEmpty)
+      return labels.select(col("node"), col("label").as("cluster"))
     def labelSum(df: DataFrame): java.math.BigDecimal =
       df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
     var prevSum = labelSum(labels)

@@ -456,15 +456,24 @@ object MergeOps {
     val wKAll = Window.partitionBy(K)
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val wSid = Window.partitionBy(K, "sid").orderBy("_bkt")
+    // the bucket rides inside a struct: a bare collect_list SKIPS null
+    // buckets (null t under a bucketBy), and the missing probe row would
+    // make grid0's inner join silently drop every null-t time — the
+    // fixed-K window path keeps such rows, so the dynamic grid must too.
+    // Struct ordering sorts the null bucket FIRST, matching the nulls-
+    // first asc order of wCarry and of the main merge window over t.
     val e0 = withDefs.repartition(col(K))
-      .withColumn("_allB", sort_array(array_distinct(collect_list(col("_bkt")).over(wKAll))))
+      .withColumn("_allB", sort_array(array_distinct(
+        collect_list(struct(col("_bkt").as("b"))).over(wKAll))))
       .withColumn("_rn", row_number().over(wSid))
     // each (key, sid)'s FIRST row fans out one probe per grid bucket; every
     // row contributes its own closing. slice(.., 1, 0) is the empty array
     // of the right element type (when/otherwise must agree).
     val probeArr = transform(col("_allB"), b =>
-      struct(b.as("_eb"), lit(null).cast("struct<_lvv:double>").as("_cl"), lit(true).as("_pr")))
-    val e1 = e0.select(col(K), col("sid"), col("_def"), element_at(col("_allB"), 1).as("_b0"),
+      struct(b.getField("b").as("_eb"), lit(null).cast("struct<_lvv:double>").as("_cl"),
+        lit(true).as("_pr")))
+    val e1 = e0.select(col(K), col("sid"), col("_def"),
+      element_at(col("_allB"), 1).getField("b").as("_b0"),
       explode(concat(
         array(struct(col("_bkt").as("_eb"), struct(col("_lvv")).as("_cl"), lit(false).as("_pr"))),
         when(col("_rn") === 1, probeArr).otherwise(slice(probeArr, 1, 0)))).as("_x"))

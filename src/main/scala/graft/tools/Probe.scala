@@ -57,11 +57,16 @@ object Probe {
         graft.dedup.Dedup.minhashSignature(graft.GraftQueries.docs(spark, sfDir)).count()
       case "mh_a" | "mh_b" | "mh_c" => () => {
         import org.apache.spark.sql.functions._
+        // timing probe only: docs under 3 tokens are filtered (element_at
+        // past the end THROWS under Spark 4's default ANSI mode; the
+        // production path's slice() handles them, this bisection tool
+        // need not)
         val ex = graft.GraftQueries.docs(spark, sfDir)
           .repartition(spark.sparkContext.defaultParallelism)
           .select(col("doc_id"), graft.text.TextOps.wsTokens(col("text")).as("_tk"))
+          .filter(size(col("_tk")) >= 3)
           .select(col("doc_id"), col("_tk"),
-            explode(sequence(lit(0), greatest(size(col("_tk")) - 3, lit(0)))).as("_i"))
+            explode(sequence(lit(0), size(col("_tk")) - 3)).as("_i"))
         val step = name match {
           case "mh_a" => ex.select(col("doc_id"), col("_i"))
           case "mh_b" => ex.select(col("doc_id"), concat_ws(" ",

@@ -38,6 +38,15 @@ class ClustersSpec extends SparkSpec {
     assert(e.getMessage.contains("not converged"))
   }
 
+  test("empty pair graph yields an empty cluster frame, not an error") {
+    val s = spark
+    import s.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("a", "b")
+    val cc = Clusters.connectedComponents(empty)
+    assert(cc.columns.toSeq == Seq("node", "cluster"))
+    assert(cc.count() == 0)
+  }
+
   test("reversed/duplicate/self-referencing pairs do not disturb labels") {
     val cc = ccMap(Seq((2L, 1L), (1L, 2L), (2L, 3L), (3L, 3L)))
     assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L), cc.toString)

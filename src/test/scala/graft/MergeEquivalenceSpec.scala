@@ -172,6 +172,28 @@ class MergeEquivalenceSpec extends SparkSpec {
     }
   }
 
+  test("dynamic-K grid keeps null-t rows under bucketBy (fixed-K parity)") {
+    // a null t yields a null bucket; a bare collect_list of buckets would
+    // skip it, the grid's inner join would then drop the time row — while
+    // the fixed-K window path (no joins) keeps it. Both paths must agree.
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (Some(1.0), "a", 2.0), (Some(3.0), "a", 4.0),
+      (None, "a", 9.0), (Some(2.0), "b", 1.0))
+      .map { case (t, sid, v) => ("k", sid, t.map(Double.box).orNull, v) }
+      .toDF("key", "sid", "t", "v")
+      .withColumn("t", col("t").cast("double"))
+    val bucket = Some(floor(col("t") / 2).cast("long"))
+    // 3 distinct non-null times + the null time = 4 grid times x 2 sids
+    assert(MergeOps.iterMergeEntries(df, bucketBy = bucket).count() == 8)
+    val withB = collectTV(MergeOps.mergeAggDynamic(df, max(_), bucketBy = bucket,
+      constDefault = Some(lit(0.0))))
+    val plain = collectTV(MergeOps.mergeAggDynamic(df, max(_), bucketBy = None,
+      constDefault = Some(lit(0.0))))
+    assert(withB.nonEmpty && withB == plain, s"$withB vs $plain")
+  }
+
   test("dynamic-K grid guard fails loudly past maxGridPerBucket; audit surfaces it") {
     val s = spark
     import s.implicits._
