@@ -45,6 +45,7 @@ object Bench {
       // of small inputs. A 64 KiB floor keeps small stages parallel while
       // leaving large-job coalescing (64 MiB advisory) untouched.
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.chunk.GorillaEncodeAgg
+
+/** Session extension registering graft's native Catalyst functions.
+  * Activate with `.config("spark.sql.extensions", "graft.GraftExtensions")`
+  * on the session builder; callers that cannot control the builder keep
+  * working — [[graft.chunk.ChunkOps.writeChunks]] probes the registry and
+  * falls back to the equivalent UDF plan when the function is absent.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = GraftExtensions.inject(ext)
+}
+
+object GraftExtensions {
+  /** `ts_chunk_encode(t, v)` — Gorilla chunk blob aggregate ([[GorillaEncodeAgg]]). */
+  val EncodeName = "ts_chunk_encode"
+
+  def inject(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier(EncodeName),
+      new ExpressionInfo(classOf[GorillaEncodeAgg].getCanonicalName, EncodeName),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, s"$EncodeName(t, v) takes exactly 2 arguments, got ${args.length}")
+        GorillaEncodeAgg(args(0), args(1))
+      }))
+  }
+}

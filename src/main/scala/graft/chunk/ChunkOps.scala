@@ -27,16 +27,27 @@ object ChunkOps {
   }
 
   /** points (key, t: long µs, v) -> chunks (key, bucket, n_points, blob).
-    * One shuffle (groupBy); collect_list is bounded by chunkSpan, which the
+    * One shuffle (groupBy); accumulation is bounded by chunkSpan, which the
     * caller sizes so a chunk fits executor memory (e.g. 1 day of points per
     * url).
+    *
+    * When the session was built with `spark.sql.extensions=graft.GraftExtensions`
+    * the encode runs as the native `ts_chunk_encode` Catalyst aggregate
+    * ([[GorillaEncodeAgg]]): primitive-array accumulation, 17-byte/point
+    * partial-aggregate shuffle, no boxed Row list. Otherwise it falls back
+    * to the equivalent `collect_list` + UDF plan; both emit byte-identical
+    * blobs for unique-per-t points (asserted in GorillaSpec).
     */
   def writeChunks(points: DataFrame, chunkSpanMicros: Long): DataFrame = {
+    val native = points.sparkSession.catalog.functionExists(graft.GraftExtensions.EncodeName)
+    val enc =
+      if (native) call_function(graft.GraftExtensions.EncodeName, col(T), col(V))
+      else encodeUdf(collect_list(struct(col(T), col(V))))
     points
       .groupBy(col(K), floor(col(T) / chunkSpanMicros).as("bucket"))
       .agg(
         count(lit(1)).as("n_points"),
-        encodeUdf(collect_list(struct(col(T), col(V)))).as("blob"))
+        enc.as("blob"))
   }
 
   /** chunks -> points; exact inverse of [[writeChunks]] (round-trip

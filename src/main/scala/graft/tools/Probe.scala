@@ -47,6 +47,31 @@ object Probe {
         require(distinct == (n + 7) / 8, s"$distinct components")
         distinct
       }
+      // chunk-encode A/B: native ts_chunk_encode aggregate vs the legacy
+      // collect_list+UDF plan, isolated from the rest of the rollup job
+      case "chunkNative" | "chunkUdf" => () => {
+        import org.apache.spark.sql.functions._
+        val dir = graft.Bench.pagesTable(spark, 8000000L)
+        val series = graft.core.SeriesOps.compact(
+          graft.pipeline.Pages.toSeries(spark.read.parquet(dir)))
+        val day = graft.regularize.CalendarFloor.DAY
+        val enc =
+          if (name == "chunkNative")
+            call_function(graft.GraftExtensions.EncodeName, col("t"), col("v"))
+          else {
+            val legacy = udf { (rows: Seq[org.apache.spark.sql.Row]) =>
+              val sorted = rows.sortBy(_.getLong(0))
+              graft.chunk.Gorilla.encode(
+                sorted.map(_.getLong(0)).toArray,
+                sorted.map(r => if (r.isNullAt(1)) null
+                  else java.lang.Double.valueOf(r.getDouble(1))).toArray)
+            }
+            legacy(collect_list(struct(col("t"), col("v"))))
+          }
+        series.groupBy(col("key"), floor(col("t") / day).as("bucket"))
+          .agg(enc.as("blob"))
+          .select(sum(length(col("blob")))).head().getLong(0)
+      }
       // component probes for the minhash pipeline (dev-only)
       case "mh_shingles" => () =>
         graft.GraftQueries.docs(spark, sfDir)
