@@ -1983,6 +1983,54 @@ object GraftQueries {
       |       CAST(n_contaminated >= 1 AS INT) AS contaminated
       |FROM a""".stripMargin
 
+  /** CCNet-style segment-level dedup (Wenzek et al. 2020): every distinct
+    * 3-word segment survives only at its first (doc, position) occurrence
+    * corpus-wide; each doc is rewritten to its surviving segments. The
+    * 3-word width makes cross-doc collisions real on this vocabulary
+    * (~19% of segments dedup away at sf0.01). */
+  def qSegmentDedup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.segmentDedup(docs(spark, dir), t => Dedup.wordWindows(t, 3))
+
+  val sqlSegmentDedup: String =
+    """WITH toks AS (SELECT doc_id, text, string_split(text, ' ') AS tk FROM documents),
+      |segs AS (
+      |  SELECT doc_id, i, array_to_string(tk[(i*3+1):(i*3+3)], ' ') AS seg
+      |  FROM toks, unnest(generate_series(0, CAST(ceil(len(tk)/3.0) AS BIGINT) - 1)) s(i)),
+      |perdoc AS (SELECT md5(seg) AS h, doc_id, min(i) AS pos FROM segs GROUP BY 1, 2),
+      |win AS (SELECT h, min(doc_id) AS doc_id, arg_min(pos, doc_id) AS pos
+      |        FROM perdoc GROUP BY 1),
+      |keep AS (SELECT doc_id, list_sort(list(pos)) AS kp FROM win GROUP BY 1)
+      |SELECT t.doc_id,
+      |  CAST(ceil(len(t.tk)/3.0) AS INT) AS n_segments,
+      |  CAST(coalesce(len(k.kp), 0) AS INT) AS n_kept,
+      |  coalesce(array_to_string(
+      |    [array_to_string(t.tk[(p*3+1):(p*3+3)], ' ') for p in coalesce(k.kp, [])],
+      |    ' '), '') AS text_dedup
+      |FROM toks t LEFT JOIN keep k ON t.doc_id = k.doc_id""".stripMargin
+
+  /** GPT-style concat-and-chunk sequence packing: md5-shuffle the corpus
+    * deterministically, concatenate the token stream, chunk into 128-token
+    * blocks; output the (block, doc) span table. */
+  def qPackSequences(spark: SparkSession, dir: String): DataFrame =
+    graft.pack.Packing.packSequences(
+      docs(spark, dir), size(graft.text.TextOps.wsTokens(col("text"))), 128L)
+
+  val sqlPackSequences: String =
+    """WITH d AS (
+      |  SELECT doc_id, len(regexp_extract_all(text, '\S+')) AS n,
+      |         md5(CAST(doc_id AS VARCHAR) || '#42') AS h
+      |  FROM documents
+      |  WHERE len(regexp_extract_all(text, '\S+')) > 0),
+      |c AS (
+      |  SELECT doc_id, n,
+      |         CAST(sum(n) OVER (ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c1
+      |  FROM d),
+      |e AS (SELECT doc_id, n, c1 - n AS c0, c1 FROM c)
+      |SELECT b AS block_id, doc_id,
+      |  greatest(0, b*128 - c0) AS tok_start,
+      |  least(n, (b+1)*128 - c0) AS tok_end
+      |FROM e, unnest(generate_series(c0 // 128, (c1-1) // 128)) s(b)""".stripMargin
+
   // classic relational smoke (lineitem)
   def qLineitemAgg(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/lineitem.parquet")

@@ -98,7 +98,9 @@ object SparkEntry {
     "q68_stratified_sample" -> (qStratifiedSample _),
     "q69_pii_redaction" -> (qPiiRedaction _),
     "q70_repetition" -> (qRepetition _),
-    "q71_contamination" -> (qContamination _)
+    "q71_contamination" -> (qContamination _),
+    "q72_segment_dedup" -> (qSegmentDedup _),
+    "q73_pack_sequences" -> (qPackSequences _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -172,6 +174,8 @@ object SparkEntry {
     "q68_stratified_sample" -> sqlStratifiedSample,
     "q69_pii_redaction" -> sqlPiiRedaction,
     "q70_repetition" -> sqlRepetition,
-    "q71_contamination" -> sqlContamination
+    "q71_contamination" -> sqlContamination,
+    "q72_segment_dedup" -> sqlSegmentDedup,
+    "q73_pack_sequences" -> sqlPackSequences
   )
 }

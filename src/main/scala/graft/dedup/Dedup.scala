@@ -315,4 +315,60 @@ object Dedup {
     val rng = new java.util.Random(seed)
     Array.fill(bands * rowsPerBand)(Array.fill(dim)(math.round(1000.0 * rng.nextGaussian()).toDouble))
   }
+
+  /** Fixed-width word windows: text -> array of w-word segments, the
+    * segmentation [[segmentDedup]]'s tests use (production callers pass
+    * e.g. `split(text, "\n{2,}")` for real paragraphs). A text of n words
+    * yields ceil(n/w) segments; the last may be short. */
+  def wordWindows(text: Column, w: Int): Column = {
+    val toks = split(text, " ")
+    val nseg = ceil(size(toks) / lit(w.toDouble)).cast("int")
+    transform(sequence(lit(0), nseg - 1), i => array_join(slice(toks, i * w + 1, lit(w)), " "))
+  }
+
+  /** CCNet-style segment-level dedup (Wenzek et al. 2020 deduplicate web
+    * text at the PARAGRAPH level before any document-level pass): across
+    * the whole corpus, each distinct segment survives only at its first
+    * occurrence — the lexicographically least (doc, position) — and every
+    * document is rewritten to its surviving segments in original order.
+    *
+    * Scale shape: text NEVER enters the dedup shuffle. Segments are
+    * reduced to md5 digests; the global winner per digest is found with
+    * two scalar hash-aggregations (per-(digest, doc) min position, then
+    * per-digest min doc + min_by position — all primitive buffers, so both
+    * stages run as partial+final HashAggregate with map-side combine, and
+    * a degenerate segment repeated 10^8 times collapses map-side instead
+    * of hot-spotting a reducer). The winners ARE the kept (doc, pos) pairs
+    * — no join back onto the exploded frame. The only text movement is the
+    * final doc-keyed join that rewrites each document, which re-derives
+    * the segment array and filters it by index.
+    *
+    * Returns (idCol, n_segments, n_kept, text_dedup) where text_dedup
+    * joins surviving segments with `sep`.
+    */
+  def segmentDedup(
+      docs: DataFrame,
+      segsOf: Column => Column,
+      sep: String = " ",
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val hashed = docs
+      .select(col(idCol), posexplode(segsOf(col(textCol))).as(Seq("pos", "_seg")))
+      .select(col(idCol), col("pos"), md5(col("_seg").cast("binary")).as("_h"))
+    val perDoc = hashed.groupBy(col("_h"), col(idCol)).agg(min(col("pos")).as("pos"))
+    val winners = perDoc.groupBy(col("_h"))
+      .agg(min(col(idCol)).as(idCol), min_by(col("pos"), col(idCol)).as("pos"))
+    val keptSets = winners.groupBy(col(idCol))
+      .agg(sort_array(collect_list(col("pos"))).as("_keep"))
+    docs
+      .join(keptSets, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        size(segsOf(col(textCol))).as("n_segments"),
+        coalesce(size(col("_keep")), lit(0)).as("n_kept"),
+        array_join(
+          filter(segsOf(col(textCol)),
+            (_, i) => array_contains(coalesce(col("_keep"), array().cast("array<int>")), i)),
+          sep).as("text_dedup"))
+  }
 }
