@@ -2031,6 +2031,20 @@ object GraftQueries {
       |  least(n, (b+1)*128 - c0) AS tok_end
       |FROM e, unnest(generate_series(c0 // 128, (c1-1) // 128)) s(b)""".stripMargin
 
+  /** Per-domain quota (web-corpus practice: cap any one domain's share of
+    * the training mix): keep the 10 longest docs per source (20 sources x 25 docs at sf0.01, so the quota genuinely bites), skew-safe
+    * two-phase top-N. */
+  def qDomainCap(spark: SparkSession, dir: String): DataFrame =
+    graft.sample.Sampling.capPerGroup(
+      docs(spark, dir).select(col("source"), col("doc_id"), col("n_chars")),
+      col("source"), Seq(col("n_chars").desc, col("doc_id").asc), 10, col("doc_id"))
+
+  val sqlDomainCap: String =
+    """SELECT source, doc_id, n_chars, CAST(rank AS INT) AS rank FROM (
+      |  SELECT source, doc_id, n_chars,
+      |    row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rank
+      |  FROM documents) WHERE rank <= 10""".stripMargin
+
   // classic relational smoke (lineitem)
   def qLineitemAgg(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/lineitem.parquet")

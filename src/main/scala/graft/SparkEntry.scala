@@ -100,7 +100,8 @@ object SparkEntry {
     "q70_repetition" -> (qRepetition _),
     "q71_contamination" -> (qContamination _),
     "q72_segment_dedup" -> (qSegmentDedup _),
-    "q73_pack_sequences" -> (qPackSequences _)
+    "q73_pack_sequences" -> (qPackSequences _),
+    "q74_domain_cap" -> (qDomainCap _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -176,6 +177,7 @@ object SparkEntry {
     "q70_repetition" -> sqlRepetition,
     "q71_contamination" -> sqlContamination,
     "q72_segment_dedup" -> sqlSegmentDedup,
-    "q73_pack_sequences" -> sqlPackSequences
+    "q73_pack_sequences" -> sqlPackSequences,
+    "q74_domain_cap" -> sqlDomainCap
   )
 }

@@ -42,4 +42,30 @@ object Sampling {
     }
     df.filter(unitHash(col(idCol), salt) < frac)
   }
+
+  /** Per-group quota: keep at most `n` rows per `groupCol`, best-first by
+    * `ord` (web-corpus domain caps — a crawl's hottest domain must not
+    * dominate the training mix). Skew-safe two-phase top-N: phase 1 takes
+    * a LOCAL top-n per (group, salt-bucket) — `row_number` over
+    * (group, pmod(xxhash64(saltBy), salt)) — so a domain with 10^9 pages
+    * fans across `salt` tasks instead of one; phase 2 re-ranks the
+    * survivors, a frame bounded at salt·n rows per group no matter how
+    * hot the group. `ord` must totally order rows within a group
+    * (tiebreak on a unique id), or the kept set is nondeterministic.
+    * Output keeps all input columns plus the final `rank` (1-based).
+    */
+  def capPerGroup(
+      df: DataFrame,
+      groupCol: Column,
+      ord: Seq[Column],
+      n: Int,
+      saltBy: Column,
+      salt: Int = 64): DataFrame = {
+    require(n > 0 && salt > 0, s"n=$n salt=$salt must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val w1 = Window.partitionBy(groupCol, pmod(xxhash64(saltBy), lit(salt))).orderBy(ord: _*)
+    val local = df.withColumn("_rn", row_number().over(w1)).filter(col("_rn") <= n).drop("_rn")
+    val w2 = Window.partitionBy(groupCol).orderBy(ord: _*)
+    local.withColumn("rank", row_number().over(w2)).filter(col("rank") <= n)
+  }
 }

@@ -87,6 +87,36 @@ class PackingSpec extends SparkSpec {
     assert(a == b)
   }
 
+  // --- capPerGroup ---
+
+  test("capPerGroup equals the single-phase top-N on a skewed corpus") {
+    val s = spark; import s.implicits._
+    // one hot group with 5000 rows, several cold ones
+    val rows = (0L until 5000L).map(i => ("hot", i, (i * 37) % 1000)) ++
+      (0L until 40L).map(i => (s"cold${i % 4}", 10000L + i, i))
+    val df = rows.toDF("source", "id", "score")
+    val got = graft.sample.Sampling
+      .capPerGroup(df, col("source"), Seq(col("score").desc, col("id").asc), 25, col("id"), salt = 8)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    val expect = rows.groupBy(_._1).toSeq.flatMap { case (g, rs) =>
+      rs.sortBy { case (_, id, sc) => (-sc, id) }.take(25).zipWithIndex
+        .map { case ((src, id, sc), i) => (src, id, sc, i + 1) }
+    }.toSet
+    assert(got == expect)
+    assert(got.count(_._1 == "hot") == 25)
+  }
+
+  test("capPerGroup is invariant to salt and partitioning") {
+    val s = spark; import s.implicits._
+    val rows = (0L until 500L).map(i => (s"g${i % 3}", i, (i * 7) % 50))
+    val df = rows.toDF("source", "id", "score")
+    def run(d: org.apache.spark.sql.DataFrame, salt: Int) = graft.sample.Sampling
+      .capPerGroup(d, col("source"), Seq(col("score").desc, col("id").asc), 10, col("id"), salt)
+      .collect().map(_.toSeq).toSet
+    assert(run(df, 4) == run(df, 64))
+    assert(run(df, 4) == run(df.repartition(11), 4))
+  }
+
   test("packSequences matches a single-stream sequential reference") {
     val rows = (0L until 40L).map(i => (i, 1L + (i * 13) % 100))
     val L = 32L
