@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.chunk.GorillaEncodeAgg
+import graft.chunk.{GorillaDecodeGen, GorillaEncodeAgg}
 
 /** Session extension registering graft's native Catalyst functions.
   * Activate with `.config("spark.sql.extensions", "graft.GraftExtensions")`
@@ -20,6 +20,9 @@ object GraftExtensions {
   /** `ts_chunk_encode(t, v)` — Gorilla chunk blob aggregate ([[GorillaEncodeAgg]]). */
   val EncodeName = "ts_chunk_encode"
 
+  /** `ts_chunk_explode(blob)` — decode generator ([[GorillaDecodeGen]]). */
+  val DecodeName = "ts_chunk_explode"
+
   def inject(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier(EncodeName),
@@ -27,6 +30,13 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.length == 2, s"$EncodeName(t, v) takes exactly 2 arguments, got ${args.length}")
         GorillaEncodeAgg(args(0), args(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier(DecodeName),
+      new ExpressionInfo(classOf[GorillaDecodeGen].getCanonicalName, DecodeName),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, s"$DecodeName(blob) takes exactly 1 argument, got ${args.length}")
+        GorillaDecodeGen(args.head)
       }))
   }
 }

@@ -51,10 +51,16 @@ object ChunkOps {
   }
 
   /** chunks -> points; exact inverse of [[writeChunks]] (round-trip
-    * property-tested). */
+    * property-tested). Native generator when the extension is registered
+    * (rows straight off the codec's primitive arrays), UDF+explode
+    * otherwise. */
   def readChunks(chunks: DataFrame): DataFrame = {
-    chunks
-      .select(col(K), explode(decodeUdf(col("blob"))).as("p"))
-      .select(col(K), col("p._1").as(T), col("p._2").as(V))
+    if (chunks.sparkSession.catalog.functionExists(graft.GraftExtensions.DecodeName))
+      chunks
+        .select(col(K), call_function(graft.GraftExtensions.DecodeName, col("blob")).as(Seq(T, V)))
+    else
+      chunks
+        .select(col(K), explode(decodeUdf(col("blob"))).as("p"))
+        .select(col(K), col("p._1").as(T), col("p._2").as(V))
   }
 }

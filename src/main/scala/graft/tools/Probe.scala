@@ -72,6 +72,35 @@ object Probe {
           .agg(enc.as("blob"))
           .select(sum(length(col("blob")))).head().getLong(0)
       }
+      // chunk-decode A/B: native ts_chunk_explode generator vs UDF+explode,
+      // over a chunk table staged to parquet once (untimed) so only the
+      // scan+decode is measured
+      case "chunkDecNative" | "chunkDecUdf" => () => {
+        import org.apache.spark.sql.functions._
+        val day = graft.regularize.CalendarFloor.DAY
+        val chunkDir = "/tmp/graft_probe_chunks8m"
+        if (!new java.io.File(chunkDir + "/_SUCCESS").exists()) {
+          val dir = graft.Bench.pagesTable(spark, 8000000L)
+          graft.chunk.ChunkOps.writeChunks(
+            graft.core.SeriesOps.compact(
+              graft.pipeline.Pages.toSeries(spark.read.parquet(dir))), day)
+            .write.mode("overwrite").parquet(chunkDir)
+        }
+        val chunks = spark.read.parquet(chunkDir)
+        val decoded =
+          if (name == "chunkDecNative")
+            chunks.select(col("key"),
+              call_function(graft.GraftExtensions.DecodeName, col("blob")).as(Seq("t", "v")))
+          else {
+            val legacy = udf { (blob: Array[Byte]) =>
+              val (ts, vs) = graft.chunk.Gorilla.decode(blob)
+              ts.indices.map(i => (ts(i), Option(vs(i)).map(_.doubleValue())))
+            }
+            chunks.select(col("key"), explode(legacy(col("blob"))).as("p"))
+              .select(col("key"), col("p._1").as("t"), col("p._2").as("v"))
+          }
+        decoded.select(sum(col("t") % 7 + coalesce(col("v"), lit(0.0)))).head().getDouble(0).toLong
+      }
       // component probes for the minhash pipeline (dev-only)
       case "mh_shingles" => () =>
         graft.GraftQueries.docs(spark, sfDir)

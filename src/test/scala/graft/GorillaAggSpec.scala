@@ -61,6 +61,28 @@ class GorillaAggSpec extends SparkSpec {
     assert(got == orig)
   }
 
+  test("native decode generator matches a driver-side Gorilla.decode replay") {
+    val df = pts(2000, "d", keyCount = 4)
+    val chunks = ChunkOps.writeChunks(df, 86400000000L).collect()
+    val expect = chunks.flatMap { r =>
+      val (ts, vs) = Gorilla.decode(r.getAs[Array[Byte]](3))
+      ts.indices.map(i => (r.getString(0), ts(i),
+        Option(vs(i)).map(v => java.lang.Double.doubleToRawLongBits(v.doubleValue()))))
+    }.toSet
+    val got = ChunkOps.readChunks(ChunkOps.writeChunks(df, 86400000000L)).collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(java.lang.Double.doubleToRawLongBits(r.getDouble(2)))))
+      .toSet
+    assert(got == expect)
+  }
+
+  test("native read plan uses the ts_chunk_explode generator, not the UDF") {
+    val plan = ChunkOps.readChunks(ChunkOps.writeChunks(pts(100, "p"), 86400000000L))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ts_chunk_explode"), plan)
+    assert(!plan.toLowerCase.contains("batchevalpython") && !plan.contains("UDF("), plan)
+  }
+
   test("native plan carries ts_chunk_encode and no collect_list") {
     val plan = ChunkOps.writeChunks(pts(100, "p"), 86400000000L)
       .queryExecution.executedPlan.toString
