@@ -23,20 +23,28 @@ object GraftExtensions {
   /** `ts_chunk_explode(blob)` — decode generator ([[GorillaDecodeGen]]). */
   val DecodeName = "ts_chunk_explode"
 
-  def inject(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((
+  /** The function descriptions, shared by [[inject]] (session-build path)
+    * and [[registerInto]] (direct registry path, e.g. restoring after a
+    * test deregisters to exercise the UDF fallback). */
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (
       FunctionIdentifier(EncodeName),
       new ExpressionInfo(classOf[GorillaEncodeAgg].getCanonicalName, EncodeName),
       (args: Seq[Expression]) => {
         require(args.length == 2, s"$EncodeName(t, v) takes exactly 2 arguments, got ${args.length}")
         GorillaEncodeAgg(args(0), args(1))
-      }))
-    ext.injectFunction((
+      }),
+    (
       FunctionIdentifier(DecodeName),
       new ExpressionInfo(classOf[GorillaDecodeGen].getCanonicalName, DecodeName),
       (args: Seq[Expression]) => {
         require(args.length == 1, s"$DecodeName(blob) takes exactly 1 argument, got ${args.length}")
         GorillaDecodeGen(args.head)
       }))
-  }
+
+  def inject(ext: SparkSessionExtensions): Unit = functions.foreach(ext.injectFunction)
+
+  /** Register straight into a live session's FunctionRegistry. */
+  def registerInto(reg: org.apache.spark.sql.catalyst.analysis.FunctionRegistry): Unit =
+    functions.foreach { case (id, info, builder) => reg.registerFunction(id, info, builder) }
 }

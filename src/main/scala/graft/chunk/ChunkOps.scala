@@ -12,7 +12,10 @@ import org.apache.spark.sql.functions._
   */
 object ChunkOps {
 
-  private val encodeUdf = udf { (rows: Seq[Row]) =>
+  /** The fallback encode plan's lambda — package-visible so the A/B bench
+    * probe measures THIS definition, not a hand-copied one that could
+    * drift from the real fallback. */
+  private[graft] val encodeUdf = udf { (rows: Seq[Row]) =>
     val sorted = rows.sortBy(_.getLong(0))
     val ts = sorted.map(_.getLong(0)).toArray
     val vs = sorted
@@ -21,7 +24,7 @@ object ChunkOps {
     Gorilla.encode(ts, vs)
   }
 
-  private val decodeUdf = udf { (blob: Array[Byte]) =>
+  private[graft] val decodeUdf = udf { (blob: Array[Byte]) =>
     val (ts, vs) = Gorilla.decode(blob)
     ts.indices.map(i => (ts(i), Option(vs(i)).map(_.doubleValue())))
   }
@@ -37,6 +40,11 @@ object ChunkOps {
     * partial-aggregate shuffle, no boxed Row list. Otherwise it falls back
     * to the equivalent `collect_list` + UDF plan; both emit byte-identical
     * blobs for unique-per-t points (asserted in GorillaSpec).
+    *
+    * Rows with a null time carry no measurement and are dropped up front,
+    * so `n_points` counts exactly the encoded points and readChunks stays
+    * the inverse on any input (without the filter the native aggregate
+    * would skip them while the UDF's getLong(0) would throw).
     */
   def writeChunks(points: DataFrame, chunkSpanMicros: Long): DataFrame = {
     val native = points.sparkSession.catalog.functionExists(graft.GraftExtensions.EncodeName)
@@ -44,6 +52,7 @@ object ChunkOps {
       if (native) call_function(graft.GraftExtensions.EncodeName, col(T), col(V))
       else encodeUdf(collect_list(struct(col(T), col(V))))
     points
+      .where(col(T).isNotNull)
       .groupBy(col(K), floor(col(T) / chunkSpanMicros).as("bucket"))
       .agg(
         count(lit(1)).as("n_points"),

@@ -55,7 +55,10 @@ final class ChunkBuffer(initial: Int = 16) {
   }
 
   def serialized: Array[Byte] = {
-    val bb = java.nio.ByteBuffer.allocate(4 + n * 17)
+    val size = 4L + n.toLong * 17L
+    require(size <= Int.MaxValue,
+      s"chunk partial buffer of $n points exceeds the 2 GiB serialization limit — shrink chunkSpanMicros")
+    val bb = java.nio.ByteBuffer.allocate(size.toInt)
     bb.putInt(n)
     var i = 0
     while (i < n) { bb.putLong(ts(i)); bb.putDouble(vs(i)); bb.put(if (nl(i)) 1.toByte else 0.toByte); i += 1 }

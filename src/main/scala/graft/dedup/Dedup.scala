@@ -341,7 +341,7 @@ object Dedup {
     * of hot-spotting a reducer). The winners ARE the kept (doc, pos) pairs
     * — no join back onto the exploded frame. The only text movement is the
     * final doc-keyed join that rewrites each document, which re-derives
-    * the segment array and filters it by index.
+    * the segment array and indexes it by the kept positions (O(n_kept)).
     *
     * Returns (idCol, n_segments, n_kept, text_dedup) where text_dedup
     * joins surviving segments with `sep`.
@@ -366,9 +366,12 @@ object Dedup {
         col(idCol),
         size(segsOf(col(textCol))).as("n_segments"),
         coalesce(size(col("_keep")), lit(0)).as("n_kept"),
+        // _keep is already position-sorted, so indexing into the segment
+        // array is O(n_kept) — a filter with array_contains would rescan
+        // _keep once per segment, O(n_segments × n_kept) on big docs
         array_join(
-          filter(segsOf(col(textCol)),
-            (_, i) => array_contains(coalesce(col("_keep"), array().cast("array<int>")), i)),
+          transform(coalesce(col("_keep"), array().cast("array<int>")),
+            p => element_at(segsOf(col(textCol)), p + 1)),
           sep).as("text_dedup"))
   }
 }

@@ -58,48 +58,38 @@ object Probe {
         val enc =
           if (name == "chunkNative")
             call_function(graft.GraftExtensions.EncodeName, col("t"), col("v"))
-          else {
-            val legacy = udf { (rows: Seq[org.apache.spark.sql.Row]) =>
-              val sorted = rows.sortBy(_.getLong(0))
-              graft.chunk.Gorilla.encode(
-                sorted.map(_.getLong(0)).toArray,
-                sorted.map(r => if (r.isNullAt(1)) null
-                  else java.lang.Double.valueOf(r.getDouble(1))).toArray)
-            }
-            legacy(collect_list(struct(col("t"), col("v"))))
-          }
+          else
+            // the REAL fallback lambda, not a copy that could drift
+            graft.chunk.ChunkOps.encodeUdf(collect_list(struct(col("t"), col("v"))))
         series.groupBy(col("key"), floor(col("t") / day).as("bucket"))
           .agg(enc.as("blob"))
           .select(sum(length(col("blob")))).head().getLong(0)
       }
-      // chunk-decode A/B: native ts_chunk_explode generator vs UDF+explode,
-      // over a chunk table staged to parquet once (untimed) so only the
-      // scan+decode is measured
-      case "chunkDecNative" | "chunkDecUdf" => () => {
+      // chunk-decode A/B: native ts_chunk_explode generator vs UDF+explode.
+      // The chunk table is staged to parquet HERE — outside the timed
+      // thunk, overwriting any leftover from an older codec build so the
+      // A/B never measures stale blobs — and only the scan+decode is timed.
+      case "chunkDecNative" | "chunkDecUdf" => {
         import org.apache.spark.sql.functions._
         val day = graft.regularize.CalendarFloor.DAY
         val chunkDir = "/tmp/graft_probe_chunks8m"
-        if (!new java.io.File(chunkDir + "/_SUCCESS").exists()) {
-          val dir = graft.Bench.pagesTable(spark, 8000000L)
-          graft.chunk.ChunkOps.writeChunks(
-            graft.core.SeriesOps.compact(
-              graft.pipeline.Pages.toSeries(spark.read.parquet(dir))), day)
-            .write.mode("overwrite").parquet(chunkDir)
+        val dir = graft.Bench.pagesTable(spark, 8000000L)
+        graft.chunk.ChunkOps.writeChunks(
+          graft.core.SeriesOps.compact(
+            graft.pipeline.Pages.toSeries(spark.read.parquet(dir))), day)
+          .write.mode("overwrite").parquet(chunkDir)
+        () => {
+          val chunks = spark.read.parquet(chunkDir)
+          val decoded =
+            if (name == "chunkDecNative")
+              chunks.select(col("key"),
+                call_function(graft.GraftExtensions.DecodeName, col("blob")).as(Seq("t", "v")))
+            else
+              // the REAL fallback lambda, not a copy that could drift
+              chunks.select(col("key"), explode(graft.chunk.ChunkOps.decodeUdf(col("blob"))).as("p"))
+                .select(col("key"), col("p._1").as("t"), col("p._2").as("v"))
+          decoded.select(sum(col("t") % 7 + coalesce(col("v"), lit(0.0)))).head().getDouble(0).toLong
         }
-        val chunks = spark.read.parquet(chunkDir)
-        val decoded =
-          if (name == "chunkDecNative")
-            chunks.select(col("key"),
-              call_function(graft.GraftExtensions.DecodeName, col("blob")).as(Seq("t", "v")))
-          else {
-            val legacy = udf { (blob: Array[Byte]) =>
-              val (ts, vs) = graft.chunk.Gorilla.decode(blob)
-              ts.indices.map(i => (ts(i), Option(vs(i)).map(_.doubleValue())))
-            }
-            chunks.select(col("key"), explode(legacy(col("blob"))).as("p"))
-              .select(col("key"), col("p._1").as("t"), col("p._2").as("v"))
-          }
-        decoded.select(sum(col("t") % 7 + coalesce(col("v"), lit(0.0)))).head().getDouble(0).toLong
       }
       // component probes for the minhash pipeline (dev-only)
       case "mh_shingles" => () =>

@@ -83,6 +83,57 @@ class GorillaAggSpec extends SparkSpec {
     assert(!plan.toLowerCase.contains("batchevalpython") && !plan.contains("UDF("), plan)
   }
 
+  test("null-time rows are dropped consistently: n_points matches the decoded point count") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      ("k", java.lang.Long.valueOf(1700000000000000L), java.lang.Double.valueOf(1.0)),
+      ("k", null.asInstanceOf[java.lang.Long], java.lang.Double.valueOf(9.0)),
+      ("k", java.lang.Long.valueOf(1700000000060000L), null.asInstanceOf[java.lang.Double]))
+      .toDF("key", "t", "v")
+    val chunks = ChunkOps.writeChunks(df, 86400000000L).collect()
+    assert(chunks.length == 1)
+    assert(chunks.head.getLong(2) == 2) // n_points counts only encoded rows
+    val (ts, _) = Gorilla.decode(chunks.head.getAs[Array[Byte]](3))
+    assert(ts.toSeq == Seq(1700000000000000L, 1700000000060000L))
+  }
+
+  test("UDF fallback (functions deregistered) emits byte-identical chunks and round-trips") {
+    // spark.sql.extensions is a static conf on the shared SparkContext, so
+    // an extension-free session can't be built in this JVM; drop the
+    // functions from the live registry instead and restore after.
+    val ss = spark.getClass.getMethod("sessionState").invoke(spark)
+    val reg = ss.getClass.getMethod("functionRegistry").invoke(ss)
+      .asInstanceOf[org.apache.spark.sql.catalyst.analysis.FunctionRegistry]
+    val df = pts(1200, "f", keyCount = 3)
+    val day = 86400000000L
+    val native = ChunkOps.writeChunks(df, day).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getAs[Array[Byte]](3).toSeq)).toMap
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    assert(reg.dropFunction(FunctionIdentifier(GraftExtensions.EncodeName)))
+    assert(reg.dropFunction(FunctionIdentifier(GraftExtensions.DecodeName)))
+    try {
+      assert(!spark.catalog.functionExists(GraftExtensions.EncodeName))
+      val fb = ChunkOps.writeChunks(df, day)
+      val fbPlan = fb.queryExecution.executedPlan.toString
+      assert(!fbPlan.contains("ts_chunk_encode") && fbPlan.contains("collect_list"), fbPlan)
+      val got = fb.collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getAs[Array[Byte]](3).toSeq)).toMap
+      assert(got == native)
+      val back = ChunkOps.readChunks(fb)
+      assert(!back.queryExecution.executedPlan.toString.contains("ts_chunk_explode"))
+      val rows = back.collect().map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(java.lang.Double.doubleToRawLongBits(r.getDouble(2))))).toSet
+      val orig = df.collect().map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(java.lang.Double.doubleToRawLongBits(r.getDouble(2))))).toSet
+      assert(rows == orig)
+    } finally {
+      GraftExtensions.registerInto(reg)
+    }
+    assert(spark.catalog.functionExists(GraftExtensions.EncodeName))
+    assert(spark.catalog.functionExists(GraftExtensions.DecodeName))
+  }
+
   test("native plan carries ts_chunk_encode and no collect_list") {
     val plan = ChunkOps.writeChunks(pts(100, "p"), 86400000000L)
       .queryExecution.executedPlan.toString
