@@ -2045,6 +2045,153 @@ object GraftQueries {
       |    row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rank
       |  FROM documents) WHERE rank <= 10""".stripMargin
 
+  /** URL canonicalization + host/domain extraction (text.UrlOps): the
+    * synthetic corpus has no URL column, so deterministic doc_id-derived
+    * URLs — five shapes covering uppercase scheme/host, default ports,
+    * www., utm_* params in first and later positions, fragments, multi-
+    * label suffixes, and trailing slashes — are built identically in both
+    * engines, then canonicalized by the real rules. */
+  def qUrlCanon(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.UrlOps
+    val d = docs(spark, dir)
+    val m = pmod(col("doc_id"), lit(5))
+    val hostCore = concat(col("source"), lit("-"), pmod(col("doc_id"), lit(7)))
+    val url = when(m === 0, concat(lit("HTTPS://WWW."), upper(hostCore),
+        lit(".Example.COM:443/Art/"), col("doc_id"),
+        lit("?utm_source=feed&utm_campaign=x&id="), col("doc_id"), lit("#frag")))
+      .when(m === 1, concat(lit("http://"), hostCore, lit(".example.com:80/p/"),
+        col("doc_id"), lit("/")))
+      .when(m === 2, concat(lit("https://news."), hostCore, lit(".example.co.uk/p/"),
+        col("doc_id"), lit("?id="), col("doc_id"), lit("&utm_medium=rss")))
+      .when(m === 3, concat(lit("http://www."), hostCore, lit(".example.com/p/"),
+        col("doc_id"), lit("?utm_x=1&id="), col("doc_id")))
+      .otherwise(concat(lit("https://"), hostCore, lit(".example.com/")))
+    val canon = UrlOps.canonicalizeUrl(url)
+    val host = UrlOps.hostOf(canon)
+    d.select(col("doc_id"), url.as("url"), canon.as("canon_url"), host.as("host"),
+      UrlOps.registeredDomain(host).as("domain"))
+  }
+
+  val sqlUrlCanon: String =
+    """WITH u AS (
+      |  SELECT doc_id,
+      |    CASE doc_id % 5
+      |      WHEN 0 THEN 'HTTPS://WWW.' || upper(source || '-' || (doc_id % 7)) ||
+      |        '.Example.COM:443/Art/' || doc_id ||
+      |        '?utm_source=feed&utm_campaign=x&id=' || doc_id || '#frag'
+      |      WHEN 1 THEN 'http://' || source || '-' || (doc_id % 7) ||
+      |        '.example.com:80/p/' || doc_id || '/'
+      |      WHEN 2 THEN 'https://news.' || source || '-' || (doc_id % 7) ||
+      |        '.example.co.uk/p/' || doc_id || '?id=' || doc_id || '&utm_medium=rss'
+      |      WHEN 3 THEN 'http://www.' || source || '-' || (doc_id % 7) ||
+      |        '.example.com/p/' || doc_id || '?utm_x=1&id=' || doc_id
+      |      ELSE 'https://' || source || '-' || (doc_id % 7) || '.example.com/'
+      |    END AS url
+      |  FROM documents),
+      |c1 AS (SELECT doc_id, url, regexp_replace(url, '#.*', '') AS nofrag FROM u),
+      |c2 AS (SELECT *, coalesce(regexp_extract(nofrag,
+      |         '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*'), '') AS prefix FROM c1),
+      |c3 AS (SELECT doc_id, url, prefix, substr(nofrag, len(prefix) + 1) AS rest FROM c2),
+      |c4 AS (SELECT doc_id, url,
+      |         regexp_replace(regexp_replace(regexp_replace(lower(prefix),
+      |           '^(http://[^/:]+):80$', '\1'),
+      |           '^(https://[^/:]+):443$', '\1'),
+      |           '^(https?://)www\.', '\1') AS auth,
+      |         regexp_replace(regexp_replace(rest,
+      |           '[?&]utm_[A-Za-z_]+=[^&#]*', '', 'g'),
+      |           '^([^?&]*)&', '\1?') AS pathq
+      |       FROM c3),
+      |c5 AS (SELECT doc_id, url,
+      |         regexp_replace(auth || pathq, '/$', '') AS canon_url FROM c4),
+      |c6 AS (SELECT *, coalesce(regexp_extract(canon_url,
+      |         '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1), '') AS host FROM c5)
+      |SELECT doc_id, url, canon_url, host,
+      |  CASE WHEN regexp_matches(host, '[^.]+\.co\.uk$')
+      |         THEN regexp_extract(host, '([^.]+\.co\.uk)$', 1)
+      |       WHEN regexp_matches(host, '[^.]+\.com\.au$')
+      |         THEN regexp_extract(host, '([^.]+\.com\.au)$', 1)
+      |       WHEN regexp_matches(host, '[^.]+\.co\.jp$')
+      |         THEN regexp_extract(host, '([^.]+\.co\.jp)$', 1)
+      |       WHEN coalesce(regexp_extract(host, '([^.]+\.[^.]+)$', 1), '') <> ''
+      |         THEN regexp_extract(host, '([^.]+\.[^.]+)$', 1)
+      |       ELSE host END AS domain
+      |FROM c6""".stripMargin
+
+  /** fastText-shaped hashed-n-gram classifier score (text.Classifier):
+    * dyadic md5-derived weights make the doc score bit-reproducible in
+    * any engine and under any summation order. */
+  def qClassifierScore(spark: SparkSession, dir: String): DataFrame =
+    graft.text.Classifier.hashedNgramScore(docs(spark, dir))
+      .select(col("doc_id"), col("n_grams"), col("clf_score"))
+
+  val sqlClassifierScore: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    [lower(t) for t in regexp_extract_all(text, '\S+')] AS tk
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id,
+      |    tk || CASE WHEN len(tk) >= 2
+      |      THEN [array_to_string(tk[i : i + 1], ' ')
+      |            for i in generate_series(1, len(tk) - 1)]
+      |      ELSE [] END AS grams
+      |  FROM toks),
+      |e AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT % 4096 AS b
+      |      FROM g, unnest(grams) t(s)),
+      |w AS (SELECT doc_id,
+      |        sum((('0x' || substr(md5('w' || CAST(b AS VARCHAR)), 1, 8))::BIGINT % 2048)
+      |            / 1024.0 - 1.0) AS s,
+      |        count(*) AS n
+      |      FROM e GROUP BY 1)
+      |SELECT t.doc_id,
+      |  CAST(coalesce(w.n, 0) AS INT) AS n_grams,
+      |  coalesce(round(1.0 / (1.0 + exp(-(w.s / w.n))), 6), 0.5) AS clf_score
+      |FROM g t LEFT JOIN w USING (doc_id)""".stripMargin
+
+  /** DSIR importance weights (sample.Dsir): a deterministic ~4% slice
+    * (doc_id % 23 = 0) plays the target set; every remaining doc gets
+    * log w = Σ_g quantized log-ratio of its hashed-gram buckets. */
+  def qDsirWeights(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    graft.sample.Dsir.importanceWeights(
+      d.filter(pmod(col("doc_id"), lit(23)) =!= 0),
+      d.filter(pmod(col("doc_id"), lit(23)) === 0))
+  }
+
+  val sqlDsirWeights: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    [lower(t) for t in regexp_extract_all(text, '\S+')] AS tk
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id,
+      |    tk || CASE WHEN len(tk) >= 2
+      |      THEN [array_to_string(tk[i : i + 1], ' ')
+      |            for i in generate_series(1, len(tk) - 1)]
+      |      ELSE [] END AS grams
+      |  FROM toks),
+      |e AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT % 8192 AS b
+      |      FROM g, unnest(grams) t(s)),
+      |rawb AS (SELECT b, count(*) AS rn FROM e WHERE doc_id % 23 <> 0 GROUP BY 1),
+      |tgtb AS (SELECT b, count(*) AS tn FROM e WHERE doc_id % 23 = 0 GROUP BY 1),
+      |tot AS (SELECT (SELECT CAST(sum(rn) AS BIGINT) FROM rawb) AS rtot,
+      |               (SELECT CAST(sum(tn) AS BIGINT) FROM tgtb) AS ttot),
+      |ratio AS (
+      |  SELECT coalesce(r.b, t.b) AS b,
+      |    CAST(round((ln((coalesce(t.tn, 0) + 1) * 1.0 / (tot.ttot + 8192))
+      |              - ln((coalesce(r.rn, 0) + 1) * 1.0 / (tot.rtot + 8192)))
+      |         * 1000000) AS BIGINT) AS lri
+      |  FROM rawb r FULL OUTER JOIN tgtb t ON r.b = t.b, tot),
+      |pd AS (SELECT e.doc_id, count(*) AS n_grams,
+      |              CAST(sum(ratio.lri) AS BIGINT) AS lwi
+      |       FROM e JOIN ratio ON e.b = ratio.b
+      |       WHERE e.doc_id % 23 <> 0 GROUP BY 1)
+      |SELECT d.doc_id,
+      |  CAST(coalesce(pd.n_grams, 0) AS BIGINT) AS n_grams,
+      |  round(coalesce(pd.lwi, 0) / 1000000.0, 6) AS log_weight
+      |FROM documents d LEFT JOIN pd USING (doc_id)
+      |WHERE d.doc_id % 23 <> 0""".stripMargin
+
   // classic relational smoke (lineitem)
   def qLineitemAgg(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/lineitem.parquet")

@@ -101,7 +101,10 @@ object SparkEntry {
     "q71_contamination" -> (qContamination _),
     "q72_segment_dedup" -> (qSegmentDedup _),
     "q73_pack_sequences" -> (qPackSequences _),
-    "q74_domain_cap" -> (qDomainCap _)
+    "q74_domain_cap" -> (qDomainCap _),
+    "q75_url_canon" -> (qUrlCanon _),
+    "q76_clf_score" -> (qClassifierScore _),
+    "q77_dsir_weights" -> (qDsirWeights _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -178,6 +181,9 @@ object SparkEntry {
     "q71_contamination" -> sqlContamination,
     "q72_segment_dedup" -> sqlSegmentDedup,
     "q73_pack_sequences" -> sqlPackSequences,
-    "q74_domain_cap" -> sqlDomainCap
+    "q74_domain_cap" -> sqlDomainCap,
+    "q75_url_canon" -> sqlUrlCanon,
+    "q76_clf_score" -> sqlClassifierScore,
+    "q77_dsir_weights" -> sqlDsirWeights
   )
 }

@@ -1,0 +1,59 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** URL canonicalization + host/domain extraction — the first step of any
+  * web-corpus pipeline (Common-Crawl dedup keys on canonical URL; domain
+  * quotas and per-host stats key on the registered domain).
+  *
+  * The rules are deterministic and RE2-compatible (no lookarounds) so any
+  * engine reproduces them byte-for-byte:
+  *   1. fragment (`#...`) dropped;
+  *   2. the `scheme://authority` prefix lowercased — path/query case kept;
+  *   3. default ports dropped (`:80` for http, `:443` for https);
+  *   4. a leading `www.` dropped;
+  *   5. `utm_*` tracking params dropped, separator repaired (a surviving
+  *      first param regains its `?`);
+  *   6. one trailing `/` dropped.
+  *
+  * Pure scan-projection Column expressions: codegen'd, no UDF, no shuffle.
+  * No public-suffix list ships here; [[registeredDomain]] takes the
+  * multi-label suffixes it should honor as a parameter — at scale that
+  * list is broadcast-small, which is exactly how a real PSL deploys.
+  */
+object UrlOps {
+
+  def canonicalizeUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*", "")
+    val prefix = regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", 0)
+    val rest = noFrag.substr(length(prefix) + 1, length(noFrag))
+    val auth = regexp_replace(
+      regexp_replace(
+        regexp_replace(lower(prefix), "^(http://[^/:]+):80$", "$1"),
+        "^(https://[^/:]+):443$", "$1"),
+      "^(https?://)www\\.", "$1")
+    val noUtm = regexp_replace(rest, "[?&]utm_[A-Za-z_]+=[^&#]*", "")
+    val fixedSep = regexp_replace(noUtm, "^([^?&]*)&", "$1?")
+    regexp_replace(concat(auth, fixedSep), "/$", "")
+  }
+
+  /** Host of an already-canonical URL (lowercased by canonicalizeUrl). */
+  def hostOf(canonUrl: Column): Column =
+    regexp_extract(canonUrl, "^[a-z][a-z0-9+.-]*://([^/:?#]+)", 1)
+
+  /** Registered domain: last two labels, or last three when the host ends
+    * in one of the given multi-label public suffixes; a dot-less host is
+    * returned unchanged. */
+  def registeredDomain(
+      host: Column,
+      multiLabelSuffixes: Seq[String] = Seq("co.uk", "com.au", "co.jp")): Column = {
+    val twoLabel = regexp_extract(host, "([^.]+\\.[^.]+)$", 1)
+    val base = when(twoLabel === "", host).otherwise(twoLabel)
+    multiLabelSuffixes.foldLeft(base) { (acc, sfx) =>
+      val quoted = sfx.replace(".", "\\.")
+      when(host.rlike("[^.]+\\." + quoted + "$"),
+        regexp_extract(host, "([^.]+\\." + quoted + ")$", 1)).otherwise(acc)
+    }
+  }
+}

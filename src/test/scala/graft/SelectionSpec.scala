@@ -1,0 +1,80 @@
+package graft
+
+import graft.sample.Dsir
+import graft.text.{Classifier, UrlOps}
+import org.apache.spark.sql.functions._
+
+/** URL canonicalization, hashed-n-gram classifier, and DSIR importance
+  * weights (the data-selection surface of the pipeline). */
+class SelectionSpec extends SparkSpec {
+
+  private def urls(in: String*): Seq[(String, String, String)] = {
+    val s = spark
+    import s.implicits._
+    val canon = UrlOps.canonicalizeUrl(col("u"))
+    val host = UrlOps.hostOf(canon)
+    in.toDF("u")
+      .select(canon.as("c"), host.as("h"), UrlOps.registeredDomain(host).as("d"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSeq
+  }
+
+  test("canonicalizeUrl: table-driven rules") {
+    val got = urls(
+      "HTTPS://WWW.News.Example.COM:443/Art/9?utm_source=f&utm_campaign=x&id=9#frag",
+      "http://a.example.com:80/p/1/",
+      "https://news.b.example.co.uk/p/2?id=2&utm_medium=rss",
+      "http://www.c.example.com/p/3?utm_x=1&id=3",
+      "https://d.example.com/",
+      "https://keep.example.com/CaseKept/Path?a=1&b=2",
+      "localhost")
+    assert(got(0) == (("https://news.example.com/Art/9?id=9", "news.example.com", "example.com")))
+    assert(got(1) == (("http://a.example.com/p/1", "a.example.com", "example.com")))
+    assert(got(2) == (("https://news.b.example.co.uk/p/2?id=2", "news.b.example.co.uk", "example.co.uk")))
+    assert(got(3) == (("http://c.example.com/p/3?id=3", "c.example.com", "example.com")))
+    assert(got(4) == (("https://d.example.com", "d.example.com", "example.com")))
+    assert(got(5) == (("https://keep.example.com/CaseKept/Path?a=1&b=2", "keep.example.com", "example.com")))
+    // schemeless input: passes through (lowered authority prefix is empty),
+    // host extraction finds nothing, dot-less host falls back to itself
+    assert(got(6)._1 == "localhost" && got(6)._2 == "" && got(6)._3 == "")
+  }
+
+  test("classifier score is deterministic, bounded, and 0.5 on empty text") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "spark spark spark spark"), (3L, "")).toDF("doc_id", "text")
+    val a = Classifier.hashedNgramScore(df).select("doc_id", "n_grams", "clf_score")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq.sortBy(_._1)
+    val b = Classifier.hashedNgramScore(df.repartition(3)).select("doc_id", "n_grams", "clf_score")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq.sortBy(_._1)
+    assert(a == b) // partitioning-independent
+    assert(a.forall { case (_, _, sc) => sc >= 0.0 && sc <= 1.0 })
+    assert(a.find(_._1 == 1L).get._2 == 9 + 8) // 9 unigrams + 8 bigrams
+    assert(a.find(_._1 == 3L).get == ((3L, 0, 0.5)))
+  }
+
+  test("DSIR: identical target and raw distributions give log_weight 0 exactly") {
+    val s = spark
+    import s.implicits._
+    val df = (1L to 40L).map(i => (i, s"alpha beta gamma delta w$i")).toDF("doc_id", "text")
+    val w = Dsir.importanceWeights(df, df)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(w.length == 40)
+    assert(w.forall(_._3 == 0.0), w.filter(_._3 != 0.0).mkString(","))
+  }
+
+  test("DSIR: target-like docs outweigh off-target docs") {
+    val s = spark
+    import s.implicits._
+    val raw = ((1L to 20L).map(i => (i, "alpha beta gamma delta epsilon"))
+      ++ (21L to 40L).map(i => (i, "zeta eta theta iota kappa"))).toDF("doc_id", "text")
+    val target = (1L to 10L).map(i => (100L + i, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    // small bucket count so the counts dominate the add-one smoothing
+    // (at the default 8192 a 40-doc corpus shrinks toward uniform and
+    // only the RANKING is meaningful)
+    val w = Dsir.importanceWeights(raw, target, buckets = 64)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(w(1L) > w(21L), s"on-target ${w(1L)} should beat off-target ${w(21L)}")
+    assert(w(1L) > 0 && w(21L) < 0, s"${w(1L)} / ${w(21L)}")
+  }
+}
