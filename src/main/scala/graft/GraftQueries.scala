@@ -1095,32 +1095,34 @@ object GraftQueries {
 
   /** Replays the REAL container arithmetic: BMP byte length = 54-byte
     * headers + height x 4-byte-padded rows; WAV = 44-byte canonical header
-    * + samples x channels data bytes; video = the opaque stub formulas. */
+    * + samples x channels data bytes; AVI = 232 header/index-entry bytes
+    * + frames x (24 + padded-stride x height). */
   val sqlMultimodalMeta: String =
     """WITH m AS (
       |  SELECT doc_id,
       |    (['image', 'audio', 'video'])[CAST(doc_id % 3 AS INT) + 1] AS modality,
       |    octet_length(encode(coalesce(text, ''))) AS n,
       |    4 + doc_id % 13 AS bw, 3 + doc_id % 7 AS bh,
-      |    1 + doc_id % 2 AS ch, 16 + octet_length(encode(coalesce(text, ''))) % 241 AS ns
+      |    1 + doc_id % 2 AS ch, 16 + octet_length(encode(coalesce(text, ''))) % 241 AS ns,
+      |    4 + doc_id % 11 AS vw, 3 + doc_id % 5 AS vh, 1 + doc_id % 6 AS vf
       |  FROM documents)
       |SELECT doc_id, modality,
       |  CAST(CASE modality
       |    WHEN 'image' THEN 54 + bh * (((3 * bw + 3) // 4) * 4)
       |    WHEN 'audio' THEN 44 + ns * ch
-      |    ELSE n END AS INT) AS byte_len,
+      |    ELSE 232 + vf * (24 + vh * (((3 * vw + 3) // 4) * 4)) END AS INT) AS byte_len,
       |  CAST(CASE modality
       |    WHEN 'image' THEN bw
       |    WHEN 'audio' THEN 8000 + (doc_id % 8) * 1000
-      |    ELSE 16 + (n * 7919) % 1024 END AS INT) AS width,
+      |    ELSE vw END AS INT) AS width,
       |  CAST(CASE modality
       |    WHEN 'image' THEN bh
       |    WHEN 'audio' THEN 8
-      |    ELSE 16 + (n * 104729) % 768 END AS INT) AS height,
+      |    ELSE vh END AS INT) AS height,
       |  CAST(CASE modality
       |    WHEN 'image' THEN 1
       |    WHEN 'audio' THEN ns
-      |    ELSE 1 + n % 32 END AS INT) AS n_frames
+      |    ELSE vf END AS INT) AS n_frames
       |FROM m""".stripMargin
 
   // ---------- round-2 driver entries for previously test-only operators ----------

@@ -2,13 +2,16 @@ package graft.multimodal
 
 import java.nio.{ByteBuffer, ByteOrder}
 
-/** Pure-JVM codecs for two deterministic container formats — 24-bit
-  * uncompressed BMP (BITMAPINFOHEADER, bottom-up rows, 4-byte row padding)
-  * and RIFF WAV PCM (canonical 44-byte header). No external libraries: the
+/** Pure-JVM codecs for three deterministic container formats — 24-bit
+  * uncompressed BMP (BITMAPINFOHEADER, bottom-up rows, 4-byte row padding),
+  * RIFF WAV PCM (canonical 44-byte header), and RIFF AVI with uncompressed
+  * DIB frames ('00db' chunks + idx1 index). No external libraries: the
   * formats are fixed-layout little-endian structs, so encode/parse are
-  * plain ByteBuffer arithmetic. These make the multimodal decode path REAL
-  * for images and audio (round-2 verdict #6); only video keeps the
-  * declared stub (no pure-JVM video container is practical here).
+  * plain ByteBuffer arithmetic / a bounded RIFF chunk walk. These make the
+  * multimodal decode path REAL for images, audio AND video (compressed
+  * codecs like H.264 stay out of scope — that part of a real pipeline is
+  * a native library call; the container parsing, frame indexing and
+  * Spark-side plumbing here are the deployment shape).
   */
 object Codecs {
 
@@ -134,4 +137,141 @@ object Codecs {
         .filter(wavPlausible(_, bytes.length))
     }
   }
+
+  // ---------- AVI: RIFF container, uncompressed 24-bit DIB frames ----------
+  //
+  // Canonical layout this writer emits (all little-endian):
+  //   0   RIFF <size> 'AVI '
+  //   12  LIST 192 'hdrl'
+  //   24    avih 56   (µs/frame, …, totalFrames @+16, streams=1, w @+32, h @+36)
+  //   88    LIST 116 'strl'
+  //   100     strh 56 ('vids'/'DIB ', scale=1, rate, length=totalFrames)
+  //   164     strf 40 (BITMAPINFOHEADER, 24-bit, sizeImage=stride*h)
+  //   212 LIST <4 + n*(8+frameSize)> 'movi'   ('00db' <frameSize> … per frame)
+  //   …   idx1 <16*n> ('00db', AVIIF_KEYFRAME, offset-from-'movi', size)
+  // Total bytes = 232 + n_frames * (24 + frameSize), frameSize = stride(w)*h.
+
+  private def fourcc(s: String): Array[Byte] = s.getBytes("US-ASCII")
+
+  /** Encode frames of a width x height 24-bit video; `rgb(x, y, f)` returns
+    * 0xRRGGBB for frame f with (0,0) the TOP-left pixel (rows stored
+    * bottom-up like BMP). `rate` is frames/sec (scale fixed at 1). */
+  def encodeAviDib(width: Int, height: Int, frames: Int, rgb: (Int, Int, Int) => Int,
+      rate: Int = 25): Array[Byte] = {
+    require(width > 0 && height > 0 && frames > 0 && rate > 0,
+      s"bad AVI shape $width x $height x $frames @ $rate")
+    val stride = bmpRowStride(width)
+    val frameSize = stride * height
+    val total = 232L + frames.toLong * (24L + frameSize)
+    require(total <= Int.MaxValue, s"AVI of $total bytes exceeds the 2 GiB blob limit")
+    val buf = ByteBuffer.allocate(total.toInt).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put(fourcc("RIFF")).putInt(total.toInt - 8).put(fourcc("AVI "))
+    buf.put(fourcc("LIST")).putInt(192).put(fourcc("hdrl"))
+    buf.put(fourcc("avih")).putInt(56)
+      .putInt(1000000 / rate).putInt(0).putInt(0).putInt(0x10 /* HASINDEX */)
+      .putInt(frames).putInt(0).putInt(1).putInt(frameSize + 8)
+      .putInt(width).putInt(height).putInt(0).putInt(0).putInt(0).putInt(0)
+    buf.put(fourcc("LIST")).putInt(116).put(fourcc("strl"))
+    buf.put(fourcc("strh")).putInt(56)
+      .put(fourcc("vids")).put(fourcc("DIB ")).putInt(0).putShort(0).putShort(0)
+      .putInt(0).putInt(1).putInt(rate).putInt(0).putInt(frames)
+      .putInt(frameSize + 8).putInt(0).putInt(0)
+      .putShort(0).putShort(0).putShort(width.toShort).putShort(height.toShort)
+    buf.put(fourcc("strf")).putInt(40)
+      .putInt(40).putInt(width).putInt(height).putShort(1).putShort(24)
+      .putInt(0).putInt(frameSize).putInt(0).putInt(0).putInt(0).putInt(0)
+    buf.put(fourcc("LIST")).putInt(4 + frames * (8 + frameSize)).put(fourcc("movi"))
+    var f = 0
+    while (f < frames) {
+      buf.put(fourcc("00db")).putInt(frameSize)
+      var y = height - 1
+      while (y >= 0) {
+        var x = 0
+        while (x < width) {
+          val c = rgb(x, y, f)
+          buf.put((c & 0xFF).toByte).put(((c >> 8) & 0xFF).toByte).put(((c >> 16) & 0xFF).toByte)
+          x += 1
+        }
+        var p = 3 * width
+        while (p < stride) { buf.put(0.toByte); p += 1 }
+        y -= 1
+      }
+      f += 1
+    }
+    buf.put(fourcc("idx1")).putInt(16 * frames)
+    f = 0
+    while (f < frames) {
+      buf.put(fourcc("00db")).putInt(0x10).putInt(4 + f * (8 + frameSize)).putInt(frameSize)
+      f += 1
+    }
+    buf.array()
+  }
+
+  final case class AviHeader(width: Int, height: Int, nFrames: Int, usPerFrame: Int)
+
+  def aviPlausible(h: AviHeader): Boolean =
+    h.width > 0 && h.height > 0 && h.width <= (1 << 20) && h.height <= (1 << 20) &&
+      h.nFrames > 0 && h.nFrames <= (1 << 20) && h.usPerFrame > 0
+
+  private def tagAt(bytes: Array[Byte], off: Int, s: String): Boolean =
+    off >= 0 && bytes.length >= off + 4 && {
+      val t = s.getBytes("US-ASCII"); t.indices.forall(i => bytes(off + i) == t(i))
+    }
+
+  /** Bounded RIFF chunk walk from `from` until `until`, yielding
+    * (fourcc, dataOffset, dataSize); stops at the first malformed chunk
+    * (negative/overflowing size). Honors the RIFF even-byte padding rule. */
+  private def chunks(bytes: Array[Byte], from: Int, until: Int): Iterator[(String, Int, Int)] =
+    new Iterator[(String, Int, Int)] {
+      private var pos = from
+      override def hasNext: Boolean = {
+        if (pos + 8 > until) false
+        else {
+          val size = ByteBuffer.wrap(bytes, pos + 4, 4).order(ByteOrder.LITTLE_ENDIAN).getInt
+          size >= 0 && pos + 8L + size <= until
+        }
+      }
+      override def next(): (String, Int, Int) = {
+        val id = new String(bytes, pos, 4, "US-ASCII")
+        val size = ByteBuffer.wrap(bytes, pos + 4, 4).order(ByteOrder.LITTLE_ENDIAN).getInt
+        val r = (id, pos + 8, size)
+        pos += 8 + size + (size & 1)
+        r
+      }
+    }
+
+  /** Find the LIST of the given type at the top level; (contentFrom,
+    * contentUntil) spans the bytes AFTER the list-type fourcc. */
+  private def findList(bytes: Array[Byte], listType: String): Option[(Int, Int)] =
+    chunks(bytes, 12, bytes.length).collectFirst {
+      case ("LIST", off, size) if tagAt(bytes, off, listType) => (off + 4, off + size)
+    }
+
+  /** Parse the avih main header out of LIST hdrl; None unless the RIFF/AVI
+    * magic holds and the fields pass [[aviPlausible]]. */
+  def parseAviHeader(bytes: Array[Byte]): Option[AviHeader] =
+    if (bytes == null || bytes.length < 88 || !tagAt(bytes, 0, "RIFF") || !tagAt(bytes, 8, "AVI "))
+      None
+    else
+      findList(bytes, "hdrl").flatMap { case (from, until) =>
+        chunks(bytes, from, until).collectFirst { case ("avih", d, size) if size >= 40 =>
+          val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+          AviHeader(
+            width = buf.getInt(d + 32), height = buf.getInt(d + 36),
+            nFrames = buf.getInt(d + 16), usPerFrame = buf.getInt(d))
+        }.filter(aviPlausible)
+      }
+
+  /** The '00db'/'00dc' frame payloads from LIST movi, in stream order.
+    * None when the container is unparseable; an empty Seq when movi holds
+    * no frame chunks. */
+  def decodeAviFrames(bytes: Array[Byte]): Option[Seq[Array[Byte]]] =
+    parseAviHeader(bytes).flatMap { _ =>
+      findList(bytes, "movi").map { case (from, until) =>
+        chunks(bytes, from, until).collect {
+          case (id, off, size) if id.length == 4 && (id.endsWith("db") || id.endsWith("dc")) =>
+            java.util.Arrays.copyOfRange(bytes, off, off + size)
+        }.toSeq
+      }
+    }
 }

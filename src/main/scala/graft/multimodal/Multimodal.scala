@@ -4,13 +4,14 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: image/audio/video as opaque binary columns
-  * with typed metadata. The IMAGE and AUDIO decode paths are REAL pure-JVM
-  * parsers ([[Codecs]]: 24-bit BMP and RIFF WAV PCM — width/height/sample
-  * metadata comes from the actual binary headers); only VIDEO keeps a
-  * clearly-marked deterministic stub (no practical pure-JVM video
-  * container). The Spark shape — schema, batch layout, partition-
-  * preserving typed map, feature-vector layout — is the real deployment
-  * shape throughout.
+  * with typed metadata. ALL THREE decode paths are REAL pure-JVM parsers
+  * ([[Codecs]]: 24-bit BMP, RIFF WAV PCM, RIFF AVI with uncompressed DIB
+  * frames — width/height/sample/frame metadata comes from the actual
+  * binary headers, and frame sampling walks the actual movi chunk list).
+  * Unrecognized bytes fall back to a clearly-marked deterministic stub so
+  * every operator stays total. The Spark shape — schema, batch layout,
+  * partition-preserving typed map, feature-vector layout — is the real
+  * deployment shape throughout.
   */
 object Multimodal {
 
@@ -19,10 +20,10 @@ object Multimodal {
       doc_id: Long, modality: String, byte_len: Int,
       width: Int, height: Int, n_frames: Int, features: Array[Float])
 
-  /** Dispatching decoder: real BMP/WAV header parses for image/audio
-    * (falling back to the stub on unrecognized bytes), stub for video.
-    * Mapping: image -> (width, height, 1 frame); audio -> (sample_rate as
-    * width, bits_per_sample as height, n_samples as frames). */
+  /** Dispatching decoder: real BMP/WAV/AVI header parses (falling back to
+    * the stub on unrecognized bytes). Mapping: image -> (width, height,
+    * 1 frame); audio -> (sample_rate as width, bits_per_sample as height,
+    * n_samples as frames); video -> (width, height, total frames). */
   def decode(r: MediaRow): DecodedRow = r.modality match {
     case "image" =>
       // plausible() guards corrupt 'BM'-prefixed blobs (negative dims /
@@ -39,6 +40,13 @@ object Multimodal {
             h.sampleRate, h.bitsPerSample, h.nSamples, histogram(r.bytes))
         case None => stubDecode(r)
       }
+    case "video" =>
+      Codecs.parseAviHeader(r.bytes) match {
+        case Some(h) =>
+          DecodedRow(r.doc_id, r.modality, r.bytes.length,
+            h.width, h.height, h.nFrames, histogram(r.bytes))
+        case None => stubDecode(r)
+      }
     case _ => stubDecode(r)
   }
 
@@ -53,10 +61,9 @@ object Multimodal {
     feats
   }
 
-  /** STUB decoder (video only now) — deterministic fake standing in for a
-    * real video decode. Width/height/frames derive purely from the byte
-    * content so tests are reproducible.
-    */
+  /** STUB decoder (unrecognized-bytes fallback only, now that all three
+    * container parsers are real) — deterministic fake so the operators
+    * stay total and tests are reproducible. */
   def stubDecode(r: MediaRow): DecodedRow = {
     val n = r.bytes.length
     // 64-bit arithmetic: n * 104729 overflows Int for payloads over ~20 KB
@@ -76,20 +83,28 @@ object Multimodal {
     media.mapPartitions(_.map(decode))
   }
 
-  /** Frame sampling for "video" blobs: every strideth 256-byte window as a
-    * fake frame — demonstrates the explode-side plumbing (frame rows carry
-    * (doc_id, frame_idx, frame_bytes)) without a codec. */
+  /** Frame sampling for "video" blobs: every strideth REAL '00db' DIB
+    * frame payload off the AVI movi chunk list (frame rows carry (doc_id,
+    * frame_idx, frame_bytes)); non-AVI bytes fall back to strideth
+    * 256-byte windows so the operator stays total. Partition-preserving
+    * flatMap — the explode-side plumbing a GPU decode stage would sit
+    * behind. */
   def sampleFrames(media: Dataset[MediaRow], stride: Int = 4): DataFrame = {
     import media.sparkSession.implicits._
     media
       .filter(_.modality == "video")
       .flatMap { r =>
-        val frameSize = 256
-        val nFrames = math.max(r.bytes.length / frameSize, 1)
-        (0 until nFrames by stride).map { f =>
-          val from = math.min(f * frameSize, r.bytes.length)
-          val until = math.min(from + frameSize, r.bytes.length)
-          (r.doc_id, f, java.util.Arrays.copyOfRange(r.bytes, from, until))
+        Codecs.decodeAviFrames(r.bytes) match {
+          case Some(frames) =>
+            (0 until frames.length by stride).map(f => (r.doc_id, f, frames(f)))
+          case None =>
+            val frameSize = 256
+            val nFrames = math.max(r.bytes.length / frameSize, 1)
+            (0 until nFrames by stride).map { f =>
+              val from = math.min(f * frameSize, r.bytes.length)
+              val until = math.min(from + frameSize, r.bytes.length)
+              (r.doc_id, f, java.util.Arrays.copyOfRange(r.bytes, from, until))
+            }
         }
       }
       .toDF("doc_id", "frame_idx", "frame_bytes")
@@ -139,10 +154,10 @@ object Multimodal {
 
   /** Build a media table from documents with REAL container bytes:
     * image rows carry a deterministic 24-bit BMP (dims + pixel content
-    * derived from doc_id/text), audio rows a RIFF WAV PCM blob, video rows
-    * the opaque utf8(text) payload for the stub. Deterministic, so the
-    * q30 oracle can replay the header arithmetic from the documents
-    * table. */
+    * derived from doc_id/text), audio rows a RIFF WAV PCM blob, video
+    * rows a RIFF AVI whose DIB frames sample the utf8(text) payload.
+    * Deterministic, so the q30 oracle can replay the header arithmetic
+    * from the documents table. */
   def mediaFromDocs(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
@@ -168,7 +183,14 @@ object Multimodal {
             val data = Array.tabulate(nSamples * channels)(i => pay(i).toByte)
             MediaRow(id, "audio", Codecs.encodeWavPcm(sampleRate, channels, 8, data))
           case _ =>
-            MediaRow(id, "video", payload)
+            val w = 4 + java.lang.Math.floorMod(id, 11L).toInt
+            val h = 3 + java.lang.Math.floorMod(id, 5L).toInt
+            val frames = 1 + java.lang.Math.floorMod(id, 6L).toInt
+            val avi = Codecs.encodeAviDib(w, h, frames, (x, y, f) => {
+              val g = pay(x + y * w + 17 * f)
+              (g << 16) | (g << 8) | g
+            })
+            MediaRow(id, "video", avi)
         }
       }
       .toDF("doc_id", "modality", "bytes")

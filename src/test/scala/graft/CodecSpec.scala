@@ -53,4 +53,49 @@ class CodecSpec extends SparkSpec {
     assert(Codecs.parseWavHeader(corrupt(_.putShort(34, 0))).isEmpty)
     assert(Codecs.parseWavHeader(good).nonEmpty) // the clone() base is intact
   }
+
+  test("AVI roundtrip: header fields, total size, per-frame pixel recovery") {
+    for (w <- Seq(1, 4, 7); h <- Seq(1, 3); frames <- Seq(1, 4)) {
+      def px(x: Int, y: Int, f: Int): Int = (x * 31 + y * 97 + f * 13) % 256
+      val bytes = Codecs.encodeAviDib(w, h, frames, (x, y, f) => px(x, y, f) * 0x010101, rate = 30)
+      val frameSize = Codecs.bmpRowStride(w) * h
+      assert(bytes.length == 232 + frames * (24 + frameSize), s"$w x $h x $frames size")
+      val hd = Codecs.parseAviHeader(bytes).get
+      assert(hd.width == w && hd.height == h && hd.nFrames == frames)
+      assert(hd.usPerFrame == 1000000 / 30)
+      val decoded = Codecs.decodeAviFrames(bytes).get
+      assert(decoded.length == frames)
+      val stride = Codecs.bmpRowStride(w)
+      for (f <- 0 until frames; y <- 0 until h; x <- 0 until w) {
+        // bottom-up rows, blue byte first (gray frames: all channels equal)
+        val b = decoded(f)((h - 1 - y) * stride + 3 * x) & 0xFF
+        assert(b == px(x, y, f), s"pixel $x,$y frame $f of $w x $h")
+      }
+    }
+  }
+
+  test("AVI parser rejects malformed input") {
+    assert(Codecs.parseAviHeader("RIFFxxxxAVI but not really a container".getBytes).isEmpty)
+    assert(Codecs.parseAviHeader(Array[Byte](1, 2, 3)).isEmpty)
+    val good = Codecs.encodeAviDib(6, 4, 2, (_, _, _) => 0x808080)
+    import java.nio.{ByteBuffer, ByteOrder}
+    def corrupt(f: ByteBuffer => Unit): Array[Byte] = {
+      val b = good.clone()
+      f(ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN)); b
+    }
+    // avih data begins at 32: width @ +32 = 64, totalFrames @ +16 = 48
+    assert(Codecs.parseAviHeader(corrupt(_.putInt(64, -5))).isEmpty, "negative width")
+    assert(Codecs.parseAviHeader(corrupt(_.putInt(48, 0))).isEmpty, "zero frames")
+    assert(Codecs.parseAviHeader(corrupt(_.putInt(16, -1))).isEmpty, "corrupt hdrl size")
+    assert(Codecs.parseAviHeader(good).nonEmpty)
+    // shallow truncation (into idx1 only): frames still decode
+    val cutIdx = good.take(good.length - 10)
+    assert(Codecs.parseAviHeader(cutIdx).nonEmpty)
+    assert(Codecs.decodeAviFrames(cutIdx).get.length == 2)
+    // deep truncation (into movi): header parses, frame walk refuses the
+    // overflowing list instead of reading out of bounds
+    val cutMovi = good.take(good.length - 50)
+    assert(Codecs.parseAviHeader(cutMovi).nonEmpty)
+    assert(Codecs.decodeAviFrames(cutMovi).isEmpty)
+  }
 }

@@ -114,8 +114,8 @@ class DedupSpec extends SparkSpec {
     val dec = Multimodal.decodeAll(media).collect()
     assert(dec.length == 6)
     assert(dec.forall(_.features.length == 8))
-    // image dims come from the actual BMP header, audio shape from the
-    // actual WAV header; only video uses the stub formulas
+    // dims/frames come from the actual container headers for all three
+    // modalities (BMP / WAV / AVI)
     dec.foreach { d =>
       d.modality match {
         case "image" =>
@@ -123,7 +123,8 @@ class DedupSpec extends SparkSpec {
         case "audio" =>
           assert(d.width >= 8000 && d.height == 8 && d.n_frames >= 16, d.toString)
         case _ =>
-          assert(d.width >= 16 && d.height >= 16, d.toString)
+          assert(d.width == 4 + (d.doc_id % 11).toInt && d.height == 3 + (d.doc_id % 5).toInt &&
+            d.n_frames == 1 + (d.doc_id % 6).toInt, d.toString)
       }
     }
     val frames = Multimodal.sampleFrames(media)
