@@ -2194,6 +2194,27 @@ object GraftQueries {
       |FROM documents d LEFT JOIN pd USING (doc_id)
       |WHERE d.doc_id % 23 <> 0""".stripMargin
 
+  /** Temperature-based source mixing (sample.Sampling.temperatureMix):
+    * alpha = 0.7 (the mT5 setting) over the 20 sources with a 250-row
+    * budget — acceptance fractions land strictly between the natural and
+    * uniform mixes, so the temperature genuinely bites. */
+  def qTemperatureMix(spark: SparkSession, dir: String): DataFrame =
+    graft.sample.Sampling.temperatureMix(
+      docs(spark, dir).select(col("doc_id"), col("source")),
+      "doc_id", "source", 0.7, 250L)
+
+  val sqlTemperatureMix: String =
+    """WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+      |z AS (SELECT sum(pow(n, 0.7)) AS z FROM c),
+      |r AS (SELECT source,
+      |        round(least(1.0, 250 * pow(n, 0.7) / z.z / n), 6) AS accept_frac
+      |      FROM c, z)
+      |SELECT d.source, d.doc_id, r.accept_frac
+      |FROM documents d JOIN r USING (source)
+      |WHERE ('0x' || substr(md5('smp' || CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+      |        / 4294967296.0
+      |      < r.accept_frac""".stripMargin
+
   // classic relational smoke (lineitem)
   def qLineitemAgg(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/lineitem.parquet")

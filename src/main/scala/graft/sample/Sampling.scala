@@ -68,4 +68,35 @@ object Sampling {
     val w2 = Window.partitionBy(groupCol).orderBy(ord: _*)
     local.withColumn("rank", row_number().over(w2)).filter(col("rank") <= n)
   }
+
+  /** Temperature-based source mixing (T5/mT5/Pile practice, public): draw
+    * source s with probability ∝ n_s^alpha — alpha = 1 is natural
+    * proportions, alpha → 0 uniform across sources; a `budget` of total
+    * kept rows turns the mixture into per-source acceptance fractions
+    * f_s = min(1, budget·w_s / n_s), applied with the same deterministic
+    * id-hash membership as [[stratifiedSample]].
+    *
+    * Scale shape: the per-source count/weight table is a tiny aggregate
+    * (one row per source) broadcast-joined back — never driver-side — and
+    * the membership test stays a scan-side predicate. f_s is rounded to
+    * the 1e-6 grid so the kept set is engine-reproducible (a last-ulp
+    * pow() difference cannot flip a membership comparison). Output: input
+    * columns + `accept_frac`. */
+  def temperatureMix(
+      df: DataFrame,
+      idCol: String,
+      sourceCol: String,
+      alpha: Double,
+      budget: Long,
+      salt: String = "smp"): DataFrame = {
+    require(alpha >= 0 && budget > 0, s"alpha=$alpha budget=$budget")
+    val counts = df.groupBy(col(sourceCol)).agg(count(lit(1)).as("_n"))
+    val tot = counts.agg(sum(pow(col("_n"), alpha)).as("_z")) // 1 row
+    val rates = counts.crossJoin(broadcast(tot))
+      .select(col(sourceCol),
+        round(least(lit(1.0), lit(budget) * pow(col("_n"), alpha) / col("_z") / col("_n")), 6)
+          .as("accept_frac"))
+    df.join(broadcast(rates), Seq(sourceCol))
+      .filter(unitHash(col(idCol), salt) < col("accept_frac"))
+  }
 }

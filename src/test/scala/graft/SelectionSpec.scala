@@ -53,6 +53,35 @@ class SelectionSpec extends SparkSpec {
     assert(a.find(_._1 == 3L).get == ((3L, 0, 0.5)))
   }
 
+  test("temperatureMix: alpha=1 is the natural mix, alpha=0 the uniform one") {
+    val s = spark
+    import s.implicits._
+    // 3 sources with very different sizes: 300 / 60 / 12 docs
+    val df = ((1L to 300L).map(i => (i, "big"))
+      ++ (301L to 360L).map(i => (i, "mid"))
+      ++ (361L to 372L).map(i => (i, "small"))).toDF("doc_id", "source")
+    def rates(alpha: Double, budget: Long): Map[String, Double] =
+      graft.sample.Sampling.temperatureMix(df, "doc_id", "source", alpha, budget)
+        .select("source", "accept_frac").distinct()
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // alpha=1: every source keeps the same fraction budget/total
+    val nat = rates(1.0, 186L)
+    assert(nat.values.toSet.size == 1 && math.abs(nat("big") - 0.5) < 1e-6, nat.toString)
+    // alpha=0: equal per-source budgets -> small sources saturate at 1.0,
+    // big ones keep budget/(k*n_s)
+    val uni = rates(0.0, 36L)
+    assert(uni("small") == 1.0 && math.abs(uni("big") - 12.0 / 300.0) < 1e-6, uni.toString)
+    // 0 < alpha < 1 interpolates: big's rate below natural, small's above
+    val mid = rates(0.7, 186L)
+    assert(mid("big") < nat("big") && mid("small") > nat("small"), mid.toString)
+    // membership is partitioning-independent
+    val a = graft.sample.Sampling.temperatureMix(df, "doc_id", "source", 0.7, 186L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = graft.sample.Sampling.temperatureMix(df.repartition(7), "doc_id", "source", 0.7, 186L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == b)
+  }
+
   test("DSIR: identical target and raw distributions give log_weight 0 exactly") {
     val s = spark
     import s.implicits._
