@@ -82,6 +82,17 @@ class SelectionSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("DSIR and mixing plans broadcast their model-state tables (no cartesian)") {
+    val dsir = GraftQueries.qDsirWeights(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(!dsir.contains("CartesianProduct"), dsir)
+    assert(dsir.contains("BroadcastHashJoin"), dsir) // the ≤8192-row ratio table
+    val mix = GraftQueries.qTemperatureMix(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(!mix.contains("CartesianProduct"), mix)
+    assert(mix.contains("BroadcastHashJoin"), mix) // the per-source rate table
+  }
+
   test("DSIR: identical target and raw distributions give log_weight 0 exactly") {
     val s = spark
     import s.implicits._
