@@ -2094,17 +2094,20 @@ object GraftQueries {
       |c2 AS (SELECT *, coalesce(regexp_extract(nofrag,
       |         '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*'), '') AS prefix FROM c1),
       |c3 AS (SELECT doc_id, url, prefix, substr(nofrag, len(prefix) + 1) AS rest FROM c2),
+      |c3b AS (SELECT *, coalesce(regexp_extract(rest, '^[^?]*'), '') AS path,
+      |          substr(rest, len(coalesce(regexp_extract(rest, '^[^?]*'), '')) + 1) AS query
+      |        FROM c3),
       |c4 AS (SELECT doc_id, url,
       |         regexp_replace(regexp_replace(regexp_replace(lower(prefix),
       |           '^(http://[^/:]+):80$', '\1'),
       |           '^(https://[^/:]+):443$', '\1'),
       |           '^(https?://)www\.', '\1') AS auth,
-      |         regexp_replace(regexp_replace(rest,
-      |           '[?&]utm_[A-Za-z_]+=[^&#]*', '', 'g'),
-      |           '^([^?&]*)&', '\1?') AS pathq
-      |       FROM c3),
-      |c5 AS (SELECT doc_id, url,
-      |         regexp_replace(auth || pathq, '/$', '') AS canon_url FROM c4),
+      |         regexp_replace(path, '/$', '') AS path2,
+      |         regexp_replace(regexp_replace(query,
+      |           '[?&]utm_[A-Za-z_]+=[^&]*', '', 'g'),
+      |           '^&', '?') AS query2
+      |       FROM c3b),
+      |c5 AS (SELECT doc_id, url, auth || path2 || query2 AS canon_url FROM c4),
       |c6 AS (SELECT *, coalesce(regexp_extract(canon_url,
       |         '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1), '') AS host FROM c5)
       |SELECT doc_id, url, canon_url, host,

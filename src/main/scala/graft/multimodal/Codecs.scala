@@ -161,9 +161,10 @@ object Codecs {
     require(width > 0 && height > 0 && frames > 0 && rate > 0,
       s"bad AVI shape $width x $height x $frames @ $rate")
     val stride = bmpRowStride(width)
-    val frameSize = stride * height
-    val total = 232L + frames.toLong * (24L + frameSize)
+    val frameSizeL = stride.toLong * height // Long BEFORE the guard: an Int
+    val total = 232L + frames.toLong * (24L + frameSizeL) // overflow here would defeat it
     require(total <= Int.MaxValue, s"AVI of $total bytes exceeds the 2 GiB blob limit")
+    val frameSize = frameSizeL.toInt
     val buf = ByteBuffer.allocate(total.toInt).order(ByteOrder.LITTLE_ENDIAN)
     buf.put(fourcc("RIFF")).putInt(total.toInt - 8).put(fourcc("AVI "))
     buf.put(fourcc("LIST")).putInt(192).put(fourcc("hdrl"))

@@ -35,8 +35,16 @@ object Dsir {
         .groupBy("b").agg(count(lit(1)).as("n"))
     val rawB = bucketCounts(raw)
     val tgtB = bucketCounts(target)
+    // 1×1 — a broadcastable scalar pair; an empty corpus (sum = NULL)
+    // fails LOUDLY: silently yielding all-zero weights would make a
+    // misconfigured target filter look like a finished no-op ranking
+    def orFail(c: Column, side: String): Column =
+      when(c.isNull, raise_error(
+        lit(s"Dsir.importanceWeights: $side corpus has no grams — check its filter"))
+        .cast("long")).otherwise(c)
     val tot = rawB.agg(sum(col("n")).as("rtot"))
-      .crossJoin(tgtB.agg(sum(col("n")).as("ttot"))) // 1×1 — a broadcastable scalar pair
+      .crossJoin(tgtB.agg(sum(col("n")).as("ttot")))
+      .select(orFail(col("rtot"), "raw").as("rtot"), orFail(col("ttot"), "target").as("ttot"))
     val ratio = rawB.withColumnRenamed("n", "rn")
       .join(tgtB.withColumnRenamed("n", "tn"), Seq("b"), "full_outer")
       .crossJoin(broadcast(tot))

@@ -93,10 +93,13 @@ object Sampling {
     val counts = df.groupBy(col(sourceCol)).agg(count(lit(1)).as("_n"))
     val tot = counts.agg(sum(pow(col("_n"), alpha)).as("_z")) // 1 row
     val rates = counts.crossJoin(broadcast(tot))
-      .select(col(sourceCol),
+      .select(col(sourceCol).as("_mix_src"),
         round(least(lit(1.0), lit(budget) * pow(col("_n"), alpha) / col("_z") / col("_n")), 6)
           .as("accept_frac"))
-    df.join(broadcast(rates), Seq(sourceCol))
+    // null-safe join: a NULL source is its own stratum (it was counted in
+    // z, so a plain equi-join would both drop its rows AND under-fill the
+    // budget for everyone else)
+    df.join(broadcast(rates), col(sourceCol) <=> col("_mix_src")).drop("_mix_src")
       .filter(unitHash(col(idCol), salt) < col("accept_frac"))
   }
 }

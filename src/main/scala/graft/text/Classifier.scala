@@ -23,7 +23,9 @@ object Classifier {
     * [[graft.sample.Dsir]]): lowercased whitespace tokens, 2-grams joined
     * by one space, md5-front-8-hex bucketing. */
   def gramBuckets(text: Column, buckets: Int): Column = {
-    val toks = transform(TextOps.wsTokens(text), t => lower(t))
+    // null text = no grams (NOT a null array: size() must give 0, and the
+    // q76 oracle's unnest-then-coalesce shape counts these docs as 0)
+    val toks = transform(TextOps.wsTokens(coalesce(text, lit(""))), t => lower(t))
     val bi = when(size(toks) >= 2,
       transform(sequence(lit(0), size(toks) - 2),
         i => concat_ws(" ", slice(toks, i + 1, lit(2)))))

@@ -13,9 +13,11 @@ import org.apache.spark.sql.functions._
   *   2. the `scheme://authority` prefix lowercased — path/query case kept;
   *   3. default ports dropped (`:80` for http, `:443` for https);
   *   4. a leading `www.` dropped;
-  *   5. `utm_*` tracking params dropped, separator repaired (a surviving
-  *      first param regains its `?`);
-  *   6. one trailing `/` dropped.
+  *   5. `utm_*` tracking params dropped FROM THE QUERY ONLY (a `&` or
+  *      `utm_` inside the path is legal RFC 3986 path data and is kept),
+  *      separator repaired — a surviving first param regains its `?`;
+  *   6. one trailing `/` dropped from the PATH only (a `/` ending a query
+  *      value is data).
   *
   * Pure scan-projection Column expressions: codegen'd, no UDF, no shuffle.
   * No public-suffix list ships here; [[registeredDomain]] takes the
@@ -33,9 +35,11 @@ object UrlOps {
         regexp_replace(lower(prefix), "^(http://[^/:]+):80$", "$1"),
         "^(https://[^/:]+):443$", "$1"),
       "^(https?://)www\\.", "$1")
-    val noUtm = regexp_replace(rest, "[?&]utm_[A-Za-z_]+=[^&#]*", "")
-    val fixedSep = regexp_replace(noUtm, "^([^?&]*)&", "$1?")
-    regexp_replace(concat(auth, fixedSep), "/$", "")
+    val path = regexp_extract(rest, "^[^?]*", 0)
+    val query = rest.substr(length(path) + 1, length(rest))
+    val noUtm = regexp_replace(query, "[?&]utm_[A-Za-z_]+=[^&]*", "")
+    val fixedSep = regexp_replace(noUtm, "^&", "?")
+    concat(auth, regexp_replace(path, "/$", ""), fixedSep)
   }
 
   /** Host of an already-canonical URL (lowercased by canonicalizeUrl). */

@@ -97,5 +97,11 @@ class CodecSpec extends SparkSpec {
     val cutMovi = good.take(good.length - 50)
     assert(Codecs.parseAviHeader(cutMovi).nonEmpty)
     assert(Codecs.decodeAviFrames(cutMovi).isEmpty)
+    // frame-size arithmetic that overflows Int must hit the 2 GiB guard,
+    // not wrap into a negative/garbage allocation
+    val big = intercept[IllegalArgumentException] {
+      Codecs.encodeAviDib(1000000, 1000000, 1, (_, _, _) => 0)
+    }
+    assert(big.getMessage.contains("2 GiB"), big.getMessage)
   }
 }

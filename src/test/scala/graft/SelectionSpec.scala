@@ -38,6 +38,18 @@ class SelectionSpec extends SparkSpec {
     assert(got(6)._1 == "localhost" && got(6)._2 == "" && got(6)._3 == "")
   }
 
+  test("canonicalizeUrl: path data is never mistaken for query syntax") {
+    val got = urls(
+      "https://x.example.com/a&b=1",        // '&' in a path segment (RFC 3986 legal)
+      "https://x.example.com/a&utm_b=c/d",  // 'utm_' in the path is path data
+      "https://x.example.com/p?next=/",     // '/' ending a query VALUE is data
+      "https://x.example.com/p/?utm_x=1")   // trailing path '/' before a dropped query
+    assert(got(0)._1 == "https://x.example.com/a&b=1")
+    assert(got(1)._1 == "https://x.example.com/a&utm_b=c/d")
+    assert(got(2)._1 == "https://x.example.com/p?next=/")
+    assert(got(3)._1 == "https://x.example.com/p")
+  }
+
   test("classifier score is deterministic, bounded, and 0.5 on empty text") {
     val s = spark
     import s.implicits._
@@ -80,6 +92,42 @@ class SelectionSpec extends SparkSpec {
     val b = graft.sample.Sampling.temperatureMix(df.repartition(7), "doc_id", "source", 0.7, 186L)
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(a == b)
+  }
+
+  test("temperatureMix: a NULL source is its own stratum, not silently dropped") {
+    val s = spark
+    import s.implicits._
+    val df = ((1L to 100L).map(i => (i, "a"))
+      ++ (101L to 200L).map(i => (i, null.asInstanceOf[String]))).toDF("doc_id", "source")
+    // alpha=1, budget=100: every stratum keeps exactly half
+    val kept = graft.sample.Sampling.temperatureMix(df, "doc_id", "source", 1.0, 100L)
+    val bySource = kept.groupBy("source").count().collect()
+      .map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    assert(bySource.contains(None), s"null stratum dropped: $bySource")
+    val rate = kept.select("accept_frac").distinct().collect().map(_.getDouble(0)).toSet
+    assert(rate == Set(0.5), rate.toString)
+  }
+
+  test("DSIR fails loudly on a gram-less target corpus") {
+    val s = spark
+    import s.implicits._
+    val raw = (1L to 10L).map(i => (i, "alpha beta")).toDF("doc_id", "text")
+    val emptyTarget = raw.filter(col("doc_id") < 0)
+    val e = intercept[Exception] {
+      Dsir.importanceWeights(raw, emptyTarget).collect()
+    }
+    assert(e.getMessage != null && e.toString.contains("no grams")
+      || Option(e.getCause).exists(_.toString.contains("no grams")), e.toString)
+  }
+
+  test("classifier handles NULL text like the oracle: n_grams 0, score 0.5") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, null.asInstanceOf[String]), (2L, "some words here")).toDF("doc_id", "text")
+    val r = Classifier.hashedNgramScore(df).select("doc_id", "n_grams", "clf_score")
+      .collect().map(x => (x.getLong(0), x.getInt(1), x.getDouble(2))).sortBy(_._1)
+    assert(r(0) == ((1L, 0, 0.5)), r(0).toString)
+    assert(r(1)._2 == 5) // 3 unigrams + 2 bigrams
   }
 
   test("DSIR and mixing plans broadcast their model-state tables (no cartesian)") {
