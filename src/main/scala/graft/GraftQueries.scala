@@ -2053,12 +2053,15 @@ object GraftQueries {
     * www., utm_* params in first and later positions, fragments, multi-
     * label suffixes, and trailing slashes — are built identically in both
     * engines, then canonicalized by the real rules. */
-  def qUrlCanon(spark: SparkSession, dir: String): DataFrame = {
-    import graft.text.UrlOps
-    val d = docs(spark, dir)
+  /** Deterministic doc_id-derived URL over the five q75 shapes (shared by
+    * q75 and the q79 pipeline; the synthetic corpus has no URL column).
+    * Shape 4 carries no doc_id, so distinct docs from the same
+    * (source, doc_id%7) host genuinely collide after canonicalization —
+    * the URL-dedup stage has real work to do. */
+  private def synthUrl: org.apache.spark.sql.Column = {
     val m = pmod(col("doc_id"), lit(5))
     val hostCore = concat(col("source"), lit("-"), pmod(col("doc_id"), lit(7)))
-    val url = when(m === 0, concat(lit("HTTPS://WWW."), upper(hostCore),
+    when(m === 0, concat(lit("HTTPS://WWW."), upper(hostCore),
         lit(".Example.COM:443/Art/"), col("doc_id"),
         lit("?utm_source=feed&utm_campaign=x&id="), col("doc_id"), lit("#frag")))
       .when(m === 1, concat(lit("http://"), hostCore, lit(".example.com:80/p/"),
@@ -2068,6 +2071,12 @@ object GraftQueries {
       .when(m === 3, concat(lit("http://www."), hostCore, lit(".example.com/p/"),
         col("doc_id"), lit("?utm_x=1&id="), col("doc_id")))
       .otherwise(concat(lit("https://"), hostCore, lit(".example.com/")))
+  }
+
+  def qUrlCanon(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.UrlOps
+    val d = docs(spark, dir)
+    val url = synthUrl
     val canon = UrlOps.canonicalizeUrl(url)
     val host = UrlOps.hostOf(canon)
     d.select(col("doc_id"), url.as("url"), canon.as("canon_url"), host.as("host"),
@@ -2217,6 +2226,135 @@ object GraftQueries {
       |WHERE ('0x' || substr(md5('smp' || CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
       |        / 4294967296.0
       |      < r.accept_frac""".stripMargin
+
+  /** End-to-end curation pipeline (q79): the stages a web-corpus run
+    * chains in practice, each the REAL library operator, composed as one
+    * declarative plan — (1) URL canonicalization ([[graft.text.UrlOps]]),
+    * (2) canonical-URL dedup (first occurrence survives), (3) exact-text
+    * dedup ([[graft.dedup.Dedup.exact]]), (4) Gopher repetition gate
+    * ([[graft.text.TextOps.repetitionFeatures]]), (5) classifier-score
+    * gate ([[graft.text.Classifier.hashedNgramScore]]), (6) per-host
+    * diversity cap ([[graft.sample.Sampling.capPerGroup]], skew-safe
+    * two-phase top-N).
+    *
+    * Scale shape: stages 1/4/5 are pure scan projections fused into ONE
+    * pass over the corpus; the only shuffles are the two dedup-winner
+    * aggregates (16-byte digests / canonical URLs, never text) and the
+    * capped per-host rank. The gates filter BEFORE the cap, so the
+    * window ranks only survivors. */
+  def qCurationPipeline(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.{Classifier, TextOps, UrlOps}
+    val d = docs(spark, dir)
+    val canon = UrlOps.canonicalizeUrl(synthUrl)
+    val gated = Classifier.hashedNgramScore(
+        TextOps.repetitionFeatures(
+          d.withColumn("canon_url", canon)
+            .withColumn("host", UrlOps.hostOf(col("canon_url")))))
+      .select(col("doc_id"), col("source"), col("n_chars"), col("canon_url"),
+        col("host"), col("repetition_keep"), col("clf_score"))
+    val urlWinners = gated.groupBy("canon_url")
+      .agg(min("doc_id").as("doc_id")).select("doc_id")
+    val textWinners = Dedup.exact(d).select(col("survivor_id").as("doc_id"))
+    val kept = gated
+      .join(urlWinners, Seq("doc_id"), "left_semi")
+      .join(textWinners, Seq("doc_id"), "left_semi")
+      // clf_score is already rounded to 6 decimals inside the library, so
+      // the >= 0.5 gate compares the SAME value the oracle computes — a
+      // last-ulp exp() difference cannot flip membership
+      .filter(col("repetition_keep") && col("clf_score") >= 0.5)
+    graft.sample.Sampling.capPerGroup(
+      kept.select(col("host"), col("doc_id"), col("source"), col("n_chars"),
+        col("clf_score")),
+      col("host"), Seq(col("n_chars").desc, col("doc_id").asc), 3, col("doc_id"))
+  }
+
+  val sqlCurationPipeline: String =
+    """WITH u AS (
+      |  SELECT doc_id, source, n_chars,
+      |    CASE doc_id % 5
+      |      WHEN 0 THEN 'HTTPS://WWW.' || upper(source || '-' || (doc_id % 7)) ||
+      |        '.Example.COM:443/Art/' || doc_id ||
+      |        '?utm_source=feed&utm_campaign=x&id=' || doc_id || '#frag'
+      |      WHEN 1 THEN 'http://' || source || '-' || (doc_id % 7) ||
+      |        '.example.com:80/p/' || doc_id || '/'
+      |      WHEN 2 THEN 'https://news.' || source || '-' || (doc_id % 7) ||
+      |        '.example.co.uk/p/' || doc_id || '?id=' || doc_id || '&utm_medium=rss'
+      |      WHEN 3 THEN 'http://www.' || source || '-' || (doc_id % 7) ||
+      |        '.example.com/p/' || doc_id || '?utm_x=1&id=' || doc_id
+      |      ELSE 'https://' || source || '-' || (doc_id % 7) || '.example.com/'
+      |    END AS url
+      |  FROM documents),
+      |c1 AS (SELECT *, regexp_replace(url, '#.*', '') AS nofrag FROM u),
+      |c2 AS (SELECT *, coalesce(regexp_extract(nofrag,
+      |         '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*'), '') AS prefix FROM c1),
+      |c3 AS (SELECT *, substr(nofrag, len(prefix) + 1) AS rest FROM c2),
+      |c3b AS (SELECT *, coalesce(regexp_extract(rest, '^[^?]*'), '') AS path,
+      |          substr(rest, len(coalesce(regexp_extract(rest, '^[^?]*'), '')) + 1) AS query
+      |        FROM c3),
+      |c4 AS (SELECT doc_id, source, n_chars,
+      |         regexp_replace(regexp_replace(regexp_replace(lower(prefix),
+      |           '^(http://[^/:]+):80$', '\1'),
+      |           '^(https://[^/:]+):443$', '\1'),
+      |           '^(https?://)www\.', '\1') ||
+      |         regexp_replace(path, '/$', '') ||
+      |         regexp_replace(regexp_replace(query,
+      |           '[?&]utm_[A-Za-z_]+=[^&]*', '', 'g'),
+      |           '^&', '?') AS canon_url
+      |       FROM c3b),
+      |canon AS (SELECT *, coalesce(regexp_extract(canon_url,
+      |            '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1), '') AS host FROM c4),
+      |uw AS (SELECT min(doc_id) AS doc_id FROM canon GROUP BY canon_url),
+      |tw AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+      |rtoks AS (
+      |  SELECT doc_id, regexp_extract_all(text, '\S+') AS tk,
+      |         list_filter(string_split(text, chr(10)), l -> len(l) > 0) AS lines
+      |  FROM documents),
+      |rg AS (
+      |  SELECT doc_id, array_to_string(tk[i : i + 1], ' ') AS gram
+      |  FROM rtoks, unnest(generate_series(1, len(tk) - 1)) s(i)
+      |  WHERE len(tk) >= 2),
+      |rc AS (SELECT doc_id, gram, count(*) AS n FROM rg GROUP BY 1, 2),
+      |ra AS (SELECT doc_id, sum(n) AS total, count(*) AS dis, max(n) AS top
+      |       FROM rc GROUP BY 1),
+      |rep AS (
+      |  SELECT t.doc_id,
+      |    (coalesce(round(a.top * 1.0 / a.total, 6), 0.0) <= 0.2 AND
+      |     (CASE WHEN len(t.lines) > 0
+      |           THEN round(1.0 - len(list_distinct(t.lines)) * 1.0 / len(t.lines), 6)
+      |           ELSE 0.0 END) <= 0.3) AS keep
+      |  FROM rtoks t LEFT JOIN ra a ON t.doc_id = a.doc_id),
+      |ltoks AS (
+      |  SELECT doc_id,
+      |    [lower(t) for t in regexp_extract_all(text, '\S+')] AS tk
+      |  FROM documents),
+      |lg AS (
+      |  SELECT doc_id,
+      |    tk || CASE WHEN len(tk) >= 2
+      |      THEN [array_to_string(tk[i : i + 1], ' ')
+      |            for i in generate_series(1, len(tk) - 1)]
+      |      ELSE [] END AS grams
+      |  FROM ltoks),
+      |le AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT % 4096 AS b
+      |       FROM lg, unnest(grams) t(s)),
+      |lw AS (SELECT doc_id,
+      |         sum((('0x' || substr(md5('w' || CAST(b AS VARCHAR)), 1, 8))::BIGINT % 2048)
+      |             / 1024.0 - 1.0) AS s,
+      |         count(*) AS n
+      |       FROM le GROUP BY 1),
+      |clf AS (SELECT g.doc_id,
+      |          coalesce(round(1.0 / (1.0 + exp(-(lw.s / lw.n))), 6), 0.5) AS clf_score
+      |        FROM lg g LEFT JOIN lw USING (doc_id)),
+      |kept AS (
+      |  SELECT c.host, c.doc_id, c.source, c.n_chars, clf.clf_score
+      |  FROM canon c
+      |  JOIN uw ON c.doc_id = uw.doc_id
+      |  JOIN tw ON c.doc_id = tw.doc_id
+      |  JOIN rep ON c.doc_id = rep.doc_id AND rep.keep
+      |  JOIN clf ON c.doc_id = clf.doc_id AND clf.clf_score >= 0.5)
+      |SELECT host, doc_id, source, n_chars, clf_score, CAST(rank AS INT) AS rank
+      |FROM (SELECT *, row_number() OVER (PARTITION BY host
+      |        ORDER BY n_chars DESC, doc_id) AS rank FROM kept)
+      |WHERE rank <= 3""".stripMargin
 
   // classic relational smoke (lineitem)
   def qLineitemAgg(spark: SparkSession, dir: String): DataFrame =

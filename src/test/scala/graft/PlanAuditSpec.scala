@@ -97,6 +97,22 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"), plan)
   }
 
+  test("curation pipeline: equi-joins only, winner scans pruned to their columns") {
+    val df = GraftQueries.qCurationPipeline(spark, "/root/testdata/sf0.001")
+    val plan = planOf(df)
+    assert(!plan.contains("CartesianProduct"), s"cartesian in pipeline:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"BNLJ in pipeline:\n$plan")
+    // three pruned scans of documents: the gated pass and the exact-text
+    // winner aggregate read text; the canonical-URL winner aggregate derives
+    // from (doc_id, source) only, so its scan must NOT read text
+    val schemas = plan.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(schemas.nonEmpty, plan)
+    assert(schemas.count(_.contains("text")) <= 2,
+      s"URL-winner scan reads text:\n${schemas.mkString("\n")}")
+    // the funnel is monotone: survivors are a subset of the corpus
+    assert(df.count() <= 500)
+  }
+
   test("bucketed merge family leaves no cache entries behind (round-2 verdict #2)") {
     // BucketedOps/compactBucketed used to persist internal diamonds with no
     // unpersist lifecycle; the round-3 handoff shape has no cache writes at
