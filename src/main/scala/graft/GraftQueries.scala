@@ -2246,13 +2246,43 @@ object GraftQueries {
     import graft.text.{Classifier, TextOps, UrlOps}
     val d = docs(spark, dir)
     val canon = UrlOps.canonicalizeUrl(synthUrl)
+    // The gates cost ~1 ms/row (interpreted higher-order functions), so
+    // their parallelism must not be tied to input SPLIT count — a corpus
+    // packed into few row groups would funnel the expensive projection
+    // through a handful of tasks. Repartitioning the slim scan first is
+    // the standard expensive-projection pattern: the shuffle carries raw
+    // rows once, the gates then run at full cluster width. (The winner
+    // aggregates below keep their own un-shuffled scans — they are cheap
+    // projections where split-parallelism is fine.)
+    // The gate columns are materialized through a window over doc_id, NOT
+    // exposed as plain projected aliases: Catalyst pushes predicates
+    // through projections by SUBSTITUTION, which would re-inline the full
+    // gate expression trees into the filter and evaluate them below the
+    // repartition — i.e. at input-SPLIT parallelism, where a corpus packed
+    // into few row groups funnels ~1 ms/row of interpreted gate work
+    // through a handful of tasks. A predicate on a window output cannot be
+    // pushed below the window, so the gates are computed exactly once,
+    // AFTER the explicit repartition (user-specified partition counts are
+    // exempt from AQE coalescing, which would otherwise fold this
+    // small-by-bytes but expensive-by-CPU shuffle back to one partition),
+    // and the filter tests the materialized booleans. The window
+    // partitions by the unique doc_id — its required distribution is
+    // exactly the repartition's, so no extra exchange appears.
+    val wDoc = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
     val gated = Classifier.hashedNgramScore(
         TextOps.repetitionFeatures(
-          d.withColumn("canon_url", canon)
+          d.repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+            .withColumn("canon_url", canon)
             .withColumn("host", UrlOps.hostOf(col("canon_url")))))
+      .withColumn("_gate",
+        first(struct(col("repetition_keep"), col("clf_score"))).over(wDoc))
       .select(col("doc_id"), col("source"), col("n_chars"), col("canon_url"),
-        col("host"), col("repetition_keep"), col("clf_score"))
-    val urlWinners = gated.groupBy("canon_url")
+        col("host"), col("_gate").getField("repetition_keep").as("repetition_keep"),
+        col("_gate").getField("clf_score").as("clf_score"))
+    // winner aggregates read their own cheap scan-side projections — the
+    // canonical URL derives from (doc_id, source) only, no repartition
+    val urlWinners = d.select(col("doc_id"), col("source"))
+      .withColumn("canon_url", canon).groupBy("canon_url")
       .agg(min("doc_id").as("doc_id")).select("doc_id")
     val textWinners = Dedup.exact(d).select(col("survivor_id").as("doc_id"))
     val kept = gated

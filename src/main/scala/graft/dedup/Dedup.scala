@@ -319,7 +319,14 @@ object Dedup {
   /** Fixed-width word windows: text -> array of w-word segments, the
     * segmentation [[segmentDedup]]'s tests use (production callers pass
     * e.g. `split(text, "\n{2,}")` for real paragraphs). A text of n words
-    * yields ceil(n/w) segments; the last may be short. */
+    * yields ceil(n/w) segments; the last may be short.
+    *
+    * NB the per-index lambda captures `toks`, so each evaluation re-splits
+    * the text per SEGMENT (O(n²/w) characters) — fine for segmentDedup's
+    * one explode per row, but do not reference this expression from a
+    * filter predicate or any multi-reference projection (see the zip_with
+    * bigram forms in TextOps/Classifier for the cheap-under-duplication
+    * alternative; non-overlapping windows have no such 2-slice form). */
   def wordWindows(text: Column, w: Int): Column = {
     val toks = split(text, " ")
     val nseg = ceil(size(toks) / lit(w.toDouble)).cast("int")

@@ -125,9 +125,15 @@ object TextOps {
   def repetitionFeatures(df: DataFrame, text: Column = col("text")): DataFrame = {
     val lines = filter(split(text, "\n"), l => length(l) > 0)
     val toks = wsTokens(text)
+    // zip_with over two slices, NOT transform(sequence)(i => slice(toks, …)):
+    // a lambda that captures `toks` re-evaluates the whole token split per
+    // ELEMENT (O(T²) per evaluation, immune to subexpression elimination),
+    // which turns a downstream filter that inlines this expression into a
+    // multi-second-per-partition cliff. Both slices are length n-1, so the
+    // zip never null-pads.
     val grams = when(size(toks) >= 2,
-      transform(sequence(lit(0), size(toks) - 2),
-        i => concat_ws(" ", slice(toks, i + 1, lit(2)))))
+      zip_with(slice(toks, lit(1), size(toks) - 1), slice(toks, lit(2), size(toks) - 1),
+        (a, b) => concat(a, lit(" "), b)))
       .otherwise(array().cast("array<string>"))
     val sorted = array_sort(grams)
     val zero = struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best"))
