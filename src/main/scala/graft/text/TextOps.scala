@@ -123,7 +123,6 @@ object TextOps {
     * (top-2-gram ≤ 0.20 is Gopher's; duplicate-line ≤ 0.30).
     */
   def repetitionFeatures(df: DataFrame, text: Column = col("text")): DataFrame = {
-    val lines = filter(split(text, "\n"), l => length(l) > 0)
     val toks = wsTokens(text)
     // zip_with over two slices, NOT transform(sequence)(i => slice(toks, …)):
     // a lambda that captures `toks` re-evaluates the whole token split per
@@ -135,30 +134,41 @@ object TextOps {
       zip_with(slice(toks, lit(1), size(toks) - 1), slice(toks, lit(2), size(toks) - 1),
         (a, b) => concat(a, lit(" "), b)))
       .otherwise(array().cast("array<string>"))
-    val sorted = array_sort(grams)
     val zero = struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best"))
-    val topRun = aggregate(sorted, zero,
+    val topRun = aggregate(array_sort(col("_rep_grams")), zero,
       (acc, g) => {
         val run = when(g === acc.getField("prev"), acc.getField("run") + 1).otherwise(lit(1L))
         struct(g.as("prev"), run.as("run"),
           greatest(acc.getField("best"), run).as("best"))
       },
       acc => acc.getField("best"))
-    df.withColumn("n_lines", size(lines))
+    // the line/gram arrays are materialized as columns with MULTIPLE
+    // consumers each — CollapseProject only inlines a non-cheap alias with
+    // one consumer, so each array is built once per row instead of once
+    // per feature column (interpreted HOFs get no subexpression
+    // elimination, so Scala-level expression reuse would re-tokenize the
+    // text for every feature)
+    df.withColumn("_rep_lines", filter(split(text, "\n"), l => length(l) > 0))
+      .withColumn("_rep_grams", grams)
+      .withColumn("n_lines", size(col("_rep_lines")))
       .withColumn("dup_line_frac",
-        when(size(lines) > 0,
-          round(lit(1.0) - size(array_distinct(lines)).cast("double") / size(lines), 6))
+        when(size(col("_rep_lines")) > 0,
+          round(lit(1.0) - size(array_distinct(col("_rep_lines"))).cast("double")
+            / size(col("_rep_lines")), 6))
           .otherwise(0.0))
-      .withColumn("total_2grams", size(grams).cast("long"))
-      .withColumn("distinct_2grams", size(array_distinct(grams)).cast("long"))
+      .withColumn("total_2grams", size(col("_rep_grams")).cast("long"))
+      .withColumn("distinct_2grams", size(array_distinct(col("_rep_grams"))).cast("long"))
       .withColumn("top_2gram_frac",
-        when(size(grams) > 0, round(topRun.cast("double") / size(grams), 6)).otherwise(0.0))
+        when(size(col("_rep_grams")) > 0,
+          round(topRun.cast("double") / size(col("_rep_grams")), 6)).otherwise(0.0))
       .withColumn("dup_2gram_frac",
-        when(size(grams) > 0,
-          round(lit(1.0) - size(array_distinct(grams)).cast("double") / size(grams), 6))
+        when(size(col("_rep_grams")) > 0,
+          round(lit(1.0) - size(array_distinct(col("_rep_grams"))).cast("double")
+            / size(col("_rep_grams")), 6))
           .otherwise(0.0))
       .withColumn("repetition_keep",
         col("top_2gram_frac") <= 0.2 && col("dup_line_frac") <= 0.3)
+      .drop("_rep_lines", "_rep_grams")
   }
 
   /** Document fingerprint: order-sensitive 64-bit rolling hash over
