@@ -28,13 +28,17 @@ object TextOps {
     "for", "on", "with", "as", "was", "at", "by", "be", "this", "are")
 
   def qualityFeatures(df: DataFrame, text: Column = col("text")): DataFrame = {
-    val toks = wsTokens(text)
+    // materialized once per row (multi-consumer column, not inlined — see
+    // repetitionFeatures): every feature below reads the attribute instead
+    // of re-tokenizing the text
+    val toks = col("_q_toks")
     val nTok = size(toks)
     val stopArr = array(stopWords.map(lit): _*)
     val nStop = size(filter(toks, t => array_contains(stopArr, lower(t))))
     val nPunct = size(regexp_extract_all(text, lit("[.,;:!?]"), lit(0)))
     val nAlpha = size(regexp_extract_all(text, lit("[A-Za-z]"), lit(0)))
-    df.withColumn("n_tokens", nTok)
+    df.withColumn("_q_toks", wsTokens(text))
+      .withColumn("n_tokens", nTok)
       .withColumn("n_chars_m", length(text))
       .withColumn("stop_ratio", when(nTok > 0, nStop.cast("double") / nTok).otherwise(0.0))
       .withColumn("punct_ratio", when(length(text) > 0, nPunct.cast("double") / length(text)).otherwise(0.0))
@@ -47,6 +51,7 @@ object TextOps {
               + lit(0.3) * col("alpha_ratio")
               + lit(0.2) * least(col("stop_ratio") * 5.0, lit(1.0))
               + lit(0.2) * (lit(1.0) - least(col("punct_ratio") * 10.0, lit(1.0))))), 6))
+      .drop("_q_toks")
   }
 
   /** n-gram-heuristic language ID: per-language marker-word hit counts,
@@ -62,15 +67,22 @@ object TextOps {
     "it" -> Seq("il", "la", "che", "di", "è", "per", "con", "non", "una", "sono"),
     "pt" -> Seq("o", "a", "os", "as", "é", "de", "que", "em", "para", "não"))
 
-  def langScore(text: Column, markers: Seq[String]): Column = {
-    val toks = transform(wsTokens(text), t => lower(t))
+  def langScore(text: Column, markers: Seq[String]): Column =
+    langScoreOf(transform(wsTokens(text), t => lower(t)), markers)
+
+  private def langScoreOf(lowToks: Column, markers: Seq[String]): Column = {
     val arr = array(markers.map(lit): _*)
-    size(filter(toks, t => array_contains(arr, t)))
+    size(filter(lowToks, t => array_contains(arr, t)))
   }
 
   def langId(df: DataFrame, text: Column = col("text")): DataFrame = {
-    val scored = langMarkers.foldLeft(df) { case (d, (code, words)) =>
-      d.withColumn(s"_s_$code", langScore(text, words))
+    // one tokenize+lowercase per row shared by all language columns (the
+    // multi-consumer-column pattern — see repetitionFeatures), instead of
+    // re-deriving the token array once per language
+    val scored = langMarkers.foldLeft(
+      df.withColumn("_lid_toks", transform(wsTokens(text), t => lower(t)))) {
+      case (d, (code, words)) =>
+        d.withColumn(s"_s_$code", langScoreOf(col("_lid_toks"), words))
     }
     val best = langMarkers.map { case (code, _) =>
       struct(col(s"_s_$code").as("score"), lit(code).as("code"))
@@ -85,7 +97,8 @@ object TextOps {
           filter(col("_cands"), c => c.getField("score") === col("_maxScore")),
           c => c.getField("code"))))
       .withColumn("lang_score", col("_maxScore"))
-      .drop((langMarkers.map { case (c, _) => s"_s_$c" } ++ Seq("_cands", "_maxScore")): _*)
+      .drop((langMarkers.map { case (c, _) => s"_s_$c" }
+        ++ Seq("_cands", "_maxScore", "_lid_toks")): _*)
   }
 
   /** PII redaction (the CCNet/RefinedWeb-style scrub pass): emails,
