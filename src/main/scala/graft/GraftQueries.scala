@@ -2083,10 +2083,16 @@ object GraftQueries {
       UrlOps.registeredDomain(host).as("domain"))
   }
 
-  val sqlUrlCanon: String =
-    """WITH u AS (
-      |  SELECT doc_id,
-      |    CASE doc_id % 5
+  /** The synthetic-URL CASE (mirrors [[synthUrl]]) and the c1→c6
+    * canonicalization CTE chain, shared verbatim by the q75 and q79
+    * oracles — the Scala side shares synthUrl/UrlOps for exactly the same
+    * reason: the canonicalization rules must not be able to drift between
+    * the two queries. The chain expects a CTE `u` providing (url, …) and
+    * yields c6 with canon_url + host added; every step is `SELECT *` so a
+    * caller's extra carried columns (q79 keeps source/n_chars) pass
+    * through. */
+  private val sqlSynthUrlCase: String =
+    """CASE doc_id % 5
       |      WHEN 0 THEN 'HTTPS://WWW.' || upper(source || '-' || (doc_id % 7)) ||
       |        '.Example.COM:443/Art/' || doc_id ||
       |        '?utm_source=feed&utm_campaign=x&id=' || doc_id || '#frag'
@@ -2097,16 +2103,17 @@ object GraftQueries {
       |      WHEN 3 THEN 'http://www.' || source || '-' || (doc_id % 7) ||
       |        '.example.com/p/' || doc_id || '?utm_x=1&id=' || doc_id
       |      ELSE 'https://' || source || '-' || (doc_id % 7) || '.example.com/'
-      |    END AS url
-      |  FROM documents),
-      |c1 AS (SELECT doc_id, url, regexp_replace(url, '#.*', '') AS nofrag FROM u),
+      |    END""".stripMargin
+
+  private val sqlCanonChain: String =
+    """c1 AS (SELECT *, regexp_replace(url, '#.*', '') AS nofrag FROM u),
       |c2 AS (SELECT *, coalesce(regexp_extract(nofrag,
       |         '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*'), '') AS prefix FROM c1),
-      |c3 AS (SELECT doc_id, url, prefix, substr(nofrag, len(prefix) + 1) AS rest FROM c2),
+      |c3 AS (SELECT *, substr(nofrag, len(prefix) + 1) AS rest FROM c2),
       |c3b AS (SELECT *, coalesce(regexp_extract(rest, '^[^?]*'), '') AS path,
       |          substr(rest, len(coalesce(regexp_extract(rest, '^[^?]*'), '')) + 1) AS query
       |        FROM c3),
-      |c4 AS (SELECT doc_id, url,
+      |c4 AS (SELECT *,
       |         regexp_replace(regexp_replace(regexp_replace(lower(prefix),
       |           '^(http://[^/:]+):80$', '\1'),
       |           '^(https://[^/:]+):443$', '\1'),
@@ -2116,11 +2123,18 @@ object GraftQueries {
       |           '[?&]utm_[A-Za-z_]+=[^&]*', '', 'g'),
       |           '^&', '?') AS query2
       |       FROM c3b),
-      |c5 AS (SELECT doc_id, url, auth || path2 || query2 AS canon_url FROM c4),
+      |c5 AS (SELECT *, auth || path2 || query2 AS canon_url FROM c4),
       |c6 AS (SELECT *, coalesce(regexp_extract(canon_url,
-      |         '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1), '') AS host FROM c5)
-      |SELECT doc_id, url, canon_url, host,
-      |  CASE WHEN regexp_matches(host, '[^.]+\.co\.uk$')
+      |         '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1), '') AS host FROM c5)""".stripMargin
+
+  val sqlUrlCanon: String =
+    s"""WITH u AS (
+      |  SELECT doc_id,
+      |    $sqlSynthUrlCase AS url
+      |  FROM documents),
+      |$sqlCanonChain
+      |SELECT doc_id, url, canon_url, host,""".stripMargin + "\n" +
+    """  CASE WHEN regexp_matches(host, '[^.]+\.co\.uk$')
       |         THEN regexp_extract(host, '([^.]+\.co\.uk)$', 1)
       |       WHEN regexp_matches(host, '[^.]+\.com\.au$')
       |         THEN regexp_extract(host, '([^.]+\.com\.au)$', 1)
@@ -2222,7 +2236,7 @@ object GraftQueries {
       |        round(least(1.0, 250 * pow(n, 0.7) / z.z / n), 6) AS accept_frac
       |      FROM c, z)
       |SELECT d.source, d.doc_id, r.accept_frac
-      |FROM documents d JOIN r USING (source)
+      |FROM documents d JOIN r ON d.source IS NOT DISTINCT FROM r.source
       |WHERE ('0x' || substr(md5('smp' || CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
       |        / 4294967296.0
       |      < r.accept_frac""".stripMargin
@@ -2247,27 +2261,19 @@ object GraftQueries {
     val d = docs(spark, dir)
     val canon = UrlOps.canonicalizeUrl(synthUrl)
     // The gates cost ~1 ms/row (interpreted higher-order functions), so
-    // their parallelism must not be tied to input SPLIT count — a corpus
-    // packed into few row groups would funnel the expensive projection
-    // through a handful of tasks. Repartitioning the slim scan first is
-    // the standard expensive-projection pattern: the shuffle carries raw
-    // rows once, the gates then run at full cluster width. (The winner
-    // aggregates below keep their own un-shuffled scans — they are cheap
-    // projections where split-parallelism is fine.)
-    // The gate columns are materialized through a window over doc_id, NOT
-    // exposed as plain projected aliases: Catalyst pushes predicates
-    // through projections by SUBSTITUTION, which would re-inline the full
-    // gate expression trees into the filter and evaluate them below the
-    // repartition — i.e. at input-SPLIT parallelism, where a corpus packed
-    // into few row groups funnels ~1 ms/row of interpreted gate work
-    // through a handful of tasks. A predicate on a window output cannot be
-    // pushed below the window, so the gates are computed exactly once,
-    // AFTER the explicit repartition (user-specified partition counts are
-    // exempt from AQE coalescing, which would otherwise fold this
-    // small-by-bytes but expensive-by-CPU shuffle back to one partition),
-    // and the filter tests the materialized booleans. The window
-    // partitions by the unique doc_id — its required distribution is
-    // exactly the repartition's, so no extra exchange appears.
+    // they must run at chosen cluster width, not input-SPLIT width (one
+    // row group = one task), and they must be evaluated exactly once. Two
+    // mechanisms enforce that together: (1) an explicit repartition —
+    // user-specified partition counts are exempt from AQE coalescing,
+    // which would otherwise fold this small-by-bytes but expensive-by-CPU
+    // shuffle back to one partition; (2) the gate columns materialize
+    // through first() over a window on the unique doc_id, because Catalyst
+    // pushes predicates through plain projections by SUBSTITUTION (which
+    // would re-inline the gate trees into the filter below the
+    // repartition) but cannot push a predicate on a window output below
+    // the window. The window's required distribution is exactly the
+    // repartition's, so no extra exchange appears, and the filter tests
+    // the materialized booleans.
     val wDoc = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
     val gated = Classifier.hashedNgramScore(
         TextOps.repetitionFeatures(
@@ -2299,41 +2305,12 @@ object GraftQueries {
   }
 
   val sqlCurationPipeline: String =
-    """WITH u AS (
+    s"""WITH u AS (
       |  SELECT doc_id, source, n_chars,
-      |    CASE doc_id % 5
-      |      WHEN 0 THEN 'HTTPS://WWW.' || upper(source || '-' || (doc_id % 7)) ||
-      |        '.Example.COM:443/Art/' || doc_id ||
-      |        '?utm_source=feed&utm_campaign=x&id=' || doc_id || '#frag'
-      |      WHEN 1 THEN 'http://' || source || '-' || (doc_id % 7) ||
-      |        '.example.com:80/p/' || doc_id || '/'
-      |      WHEN 2 THEN 'https://news.' || source || '-' || (doc_id % 7) ||
-      |        '.example.co.uk/p/' || doc_id || '?id=' || doc_id || '&utm_medium=rss'
-      |      WHEN 3 THEN 'http://www.' || source || '-' || (doc_id % 7) ||
-      |        '.example.com/p/' || doc_id || '?utm_x=1&id=' || doc_id
-      |      ELSE 'https://' || source || '-' || (doc_id % 7) || '.example.com/'
-      |    END AS url
+      |    $sqlSynthUrlCase AS url
       |  FROM documents),
-      |c1 AS (SELECT *, regexp_replace(url, '#.*', '') AS nofrag FROM u),
-      |c2 AS (SELECT *, coalesce(regexp_extract(nofrag,
-      |         '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*'), '') AS prefix FROM c1),
-      |c3 AS (SELECT *, substr(nofrag, len(prefix) + 1) AS rest FROM c2),
-      |c3b AS (SELECT *, coalesce(regexp_extract(rest, '^[^?]*'), '') AS path,
-      |          substr(rest, len(coalesce(regexp_extract(rest, '^[^?]*'), '')) + 1) AS query
-      |        FROM c3),
-      |c4 AS (SELECT doc_id, source, n_chars,
-      |         regexp_replace(regexp_replace(regexp_replace(lower(prefix),
-      |           '^(http://[^/:]+):80$', '\1'),
-      |           '^(https://[^/:]+):443$', '\1'),
-      |           '^(https?://)www\.', '\1') ||
-      |         regexp_replace(path, '/$', '') ||
-      |         regexp_replace(regexp_replace(query,
-      |           '[?&]utm_[A-Za-z_]+=[^&]*', '', 'g'),
-      |           '^&', '?') AS canon_url
-      |       FROM c3b),
-      |canon AS (SELECT *, coalesce(regexp_extract(canon_url,
-      |            '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1), '') AS host FROM c4),
-      |uw AS (SELECT min(doc_id) AS doc_id FROM canon GROUP BY canon_url),
+      |$sqlCanonChain,""".stripMargin + "\n" +
+    """uw AS (SELECT min(doc_id) AS doc_id FROM c6 GROUP BY canon_url),
       |tw AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
       |rtoks AS (
       |  SELECT doc_id, regexp_extract_all(text, '\S+') AS tk,
@@ -2344,7 +2321,7 @@ object GraftQueries {
       |  FROM rtoks, unnest(generate_series(1, len(tk) - 1)) s(i)
       |  WHERE len(tk) >= 2),
       |rc AS (SELECT doc_id, gram, count(*) AS n FROM rg GROUP BY 1, 2),
-      |ra AS (SELECT doc_id, sum(n) AS total, count(*) AS dis, max(n) AS top
+      |ra AS (SELECT doc_id, sum(n) AS total, max(n) AS top
       |       FROM rc GROUP BY 1),
       |rep AS (
       |  SELECT t.doc_id,
@@ -2376,7 +2353,7 @@ object GraftQueries {
       |        FROM lg g LEFT JOIN lw USING (doc_id)),
       |kept AS (
       |  SELECT c.host, c.doc_id, c.source, c.n_chars, clf.clf_score
-      |  FROM canon c
+      |  FROM c6 c
       |  JOIN uw ON c.doc_id = uw.doc_id
       |  JOIN tw ON c.doc_id = tw.doc_id
       |  JOIN rep ON c.doc_id = rep.doc_id AND rep.keep

@@ -17,15 +17,23 @@ object Codecs {
 
   // ---------- BMP: 24-bit uncompressed, BITMAPINFOHEADER ----------
 
-  /** Rows pad to 4-byte boundaries: stride = ceil(3w / 4) * 4. */
+  /** Rows pad to 4-byte boundaries: stride = ceil(3w / 4) * 4. Callers
+    * must bound `width` first (decode does via [[plausible]]); the encoders
+    * use [[bmpRowStrideL]] because 3·width wraps Int from width ≥ 715M and
+    * a wrapped stride would sail through the size guards below. */
   def bmpRowStride(width: Int): Int = ((3 * width + 3) / 4) * 4
+
+  /** Long-domain stride for encode-side size arithmetic. */
+  def bmpRowStrideL(width: Int): Long = ((3L * width + 3) / 4) * 4
 
   /** Encode a width x height image; `rgb(x, y)` returns 0xRRGGBB with
     * (0,0) the TOP-left pixel (rows are written bottom-up per the spec). */
   def encodeBmp24(width: Int, height: Int, rgb: (Int, Int) => Int): Array[Byte] = {
     require(width > 0 && height > 0, s"bad BMP dims $width x $height")
+    val totalL = 54L + bmpRowStrideL(width) * height // Long end-to-end: no wrap
+    require(totalL <= Int.MaxValue, s"BMP of $totalL bytes exceeds the 2 GiB blob limit")
     val stride = bmpRowStride(width)
-    val dataSize = stride * height
+    val dataSize = (totalL - 54L).toInt
     val buf = ByteBuffer.allocate(54 + dataSize).order(ByteOrder.LITTLE_ENDIAN)
     buf.put('B'.toByte).put('M'.toByte).putInt(54 + dataSize).putInt(0).putInt(54)
     buf.putInt(40).putInt(width).putInt(height)
@@ -160,10 +168,17 @@ object Codecs {
       rate: Int = 25): Array[Byte] = {
     require(width > 0 && height > 0 && frames > 0 && rate > 0,
       s"bad AVI shape $width x $height x $frames @ $rate")
-    val stride = bmpRowStride(width)
-    val frameSizeL = stride.toLong * height // Long BEFORE the guard: an Int
-    val total = 232L + frames.toLong * (24L + frameSizeL) // overflow here would defeat it
+    // Long end-to-end: bmpRowStride's 3·width wraps Int from width ≥ 715M,
+    // and a wrapped stride (or frame product) would sail through the guard
+    // with a tiny bogus total. With frameSizeL capped at Int.MaxValue
+    // first, frames·(24 + frameSizeL) ≤ 2^31 · (2^31 + 24) < Long.MaxValue,
+    // so the total itself cannot wrap either.
+    val frameSizeL = bmpRowStrideL(width) * height
+    require(frameSizeL <= Int.MaxValue,
+      s"AVI frame of $frameSizeL bytes exceeds the 2 GiB blob limit")
+    val total = 232L + frames.toLong * (24L + frameSizeL)
     require(total <= Int.MaxValue, s"AVI of $total bytes exceeds the 2 GiB blob limit")
+    val stride = bmpRowStride(width)
     val frameSize = frameSizeL.toInt
     val buf = ByteBuffer.allocate(total.toInt).order(ByteOrder.LITTLE_ENDIAN)
     buf.put(fourcc("RIFF")).putInt(total.toInt - 8).put(fourcc("AVI "))

@@ -26,14 +26,7 @@ object Classifier {
     // null text = no grams (NOT a null array: size() must give 0, and the
     // q76 oracle's unnest-then-coalesce shape counts these docs as 0)
     val toks = transform(TextOps.wsTokens(coalesce(text, lit(""))), t => lower(t))
-    // zip_with over two slices — same reasoning as TextOps.repetitionFeatures:
-    // capturing `toks` in a per-index lambda re-splits the text per element,
-    // an O(T²) cliff when a filter inlines the expression
-    val bi = when(size(toks) >= 2,
-      zip_with(slice(toks, lit(1), size(toks) - 1), slice(toks, lit(2), size(toks) - 1),
-        (a, b) => concat(a, lit(" "), b)))
-      .otherwise(array().cast("array<string>"))
-    transform(concat(toks, bi),
+    transform(concat(toks, TextOps.bigrams(toks)),
       g => conv(substring(md5(g.cast("binary")), 1, 8), 16, 10).cast("long") % buckets)
   }
 

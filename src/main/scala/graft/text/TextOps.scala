@@ -14,6 +14,20 @@ object TextOps {
   def wsTokens(text: Column): Column =
     filter(split(trim(text), "\\s+"), t => length(t) > 0)
 
+  /** Space-joined word bigrams of a token array — zip_with over two
+    * slices, NOT transform(sequence)(i => slice(toks, …)): a lambda that
+    * captures `toks` re-evaluates its whole expression per ELEMENT (O(T²)
+    * per evaluation, immune to subexpression elimination), which turns any
+    * filter that inlines the expression into a multi-second-per-partition
+    * cliff. Both slices are length n-1, so the zip never null-pads. Shared
+    * by [[repetitionFeatures]] and [[graft.text.Classifier.gramBuckets]]
+    * so the hazard can only be reintroduced in one place. */
+  def bigrams(toks: Column): Column =
+    when(size(toks) >= 2,
+      zip_with(slice(toks, lit(1), size(toks) - 1), slice(toks, lit(2), size(toks) - 1),
+        (a, b) => concat(a, lit(" "), b)))
+      .otherwise(array().cast("array<string>"))
+
   /** BPE-ish token count: word pieces, digit runs, single punctuation. */
   val bpeishPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
 
@@ -136,17 +150,6 @@ object TextOps {
     * (top-2-gram ≤ 0.20 is Gopher's; duplicate-line ≤ 0.30).
     */
   def repetitionFeatures(df: DataFrame, text: Column = col("text")): DataFrame = {
-    val toks = wsTokens(text)
-    // zip_with over two slices, NOT transform(sequence)(i => slice(toks, …)):
-    // a lambda that captures `toks` re-evaluates the whole token split per
-    // ELEMENT (O(T²) per evaluation, immune to subexpression elimination),
-    // which turns a downstream filter that inlines this expression into a
-    // multi-second-per-partition cliff. Both slices are length n-1, so the
-    // zip never null-pads.
-    val grams = when(size(toks) >= 2,
-      zip_with(slice(toks, lit(1), size(toks) - 1), slice(toks, lit(2), size(toks) - 1),
-        (a, b) => concat(a, lit(" "), b)))
-      .otherwise(array().cast("array<string>"))
     val zero = struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best"))
     val topRun = aggregate(array_sort(col("_rep_grams")), zero,
       (acc, g) => {
@@ -162,7 +165,7 @@ object TextOps {
     // elimination, so Scala-level expression reuse would re-tokenize the
     // text for every feature)
     df.withColumn("_rep_lines", filter(split(text, "\n"), l => length(l) > 0))
-      .withColumn("_rep_grams", grams)
+      .withColumn("_rep_grams", bigrams(wsTokens(text)))
       .withColumn("n_lines", size(col("_rep_lines")))
       .withColumn("dup_line_frac",
         when(size(col("_rep_lines")) > 0,

@@ -103,5 +103,15 @@ class CodecSpec extends SparkSpec {
       Codecs.encodeAviDib(1000000, 1000000, 1, (_, _, _) => 0)
     }
     assert(big.getMessage.contains("2 GiB"), big.getMessage)
+    // width where 3·width wraps Int: a wrapped stride of 0 would sneak a
+    // corrupt zero-frame AVI past the total-size guard
+    val wide = intercept[IllegalArgumentException] {
+      Codecs.encodeAviDib(1431655765, 1, 1, (_, _, _) => 0)
+    }
+    assert(wide.getMessage.contains("2 GiB"), wide.getMessage)
+    val bmp = intercept[IllegalArgumentException] {
+      Codecs.encodeBmp24(1431655765, 1, (_, _) => 0)
+    }
+    assert(bmp.getMessage.contains("2 GiB"), bmp.getMessage)
   }
 }
