@@ -2363,6 +2363,41 @@ object GraftQueries {
       |        ORDER BY n_chars DESC, doc_id) AS rank FROM kept)
       |WHERE rank <= 3""".stripMargin
 
+  /** CCNet-style bigram-LM perplexity (text.Perplexity): a deterministic
+    * 10% slice (doc_id % 10 = 0) trains the hashed count model; every doc
+    * (train slice included, as CCNet scores its whole crawl) gets the
+    * perplexity of its bigram stream under the smoothed model. */
+  def qLmPerplexity(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    graft.text.Perplexity.perplexity(d, d.filter(pmod(col("doc_id"), lit(10)) === 0))
+  }
+
+  val sqlLmPerplexity: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    [lower(t) for t in regexp_extract_all(text, '\S+')] AS tk
+      |  FROM documents),
+      |bg AS (
+      |  SELECT doc_id,
+      |    ('0x' || substr(md5(tk[i]), 1, 8))::BIGINT % 8192 AS ub,
+      |    ('0x' || substr(md5(tk[i] || ' ' || tk[i+1]), 1, 8))::BIGINT % 65536 AS bb
+      |  FROM toks, unnest(generate_series(1, len(tk) - 1)) s(i)
+      |  WHERE len(tk) >= 2),
+      |cu AS (SELECT ub, count(*) AS cu FROM bg WHERE doc_id % 10 = 0 GROUP BY 1),
+      |cb AS (SELECT bb, count(*) AS cb FROM bg WHERE doc_id % 10 = 0 GROUP BY 1),
+      |sc AS (
+      |  SELECT g.doc_id,
+      |    CAST(round(ln((coalesce(cb.cb, 0) + 1) * 1.0
+      |                  / (coalesce(cu.cu, 0) + 65536)) * 1000000) AS BIGINT) AS lpi
+      |  FROM bg g LEFT JOIN cb ON g.bb = cb.bb LEFT JOIN cu ON g.ub = cu.ub),
+      |pd AS (SELECT doc_id, count(*) AS n_bigrams, CAST(sum(lpi) AS BIGINT) AS lps
+      |       FROM sc GROUP BY 1)
+      |SELECT d.doc_id,
+      |  CAST(coalesce(pd.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+      |  CASE WHEN pd.n_bigrams IS NOT NULL
+      |       THEN round(exp(-(lps / 1000000.0) / pd.n_bigrams), 6) END AS ppl
+      |FROM documents d LEFT JOIN pd USING (doc_id)""".stripMargin
+
   // classic relational smoke (lineitem)
   def qLineitemAgg(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/lineitem.parquet")

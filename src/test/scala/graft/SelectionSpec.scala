@@ -1,7 +1,7 @@
 package graft
 
 import graft.sample.Dsir
-import graft.text.{Classifier, UrlOps}
+import graft.text.{Classifier, Perplexity, UrlOps}
 import org.apache.spark.sql.functions._
 
 /** URL canonicalization, hashed-n-gram classifier, and DSIR importance
@@ -128,6 +128,42 @@ class SelectionSpec extends SparkSpec {
       .collect().map(x => (x.getLong(0), x.getInt(1), x.getDouble(2))).sortBy(_._1)
     assert(r(0) == ((1L, 0, 0.5)), r(0).toString)
     assert(r(1)._2 == 5) // 3 unigrams + 2 bigrams
+  }
+
+  test("LM perplexity: in-model text scores far lower than unseen text") {
+    val s = spark
+    import s.implicits._
+    val train = (1L to 50L).map(i => (i, "the cat sat on the mat")).toDF("doc_id", "text")
+    val docs = Seq(
+      (100L, "the cat sat on the mat"),       // every bigram in-model
+      (101L, "zqx wvu ytr plk mno bcd"),      // every context unseen -> ~uniform
+      (102L, "x"),                            // one token: no bigram
+      (103L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val r = Perplexity.perplexity(docs, train).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), Option(x.get(2)).map(_.asInstanceOf[Double])))
+      .toMap
+    val (nIn, pplIn) = r(100L)
+    val (nOut, pplOut) = r(101L)
+    assert(nIn == 5 && nOut == 5, r.toString)
+    // seen bigrams: p = (c+1)/(c_ctx + 65536) stays small in absolute terms
+    // at this corpus size, but must beat the unseen-context uniform 1/65536
+    // by a wide margin
+    assert(pplIn.get < pplOut.get / 10, s"in=$pplIn out=$pplOut")
+    assert(math.abs(pplOut.get - 65537.0) < 100.0, s"unseen should be ~uniform: $pplOut")
+    assert(r(102L) == ((0L, None)) && r(103L) == ((0L, None)), r.toString)
+  }
+
+  test("LM perplexity is partitioning-invariant (integer-grid quantization)") {
+    val s = spark
+    import s.implicits._
+    val df = (1L to 200L)
+      .map(i => (i, s"w${i % 7} w${i % 5} w${i % 3} w${i % 7} w${i % 5}"))
+      .toDF("doc_id", "text")
+    val train = df.filter(col("doc_id") % 4 === 0)
+    def run(parts: Int) =
+      Perplexity.perplexity(df.repartition(parts), train.repartition(parts))
+        .collect().map(x => (x.getLong(0), x.getLong(1), x.getDouble(2))).sortBy(_._1).toSeq
+    assert(run(1) == run(13))
   }
 
   test("DSIR and mixing plans broadcast their model-state tables (no cartesian)") {
