@@ -2398,6 +2398,45 @@ object GraftQueries {
       |       THEN round(exp(-(lps / 1000000.0) / pd.n_bigrams), 6) END AS ppl
       |FROM documents d LEFT JOIN pd USING (doc_id)""".stripMargin
 
+  /** HTML → text extraction (text.HtmlOps): wrap every document's text in
+    * a deterministic page template that exercises EVERY step of the strip
+    * chain — head with embedded style + script (the script body contains a
+    * raw `<` and a literal `"</div>"`), comments, uppercase/attributed
+    * tags, entity-escaped body text, a double-escaped `&amp;lt;` that must
+    * survive as literal `&lt;` — then extract and measure. The oracle
+    * replays the identical build + extract chain in DuckDB, so any
+    * regex-semantics drift between engines fails the hash. */
+  private val htmlTplA = "<html><!-- crawl "
+  private val htmlTplB =
+    " --><head><title>skip me</title><style>p{color:red}</style>" +
+      "<script>if(1<2){x=\"</div>\"}</script></head><body><h1>Doc "
+  private val htmlTplC = "</h1><P CLASS=\"b\">"
+  private val htmlTplD =
+    "</P><p>&amp;lt; stays&nbsp;&quot;quoted&quot; &#39;q&#39;</p>" +
+      "<!-- tail --></body></html>"
+
+  def qHtmlExtract(spark: SparkSession, dir: String): DataFrame = {
+    val esc = replace(replace(replace(col("text"),
+      lit("&"), lit("&amp;")), lit("<"), lit("&lt;")), lit(">"), lit("&gt;"))
+    val html = concat(
+      lit(htmlTplA), col("doc_id"), lit(htmlTplB), col("doc_id"),
+      lit(htmlTplC), esc, lit(htmlTplD))
+    docs(spark, dir).select(
+      col("doc_id"),
+      graft.text.HtmlOps.extractText(html).as("ext_text"))
+      .withColumn("n_ext", length(col("ext_text")).cast("long"))
+  }
+
+  val sqlHtmlExtract: String = {
+    def q(s: String) = "'" + s.replace("'", "''") + "'"
+    val esc = "replace(replace(replace(text, '&', '&amp;'), '<', '&lt;'), '>', '&gt;')"
+    val html = s"${q(htmlTplA)} || CAST(doc_id AS VARCHAR) || ${q(htmlTplB)} || " +
+      s"CAST(doc_id AS VARCHAR) || ${q(htmlTplC)} || $esc || ${q(htmlTplD)}"
+    s"""WITH h AS (SELECT doc_id, $html AS html FROM documents),
+       |e AS (SELECT doc_id, ${graft.text.HtmlOps.extractTextSql("html")} AS ext_text FROM h)
+       |SELECT doc_id, ext_text, CAST(length(ext_text) AS BIGINT) AS n_ext FROM e""".stripMargin
+  }
+
   // classic relational smoke (lineitem)
   def qLineitemAgg(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/lineitem.parquet")

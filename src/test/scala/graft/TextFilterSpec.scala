@@ -82,4 +82,41 @@ class TextFilterSpec extends SparkSpec {
       .select("n_lines", "dup_line_frac", "repetition_keep").head()
     assert(e.getInt(0) == 0 && e.getDouble(1) == 0.0 && e.getBoolean(2))
   }
+
+  private def extract(html: String): String =
+    one(html).select(graft.text.HtmlOps.extractText(col("text"))).head().getString(0)
+
+  test("extractText strips head/script/style/comments/tags and keeps word boundaries") {
+    val html = "<html><head><title>skip</title><style>p{}</style></head>" +
+      "<body><h1>Hi</h1><p>one</p><p>two</p>" +
+      "<SCRIPT type=\"x\">if(1<2){s=\"</div>\"}</SCRIPT>" +
+      "<!-- note <b>bold</b> --><div   class='c'>three</div></body></html>"
+    assert(extract(html) == "Hi one two three", extract(html))
+  }
+
+  test("extractText decodes entities, &amp; last (no double-decode)") {
+    val html = "<p>a &lt;b&gt; &quot;c&quot; &#39;d&#39; &apos;e&apos;" +
+      "&nbsp;f &amp; &amp;lt; g</p>"
+    assert(extract(html) == "a <b> \"c\" 'd' 'e' f & &lt; g", extract(html))
+  }
+
+  test("extractText collapses whitespace runs, works on binary, null-safe") {
+    val s = spark
+    import s.implicits._
+    val html = " <p> a\n\n b\t c </p> "
+    assert(extract(html) == "a b c")
+    val bin = Seq((1L, html.getBytes("UTF-8"))).toDF("doc_id", "html")
+    assert(bin.select(graft.text.HtmlOps.extractText(col("html"))).head().getString(0)
+      == "a b c")
+    val nul = Seq((1L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    assert(nul.select(graft.text.HtmlOps.extractText(col("text"))).head().isNullAt(0))
+  }
+
+  test("extractText recovers the synthetic pages invariant text") {
+    val pages = graft.pipeline.Pages.synthPages(spark, 50L)
+    val bad = pages.select(
+      graft.text.HtmlOps.extractText(col("html")).as("e"), trim(col("text")).as("t"))
+      .filter(col("e") =!= col("t"))
+    assert(bad.count() == 0L)
+  }
 }
