@@ -2437,6 +2437,35 @@ object GraftQueries {
        |SELECT doc_id, ext_text, CAST(length(ext_text) AS BIGINT) AS n_ext FROM e""".stripMargin
   }
 
+  /** ExactSubstr duplicated-span removal (dedup.Dedup.exactSubstrDedup):
+    * L=5 token windows over the whole corpus; every non-first occurrence
+    * of a duplicated window has its extent cut, first occurrences keep
+    * their text. The oracle replays windows → winners → marked extents →
+    * index-filtered rewrite in DuckDB. */
+  def qExactSubstr(spark: SparkSession, dir: String): DataFrame =
+    graft.dedup.Dedup.exactSubstrDedup(docs(spark, dir), L = 5)
+
+  val sqlExactSubstr: String =
+    """WITH tk AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS tk FROM documents),
+      |w AS (SELECT doc_id, i - 1 AS pos, md5(array_to_string(tk[i:i+4], ' ')) AS h
+      |      FROM tk, unnest(generate_series(1, len(tk) - 4)) s(i) WHERE len(tk) >= 5),
+      |pd AS (SELECT h, doc_id, min(pos) AS pos FROM w GROUP BY 1, 2),
+      |win AS (SELECT h, min(doc_id) AS wd, arg_min(pos, doc_id) AS wp FROM pd GROUP BY 1),
+      |mk AS (SELECT w.doc_id, w.pos FROM w JOIN win USING (h)
+      |       WHERE NOT (w.doc_id = win.wd AND w.pos = win.wp)),
+      |ndw AS (SELECT doc_id, count(*) AS n_dup_windows FROM mk GROUP BY 1),
+      |cov AS (SELECT DISTINCT doc_id, tp
+      |        FROM mk, unnest(generate_series(mk.pos, mk.pos + 4)) s(tp)),
+      |cut AS (SELECT doc_id, list(tp) AS cut, count(*) AS n_removed FROM cov GROUP BY 1)
+      |SELECT t.doc_id,
+      |  CAST(len(t.tk) AS BIGINT) AS n_tokens,
+      |  CAST(coalesce(n.n_dup_windows, 0) AS BIGINT) AS n_dup_windows,
+      |  CAST(coalesce(c.n_removed, 0) AS BIGINT) AS n_removed,
+      |  coalesce(array_to_string([t.tk[p + 1] for p in
+      |    list_filter(range(0, len(t.tk)), p -> NOT list_contains(coalesce(c.cut, []), p))],
+      |    ' '), '') AS text_dedup
+      |FROM tk t LEFT JOIN ndw n USING (doc_id) LEFT JOIN cut c USING (doc_id)""".stripMargin
+
   // classic relational smoke (lineitem)
   def qLineitemAgg(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/lineitem.parquet")

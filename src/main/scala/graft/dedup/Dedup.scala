@@ -381,4 +381,77 @@ object Dedup {
             p => element_at(segsOf(col(textCol)), p + 1)),
           sep).as("text_dedup"))
   }
+
+  /** ExactSubstr-style duplicated-span removal (Lee et al. 2021,
+    * "Deduplicating Training Data Makes Language Models Better", public):
+    * any token run of length ≥ L that occurs more than once in the corpus
+    * is removed from every occurrence EXCEPT the globally first one. The
+    * paper builds a corpus-wide suffix array; the distributed reformulation
+    * here is rolling windows — every length-L token window is hashed, and
+    * a span duplicated anywhere shares ALL its length-L windows with the
+    * other occurrence regardless of alignment, so marking non-first window
+    * occurrences and removing the union of their [p, p+L) extents removes
+    * exactly the duplicated spans (first occurrences keep their text).
+    *
+    * Scale shape: text never enters a shuffle — windows become md5 digests
+    * at the scan (`_tk` is materialized ONCE as a column so the per-window
+    * lambda references a bound attribute, not a re-split; cost O(n·L) per
+    * doc, the same work a suffix-array build's data movement costs). The
+    * global winner per digest uses segmentDedup's two scalar
+    * hash-aggregations (map-side combine absorbs degenerate hot windows);
+    * non-winners are found with ONE digest-keyed equi-join (16-byte keys;
+    * a 10^8-fold repeated window is a skew key AQE splits — the winner
+    * side holds one row per digest). Covered token positions explode only
+    * from DUPLICATE windows (O(dups·L)), and the final rewrite is a
+    * doc-keyed join + linear `array_except` index filter.
+    *
+    * Returns (idCol, n_tokens, n_dup_windows, n_removed, text_dedup).
+    */
+  def exactSubstrDedup(
+      docs: DataFrame,
+      L: Int,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(L >= 2, s"window length must be >= 2, got $L")
+    val toks = graft.text.TextOps.wsTokens(coalesce(col(textCol), lit("")))
+    // (doc, pos, h): every window occurrence. sequence(0, n-L) DESCENDS
+    // when n < L (Spark generates backwards for start > stop) — guard it.
+    val hashed = docs
+      .select(col(idCol), toks.as("_tk"))
+      .select(col(idCol),
+        posexplode(when(size(col("_tk")) >= L,
+          transform(sequence(lit(0), size(col("_tk")) - L),
+            i => md5(array_join(slice(col("_tk"), i + 1, lit(L)), " ").cast("binary"))))
+          .otherwise(array().cast("array<string>"))).as(Seq("pos", "_h")))
+    val perDoc = hashed.groupBy(col("_h"), col(idCol)).agg(min(col("pos")).as("pos"))
+    val winners = perDoc.groupBy(col("_h"))
+      .agg(min(col(idCol)).as("_wd"), min_by(col("pos"), col(idCol)).as("_wp"))
+    val marked = hashed.join(winners, Seq("_h"))
+      .filter(!(col(idCol) === col("_wd") && col("pos") === col("_wp")))
+    val perDocCut = marked
+      .select(col(idCol), col("pos"),
+        explode(sequence(col("pos"), col("pos") + L - 1)).as("_tp"))
+      .groupBy(col(idCol))
+      // the grouped frame is post-explode (one row per (window, extent
+      // token)), so the window count must be count_distinct(pos)
+      .agg(count_distinct(col("pos")).as("n_dup_windows"),
+        collect_set(col("_tp")).as("_cut"))
+    docs
+      .join(perDocCut, Seq(idCol), "left")
+      .select(col(idCol), toks.as("_tk"), col("n_dup_windows"), col("_cut"))
+      .select(
+        col(idCol),
+        size(col("_tk")).cast("long").as("n_tokens"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+        coalesce(size(col("_cut")), lit(0)).cast("long").as("n_removed"),
+        array_join(
+          transform(
+            // array_except keeps first-array order, so positions stay sorted
+            array_except(
+              when(size(col("_tk")) > 0, sequence(lit(0), size(col("_tk")) - 1))
+                .otherwise(array().cast("array<int>")),
+              coalesce(col("_cut"), array().cast("array<int>"))),
+            p => element_at(col("_tk"), p + 1)),
+          " ").as("text_dedup"))
+  }
 }

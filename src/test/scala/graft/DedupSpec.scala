@@ -138,4 +138,33 @@ class DedupSpec extends SparkSpec {
     assert(resized.map(_.getAs[Array[Byte]]("pixels").toSeq).toSeq ==
       again.map(_.getAs[Array[Byte]]("pixels").toSeq).toSeq)
   }
+
+  test("exactSubstrDedup cuts later occurrences of shared spans, keeps the first") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "x y a b c d e f q"), // shares the 6-token run "a b c d e f" with doc 1
+      (3L, "short one"), // under L: no windows
+      (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val r = Dedup.exactSubstrDedup(df, L = 5).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getLong(3), x.getString(4))))
+      .toMap
+    assert(r(1L) == ((8L, 0L, 0L, "a b c d e f g h")), r(1L)) // first occurrence untouched
+    // doc 2: windows at pos 2 ("a b c d e") and pos 3 ("b c d e f") are
+    // non-first -> extents [2,7) and [3,8) union to tokens 2..7 cut
+    assert(r(2L) == ((9L, 2L, 6L, "x y q")), r(2L))
+    assert(r(3L) == ((2L, 0L, 0L, "short one")), r(3L))
+    assert(r(4L) == ((0L, 0L, 0L, "")), r(4L))
+  }
+
+  test("exactSubstrDedup removes a within-doc repeat, keeping the first occurrence") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((7L, "p q r s t p q r s t")).toDF("doc_id", "text")
+    val r = Dedup.exactSubstrDedup(df, L = 5).head()
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))
+      == ((10L, 1L, 5L, "p q r s t")), r.toString)
+  }
 }
