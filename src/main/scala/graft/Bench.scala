@@ -28,9 +28,11 @@ object Bench {
     "q37_merge_max", "q38_sample_interval",
     "q55_masked_sample", "q58_srp_neardup", "q59_sample_interval_idx",
     // end-of-round-4 additions: the composed curation pipeline (q79),
-    // CCNet perplexity scoring (q80) and HTML text extraction (q81) —
-    // the headline total grows by their cost vs earlier 21-query samples
-    "q79_curation_pipeline", "q80_lm_perplexity", "q81_html_extract")
+    // CCNet perplexity scoring (q80), HTML text extraction (q81) and
+    // ExactSubstr span removal (q82) — the headline total grows by
+    // their cost vs earlier 21-query samples
+    "q79_curation_pipeline", "q80_lm_perplexity", "q81_html_extract",
+    "q82_exact_substr")
 
   def session(cpus: String): SparkSession = {
     // 4 waves of tasks per core: on a shared VM with CPU steal, a stage is
