@@ -2466,6 +2466,59 @@ object GraftQueries {
       |    ' '), '') AS text_dedup
       |FROM tk t LEFT JOIN ndw n USING (doc_id) LEFT JOIN cut c USING (doc_id)""".stripMargin
 
+  /** WARC ingest roundtrip (sources.Warc + text.HtmlOps): synthesize a
+    * WARC/1.0 response record per document (deterministic uri/date/html
+    * payload), parse the headers back, and extract the payload text — the
+    * Common-Crawl ingest shape that produces the north-rule input table
+    * (url, warc_ts, html) from raw crawl records. The oracle replays
+    * build → parse → extract in DuckDB. */
+  def qWarcIngest(spark: SparkSession, dir: String): DataFrame = {
+    val uri = concat(lit("https://crawl.example.org/"), col("source"),
+      lit("/"), col("doc_id"))
+    val ts = timestamp_micros(lit(1704067200000000L) + col("doc_id") * lit(60000000L))
+    val payload = concat(lit("<html><head><title>x</title></head><body><p>"),
+      col("text"), lit("</p></body></html>"))
+    docs(spark, dir)
+      .select(col("doc_id"),
+        graft.sources.Warc.parseRecord(
+          graft.sources.Warc.buildRecord(uri, ts, payload)).as("w"))
+      .select(col("doc_id"), col("w.warc_type").as("warc_type"),
+        col("w.uri").as("uri"), col("w.ts_us").as("ts_us"),
+        col("w.content_length").as("content_length"),
+        graft.text.HtmlOps.extractText(col("w.payload")).as("ext_text"))
+  }
+
+  val sqlWarcIngest: String = {
+    val crlf = "chr(13) || chr(10)"
+    s"""WITH p AS (
+       |  SELECT doc_id, source,
+       |    '<html><head><title>x</title></head><body><p>' || text
+       |      || '</p></body></html>' AS payload
+       |  FROM documents),
+       |r AS (
+       |  SELECT doc_id,
+       |    'WARC/1.0' || $crlf || 'WARC-Type: response' || $crlf
+       |    || 'WARC-Date: ' || strftime(TIMESTAMP '2024-01-01 00:00:00'
+       |         + doc_id * INTERVAL 1 MINUTE, '%Y-%m-%dT%H:%M:%SZ') || $crlf
+       |    || 'WARC-Target-URI: https://crawl.example.org/' || source || '/'
+       |         || CAST(doc_id AS VARCHAR) || $crlf
+       |    || 'Content-Length: ' || CAST(octet_length(CAST(payload AS BLOB)) AS VARCHAR) || $crlf
+       |    || $crlf || payload AS rec
+       |  FROM p),
+       |e AS (
+       |  SELECT doc_id,
+       |    regexp_extract(rec, 'WARC-Type: ([^\\r\\n]+)', 1) AS warc_type,
+       |    regexp_extract(rec, 'WARC-Target-URI: ([^\\r\\n]+)', 1) AS uri,
+       |    epoch_us(strptime(regexp_extract(rec, 'WARC-Date: ([^\\r\\n]+)', 1),
+       |      '%Y-%m-%dT%H:%M:%SZ')) AS ts_us,
+       |    CAST(regexp_extract(rec, 'Content-Length: ([^\\r\\n]+)', 1) AS BIGINT)
+       |      AS content_length,
+       |    regexp_extract(rec, '(?s)\\r\\n\\r\\n(.*)$$', 1) AS pay FROM r)
+       |SELECT doc_id, warc_type, uri, ts_us, content_length,
+       |  ${graft.text.HtmlOps.extractTextSql("pay")} AS ext_text
+       |FROM e""".stripMargin
+  }
+
   // classic relational smoke (lineitem)
   def qLineitemAgg(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/lineitem.parquet")

@@ -54,4 +54,29 @@ class SourcesSpec extends SparkSpec {
       valueTransform = Some(c => c.cast("double") / 100.0))
     assert(collectTVL(back) == collectTVL(df))
   }
+  test("WARC record build -> parse roundtrip; malformed records parse, not throw") {
+    val s = spark
+    import s.implicits._
+    import graft.sources.Warc
+    val df = Seq((7L, "https://d0.example.org/page/1", "<p>hello &amp; bye</p>"))
+      .toDF("id", "uri", "payload")
+      .select(col("id"), Warc.parseRecord(Warc.buildRecord(
+        col("uri"), timestamp_micros(lit(1704067200000000L)), col("payload"))).as("w"))
+      .select(col("id"), col("w.*"))
+    val r = df.head()
+    assert(r.getAs[String]("warc_type") == "response")
+    assert(r.getAs[String]("uri") == "https://d0.example.org/page/1")
+    assert(r.getAs[Long]("ts_us") == 1704067200000000L)
+    assert(r.getAs[Long]("content_length") == 22L)
+    assert(r.getAs[String]("payload") == "<p>hello &amp; bye</p>")
+    // CRLF payload bytes survive framing: only the FIRST blank line splits
+    val multi = Seq((1L, "a\r\n\r\nb")).toDF("id", "p")
+      .select(Warc.parseRecord(Warc.buildRecord(
+        lit("u"), timestamp_micros(lit(0L)), col("p"))).getField("payload"))
+      .head().getString(0)
+    assert(multi == "a\r\n\r\nb", multi)
+    val bad = Seq((1L, "not a warc record")).toDF("id", "r")
+      .select(Warc.parseRecord(col("r")).as("w")).select(col("w.*")).head()
+    assert(bad.getAs[String]("warc_type") == "" && bad.isNullAt(bad.fieldIndex("ts_us")))
+  }
 }
