@@ -25,36 +25,49 @@ import org.apache.spark.sql.functions._
   */
 object Warc {
 
-  val dateFmt = "yyyy-MM-dd'T'HH:mm:ss'Z'"
+  /** Render pattern: UTC wall-clock with a literal Z (the WARC canonical
+    * form). Parse pattern: XXX reads the Z (or any offset) as a real zone
+    * designator, so ts_us is exact epoch-µs under ANY session time zone. */
+  val dateFmtOut = "yyyy-MM-dd'T'HH:mm:ss'Z'"
+  val dateFmtIn = "yyyy-MM-dd'T'HH:mm:ssXXX"
 
   /** A WARC/1.0 response record (string column) for the given fields.
-    * `ts` is a timestamp column; the date header renders in UTC. */
+    * `ts` is a timestamp column; the date header renders in UTC regardless
+    * of the session time zone (shift-to-UTC before the zoneless format). */
   def buildRecord(uri: Column, ts: Column, payload: Column): Column = {
     val crlf = lit("\r\n")
     concat(
       lit("WARC/1.0"), crlf,
       lit("WARC-Type: response"), crlf,
-      lit("WARC-Date: "), date_format(ts, dateFmt), crlf,
+      lit("WARC-Date: "),
+      date_format(to_utc_timestamp(ts, current_timezone()), dateFmtOut), crlf,
       lit("WARC-Target-URI: "), uri, crlf,
       lit("Content-Length: "), length(payload.cast("binary")), crlf,
       crlf, payload)
   }
 
-  private def header(rec: Column, name: String): Column =
-    regexp_extract(rec, s"$name: ([^\\r\\n]+)", 1)
+  private def header(hdr: Column, name: String): Column =
+    regexp_extract(hdr, s"(?m)^$name: ([^\\r\\n]+)", 1)
 
   /** Parsed fields of a record (string or binary column), as a struct:
     * (warc_type, uri, ts_us: long epoch-µs, content_length: long,
-    * payload). Missing headers parse to ''/null — parse, don't throw:
-    * a 10^12-record crawl always contains malformed members, and a
-    * downstream filter on `warc_type` is the standard response-only cut. */
+    * payload). Headers are matched ONLY inside the block before the first
+    * blank line — a payload is typically a full HTTP response whose own
+    * `Content-Length:` must never stand in for a missing WARC header — and
+    * anchored at line starts. Missing headers parse to ''/null — parse,
+    * don't throw: a 10^12-record crawl always contains malformed members,
+    * and a downstream filter on `warc_type` is the standard response-only
+    * cut. */
   def parseRecord(rec0: Column): Column = {
     val rec = rec0.cast("string")
+    // header block only; a record with no blank line is all headers
+    val hdr = when(rec.contains("\r\n\r\n"),
+      regexp_extract(rec, "(?s)^(.*?)\\r\\n\\r\\n", 1)).otherwise(rec)
     struct(
-      header(rec, "WARC-Type").as("warc_type"),
-      header(rec, "WARC-Target-URI").as("uri"),
-      unix_micros(try_to_timestamp(header(rec, "WARC-Date"), lit(dateFmt))).as("ts_us"),
-      header(rec, "Content-Length").try_cast("long").as("content_length"),
+      header(hdr, "WARC-Type").as("warc_type"),
+      header(hdr, "WARC-Target-URI").as("uri"),
+      unix_micros(try_to_timestamp(header(hdr, "WARC-Date"), lit(dateFmtIn))).as("ts_us"),
+      header(hdr, "Content-Length").try_cast("long").as("content_length"),
       regexp_extract(rec, "(?s)\\r\\n\\r\\n(.*)$", 1).as("payload"))
   }
 }

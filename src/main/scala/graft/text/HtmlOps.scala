@@ -9,9 +9,12 @@ import org.apache.spark.sql.functions._
   * the jusText/trafilatura-shaped core transform (public knowledge)
   * reduced to a deterministic, engine-portable regexp chain:
   *
-  *   1. drop `<head>…</head>` (title/meta/inline css+js are boilerplate),
-  *   2. drop any remaining `<script>`/`<style>` blocks (body-embedded),
-  *   3. drop `<!-- comments -->`,
+  *   1. drop `<!-- comments -->` FIRST — a commented-out `<script>`
+  *      opener (common in real pages) must never arm the script rule,
+  *      which would otherwise swallow legitimate body text up to the
+  *      next real `</script>`,
+  *   2. drop `<head>…</head>` (title/meta/inline css+js are boilerplate),
+  *   3. drop any remaining `<script>`/`<style>` blocks (body-embedded),
   *   4. every remaining tag → a single space (so `a</p><p>b` keeps its
   *      word boundary),
   *   5. decode the core entities — `&lt; &gt; &quot; &#39; &apos; &nbsp;`
@@ -35,10 +38,10 @@ object HtmlOps {
   /** (pattern, replacement) chain, in application order. Exposed so the
     * oracle-SQL builder renders the SAME chain for DuckDB. */
   val stripChain: Seq[(String, String)] = Seq(
+    "(?s)<!--.*?-->" -> " ",
     "(?is)<head\\b[^>]*>.*?</head\\s*>" -> " ",
     "(?is)<script\\b[^>]*>.*?</script\\s*>" -> " ",
     "(?is)<style\\b[^>]*>.*?</style\\s*>" -> " ",
-    "(?s)<!--.*?-->" -> " ",
     "(?s)<[^>]*>" -> " ")
 
   /** Literal entity decodes, in application order (`&amp;` last). */

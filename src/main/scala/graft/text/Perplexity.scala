@@ -38,14 +38,19 @@ object Perplexity {
   /** One row per bigram occurrence: (idCol, ub = context bucket,
     * bb = bigram bucket). The pair array is built with zip_with over two
     * slices and consumed by ONE explode — see [[TextOps.bigrams]] for why
-    * a lambda must not capture the token array. */
+    * a lambda must not capture the token array. The token array itself is
+    * materialized as a column first: the slice/size tree references it 3×,
+    * and interpreted HOF chains get no subexpression elimination, so an
+    * inlined tokenizer would re-split every text per reference. */
   private def bigramBuckets(df: DataFrame, text: Column, uBuckets: Int,
       bBuckets: Int, idCol: String): DataFrame = {
-    val toks = transform(TextOps.wsTokens(coalesce(text, lit(""))), t => lower(t))
+    val toks = col("_toks")
     val n1 = greatest(size(toks) - 1, lit(0))
     val pairs = zip_with(slice(toks, lit(1), n1), slice(toks, lit(2), n1),
       (a, b) => struct(a.as("p"), concat(a, lit(" "), b).as("g")))
-    df.select(col(idCol), explode(pairs).as("pg"))
+    df.select(col(idCol),
+        transform(TextOps.wsTokens(coalesce(text, lit(""))), t => lower(t)).as("_toks"))
+      .select(col(idCol), explode(pairs).as("pg"))
       .select(col(idCol),
         hashBucket(col("pg").getField("p"), uBuckets).as("ub"),
         hashBucket(col("pg").getField("g"), bBuckets).as("bb"))

@@ -79,4 +79,36 @@ class SourcesSpec extends SparkSpec {
       .select(Warc.parseRecord(col("r")).as("w")).select(col("w.*")).head()
     assert(bad.getAs[String]("warc_type") == "" && bad.isNullAt(bad.fieldIndex("ts_us")))
   }
+  test("WARC: payload HTTP headers never leak into WARC fields; date is TZ-independent") {
+    val s = spark
+    import s.implicits._
+    import graft.sources.Warc
+    // payload is a full HTTP response with its own Content-Length; record
+    // built WITHOUT relying on header order -- parse must read only the
+    // block before the first blank line
+    val httpPayload = "HTTP/1.1 200 OK\r\nContent-Length: 999\r\n\r\n<p>x</p>"
+    val r = Seq(1L).toDF("id")
+      .select(Warc.parseRecord(Warc.buildRecord(
+        lit("u"), timestamp_micros(lit(1704067200000000L)), lit(httpPayload))).as("w"))
+      .select(col("w.*")).head()
+    assert(r.getAs[Long]("content_length") == httpPayload.length.toLong)
+    assert(r.getAs[String]("payload") == httpPayload)
+    // a truncated record missing its WARC Content-Length must yield null,
+    // not the HTTP payload's 999
+    val trunc = "WARC/1.0\r\nWARC-Type: response\r\n\r\n" + httpPayload
+    val t = Seq(trunc).toDF("r").select(Warc.parseRecord(col("r")).as("w"))
+      .select(col("w.*")).head()
+    assert(t.isNullAt(t.fieldIndex("content_length")), t.toString)
+    assert(t.getAs[String]("warc_type") == "response")
+    // roundtrip is exact under a non-UTC session time zone
+    val tzBefore = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      val ny = Seq(1L).toDF("id")
+        .select(Warc.parseRecord(Warc.buildRecord(
+          lit("u"), timestamp_micros(lit(1704067200000000L)), lit("p"))).as("w"))
+        .select(col("w.ts_us")).head().getLong(0)
+      assert(ny == 1704067200000000L, ny.toString)
+    } finally spark.conf.set("spark.sql.session.timeZone", tzBefore)
+  }
 }

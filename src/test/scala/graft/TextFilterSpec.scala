@@ -112,6 +112,14 @@ class TextFilterSpec extends SparkSpec {
     assert(nul.select(graft.text.HtmlOps.extractText(col("text"))).head().isNullAt(0))
   }
 
+  test("extractText: commented-out script opener never arms the script rule") {
+    val html = "<!-- <script> disabled --><p>keep me</p><script>a()</script>"
+    assert(extract(html) == "keep me", extract(html))
+    // comment containing a closing head tag doesn't end head stripping early
+    val h2 = "<head><!-- </head> --><title>x</title></head><body><p>body</p></body>"
+    assert(extract(h2) == "body", extract(h2))
+  }
+
   test("extractText recovers the synthetic pages invariant text") {
     val pages = graft.pipeline.Pages.synthPages(spark, 50L)
     val bad = pages.select(
