@@ -2519,6 +2519,51 @@ object GraftQueries {
        |FROM e""".stripMargin
   }
 
+  /** Distributed BPE tokenizer training (text.Bpe): 8 merge rounds over
+    * the documents vocabulary; output is the learned merge table
+    * (rank, a, b, freq). The oracle UNROLLS the 8 rounds as CTE stages —
+    * pair stats, deterministic argmax (freq DESC, a, b), greedy
+    * every-other-in-run merge application — so DuckDB replays the whole
+    * training loop. */
+  def qBpeTrain(spark: SparkSession, dir: String): DataFrame =
+    graft.text.Bpe.train(docs(spark, dir), nMerges = 8)
+
+  val sqlBpeTrain: String = {
+    val n = 8
+    def iter(i: Int): String =
+      s"""p$i AS (SELECT word, cnt, syms, j - 1 AS p, syms[j] AS a, syms[j+1] AS b
+         |       FROM w${i - 1}, unnest(generate_series(1, len(syms) - 1)) s(j)),
+         |b$i AS (SELECT a, b, CAST(sum(cnt) AS BIGINT) AS freq FROM p$i GROUP BY 1, 2
+         |       ORDER BY freq DESC, a, b LIMIT 1),
+         |c$i AS (SELECT p.word, p.p FROM p$i p JOIN b$i ON p.a = b$i.a AND p.b = b$i.b),
+         |g$i AS (SELECT word, p, p - row_number() OVER (PARTITION BY word ORDER BY p) AS grp
+         |       FROM c$i),
+         |k$i AS (SELECT word, list(p ORDER BY p) AS sel FROM
+         |         (SELECT word, p, min(p) OVER (PARTITION BY word, grp) AS mn FROM g$i) q
+         |        WHERE (p - mn) % 2 = 0 GROUP BY word),
+         |w$i AS (SELECT w.word, w.cnt,
+         |         CASE WHEN k.sel IS NULL THEN w.syms ELSE
+         |           [CASE WHEN list_contains(k.sel, x) THEN w.syms[x+1] || w.syms[x+2]
+         |                 ELSE w.syms[x+1] END
+         |            for x in list_filter(range(0, len(w.syms)),
+         |                       y -> NOT list_contains(list_transform(k.sel, z -> z + 1), y))]
+         |         END AS syms
+         |        FROM w${i - 1} w LEFT JOIN k$i k USING (word))""".stripMargin
+    val body = (1 to n).map(iter).mkString(",\n")
+    val union = (1 to n)
+      .map(i => s"SELECT CAST($i AS BIGINT) AS rank, a, b, freq FROM b$i")
+      .mkString("\nUNION ALL ")
+    s"""WITH v AS (
+       |  SELECT word, count(*) AS cnt FROM
+       |    (SELECT unnest(regexp_extract_all(lower(text), '\\S+')) AS word FROM documents) t
+       |  GROUP BY 1),
+       |w0 AS (SELECT word, cnt,
+       |        list_append([word[i] for i in range(1, strlen(word) + 1)], '</w>') AS syms
+       |       FROM v),
+       |$body
+       |$union""".stripMargin
+  }
+
   // classic relational smoke (lineitem)
   def qLineitemAgg(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/lineitem.parquet")

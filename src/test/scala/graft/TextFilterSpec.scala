@@ -127,4 +127,31 @@ class TextFilterSpec extends SparkSpec {
       .filter(col("e") =!= col("t"))
     assert(bad.count() == 0L)
   }
+  test("BPE training replays the classic subword example with deterministic ties") {
+    val s = spark
+    import s.implicits._
+    import graft.text.Bpe
+    // Sennrich et al. 2016 vocabulary: low x5, lower x2, newest x6, widest x3
+    val docs = Seq(
+      (1L, Array.fill(5)("low").mkString(" ")),
+      (2L, Array.fill(2)("lower").mkString(" ")),
+      (3L, Array.fill(6)("newest").mkString(" ")),
+      (4L, Array.fill(3)("widest").mkString(" "))).toDF("doc_id", "text")
+    val m = Bpe.train(docs, 6).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(m == Seq(
+      (1L, "e", "s", 9L), (2L, "es", "t", 9L), (3L, "est", "</w>", 9L),
+      (4L, "l", "o", 7L), (5L, "lo", "w", 7L), (6L, "e", "w", 6L)), m.toString)
+  }
+
+  test("BPE greedy merge is left-to-right non-overlapping on doubled symbols") {
+    val s = spark
+    import s.implicits._
+    import graft.text.Bpe
+    val w = Bpe.wordTable(Seq((1L, "aaaa aaa")).toDF("doc_id", "text"))
+    val out = Bpe.applyMerge(w, "a", "a").collect()
+      .map(r => r.getString(0) -> r.getSeq[String](2)).toMap
+    assert(out("aaaa") == Seq("aa", "aa", "</w>"), out.toString)
+    assert(out("aaa") == Seq("aa", "a", "</w>"), out.toString)
+  }
 }
