@@ -2564,6 +2564,67 @@ object GraftQueries {
        |$union""".stripMargin
   }
 
+  /** End-to-end ingest composition — the north-rule input path in ONE
+    * declarative plan: raw WARC records (synthesized from documents; 100
+    * urls × 5 crawls each) → parsed (url, warc_ts, html, lang) pages →
+    * HTML text extraction → per-url measurement → hourly tier aggregate.
+    * Every stage is the real library operator (sources.Warc,
+    * text.HtmlOps); the only shuffle is the final (url, hour) aggregate,
+    * everything upstream is scan-projection work. */
+  def qPagesIngest(spark: SparkSession, dir: String): DataFrame = {
+    val uri = concat(lit("https://crawl.example.org/"), col("source"),
+      lit("/p"), pmod(col("doc_id"), lit(20)))
+    val ts = timestamp_micros(lit(1704067200000000L) + col("doc_id") * lit(60000000L))
+    val payload = concat(lit("<html><head><title>x</title></head><body><p>"),
+      col("text"), lit("</p></body></html>"))
+    docs(spark, dir)
+      .select(graft.sources.Warc.parseRecord(
+        graft.sources.Warc.buildRecord(uri, ts, payload)).as("w"))
+      .select(col("w.uri").as("url"), col("w.ts_us").as("warc_ts_us"),
+        col("w.payload").as("html"))
+      .select(col("url"), col("warc_ts_us"),
+        length(graft.text.HtmlOps.extractText(col("html"))).cast("long").as("v"))
+      .groupBy(col("url"),
+        (floor(col("warc_ts_us") / 3600000000L) * 3600000000L).cast("long").as("hour_us"))
+      .agg(count(lit(1)).as("n_points"), sum("v").as("sum_v"),
+        round(avg("v"), 6).as("mean_v"))
+  }
+
+  val sqlPagesIngest: String = {
+    val crlf = "chr(13) || chr(10)"
+    s"""WITH p AS (
+       |  SELECT doc_id,
+       |    'https://crawl.example.org/' || source || '/p'
+       |      || CAST(doc_id % 20 AS VARCHAR) AS uri,
+       |    '<html><head><title>x</title></head><body><p>' || text
+       |      || '</p></body></html>' AS payload
+       |  FROM documents),
+       |r AS (
+       |  SELECT doc_id,
+       |    'WARC/1.0' || $crlf || 'WARC-Type: response' || $crlf
+       |    || 'WARC-Date: ' || strftime(TIMESTAMP '2024-01-01 00:00:00'
+       |         + doc_id * INTERVAL 1 MINUTE, '%Y-%m-%dT%H:%M:%SZ') || $crlf
+       |    || 'WARC-Target-URI: ' || uri || $crlf
+       |    || 'Content-Length: '
+       |         || CAST(octet_length(CAST(payload AS BLOB)) AS VARCHAR) || $crlf
+       |    || $crlf || payload AS rec
+       |  FROM p),
+       |e AS (
+       |  SELECT
+       |    regexp_extract(rec, 'WARC-Target-URI: ([^\\r\\n]+)', 1) AS url,
+       |    epoch_us(strptime(regexp_extract(rec, 'WARC-Date: ([^\\r\\n]+)', 1),
+       |      '%Y-%m-%dT%H:%M:%SZ')) AS warc_ts_us,
+       |    regexp_extract(rec, '(?s)\\r\\n\\r\\n(.*)$$', 1) AS pay FROM r),
+       |x AS (SELECT url, warc_ts_us,
+       |        length(${graft.text.HtmlOps.extractTextSql("pay")}) AS v FROM e)
+       |SELECT url,
+       |  CAST(floor(warc_ts_us / 3600000000) * 3600000000 AS BIGINT) AS hour_us,
+       |  CAST(count(*) AS BIGINT) AS n_points,
+       |  CAST(sum(v) AS BIGINT) AS sum_v,
+       |  round(avg(v), 6) AS mean_v
+       |FROM x GROUP BY 1, 2""".stripMargin
+  }
+
   // classic relational smoke (lineitem)
   def qLineitemAgg(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/lineitem.parquet")
