@@ -2625,6 +2625,49 @@ object GraftQueries {
        |FROM x GROUP BY 1, 2""".stripMargin
   }
 
+  /** CCNet head/middle/tail bucketing (the step after perplexity scoring:
+    * split each language's corpus into quality tertiles by LM perplexity).
+    * Tertile assignment is rank-based — integer arithmetic over
+    * (row_number, count) per language partition — so it is exact and
+    * engine-portable, unlike percentile-threshold formulations. Docs too
+    * short to score (NULL ppl) land in an explicit 'unscored' bucket. */
+  def qPplBuckets(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = docs(spark, dir)
+    val ppl = graft.text.Perplexity.perplexity(
+      d, d.filter(pmod(col("doc_id"), lit(10)) === 0))
+    // ONE pass over the scored frame (a branch-and-union would re-run the
+    // whole perplexity aggregation): unscored docs rank NULLS LAST past
+    // n = count(scored), then their bucket is overridden. Both windows
+    // are lang-partitioned; NULLS LAST is explicit because Spark defaults
+    // nulls-first where the SQL oracle defaults nulls-last.
+    ppl
+      .join(d.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("lang").orderBy(col("ppl").asc_nulls_last, col("doc_id"))))
+      .withColumn("n", count(col("ppl")).over(Window.partitionBy("lang")))
+      .withColumn("bucket",
+        when(col("ppl").isNull, lit("unscored")).otherwise(
+          element_at(array(lit("head"), lit("middle"), lit("tail")),
+            (expr("((rn - 1) * 3) div n") + 1).cast("int"))))
+      .select(col("doc_id"), col("lang"), col("ppl"), col("bucket"))
+  }
+
+  val sqlPplBuckets: String =
+    s"""WITH ppl_t AS ($sqlLmPerplexity),
+       |j AS (SELECT p.doc_id, d.lang, p.ppl
+       |      FROM ppl_t p JOIN documents d USING (doc_id)),
+       |s AS (SELECT doc_id, lang, ppl,
+       |        row_number() OVER (PARTITION BY lang
+       |          ORDER BY ppl ASC NULLS LAST, doc_id) AS rn,
+       |        count(ppl) OVER (PARTITION BY lang) AS n
+       |      FROM j)
+       |SELECT doc_id, lang, ppl,
+       |  CASE WHEN ppl IS NULL THEN 'unscored'
+       |       ELSE CASE ((rn - 1) * 3) // n WHEN 0 THEN 'head' WHEN 1 THEN 'middle'
+       |            ELSE 'tail' END END AS bucket
+       |FROM s""".stripMargin
+
   // classic relational smoke (lineitem)
   def qLineitemAgg(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/lineitem.parquet")
