@@ -2528,10 +2528,11 @@ object GraftQueries {
   def qBpeTrain(spark: SparkSession, dir: String): DataFrame =
     graft.text.Bpe.train(docs(spark, dir), nMerges = 8)
 
-  val sqlBpeTrain: String = {
-    val n = 8
+  /** Shared CTE prefix for the BPE oracles: vocabulary w0 plus n unrolled
+    * merge rounds ending at w$n; also the merges-union select. */
+  private def bpeOracleParts(n: Int): (String, String) = {
     def iter(i: Int): String =
-      s"""p$i AS (SELECT word, cnt, syms, j - 1 AS p, syms[j] AS a, syms[j+1] AS b
+      s"""p$i AS MATERIALIZED (SELECT word, cnt, syms, j - 1 AS p, syms[j] AS a, syms[j+1] AS b
          |       FROM w${i - 1}, unnest(generate_series(1, len(syms) - 1)) s(j)),
          |b$i AS (SELECT a, b, CAST(sum(cnt) AS BIGINT) AS freq FROM p$i GROUP BY 1, 2
          |       ORDER BY freq DESC, a, b LIMIT 1),
@@ -2541,7 +2542,7 @@ object GraftQueries {
          |k$i AS (SELECT word, list(p ORDER BY p) AS sel FROM
          |         (SELECT word, p, min(p) OVER (PARTITION BY word, grp) AS mn FROM g$i) q
          |        WHERE (p - mn) % 2 = 0 GROUP BY word),
-         |w$i AS (SELECT w.word, w.cnt,
+         |w$i AS MATERIALIZED (SELECT w.word, w.cnt,
          |         CASE WHEN k.sel IS NULL THEN w.syms ELSE
          |           [CASE WHEN list_contains(k.sel, x) THEN w.syms[x+1] || w.syms[x+2]
          |                 ELSE w.syms[x+1] END
@@ -2553,15 +2554,51 @@ object GraftQueries {
     val union = (1 to n)
       .map(i => s"SELECT CAST($i AS BIGINT) AS rank, a, b, freq FROM b$i")
       .mkString("\nUNION ALL ")
-    s"""WITH v AS (
-       |  SELECT word, count(*) AS cnt FROM
-       |    (SELECT unnest(regexp_extract_all(lower(text), '\\S+')) AS word FROM documents) t
-       |  GROUP BY 1),
-       |w0 AS (SELECT word, cnt,
-       |        list_append([word[i] for i in range(1, strlen(word) + 1)], '</w>') AS syms
-       |       FROM v),
-       |$body
-       |$union""".stripMargin
+    val prefix =
+      s"""WITH v AS (
+         |  SELECT word, count(*) AS cnt FROM
+         |    (SELECT unnest(regexp_extract_all(lower(text), '\\S+')) AS word FROM documents) t
+         |  GROUP BY 1),
+         |w0 AS MATERIALIZED (SELECT word, cnt,
+         |        list_append([word[i] for i in range(1, strlen(word) + 1)], '</w>') AS syms
+         |       FROM v),
+         |$body""".stripMargin
+    (prefix, union)
+  }
+
+  val sqlBpeTrain: String = {
+    val (prefix, union) = bpeOracleParts(8)
+    s"$prefix\n$union"
+  }
+
+  /** BPE encoding (text.Bpe.encode): documents → token streams under the
+    * 8-merge model; one row per (doc, word position, symbol position).
+    * The oracle extends the q84 CTE chain with the vocabulary layout
+    * (sorted base symbols 0..B-1, merge r → B+r-1) and the token-stream
+    * joins. */
+  def qBpeEncode(spark: SparkSession, dir: String): DataFrame =
+    graft.text.Bpe.encode(docs(spark, dir), nMerges = 8)
+
+  val sqlBpeEncode: String = {
+    val (prefix, union) = bpeOracleParts(8)
+    s"""$prefix,
+       |m AS ($union),
+       |basev AS MATERIALIZED (SELECT sym, row_number() OVER (ORDER BY sym) - 1 AS id
+       |          FROM (SELECT DISTINCT unnest(syms) AS sym FROM w0) q),
+       |vocab AS (SELECT sym, id FROM basev
+       |          UNION ALL
+       |          SELECT a || b AS sym,
+       |                 (SELECT count(*) FROM basev) + rank - 1 AS id FROM m),
+       |tok AS (SELECT doc_id, i - 1 AS wpos, tk[i] AS word
+       |        FROM (SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS tk
+       |              FROM documents) t,
+       |             unnest(generate_series(1, len(tk))) s(i)),
+       |st AS (SELECT t.doc_id, t.wpos, j - 1 AS spos, g.syms[j] AS sym
+       |       FROM tok t JOIN w8 g ON t.word = g.word,
+       |            unnest(generate_series(1, len(g.syms))) s(j))
+       |SELECT st.doc_id, CAST(st.wpos AS BIGINT) AS wpos,
+       |  CAST(st.spos AS BIGINT) AS spos, st.sym, CAST(v.id AS BIGINT) AS id
+       |FROM st JOIN vocab v USING (sym)""".stripMargin
   }
 
   /** End-to-end ingest composition — the north-rule input path in ONE

@@ -128,4 +128,39 @@ object Bpe {
     merges.foldLeft(wordTable(docs, textCol)) {
       case (w, (a, b)) => applyMerge(w, a, b)
     }
+
+  /** Train an `nMerges` model and encode every document into its BPE
+    * token stream: one row per token occurrence (idCol, wpos, spos, sym,
+    * id). Vocabulary ids follow the standard layout — base symbols
+    * (single characters + the end-of-word marker, sorted) get 0..B-1,
+    * merge r's product gets B+r-1. The vocab is model state (charset + n
+    * rows, collected like the merge table); encoding itself is a corpus
+    * scan joined to the segmented WORD table on `word` — vocabulary-sized,
+    * so Spark broadcasts it when small and shuffle-joins when a 100 TB
+    * corpus makes it large, both correct. */
+  def encode(docs: DataFrame, nMerges: Int, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    val mergeRows = train(docs, nMerges, textCol).collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    val words = segment(docs, mergeRows.toSeq, textCol)
+    val baseSyms = wordTable(docs, textCol)
+      .select(explode(col("syms")).as("sym")).distinct()
+      .collect().map(_.getString(0)).sorted
+    val b = baseSyms.length
+    val vocab = baseSyms.zipWithIndex.map { case (s, i) => (s, i.toLong) } ++
+      mergeRows.zipWithIndex.map { case ((a2, b2), i) => (a2 + b2, (b + i).toLong) }
+    import spark.implicits._
+    val vocabDf = vocab.toSeq.toDF("sym", "id")
+    docs
+      .select(col(idCol),
+        posexplode(TextOps.wsTokens(lower(coalesce(col(textCol), lit("")))))
+          .as(Seq("wpos", "word")))
+      .join(words.select(col("word"), col("syms")), Seq("word"))
+      .select(col(idCol), col("wpos").cast("long").as("wpos"),
+        posexplode(col("syms")).as(Seq("spos", "sym")))
+      .join(broadcast(vocabDf), Seq("sym"))
+      .select(col(idCol), col("wpos"), col("spos").cast("long").as("spos"),
+        col("sym"), col("id"))
+  }
 }

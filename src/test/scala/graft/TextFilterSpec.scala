@@ -154,4 +154,26 @@ class TextFilterSpec extends SparkSpec {
     assert(out("aaaa") == Seq("aa", "aa", "</w>"), out.toString)
     assert(out("aaa") == Seq("aa", "a", "</w>"), out.toString)
   }
+  test("BPE encode maps the classic example to the standard vocab layout") {
+    val s = spark
+    import s.implicits._
+    import graft.text.Bpe
+    val docs = Seq(
+      (1L, Array.fill(5)("low").mkString(" ")),
+      (2L, Array.fill(2)("lower").mkString(" ")),
+      (3L, Array.fill(6)("newest").mkString(" ")),
+      (4L, Array.fill(3)("widest").mkString(" "))).toDF("doc_id", "text")
+    val enc = Bpe.encode(docs, 6).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3), r.getLong(4)))
+    // base vocab sorted: </w>=0 d=1 e=2 i=3 l=4 n=5 o=6 r=7 s=8 t=9 w=10;
+    // merges: es=11 est=12 est</w>=13 lo=14 low=15 ew=16
+    val low0 = enc.filter(x => x._1 == 1L && x._2 == 0L).sortBy(_._3)
+    assert(low0.map(x => (x._4, x._5)).toSeq == Seq(("low", 15L), ("</w>", 0L)), low0.toSeq)
+    val newest0 = enc.filter(x => x._1 == 3L && x._2 == 0L).sortBy(_._3)
+    assert(newest0.map(x => (x._4, x._5)).toSeq
+      == Seq(("n", 5L), ("ew", 16L), ("est</w>", 13L)), newest0.toSeq)
+    // every word occurrence encodes: 5+2+6+3 words, stream lengths per word
+    assert(enc.count(_._1 == 1L) == 5 * 2)
+    assert(enc.count(_._1 == 3L) == 6 * 3)
+  }
 }
