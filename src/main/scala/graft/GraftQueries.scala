@@ -2560,7 +2560,7 @@ object GraftQueries {
          |    (SELECT unnest(regexp_extract_all(lower(text), '\\S+')) AS word FROM documents) t
          |  GROUP BY 1),
          |w0 AS MATERIALIZED (SELECT word, cnt,
-         |        list_append([word[i] for i in range(1, strlen(word) + 1)], '</w>') AS syms
+         |        list_append([word[i] for i in range(1, length(word) + 1)], '</w>') AS syms
          |       FROM v),
          |$body""".stripMargin
     (prefix, union)
@@ -2585,10 +2585,12 @@ object GraftQueries {
        |m AS ($union),
        |basev AS MATERIALIZED (SELECT sym, row_number() OVER (ORDER BY sym) - 1 AS id
        |          FROM (SELECT DISTINCT unnest(syms) AS sym FROM w0) q),
-       |vocab AS (SELECT sym, id FROM basev
-       |          UNION ALL
-       |          SELECT a || b AS sym,
-       |                 (SELECT count(*) FROM basev) + rank - 1 AS id FROM m),
+       |vocab AS (SELECT sym, min(id) AS id FROM (
+       |            SELECT sym, id FROM basev
+       |            UNION ALL
+       |            SELECT a || b AS sym,
+       |                   (SELECT count(*) FROM basev) + rank - 1 AS id FROM m) u
+       |          GROUP BY sym),
        |tok AS (SELECT doc_id, i - 1 AS wpos, tk[i] AS word
        |        FROM (SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS tk
        |              FROM documents) t,
@@ -2686,7 +2688,7 @@ object GraftQueries {
       .withColumn("bucket",
         when(col("ppl").isNull, lit("unscored")).otherwise(
           element_at(array(lit("head"), lit("middle"), lit("tail")),
-            (expr("((rn - 1) * 3) div n") + 1).cast("int"))))
+            (expr("((CAST(rn AS BIGINT) - 1) * 3) div n") + 1).cast("int"))))
       .select(col("doc_id"), col("lang"), col("ppl"), col("bucket"))
   }
 

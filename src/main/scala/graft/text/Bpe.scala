@@ -89,10 +89,13 @@ object Bpe {
         }.as("syms"))
   }
 
-  /** Learn `nMerges` merges; returns (rank, a, b, freq) — the BPE model.
-    * Stops early when no pair remains (fully merged vocabulary). */
-  def train(docs: DataFrame, nMerges: Int, textCol: String = "text"): DataFrame = {
-    val spark: SparkSession = docs.sparkSession
+  /** Training loop shared by [[train]] and [[encode]]: returns the merge
+    * rows AND the final segmented word table (localCheckpointed — each
+    * round's checkpoint truncates lineage; the superseded tables' blocks
+    * are reclaimed by the ContextCleaner once dereferenced, Dataset
+    * .unpersist does not apply to checkpoint blocks). */
+  private def trainLoop(docs: DataFrame, nMerges: Int,
+      textCol: String): (Seq[Row], DataFrame) = {
     var words = wordTable(docs, textCol).localCheckpoint(true)
     val merges = scala.collection.mutable.ArrayBuffer.empty[Row]
     var r = 1
@@ -104,29 +107,38 @@ object Bpe {
       else {
         val (a, b, f) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         merges += Row(r.toLong, a, b, f)
-        val next = applyMerge(words, a, b).localCheckpoint(true)
-        words.unpersist(false)
-        words = next
+        words = applyMerge(words, a, b).localCheckpoint(true)
         r += 1
       }
     }
-    words.unpersist(false)
-    val schema = StructType(Seq(
-      StructField("rank", LongType, nullable = false),
-      StructField("a", StringType, nullable = false),
-      StructField("b", StringType, nullable = false),
-      StructField("freq", LongType, nullable = false)))
-    spark.createDataFrame(
-      spark.sparkContext.parallelize(merges.toSeq, 1), schema)
+    (merges.toSeq, words)
+  }
+
+  private val mergeSchema = StructType(Seq(
+    StructField("rank", LongType, nullable = false),
+    StructField("a", StringType, nullable = false),
+    StructField("b", StringType, nullable = false),
+    StructField("freq", LongType, nullable = false)))
+
+  /** Learn `nMerges` merges; returns (rank, a, b, freq) — the BPE model.
+    * Stops early when no pair remains (fully merged vocabulary). */
+  def train(docs: DataFrame, nMerges: Int, textCol: String = "text"): DataFrame = {
+    val spark: SparkSession = docs.sparkSession
+    val (merges, _) = trainLoop(docs, nMerges, textCol)
+    spark.createDataFrame(spark.sparkContext.parallelize(merges, 1), mergeSchema)
   }
 
   /** Segment words with a learned merge table: replays the merges in rank
     * order (broadcast-small model state applied as successive relational
-    * merges). Returns (word, cnt, syms). */
+    * merges). Returns (word, cnt, syms). Each round localCheckpoints:
+    * applyMerge references its input twice, so an un-truncated replay
+    * doubles the logical plan per round — 2^n subtrees by merge n, the
+    * Spark-side analogue of the CTE re-inlining the q87 oracle suppresses
+    * with MATERIALIZED. */
   def segment(docs: DataFrame, merges: Seq[(String, String)],
       textCol: String = "text"): DataFrame =
     merges.foldLeft(wordTable(docs, textCol)) {
-      case (w, (a, b)) => applyMerge(w, a, b)
+      case (w, (a, b)) => applyMerge(w, a, b).localCheckpoint(true)
     }
 
   /** Train an `nMerges` model and encode every document into its BPE
@@ -141,17 +153,24 @@ object Bpe {
   def encode(docs: DataFrame, nMerges: Int, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     val spark = docs.sparkSession
-    val mergeRows = train(docs, nMerges, textCol).collect()
-      .map(r => (r.getString(1), r.getString(2)))
-    val words = segment(docs, mergeRows.toSeq, textCol)
-    val baseSyms = wordTable(docs, textCol)
-      .select(explode(col("syms")).as("sym")).distinct()
-      .collect().map(_.getString(0)).sorted
+    // ONE training chain: reuse its final (checkpointed) word table for
+    // the token-stream join instead of replaying the rounds, and derive
+    // the base charset from that table's word column instead of a third
+    // corpus scan.
+    val (mergeRowsRaw, words) = trainLoop(docs, nMerges, textCol)
+    val mergeRows = mergeRowsRaw.map(r => (r.getString(1), r.getString(2)))
+    val baseSyms = (words
+      .select(explode(filter(split(col("word"), ""), s => length(s) > 0)).as("sym"))
+      .distinct().collect().map(_.getString(0)).toSeq :+ endOfWord).sorted
     val b = baseSyms.length
-    val vocab = baseSyms.zipWithIndex.map { case (s, i) => (s, i.toLong) } ++
-      mergeRows.zipWithIndex.map { case ((a2, b2), i) => (a2 + b2, (b + i).toLong) }
+    // duplicate products (two merges yielding the same string, or a
+    // product colliding with a base symbol) keep the LOWEST id, so the
+    // sym-keyed join below stays one-row-per-token
+    val vocab = (baseSyms.zipWithIndex.map { case (s, i) => (s, i.toLong) } ++
+      mergeRows.zipWithIndex.map { case ((a2, b2), i) => (a2 + b2, (b + i).toLong) })
+      .groupBy(_._1).map { case (s, ids) => (s, ids.map(_._2).min) }.toSeq
     import spark.implicits._
-    val vocabDf = vocab.toSeq.toDF("sym", "id")
+    val vocabDf = vocab.toDF("sym", "id")
     docs
       .select(col(idCol),
         posexplode(TextOps.wsTokens(lower(coalesce(col(textCol), lit("")))))
