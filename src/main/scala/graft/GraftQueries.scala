@@ -2707,6 +2707,57 @@ object GraftQueries {
        |            ELSE 'tail' END END AS bucket
        |FROM s""".stripMargin
 
+  /** RefinedWeb/C4-style URL filtering (text.UrlOps.urlFilter): a
+    * deterministic slice of the synthetic URLs gets flagged-word
+    * injections (casino-poker, free-movies-download); two hosts are
+    * hard-blocked; keep = not blocked and score under threshold. Scores
+    * the RAW url, blocks on the canonical host. */
+  private val q88BlockedHosts = Seq("news.src1-3.example.co.uk", "src2-0.example.com")
+  private val q88Words = Seq(
+    "casino" -> 0.5, "poker" -> 0.4, "free-movies" -> 0.3,
+    "download" -> 0.2, "/art/" -> 0.05)
+
+  def qUrlFilter(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.UrlOps
+    val raw = when(pmod(col("doc_id"), lit(13)) === 0,
+        concat(synthUrl, lit("&ref=casino-poker")))
+      .when(pmod(col("doc_id"), lit(17)) === 0,
+        concat(synthUrl, lit("&dl=free-movies-download")))
+      .otherwise(synthUrl)
+    docs(spark, dir)
+      .select(col("doc_id"), raw.as("url"))
+      .select(col("doc_id"), col("url"),
+        UrlOps.hostOf(UrlOps.canonicalizeUrl(col("url"))).as("host"))
+      .select(col("doc_id"), col("url"), col("host"),
+        graft.text.UrlOps.urlFilter(col("url"), col("host"),
+          q88BlockedHosts, q88Words, threshold = 0.5).as("f"))
+      .select(col("doc_id"), col("url"), col("host"),
+        col("f.blocked").as("blocked"), col("f.url_score").as("url_score"),
+        col("f.url_keep").as("url_keep"))
+  }
+
+  val sqlUrlFilter: String = {
+    val hosts = q88BlockedHosts.map(h => s"'$h'").mkString(", ")
+    val score = q88Words
+      .map { case (w, wt) =>
+        s"CASE WHEN contains(lower(url), '$w') THEN $wt ELSE 0.0 END" }
+      .mkString("\n      + ")
+    s"""WITH u AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 13 = 0 THEN ($sqlSynthUrlCase) || '&ref=casino-poker'
+       |         WHEN doc_id % 17 = 0 THEN ($sqlSynthUrlCase) || '&dl=free-movies-download'
+       |         ELSE $sqlSynthUrlCase END AS url
+       |  FROM documents),
+       |$sqlCanonChain,
+       |s AS (SELECT doc_id, url, host,
+       |        host IN ($hosts) AS blocked,
+       |        round($score, 6) AS url_score
+       |      FROM c6)
+       |SELECT doc_id, url, host, blocked, url_score,
+       |  (NOT blocked AND url_score < 0.5) AS url_keep
+       |FROM s""".stripMargin
+  }
+
   // classic relational smoke (lineitem)
   def qLineitemAgg(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/lineitem.parquet")

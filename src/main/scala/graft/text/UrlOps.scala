@@ -60,4 +60,36 @@ object UrlOps {
         regexp_extract(host, "([^.]+\\." + quoted + ")$", 1)).otherwise(acc)
     }
   }
+
+  /** RefinedWeb/C4-style URL filtering (Penedo et al. 2023; the public
+    * UT1-blocklist + weighted-subword scheme): hard block when the host is
+    * on a blocklist; soft score = Σ weight over flagged words appearing as
+    * substrings of the lowercased RAW url (RefinedWeb scores the raw url —
+    * canonicalization may strip the offending query). Both parameter
+    * tables are model state (the UT1 lists are a few MB — a broadcast in
+    * the general deployment; as literals here they fold into the scan
+    * projection, zero joins). The literal-fold sum is left-to-right, so
+    * the score is bit-reproducible cross-engine.
+    *
+    * Returns struct(blocked, url_score, url_keep) with
+    * url_keep = !blocked && score < threshold. */
+  def urlFilter(
+      rawUrl: Column,
+      host: Column,
+      blockedHosts: Seq[String],
+      flaggedWords: Seq[(String, Double)],
+      threshold: Double): Column = {
+    require(flaggedWords.nonEmpty, "flaggedWords must be non-empty")
+    val blocked = host.isin(blockedHosts: _*)
+    val low = lower(rawUrl)
+    val score = round(flaggedWords
+      .map { case (w, wt) => when(low.contains(w), lit(wt)).otherwise(lit(0.0)) }
+      .reduce(_ + _), 6)
+    struct(
+      blocked.as("blocked"),
+      score.as("url_score"),
+      // threshold compares the ROUNDED score so a last-ulp float sum can
+      // never flip keep between engines
+      (!blocked && score < threshold).as("url_keep"))
+  }
 }

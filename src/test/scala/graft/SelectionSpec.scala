@@ -201,4 +201,26 @@ class SelectionSpec extends SparkSpec {
     assert(w(1L) > w(21L), s"on-target ${w(1L)} should beat off-target ${w(21L)}")
     assert(w(1L) > 0 && w(21L) < 0, s"${w(1L)} / ${w(21L)}")
   }
+  test("urlFilter: host blocklist is hard, word weights sum, rounded-threshold keep") {
+    val s = spark
+    import s.implicits._
+    import graft.text.UrlOps
+    val df = Seq(
+      (1L, "https://ok.example.com/a"),
+      (2L, "https://ok.example.com/a?ref=CASINO-poker"), // 0.5 + 0.4
+      (3L, "https://bad.example.com/clean"),             // blocked host
+      (4L, "https://ok.example.com/free-movies-download")) // 0.3 + 0.2 = exactly 0.5
+      .toDF("id", "url")
+      .select(col("id"), col("url"),
+        UrlOps.urlFilter(col("url"), UrlOps.hostOf(col("url")),
+          Seq("bad.example.com"), Seq("casino" -> 0.5, "poker" -> 0.4,
+            "free-movies" -> 0.3, "download" -> 0.2), 0.5).as("f"))
+      .select(col("id"), col("f.*"))
+    val r = df.collect().map(x =>
+      x.getLong(0) -> ((x.getBoolean(1), x.getDouble(2), x.getBoolean(3)))).toMap
+    assert(r(1L) == ((false, 0.0, true)), r.toString)
+    assert(r(2L) == ((false, 0.9, false)), r.toString)
+    assert(r(3L) == ((true, 0.0, false)), r.toString)
+    assert(r(4L) == ((false, 0.5, false)), r.toString) // at-threshold is filtered
+  }
 }
