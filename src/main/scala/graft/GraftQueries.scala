@@ -2758,6 +2758,53 @@ object GraftQueries {
        |FROM s""".stripMargin
   }
 
+  /** In-engine classifier TRAINING (text.Classifier.trainLogistic): 5
+    * full-batch GD steps, label = text contains 'spark', lr 0.5, 4096
+    * hashed-gram buckets. The oracle unrolls the 5 steps as MATERIALIZED
+    * CTE stages — rational fast-sigmoid link and 1e-6 integer-grid sums
+    * make every step bit-replayable. */
+  def qClfTrain(spark: SparkSession, dir: String): DataFrame =
+    graft.text.Classifier.trainLogistic(
+      docs(spark, dir), col("text").contains("spark"), steps = 5, lr = 0.5)
+
+  val sqlClfTrain: String = {
+    val n = 5
+    def step(t: Int): String =
+      s"""z$t AS (SELECT f.doc_id, f.y,
+         |        sum(CAST(round(w.w * f.x * 1000000.0) AS BIGINT)) / 1000000.0 AS z
+         |      FROM fb f JOIN w${t - 1} w USING (b) GROUP BY 1, 2),
+         |r$t AS (SELECT doc_id, 0.5 + z / (2.0 * (1.0 + abs(z))) - y AS r FROM z$t),
+         |g$t AS (SELECT f.b, sum(CAST(round(r.r * f.x * 1000000.0) AS BIGINT)) AS g
+         |      FROM fb f JOIN r$t r USING (doc_id) GROUP BY 1),
+         |w$t AS MATERIALIZED (
+         |  SELECT w.b,
+         |    round((w.w - (0.5 * g.g) / (1000000.0 * (SELECT n FROM nd)))
+         |          * 1000000.0) / 1000000.0 AS w
+         |  FROM w${t - 1} w JOIN g$t g USING (b))""".stripMargin
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |    CASE WHEN contains(text, 'spark') THEN 1.0 ELSE 0.0 END AS y,
+       |    [lower(t) for t in regexp_extract_all(text, '\\S+')] AS tk
+       |  FROM documents),
+       |g AS (
+       |  SELECT doc_id, y,
+       |    tk || CASE WHEN len(tk) >= 2
+       |      THEN [array_to_string(tk[i : i + 1], ' ')
+       |            for i in generate_series(1, len(tk) - 1)]
+       |      ELSE [] END AS grams
+       |  FROM toks),
+       |e AS (SELECT doc_id, y, len(grams) AS ng,
+       |             ('0x' || substr(md5(s), 1, 8))::BIGINT % 4096 AS b
+       |      FROM g, unnest(grams) t(s)),
+       |fb AS MATERIALIZED (
+       |  SELECT doc_id, y, b, count(*) * 1.0 / ng AS x
+       |  FROM e GROUP BY doc_id, y, ng, b),
+       |nd AS (SELECT count(DISTINCT doc_id) AS n FROM fb),
+       |w0 AS MATERIALIZED (SELECT DISTINCT b, 0.0 AS w FROM fb),
+       |${(1 to n).map(step).mkString(",\n")}
+       |SELECT b, w FROM w$n""".stripMargin
+  }
+
   // classic relational smoke (lineitem)
   def qLineitemAgg(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/lineitem.parquet")

@@ -68,4 +68,85 @@ object Classifier {
           .otherwise(0.5))
       .drop("_clf_sn")
   }
+
+  /** (idCol, y, b, x) feature rows for training: x_db = count of grams of
+    * doc d hashing to bucket b, divided by the doc's gram count (the
+    * fastText mean-of-embeddings shape). Gram-less docs drop out. */
+  def featureRows(docs: DataFrame, label: Column, buckets: Int,
+      text: Column, idCol: String): DataFrame =
+    docs
+      .select(col(idCol), label.cast("double").as("y"),
+        gramBuckets(text, buckets).as("_bks"))
+      .select(col(idCol), col("y"), size(col("_bks")).as("_n"),
+        explode(col("_bks")).as("b"))
+      .groupBy(col(idCol), col("y"), col("_n"), col("b"))
+      .agg(count(lit(1)).cast("double").as("_c"))
+      .select(col(idCol), col("y"), col("b"),
+        (col("_c") / col("_n")).as("x"))
+
+  /** Full-batch gradient-descent TRAINING of the hashed-n-gram quality
+    * classifier — the in-engine counterpart of [[hashedNgramScore]]'s
+    * inference (fastText-style quality filters are trained exactly so:
+    * linear model over hashed gram features, Joulin et al. 2016).
+    *
+    * Engine-exact by construction, so a SQL oracle replays every step
+    * bit-for-bit:
+    *  - the link is the rational "fast sigmoid" σ(z) = 0.5 + z/(2(1+|z|))
+    *    — only IEEE add/mul/div/abs, each correctly rounded and therefore
+    *    identical in any engine, unlike exp() whose last ulp may differ;
+    *  - every cross-row float sum (per-doc z, per-bucket gradient) is
+    *    quantized to a 1e-6 integer grid and summed as longs, so partial-
+    *    aggregation order cannot change a result (the Dsir/Perplexity
+    *    trick);
+    *  - weights live on the same 1e-6 grid after every update.
+    *
+    * Scale shape: feature rows are computed ONCE and checkpointed; each
+    * step is two digest-small shuffles (per-doc z, per-bucket gradient)
+    * against a broadcast weight table; the weights (≤ buckets rows) are
+    * the per-step driver model state, the same pattern as
+    * [[graft.ann.Ann.kMeans]] centroids and [[Bpe.train]] merges.
+    *
+    * Returns the trained (b, w) weight table. */
+  def trainLogistic(
+      docs: DataFrame,
+      label: Column,
+      steps: Int,
+      lr: Double,
+      buckets: Int = 4096,
+      text: Column = col("text"),
+      idCol: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val fb = featureRows(docs, label, buckets, text, idCol).localCheckpoint(true)
+    val nDocs = fb.select(col(idCol)).distinct().count().toDouble
+    require(nDocs > 0, "trainLogistic: no document has any gram")
+    var w = fb.select(col("b")).distinct().collect()
+      .map(r => (r.getLong(0), 0.0)).sortBy(_._1)
+    var step = 0
+    while (step < steps) {
+      val wDf = w.toSeq.toDF("b", "w")
+      val grad = fb
+        .join(broadcast(wDf), Seq("b"))
+        .groupBy(col(idCol), col("y"))
+        .agg((sum(round(col("w") * col("x") * 1e6).cast("long")) / 1e6).as("z"))
+        .withColumn("r",
+          lit(0.5) + col("z") / (lit(2.0) * (lit(1.0) + abs(col("z")))) - col("y"))
+        .join(fb, Seq(idCol))
+        .groupBy(col("b"))
+        .agg(sum(round(col("r") * col("x") * 1e6).cast("long")).as("g"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      w = w.map { case (b, wb) =>
+        val upd = wb - (lr * grad.getOrElse(b, 0L)) / (1e6 * nDocs)
+        // grid-snap EXACTLY as the SQL oracle does — round(upd*1e6)/1e6
+        // with half-away-from-zero on the double PRODUCT (math.rint is
+        // half-to-even and BigDecimal rounds the pre-product value; both
+        // can differ at a half boundary)
+        val prod = upd * 1e6
+        val snapped = if (prod >= 0) math.floor(prod + 0.5) else math.ceil(prod - 0.5)
+        (b, snapped / 1e6)
+      }
+      step += 1
+    }
+    w.toSeq.toDF("b", "w")
+  }
 }

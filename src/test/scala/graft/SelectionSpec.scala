@@ -223,4 +223,23 @@ class SelectionSpec extends SparkSpec {
     assert(r(3L) == ((true, 0.0, false)), r.toString)
     assert(r(4L) == ((false, 0.5, false)), r.toString) // at-threshold is filtered
   }
+  test("trainLogistic separates labeled vocab: positive-gram weights rise, negative fall") {
+    val s = spark
+    import s.implicits._
+    import graft.text.Classifier
+    val docs = (1L to 40L).map { i =>
+      if (i % 2 == 0) (i, "good clean prose here") else (i, "spammy junk casino text")
+    }.toDF("doc_id", "text")
+    val w = Classifier.trainLogistic(docs, col("text").contains("good"),
+      steps = 5, lr = 0.5).collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    def bucket(g: String): Long = {
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(g.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(md5.take(8), 16) % 4096
+    }
+    assert(w(bucket("good")) > 0.01, w(bucket("good")).toString)
+    assert(w(bucket("casino")) < -0.01, w(bucket("casino")).toString)
+    // weights live exactly on the 1e-6 grid
+    w.values.foreach(v => assert(math.abs(v * 1e6 - math.rint(v * 1e6)) < 1e-9, v.toString))
+  }
 }
