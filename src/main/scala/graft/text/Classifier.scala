@@ -75,6 +75,10 @@ object Classifier {
   def featureRows(docs: DataFrame, label: Column, buckets: Int,
       text: Column, idCol: String): DataFrame =
     docs
+      // one md5 per gram is the dominant cost — spread it before hashing,
+      // or a single-file parquet scan serializes it on one task (same
+      // reasoning as Dedup.minhashSignature)
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .select(col(idCol), label.cast("double").as("y"),
         gramBuckets(text, buckets).as("_bks"))
       .select(col(idCol), col("y"), size(col("_bks")).as("_n"),
@@ -125,13 +129,18 @@ object Classifier {
     var step = 0
     while (step < steps) {
       val wDf = w.toSeq.toDF("b", "w")
+      // ONE job, two shuffles: per-doc z rides a doc-partitioned window
+      // over the feature rows (the integer-grid sum is order-independent,
+      // so window vs groupBy is value-identical), then the gradient
+      // aggregates per bucket — no per-step join back onto fb
       val grad = fb
         .join(broadcast(wDf), Seq("b"))
-        .groupBy(col(idCol), col("y"))
-        .agg((sum(round(col("w") * col("x") * 1e6).cast("long")) / 1e6).as("z"))
+        .withColumn("z",
+          sum(round(col("w") * col("x") * 1e6).cast("long"))
+            .over(org.apache.spark.sql.expressions.Window.partitionBy(col(idCol)))
+            / 1e6)
         .withColumn("r",
           lit(0.5) + col("z") / (lit(2.0) * (lit(1.0) + abs(col("z")))) - col("y"))
-        .join(fb, Seq(idCol))
         .groupBy(col("b"))
         .agg(sum(round(col("r") * col("x") * 1e6).cast("long")).as("g"))
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
