@@ -32,7 +32,10 @@ object Bench {
     // ExactSubstr span removal (q82) — the headline total grows by
     // their cost vs earlier 21-query samples
     "q79_curation_pipeline", "q80_lm_perplexity", "q81_html_extract",
-    "q82_exact_substr", "q83_warc_ingest")
+    "q82_exact_substr", "q83_warc_ingest",
+    // fourth-session additions: SemDeDup semantic dedup (q90) and C4
+    // heuristic page cleaning (q91)
+    "q90_semdedup", "q91_c4_clean")
 
   def session(cpus: String): SparkSession = {
     // 4 waves of tasks per core: on a shared VM with CPU steal, a stage is

@@ -2805,6 +2805,116 @@ object GraftQueries {
        |SELECT b, w FROM w$n""".stripMargin
   }
 
+  /** SemDeDup semantic dedup (q90): seeded centroids (vec_id < 8, the q29
+    * pattern) coarse-quantize the embedding corpus; eps-similar cell-mates
+    * resolve by the paper's keep rule (lowest centroid-cosine survives).
+    * The oracle replays assignment argmax, the eps test and the keep rule
+    * on the same rounded cosines. */
+  def qSemDedup(spark: SparkSession, dir: String): DataFrame = {
+    val emb = embD(spark, dir)
+    Dedup.semanticDedup(emb, emb.filter(col("vec_id") < 8), eps = 0.3)
+      .select("vec_id", "cell", "csim", "kept")
+  }
+
+  val sqlSemDedup: String =
+    """WITH c AS (SELECT vec_id AS cell, embedding AS cv FROM embeddings WHERE vec_id < 8),
+      |ec AS (
+      |  SELECT e.vec_id, c.cell,
+      |    round(sum(e.embedding[i]::DOUBLE * c.cv[i]::DOUBLE)
+      |      / (sqrt(sum(e.embedding[i]::DOUBLE ^ 2)) * sqrt(sum(c.cv[i]::DOUBLE ^ 2))), 6) AS sim
+      |  FROM embeddings e, c, unnest(generate_series(1, 64)) d(i)
+      |  GROUP BY 1, 2),
+      |asg AS (
+      |  SELECT vec_id, cell, sim AS csim FROM ec
+      |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell ASC) = 1),
+      |pairable AS (
+      |  SELECT * FROM asg QUALIFY count(*) OVER (PARTITION BY cell) <= 10000),
+      |dropped AS (
+      |  SELECT DISTINCT x.vec_id
+      |  FROM pairable x
+      |  JOIN pairable y ON x.cell = y.cell AND x.vec_id <> y.vec_id
+      |  JOIN embeddings ex ON ex.vec_id = x.vec_id
+      |  JOIN embeddings ey ON ey.vec_id = y.vec_id,
+      |  unnest(generate_series(1, 64)) d(i)
+      |  GROUP BY x.vec_id, y.vec_id, x.csim, y.csim
+      |  HAVING round(sum(ex.embedding[i]::DOUBLE * ey.embedding[i]::DOUBLE)
+      |      / (sqrt(sum(ex.embedding[i]::DOUBLE ^ 2))
+      |         * sqrt(sum(ey.embedding[i]::DOUBLE ^ 2))), 6) >= 0.3
+      |    AND (y.csim < x.csim OR (y.csim = x.csim AND y.vec_id < x.vec_id)))
+      |SELECT a.vec_id, a.cell, a.csim,
+      |  CAST(d.vec_id IS NULL AS INT) AS kept
+      |FROM asg a LEFT JOIN dropped d USING (vec_id)""".stripMargin
+
+  /** C4 heuristic page cleaning (q91): line-level terminal-punctuation /
+    * min-words / javascript gates, page-level sentence-count and
+    * lorem-ipsum/brace gates, digest of the cleaned text. The documents
+    * corpus is single-line unpunctuated word soup, so (q69/q75 pattern)
+    * each doc deterministically expands into a multi-line page whose lines
+    * trip different gates — short line, no-punctuation line, a JavaScript
+    * boilerplate line on doc_id%5, a lorem-ipsum line on %11, a curly-brace
+    * line on %13 — and the oracle replays page synthesis and every gate
+    * with DuckDB list lambdas on the same trimmed lines. */
+  def qC4Clean(spark: SparkSession, dir: String): DataFrame = {
+    val tk = graft.text.TextOps.wsTokens(col("text"))
+    val page = concat_ws("\n",
+      concat(array_join(slice(tk, 1, 8), " "), lit(".")),
+      lit("too short."),
+      array_join(slice(tk, 9, 6), " "),
+      concat(array_join(slice(tk, 15, 5), " "), lit("!")),
+      when(col("doc_id") % 5 === 0,
+        lit("Please enable JavaScript to view this page."))
+        .otherwise(concat(array_join(slice(tk, 20, 7), " "), lit("?"))),
+      when(col("doc_id") % 11 === 0,
+        lit("Extra filler with lorem ipsum inside here today."))
+        .otherwise(lit("")),
+      when(col("doc_id") % 13 === 0, lit("code sample { return 1; }"))
+        .otherwise(lit("")))
+    graft.text.TextOps.c4Clean(
+      docs(spark, dir).select(col("doc_id"), page.as("text")))
+      .select("doc_id", "n_lines", "n_kept", "n_sentences", "keep", "clean_digest")
+  }
+
+  val sqlC4Clean: String =
+    """WITH tk AS (
+      |  SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents),
+      |pg AS (
+      |  SELECT doc_id, concat_ws(chr(10),
+      |    coalesce(array_to_string(t[1:8], ' '), '') || '.',
+      |    'too short.',
+      |    coalesce(array_to_string(t[9:14], ' '), ''),
+      |    coalesce(array_to_string(t[15:19], ' '), '') || '!',
+      |    CASE WHEN doc_id % 5 = 0 THEN 'Please enable JavaScript to view this page.'
+      |         ELSE coalesce(array_to_string(t[20:26], ' '), '') || '?' END,
+      |    CASE WHEN doc_id % 11 = 0
+      |         THEN 'Extra filler with lorem ipsum inside here today.' ELSE '' END,
+      |    CASE WHEN doc_id % 13 = 0 THEN 'code sample { return 1; }' ELSE '' END
+      |  ) AS text
+      |  FROM tk),
+      |l AS (
+      |  SELECT doc_id, text,
+      |    list_filter([trim(x) for x in string_split(text, chr(10))],
+      |                x -> len(x) > 0) AS lines
+      |  FROM pg),
+      |k AS (
+      |  SELECT doc_id, text, lines,
+      |    list_filter(lines, x ->
+      |      right(x, 1) IN ('.', '!', '?', '"')
+      |      AND len(regexp_extract_all(x, '\S+')) >= 5
+      |      AND NOT contains(lower(x), 'javascript')) AS kept
+      |  FROM l),
+      |c AS (
+      |  SELECT doc_id, text, len(lines)::BIGINT AS n_lines,
+      |    len(kept)::BIGINT AS n_kept,
+      |    coalesce(array_to_string(kept, chr(10)), '') AS clean
+      |  FROM k)
+      |SELECT doc_id, n_lines, n_kept,
+      |  (length(clean) - length(translate(clean, '.!?', '')))::BIGINT AS n_sentences,
+      |  CAST((length(clean) - length(translate(clean, '.!?', '')) >= 3
+      |    AND NOT contains(lower(text), 'lorem ipsum')
+      |    AND NOT contains(lower(text), '{')) AS INT) AS keep,
+      |  md5(clean) AS clean_digest
+      |FROM c""".stripMargin
+
   // classic relational smoke (lineitem)
   def qLineitemAgg(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/lineitem.parquet")

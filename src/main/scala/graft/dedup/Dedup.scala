@@ -454,4 +454,67 @@ object Dedup {
             p => element_at(col("_tk"), p + 1)),
           " ").as("text_dedup"))
   }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540 — public): semantic
+    * deduplication via embedding clustering. A coarse quantizer (the
+    * [[graft.ann.Ann.kMeans]] trainer, or any centroid table) confines the
+    * pairwise-cosine pass to WITHIN-cluster pairs — O(n²/k) work per cell
+    * instead of O(n²) over the corpus — and of each eps-similar pair the
+    * paper keeps the item with LOWER cosine to its cluster centroid (the
+    * more atypical example; ties break on lower id).
+    *
+    * Engine-exact by construction: every comparison (assignment argmax,
+    * the eps test, the keep rule) uses cosines rounded to 6 digits, so a
+    * SQL oracle replays membership bit-for-bit (q90).
+    *
+    * Scale shape: centroids are broadcast model state (k rows); the only
+    * corpus-scale shuffle hash-partitions (cell, id, vector) for the
+    * within-cell self-join (k is large at scale — the paper uses 50k
+    * clusters — so cells are small and uniform); a degenerate cell is
+    * excluded from pairing past `maxCell` rows (its members stay kept)
+    * under the same loud-audit contract as [[minhashCandidates]] — surface
+    * the exclusions with [[semdedupOversizedCells]].
+    *
+    * Returns every corpus row as (idCol, cell, csim, kept:int) — kept=0
+    * marks the rows SemDeDup removes.
+    */
+  def semanticDedup(corpus: DataFrame, centroids: DataFrame, eps: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      cellCol: String = null, maxCell: Int = 10000): DataFrame = {
+    import graft.ann.Ann
+    val cc = Option(cellCol).getOrElse(idCol)
+    val cents = broadcast(centroids.select(col(cc).as("cell"), col(vecCol).as("_cv")))
+    val assigned = Ann.ivfAssign(corpus, centroids, idCol, vecCol, cellCol)
+      .join(cents, Seq("cell"))
+      .select(col("cell"), col(idCol), col(vecCol),
+        round(Ann.cosine(col(vecCol), col("_cv")), 6).as("csim"))
+    val pairable = assigned
+      .withColumn("_n", count(lit(1)).over(Window.partitionBy("cell")))
+      .filter(col("_n") <= maxCell)
+      .drop("_n")
+    val l = pairable.select(col("cell"), col(idCol).as("_ia"),
+      col(vecCol).as("_va"), col("csim").as("_ca"))
+    val r = pairable.select(col("cell"), col(idCol).as("_ib"),
+      col(vecCol).as("_vb"), col("csim").as("_cb"))
+    val dropped = l.join(r, Seq("cell"))
+      .filter(col("_ia") =!= col("_ib"))
+      .filter(round(Ann.cosine(col("_va"), col("_vb")), 6) >= eps)
+      // the cell-mate b outranks a (keeps): lower centroid-cosine, id tiebreak
+      .filter(col("_cb") < col("_ca") ||
+        (col("_cb") === col("_ca") && col("_ib") < col("_ia")))
+      .select(col("_ia").as(idCol)).distinct()
+    assigned
+      .join(dropped.withColumn("_drop", lit(true)), Seq(idCol), "left")
+      .select(col(idCol), col("cell"), col("csim"),
+        (!coalesce(col("_drop"), lit(false))).cast("int").as("kept"))
+  }
+
+  /** Audit of cells the [[semanticDedup]] `maxCell` cap excludes from
+    * pairing: (cell, n_vecs). Emit this next to the dedup output so capped
+    * coverage is visible, never silent. Takes the assigned frame (any frame
+    * with a `cell` column, e.g. `Ann.ivfAssign` output). */
+  def semdedupOversizedCells(assigned: DataFrame, maxCell: Int = 10000): DataFrame =
+    assigned.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_vecs"))
+      .filter(col("n_vecs") > maxCell)
 }

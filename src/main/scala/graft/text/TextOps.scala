@@ -198,4 +198,48 @@ object TextOps {
     // xor-fold the array (aggregate with ^)
     aggregate(hashed, lit(0L), (acc, x) => acc.bitwiseXOR(x))
   }
+
+  /** C4-style heuristic page cleaning (Raffel et al. 2020 §2.2 — public):
+    * the line-level gate keeps trimmed lines that end in a terminal
+    * punctuation mark {. ! ? "}, hold at least `minLineWords` whitespace
+    * words, and do not mention 'javascript' (case-insensitive); the
+    * page-level gate then requires at least `minSentences` sentence enders
+    * [.!?] in the CLEANED text and rejects pages whose original text
+    * contains any of `badPhrases` (C4 drops pages with 'lorem ipsum' or a
+    * curly brace anywhere). Sentence counting is the deterministic
+    * ender-char-count heuristic — the paper's sentence splitter is a
+    * model, and an engine invariant must be a pure function of the bytes.
+    *
+    * Scale shape: every gate is a codegen'd scan projection (split /
+    * filter / translate column expressions — no shuffle, no UDF, no
+    * explode); `badPhrases` is broadcast-small parameter state like
+    * urlFilter's lists. Adds (n_lines, n_kept, n_sentences, keep:int,
+    * clean_digest = md5 of the newline-joined kept lines).
+    */
+  def c4Clean(df: DataFrame, text: Column = col("text"),
+      minLineWords: Int = 5, minSentences: Int = 3,
+      badPhrases: Seq[String] = Seq("lorem ipsum", "{")): DataFrame = {
+    val bad = badPhrases
+      .map(p => contains(lower(text), lit(p.toLowerCase)))
+      .reduce(_ || _)
+    // multi-consumer arrays materialize as columns (CollapseProject keeps
+    // them), never as repeated HOF expressions — interpreted higher-order
+    // functions get no common-subexpression elimination (the q79 lesson)
+    df.withColumn("_lines",
+        filter(transform(split(text, "\n"), l => trim(l)), x => length(x) > 0))
+      .withColumn("_kept", filter(col("_lines"), lt =>
+        substring(lt, -1, 1).isin(".", "!", "?", "\"") &&
+          size(filter(split(lt, "\\s+"), t => length(t) > 0)) >= minLineWords &&
+          !contains(lower(lt), lit("javascript"))))
+      .withColumn("_clean", array_join(col("_kept"), "\n"))
+      .withColumn("n_lines", size(col("_lines")).cast("long"))
+      .withColumn("n_kept", size(col("_kept")).cast("long"))
+      .withColumn("n_sentences",
+        (length(col("_clean")) -
+          length(translate(col("_clean"), ".!?", ""))).cast("long"))
+      .withColumn("keep",
+        (col("n_sentences") >= minSentences && !bad).cast("int"))
+      .withColumn("clean_digest", md5(col("_clean").cast("binary")))
+      .drop("_lines", "_kept", "_clean")
+  }
 }

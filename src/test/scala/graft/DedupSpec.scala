@@ -167,4 +167,55 @@ class DedupSpec extends SparkSpec {
     assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))
       == ((10L, 1L, 5L, "p q r s t")), r.toString)
   }
+
+  // --- SemDeDup (semantic dedup over embedding clusters) ---
+
+  def semCorpus = {
+    val s = spark
+    import s.implicits._
+    Seq(
+      (0L, Seq(1.0, 0.0, 0.0, 0.0)),   // cell 0, csim 1.0
+      (1L, Seq(0.9, 0.1, 0.0, 0.0)),   // cell 0, lowest csim of the cell
+      (2L, Seq(0.95, 0.05, 0.0, 0.0)), // cell 0
+      (3L, Seq(0.0, 1.0, 0.0, 0.0)),   // cell 1, csim 1.0
+      (4L, Seq(0.1, 0.9, 0.0, 0.0)),   // cell 1, ties with 5
+      (5L, Seq(0.1, 0.9, 0.0, 0.0)))   // cell 1, identical to 4
+      .toDF("vec_id", "embedding")
+  }
+
+  def semCentroids = {
+    val s = spark
+    import s.implicits._
+    Seq((0L, Seq(1.0, 0.0, 0.0, 0.0)), (1L, Seq(0.0, 1.0, 0.0, 0.0)))
+      .toDF("vec_id", "embedding")
+  }
+
+  test("semanticDedup keeps the lowest-centroid-cosine member of each eps-group, id tiebreak") {
+    val out = Dedup.semanticDedup(semCorpus, semCentroids, eps = 0.9)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(3)))).toMap
+    // cell assignment: 0/1/2 -> cell 0; 3/4/5 -> cell 1
+    assert(out.filter(_._2._1 == 0L).keySet == Set(0L, 1L, 2L), out.toString)
+    assert(out.filter(_._2._1 == 1L).keySet == Set(3L, 4L, 5L), out.toString)
+    // cell 0: all pairwise cos >= 0.9; vec 1 has the lowest csim -> survives
+    assert(out(1L)._2 == 1 && out(0L)._2 == 0 && out(2L)._2 == 0, out.toString)
+    // cell 1: 4 and 5 tie on csim (identical) -> lower id 4 survives; 3 has
+    // csim 1.0 and is eps-similar to both -> dropped
+    assert(out(4L)._2 == 1 && out(5L)._2 == 0 && out(3L)._2 == 0, out.toString)
+  }
+
+  test("semanticDedup: an oversized cell is excluded from pairing (all kept) and audited") {
+    val out = Dedup.semanticDedup(semCorpus, semCentroids, eps = 0.9, maxCell = 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(3)).toMap
+    assert(out.values.forall(_ == 1), out.toString) // both cells hold 3 > maxCell
+    val audited = Dedup.semdedupOversizedCells(
+      Ann.ivfAssign(semCorpus, semCentroids), maxCell = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(audited == Set((0L, 3L), (1L, 3L)), audited.toString)
+  }
+
+  test("semanticDedup: eps above every pairwise cosine keeps everything") {
+    val out = Dedup.semanticDedup(semCorpus, semCentroids, eps = 1.1)
+      .collect().map(_.getInt(3))
+    assert(out.length == 6 && out.forall(_ == 1))
+  }
 }

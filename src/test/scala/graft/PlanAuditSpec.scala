@@ -97,6 +97,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"), plan)
   }
 
+  test("semantic dedup pairs within cells via equi join, centroids broadcast") {
+    val plan = planOf(GraftQueries.qSemDedup(spark, "/root/testdata/sf0.001"))
+    // never an unbroadcast cartesian: the only nested-loop shape allowed is
+    // the corpus x k-row centroid assignment, which must ride a broadcast
+    assert(!plan.contains("CartesianProduct"), s"cartesian in semdedup:\n$plan")
+    assert(plan.contains("BroadcastExchange"), plan)
+    // the within-cell pair join and the dropped-ids join are equi joins
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"), plan)
+  }
+
   test("curation pipeline: equi-joins only, winner scans pruned to their columns") {
     val df = GraftQueries.qCurationPipeline(spark, "/root/testdata/sf0.001")
     val plan = planOf(df)

@@ -176,4 +176,51 @@ class TextFilterSpec extends SparkSpec {
     assert(enc.count(_._1 == 1L) == 5 * 2)
     assert(enc.count(_._1 == 3L) == 6 * 3)
   }
+
+  // --- C4 heuristic page cleaning ---
+
+  private def c4Of(text: String) = {
+    val r = TextOps.c4Clean(one(text))
+      .select("n_lines", "n_kept", "n_sentences", "keep", "clean_digest").head()
+    (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3), r.getString(4))
+  }
+
+  test("c4Clean line gates: terminal punct, min words, javascript; page sentence gate") {
+    val (nLines, nKept, nSent, keep, digest) = c4Of(
+      "This is a good sentence with many words.\n" +
+        "short line.\n" + // 2 words < 5
+        "This line has no terminal punct\n" +
+        "Please enable JavaScript to view this page.\n" + // word gate passes, js gate drops
+        "Another proper sentence with enough words here!")
+    assert(nLines == 5L && nKept == 2L && nSent == 2L, (nLines, nKept, nSent))
+    assert(keep == 0) // 2 sentence enders < 3
+    val clean = "This is a good sentence with many words.\n" +
+      "Another proper sentence with enough words here!"
+    assert(digest == java.security.MessageDigest.getInstance("MD5")
+      .digest(clean.getBytes("UTF-8")).map("%02x".format(_)).mkString)
+  }
+
+  test("c4Clean keeps a page with three proper sentences, quote-ended lines count") {
+    val (_, nKept, nSent, keep, _) = c4Of(
+      "The first proper sentence has plenty of words.\n" +
+        "He said the second line ends with a \"quoted phrase.\"\n" +
+        "A third full sentence closes out the page today!")
+    assert(nKept == 3L && nSent == 3L && keep == 1, (nKept, nSent, keep))
+  }
+
+  test("c4Clean page gates: lorem ipsum and curly brace reject the page") {
+    val good = "One proper sentence with enough words inside.\n" +
+      "Two proper sentences with enough words inside.\n" +
+      "Three proper sentences with enough words inside."
+    assert(c4Of(good)._4 == 1)
+    assert(c4Of(good + "\nAlso some Lorem Ipsum filler text appears.")._4 == 0)
+    assert(c4Of(good + "\nfunction f() { return 1; }")._4 == 0)
+  }
+
+  test("c4Clean degenerate inputs: empty text and whitespace-only lines") {
+    val (nLines, nKept, nSent, keep, digest) = c4Of("")
+    assert(nLines == 0L && nKept == 0L && nSent == 0L && keep == 0)
+    assert(digest == "d41d8cd98f00b204e9800998ecf8427e") // md5("")
+    assert(c4Of("   \n\n  \n")._1 == 0L) // trimmed-empty lines don't count
+  }
 }
