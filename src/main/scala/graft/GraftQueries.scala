@@ -2855,7 +2855,9 @@ object GraftQueries {
     * line on %13 — and the oracle replays page synthesis and every gate
     * with DuckDB list lambdas on the same trimmed lines. */
   def qC4Clean(spark: SparkSession, dir: String): DataFrame = {
-    val tk = graft.text.TextOps.wsTokens(col("text"))
+    // the token array feeds four slice consumers: materialize it as a
+    // column (the q79 CSE lesson), never inline the HOF four times
+    val tk = col("_tk")
     val page = concat_ws("\n",
       concat(array_join(slice(tk, 1, 8), " "), lit(".")),
       lit("too short."),
@@ -2870,7 +2872,9 @@ object GraftQueries {
       when(col("doc_id") % 13 === 0, lit("code sample { return 1; }"))
         .otherwise(lit("")))
     graft.text.TextOps.c4Clean(
-      docs(spark, dir).select(col("doc_id"), page.as("text")))
+      docs(spark, dir)
+        .select(col("doc_id"), graft.text.TextOps.wsTokens(col("text")).as("_tk"))
+        .select(col("doc_id"), page.as("text")))
       .select("doc_id", "n_lines", "n_kept", "n_sentences", "keep", "clean_digest")
   }
 

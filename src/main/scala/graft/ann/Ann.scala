@@ -48,17 +48,19 @@ object Ann {
     * Returns corpus + `cell`. */
   def ivfAssign(corpus: DataFrame, centroids: DataFrame,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      cellCol: String = null): DataFrame = {
+      cellCol: String = null, keepSim: Boolean = false): DataFrame = {
     val cc = Option(cellCol).getOrElse(idCol)
     val cents = broadcast(centroids.select(col(cc).as("cell"), col(vecCol).as("c_vec")))
     val w = Window.partitionBy(col(idCol)).orderBy(col("sim").desc, col("cell").asc)
-    corpus
+    val assigned = corpus
       .crossJoin(cents)
       .select(col(idCol), col(vecCol), col("cell"),
         round(cosine(col(vecCol), col("c_vec")), 6).as("sim"))
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1)
-      .drop("_rn", "sim")
+    // keepSim retains the winning rounded cosine (consumers like SemDeDup
+    // need it — recomputing it would mean a second centroid join)
+    if (keepSim) assigned.drop("_rn") else assigned.drop("_rn", "sim")
   }
 
   /** IVF top-k: per query, probe the nProbe nearest cells and brute-force

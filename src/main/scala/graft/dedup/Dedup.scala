@@ -482,12 +482,9 @@ object Dedup {
       idCol: String = "vec_id", vecCol: String = "embedding",
       cellCol: String = null, maxCell: Int = 10000): DataFrame = {
     import graft.ann.Ann
-    val cc = Option(cellCol).getOrElse(idCol)
-    val cents = broadcast(centroids.select(col(cc).as("cell"), col(vecCol).as("_cv")))
-    val assigned = Ann.ivfAssign(corpus, centroids, idCol, vecCol, cellCol)
-      .join(cents, Seq("cell"))
-      .select(col("cell"), col(idCol), col(vecCol),
-        round(Ann.cosine(col(vecCol), col("_cv")), 6).as("csim"))
+    val assigned = Ann.ivfAssign(corpus, centroids, idCol, vecCol, cellCol,
+        keepSim = true)
+      .select(col("cell"), col(idCol), col(vecCol), col("sim").as("csim"))
     val pairable = assigned
       .withColumn("_n", count(lit(1)).over(Window.partitionBy("cell")))
       .filter(col("_n") <= maxCell)
@@ -511,8 +508,9 @@ object Dedup {
 
   /** Audit of cells the [[semanticDedup]] `maxCell` cap excludes from
     * pairing: (cell, n_vecs). Emit this next to the dedup output so capped
-    * coverage is visible, never silent. Takes the assigned frame (any frame
-    * with a `cell` column, e.g. `Ann.ivfAssign` output). */
+    * coverage is visible, never silent. Takes any frame with a `cell`
+    * column — pass [[semanticDedup]]'s OWN output (it carries every corpus
+    * row with its cell), which avoids re-running the assignment pass. */
   def semdedupOversizedCells(assigned: DataFrame, maxCell: Int = 10000): DataFrame =
     assigned.groupBy(col("cell"))
       .agg(count(lit(1)).as("n_vecs"))

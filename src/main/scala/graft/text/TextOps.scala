@@ -216,9 +216,12 @@ object TextOps {
     * urlFilter's lists. Adds (n_lines, n_kept, n_sentences, keep:int,
     * clean_digest = md5 of the newline-joined kept lines).
     */
-  def c4Clean(df: DataFrame, text: Column = col("text"),
+  def c4Clean(df: DataFrame, textCol: Column = col("text"),
       minLineWords: Int = 5, minSentences: Int = 3,
       badPhrases: Seq[String] = Seq("lorem ipsum", "{")): DataFrame = {
+    // NULL text ≡ empty page (a 10^12-doc crawl always has null members;
+    // the q91 oracle's coalesce does the same)
+    val text = coalesce(textCol, lit(""))
     val bad = badPhrases
       .map(p => contains(lower(text), lit(p.toLowerCase)))
       .reduce(_ || _)

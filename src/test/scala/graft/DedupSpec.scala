@@ -207,8 +207,10 @@ class DedupSpec extends SparkSpec {
     val out = Dedup.semanticDedup(semCorpus, semCentroids, eps = 0.9, maxCell = 2)
       .collect().map(r => r.getLong(0) -> r.getInt(3)).toMap
     assert(out.values.forall(_ == 1), out.toString) // both cells hold 3 > maxCell
+    // the audit runs on the dedup OUTPUT itself — no second assignment pass
     val audited = Dedup.semdedupOversizedCells(
-      Ann.ivfAssign(semCorpus, semCentroids), maxCell = 2)
+      Dedup.semanticDedup(semCorpus, semCentroids, eps = 0.9, maxCell = 2),
+      maxCell = 2)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(audited == Set((0L, 3L), (1L, 3L)), audited.toString)
   }
