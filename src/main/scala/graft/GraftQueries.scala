@@ -2919,6 +2919,80 @@ object GraftQueries {
       |  md5(clean) AS clean_digest
       |FROM c""".stripMargin
 
+  /** Gopher quality rules (q92): the published Rae et al. Table A1
+    * non-repetition gates over deterministically synthesized pages (the
+    * q91 pattern — the corpus is single-line word soup, so bullet lines
+    * land on doc_id%4, an ellipsis-ending line on %6, a hash-symbol line
+    * on %9). minWords=10 and maxBulletFrac=0.5 replace the published 50 /
+    * 0.9 so the gates actually bite at this corpus shape; all other
+    * thresholds are the paper's. */
+  def qGopherRules(spark: SparkSession, dir: String): DataFrame = {
+    val page = concat_ws("\n",
+      col("text"),
+      when(col("doc_id") % 4 === 0, lit("• bullet item from a list"))
+        .otherwise(lit("")),
+      when(col("doc_id") % 4 === 0, lit("• a second bullet entry"))
+        .otherwise(lit("")),
+      when(col("doc_id") % 6 === 0,
+        lit("this sentence trails off into the distance..."))
+        .otherwise(lit("")),
+      when(col("doc_id") % 9 === 0, lit("#### section marker ####"))
+        .otherwise(lit("")))
+    graft.text.TextOps.gopherRules(
+      docs(spark, dir).select(col("doc_id"), page.as("text")),
+      minWords = 10, maxBulletFrac = 0.5)
+      .select("doc_id", "n_words", "mean_word_len", "hash_ratio",
+        "ellipsis_ratio", "bullet_frac", "ellipsis_line_frac",
+        "alpha_word_frac", "stop_hits", "gopher_keep")
+  }
+
+  val sqlGopherRules: String =
+    """WITH pg AS (
+      |  SELECT doc_id, concat_ws(chr(10), text,
+      |    CASE WHEN doc_id % 4 = 0 THEN '• bullet item from a list' ELSE '' END,
+      |    CASE WHEN doc_id % 4 = 0 THEN '• a second bullet entry' ELSE '' END,
+      |    CASE WHEN doc_id % 6 = 0
+      |         THEN 'this sentence trails off into the distance...' ELSE '' END,
+      |    CASE WHEN doc_id % 9 = 0 THEN '#### section marker ####' ELSE '' END
+      |  ) AS text
+      |  FROM documents),
+      |f AS (
+      |  SELECT doc_id, text,
+      |    regexp_extract_all(text, '\S+') AS tk,
+      |    list_filter([trim(x) for x in string_split(text, chr(10))],
+      |                x -> len(x) > 0) AS lines
+      |  FROM pg),
+      |m AS (
+      |  SELECT doc_id, text, tk, lines, len(tk) AS n, len(lines) AS nl,
+      |    length(text) - length(translate(text, '#', '')) AS hashes,
+      |    (length(text) - length(replace(text, '...', ''))) / 3 AS ellipses
+      |  FROM f),
+      |r AS (
+      |  SELECT doc_id, n::BIGINT AS n_words,
+      |    CASE WHEN n > 0 THEN round(
+      |      list_sum(list_transform(tk, t -> length(t))) * 1.0 / n, 6)
+      |      ELSE 0.0 END AS mean_word_len,
+      |    CASE WHEN n > 0 THEN round(hashes * 1.0 / n, 6) ELSE 0.0 END AS hash_ratio,
+      |    CASE WHEN n > 0 THEN round(ellipses * 1.0 / n, 6) ELSE 0.0 END AS ellipsis_ratio,
+      |    CASE WHEN nl > 0 THEN round(len(list_filter(lines, l ->
+      |      starts_with(l, '•') OR starts_with(l, '- ') OR starts_with(l, '* ')
+      |      )) * 1.0 / nl, 6) ELSE 0.0 END AS bullet_frac,
+      |    CASE WHEN nl > 0 THEN round(len(list_filter(lines, l ->
+      |      ends_with(l, '...'))) * 1.0 / nl, 6) ELSE 0.0 END AS ellipsis_line_frac,
+      |    CASE WHEN n > 0 THEN round(len(list_filter(tk, t ->
+      |      regexp_matches(t, '[A-Za-z]'))) * 1.0 / n, 6) ELSE 0.0 END AS alpha_word_frac,
+      |    len(list_filter(['the','be','to','of','and','that','have','with'],
+      |        w -> list_contains(list_transform(tk, t -> lower(t)), w)))::INT AS stop_hits
+      |  FROM m)
+      |SELECT doc_id, n_words, mean_word_len, hash_ratio, ellipsis_ratio,
+      |  bullet_frac, ellipsis_line_frac, alpha_word_frac, stop_hits,
+      |  CAST((n_words >= 10 AND n_words <= 100000
+      |    AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+      |    AND hash_ratio <= 0.1 AND ellipsis_ratio <= 0.1
+      |    AND bullet_frac <= 0.5 AND ellipsis_line_frac <= 0.3
+      |    AND alpha_word_frac >= 0.8 AND stop_hits >= 2) AS INT) AS gopher_keep
+      |FROM r""".stripMargin
+
   // classic relational smoke (lineitem)
   def qLineitemAgg(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/lineitem.parquet")

@@ -199,6 +199,73 @@ object TextOps {
     aggregate(hashed, lit(0L), (acc, x) => acc.bitwiseXOR(x))
   }
 
+  /** Gopher document-quality rules (Rae et al. 2021, Table A1 — public),
+    * the non-repetition half of the published filter set (the repetition
+    * half is [[repetitionFeatures]]; together they form the complete
+    * Gopher gate). Per document: word count within [minWords, maxWords],
+    * mean word length within [minMeanWordLen, maxMeanWordLen] chars,
+    * hash and ellipsis symbol-to-word ratios each ≤ maxSymbolRatio,
+    * bullet-starting line fraction ≤ maxBulletFrac, ellipsis-ending line
+    * fraction ≤ maxEllipsisFrac, fraction of words containing an alphabetic
+    * character ≥ minAlphaWordFrac, and at least minStopHits of the paper's
+    * required stop words {the, be, to, of, and, that, have, with} present.
+    * Defaults are the published thresholds.
+    *
+    * Scale shape: pure codegen'd scan projections — token and line arrays
+    * materialize once as multi-consumer columns (the q79 CSE lesson), all
+    * fractions round to 6 digits so gate membership is engine-exact and a
+    * SQL oracle replays it (q92). Adds (n_words, mean_word_len, hash_ratio,
+    * ellipsis_ratio, bullet_frac, ellipsis_line_frac, alpha_word_frac,
+    * stop_hits, gopher_keep:int).
+    */
+  def gopherRules(df: DataFrame, textCol: Column = col("text"),
+      minWords: Int = 50, maxWords: Int = 100000,
+      minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+      maxSymbolRatio: Double = 0.1,
+      maxBulletFrac: Double = 0.9, maxEllipsisFrac: Double = 0.3,
+      minAlphaWordFrac: Double = 0.8, minStopHits: Int = 2): DataFrame = {
+    val text = coalesce(textCol, lit(""))
+    val requiredStops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val toks = col("_g_toks")
+    val lines = col("_g_lines")
+    val n = size(toks)
+    val nL = size(lines)
+    val hashes = length(text) - length(translate(text, "#", ""))
+    val ellipses = (length(text) - length(replace(text, lit("..."), lit("")))) / 3
+    def frac(num: Column, den: Column): Column =
+      when(den > 0, round(num.cast("double") / den, 6)).otherwise(lit(0.0))
+    df.withColumn("_g_toks", wsTokens(text))
+      .withColumn("_g_low", transform(toks, t => lower(t)))
+      .withColumn("_g_lines",
+        filter(transform(split(text, "\n"), l => trim(l)), x => length(x) > 0))
+      .withColumn("n_words", n.cast("long"))
+      .withColumn("mean_word_len",
+        frac(aggregate(transform(toks, t => length(t)), lit(0L), _ + _), n))
+      .withColumn("hash_ratio", frac(hashes, n))
+      .withColumn("ellipsis_ratio", frac(ellipses, n))
+      .withColumn("bullet_frac", frac(
+        size(filter(lines, l =>
+          l.startsWith("•") || l.startsWith("- ") || l.startsWith("* "))), nL))
+      .withColumn("ellipsis_line_frac",
+        frac(size(filter(lines, l => l.endsWith("..."))), nL))
+      .withColumn("alpha_word_frac",
+        frac(size(filter(toks, t => t.rlike("[A-Za-z]"))), n))
+      .withColumn("stop_hits",
+        size(filter(array(requiredStops.map(lit): _*),
+          w => array_contains(col("_g_low"), w))).cast("int"))
+      .withColumn("gopher_keep",
+        (col("n_words") >= minWords && col("n_words") <= maxWords &&
+          col("mean_word_len") >= minMeanWordLen &&
+          col("mean_word_len") <= maxMeanWordLen &&
+          col("hash_ratio") <= maxSymbolRatio &&
+          col("ellipsis_ratio") <= maxSymbolRatio &&
+          col("bullet_frac") <= maxBulletFrac &&
+          col("ellipsis_line_frac") <= maxEllipsisFrac &&
+          col("alpha_word_frac") >= minAlphaWordFrac &&
+          col("stop_hits") >= minStopHits).cast("int"))
+      .drop("_g_toks", "_g_low", "_g_lines")
+  }
+
   /** C4-style heuristic page cleaning (Raffel et al. 2020 §2.2 — public):
     * the line-level gate keeps trimmed lines that end in a terminal
     * punctuation mark {. ! ? "}, hold at least `minLineWords` whitespace

@@ -177,6 +177,64 @@ class TextFilterSpec extends SparkSpec {
     assert(enc.count(_._1 == 3L) == 6 * 3)
   }
 
+  // --- Gopher quality rules (Rae et al. 2021, Table A1) ---
+
+  private def gopherOf(text: String, minWords: Int = 50) = {
+    val r = TextOps.gopherRules(one(text), minWords = minWords)
+      .select("n_words", "mean_word_len", "hash_ratio", "ellipsis_ratio",
+        "bullet_frac", "ellipsis_line_frac", "alpha_word_frac", "stop_hits",
+        "gopher_keep").head()
+    (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3),
+      r.getDouble(4), r.getDouble(5), r.getDouble(6), r.getInt(7), r.getInt(8))
+  }
+
+  test("gopherRules: clean prose with required stop words keeps") {
+    val (n, mwl, hr, er, bf, elf, awf, hits, keep) = gopherOf(
+      "the quick brown fox jumps over that lazy dog with great style today",
+      minWords = 10)
+    assert(n == 13L && hits == 3, (n, hits)) // the, that, with
+    assert(hr == 0.0 && er == 0.0 && bf == 0.0 && elf == 0.0)
+    assert(awf == 1.0 && mwl > 3.0 && mwl < 10.0 && keep == 1, (mwl, keep))
+  }
+
+  test("gopherRules: word count, bullet and ellipsis-line gates") {
+    // under minWords
+    assert(gopherOf("the short one with few words", minWords = 10)._9 == 0)
+    // 2 of 3 lines are bullets -> frac 0.666667 <= 0.9 passes the published
+    // default, but the words are fine so only the bullet signal moves
+    val bulleted = "the first line has that normal prose text with words\n" +
+      "• bullet one\n• bullet two"
+    val b = gopherOf(bulleted, minWords = 10)
+    assert(b._5 == 0.666667 && b._9 == 1, b)
+    // every line ends with ellipsis -> ellipsis_line_frac 1.0 > 0.3 rejects
+    val trailing = "the thought with that trails away here..." +
+      "\nanother trailing thought of mine..."
+    val t = gopherOf(trailing, minWords = 10)
+    assert(t._6 == 1.0 && t._9 == 0, t)
+  }
+
+  test("gopherRules: symbol ratios and alpha-word fraction") {
+    // 8 hash chars over 11 words -> 0.727273 > 0.1 rejects
+    val hashy = "the heading #### with that marker #### stays loud here today"
+    val h = gopherOf(hashy, minWords = 10)
+    assert(h._3 == round6(8.0 / 11) && h._9 == 0, h)
+    // numeric soup: 8 of 12 words lack alphabetic chars -> 0.333333 < 0.8
+    val nums = "the 11 22 33 44 55 66 77 88 of that table"
+    val a = gopherOf(nums, minWords = 10)
+    assert(a._7 == round6(4.0 / 12) && a._9 == 0, a)
+    // stop-hit gate: alpha prose but only one required stop word
+    assert(gopherOf("the wordy prose keeps rolling forward nicely without pause anywhere",
+      minWords = 5)._9 == 0)
+  }
+
+  test("gopherRules: degenerate inputs are zero-safe") {
+    val (n, mwl, hr, er, bf, elf, awf, hits, keep) = gopherOf("")
+    assert(n == 0L && mwl == 0.0 && hr == 0.0 && er == 0.0 && bf == 0.0
+      && elf == 0.0 && awf == 0.0 && hits == 0 && keep == 0)
+  }
+
+  private def round6(x: Double): Double = math.rint(x * 1e6) / 1e6
+
   // --- C4 heuristic page cleaning ---
 
   private def c4Of(text: String) = {
