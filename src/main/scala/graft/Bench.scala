@@ -33,9 +33,9 @@ object Bench {
     // their cost vs earlier 21-query samples
     "q79_curation_pipeline", "q80_lm_perplexity", "q81_html_extract",
     "q82_exact_substr", "q83_warc_ingest",
-    // fourth-session additions: SemDeDup semantic dedup (q90) and C4
-    // heuristic page cleaning (q91)
-    "q90_semdedup", "q91_c4_clean")
+    // fourth-session additions: SemDeDup semantic dedup (q90), C4
+    // heuristic page cleaning (q91), Gopher quality rules (q92)
+    "q90_semdedup", "q91_c4_clean", "q92_gopher_rules")
 
   def session(cpus: String): SparkSession = {
     // 4 waves of tasks per core: on a shared VM with CPU steal, a stage is

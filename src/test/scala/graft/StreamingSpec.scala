@@ -191,4 +191,30 @@ class StreamingSpec extends SparkSpec {
     assert(got.toSeq == Seq(
       ("a", 1L, 1.0, None), ("a", 2L, 2.0, Some(1.0)), ("b", 1L, 5.0, None)))
   }
+
+  test("stateless curation gates (C4 + Gopher) run unchanged on a stream") {
+    // c4Clean/gopherRules are pure scan projections (no shuffle, no state),
+    // so the SAME operator drops onto readStream — the ingest-time deploy
+    // shape for per-document gates in a continuous crawl pipeline
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val src = mem.toDF().toDF("doc_id", "text")
+    val gated = graft.text.TextOps.gopherRules(
+      graft.text.TextOps.c4Clean(src), minWords = 3)
+      .select(col("doc_id"), col("keep"), col("gopher_keep"), col("n_words"))
+    val q = gated.writeStream.format("memory").queryName("gates_out")
+      .outputMode("append").start()
+    val page = "The first proper sentence has plenty of that words.\n" +
+      "He said the second line of it ends with good words.\n" +
+      "A third full sentence closes out the page today!"
+    mem.addData((1L, page), (2L, "short { text"))
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("gates_out")
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2)))).toMap
+    assert(rows.keySet == Set(1L, 2L), rows.toString)
+    assert(rows(1L) == ((1, 1)), rows.toString) // 3 sentences, stops present
+    assert(rows(2L) == ((0, 0)), rows.toString) // brace page; '{' not alphabetic
+  }
 }
