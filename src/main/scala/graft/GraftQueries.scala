@@ -2993,6 +2993,90 @@ object GraftQueries {
       |    AND alpha_word_frac >= 0.8 AND stop_hits >= 2) AS INT) AS gopher_keep
       |FROM r""".stripMargin
 
+  /** Gap-based sessionization over the events table (gap = 12h), on the
+    * skew-safe bucketed path — the plain-path equivalence is spec-tested
+    * (SessionizeSpec). */
+  def qSessionize(spark: SparkSession, dir: String): DataFrame =
+    graft.events.EventOps.sessionize(
+      spark.read.parquet(s"$dir/events.parquet")
+        .select(col("user_id").as("key"), tsUs.as("t"), col("value").as("v")),
+      gap = 12L * 3600 * 1000000,
+      bucketBy = dayBucket)
+      .select(col("key").as("user_id"), col("session_idx"),
+        col("t_start"), col("t_end"), col("n_events"),
+        round(col("v_sum"), 6).as("v_sum"))
+
+  val sqlSessionize: String =
+    """WITH e AS (SELECT user_id, epoch_us(ts) AS t, value AS v FROM events),
+      |f AS (
+      |  SELECT user_id, t, v,
+      |    CASE WHEN lag(t) OVER w IS NULL
+      |              OR t - lag(t) OVER w > 43200000000 THEN 1 ELSE 0 END AS flag
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)),
+      |s AS (
+      |  SELECT user_id, t, v,
+      |    CAST(sum(flag) OVER (PARTITION BY user_id ORDER BY t
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+      |  FROM f)
+      |SELECT user_id, session_idx, min(t) AS t_start, max(t) AS t_end,
+      |  count(*) AS n_events, round(sum(v), 6) AS v_sum
+      |FROM s GROUP BY 1, 2""".stripMargin
+
+  /** Top-5 tf-idf keywords per document. */
+  def qTfidfTopK(spark: SparkSession, dir: String): DataFrame =
+    graft.text.TextOps.tfIdfTopK(docs(spark, dir), k = 5)
+
+  val sqlTfidfTopK: String =
+    """WITH tf AS (
+      |  SELECT doc_id, s AS term, count(*) AS tf
+      |  FROM (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS s
+      |        FROM documents)
+      |  GROUP BY 1, 2),
+      |dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      |n AS (SELECT count(*) AS n FROM documents),
+      |scored AS (
+      |  SELECT tf.doc_id, tf.term,
+      |    round(tf.tf * (ln((1 + n.n) * 1.0 / (1 + dft.df)) + 1.0), 6) AS score
+      |  FROM tf JOIN dft USING (term) CROSS JOIN n),
+      |ranked AS (
+      |  SELECT doc_id, term, score,
+      |    CAST(row_number() OVER (PARTITION BY doc_id
+      |      ORDER BY score DESC, term ASC) AS INT) AS term_rank
+      |  FROM scored)
+      |SELECT doc_id, term, term_rank, score FROM ranked
+      |WHERE term_rank <= 5""".stripMargin
+
+  /** Benchmark decontamination via the Bloom-prefiltered path (exact
+    * result — the filter only prunes the shuffle; the inner verification
+    * join removes its false positives). Different corpus/benchmark split
+    * from q71 so the two queries cannot share a cached answer. */
+  def qBloomDecon(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    Dedup.contaminationBloom(
+      d.filter(pmod(col("doc_id"), lit(89)) =!= 0),
+      d.filter(pmod(col("doc_id"), lit(89)) === 0))
+      .withColumn("contaminated", col("contaminated").cast("int"))
+  }
+
+  val sqlBloomDecon: String =
+    """WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS tk FROM documents),
+      |sh AS (
+      |  SELECT doc_id,
+      |    list_distinct([array_to_string(tk[i : i + 2], ' ')
+      |                   for i in generate_series(1, greatest(len(tk) - 2, 1))]) AS sh
+      |  FROM toks),
+      |bench AS (SELECT DISTINCT s FROM sh, unnest(sh) t(s) WHERE doc_id % 89 = 0),
+      |docsh AS (SELECT doc_id, s FROM sh, unnest(sh) t(s) WHERE doc_id % 89 <> 0),
+      |a AS (
+      |  SELECT d.doc_id, count(*) AS n_shingles,
+      |         CAST(sum(CASE WHEN b.s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |           AS n_contaminated
+      |  FROM docsh d LEFT JOIN bench b ON d.s = b.s GROUP BY 1)
+      |SELECT doc_id, n_shingles, n_contaminated,
+      |       round(n_contaminated * 1.0 / n_shingles, 6) AS contamination_frac,
+      |       CAST(n_contaminated >= 1 AS INT) AS contaminated
+      |FROM a""".stripMargin
+
   // classic relational smoke (lineitem)
   def qLineitemAgg(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/lineitem.parquet")

@@ -170,6 +170,73 @@ object Dedup {
         (col("n_contaminated") >= flagAt).as("contaminated"))
   }
 
+  /** [[contamination]] with a Bloom-filter prefilter — the 100 TB shape
+    * when the evaluation set is too big to broadcast as a hash relation.
+    * A benchmark of 10^9 distinct shingles is a ~30 GB broadcast hash
+    * table (kills [[contamination]]'s broadcast semi-probe) but a ~1.2 GB
+    * Bloom filter at 1% fpp: the filter is built distributedly
+    * (`stat.bloomFilter` tree-aggregates per-partition bitsets; the driver
+    * holds only the compact filter — declared model state, like the IVF
+    * centroids), broadcast once, and probed map-side so only the tiny
+    * surviving fraction of corpus shingles reaches the exact
+    * verification join. Bloom filters have no false negatives and the
+    * inner join removes the false positives, so the OUTPUT IS EXACTLY
+    * [[contamination]]'s — the filter is purely a shuffle-volume knob,
+    * which is what makes the result oracle-checkable. The membership
+    * probe is a closure over the broadcast filter (a UDF, the third in
+    * the engine): there is no public codegen expression over an opaque
+    * 10^10-bit sketch, and the probe replaces a corpus-scale shuffle, the
+    * one trade where an interpreted row hop is the cheap side.
+    *
+    * `verifyBroadcast=false` (the default) lets the verification join
+    * shuffle on the shingle — at scale both sides are post-prune small
+    * relative to the corpus but the benchmark side may still exceed
+    * broadcast limits; AQE upgrades it to broadcast when it fits.
+    */
+  def contaminationBloom(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      shingleN: Int = 3,
+      flagAt: Int = 1,
+      fpp: Double = 0.01,
+      verifyBroadcast: Boolean = false): DataFrame = {
+    val spark = corpus.sparkSession
+    val benchShingles = benchmark
+      .select(explode(shingles(col(textCol), shingleN)).as("_s"))
+      .distinct()
+    // model-build step: the count sizes the filter (benchmark-side job,
+    // small by definition), the build is one tree-aggregate over it
+    val nBench = math.max(benchShingles.count(), 1L)
+    val bloom = benchShingles.stat.bloomFilter("_s", nBench, fpp)
+    val bloomB = spark.sparkContext.broadcast(bloom)
+    val mightContain = udf { s: String =>
+      s != null && bloomB.value.mightContainString(s)
+    }
+    val perDoc = corpus
+      .select(col(idCol), graft.text.TextOps.wsTokens(col(textCol)).as("_tk"))
+      .select(col(idCol), shinglesOf(col("_tk"), shingleN).as("_sh"))
+      .select(col(idCol), size(col("_sh")).cast("long").as("n_shingles"), col("_sh"))
+    val survivors = perDoc
+      .select(col(idCol), explode(col("_sh")).as("_s"))
+      .filter(mightContain(col("_s")))
+    val verifySide =
+      if (verifyBroadcast) broadcast(benchShingles) else benchShingles
+    val hits = survivors
+      .join(verifySide, Seq("_s")) // inner: exact membership kills bloom FPs
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("_nc"))
+    perDoc
+      .select(col(idCol), col("n_shingles"))
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol), col("n_shingles"),
+        coalesce(col("_nc"), lit(0L)).as("n_contaminated"),
+        round(coalesce(col("_nc"), lit(0L)).cast("double") / col("n_shingles"), 6)
+          .as("contamination_frac"),
+        (coalesce(col("_nc"), lit(0L)) >= flagAt).as("contaminated"))
+  }
+
   /** SimHash as a DataFrame op: token hashes materialized ONCE into a
     * column, then `bits` aggregate() passes over the in-row array (cheap;
     * no md5 duplication across bit positions). */

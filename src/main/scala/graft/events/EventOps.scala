@@ -66,4 +66,81 @@ object EventOps {
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         byT.select(col(K), col(T), sum(delta).over(w).cast("double").as(V))
     }
+
+  /** Gap-based sessionization: per key, events ordered by time split into
+    * sessions wherever the gap to the previous event exceeds `gap` (same
+    * units as `t`). Event-analytics composition of the reference's
+    * inter-event-time primitive (traces/eventseries.py:147-174): a session
+    * boundary is exactly an `iter_interevent_times` entry > gap. Output one
+    * row per (key, session): (key, session_idx 1-based, t_start, t_end,
+    * n_events, v_sum).
+    *
+    * Rows at equal `t` always share a session (gap 0 ≤ gap), so the result
+    * is deterministic without a tie column. Session membership for a row
+    * depends only on earlier times, never on `v`.
+    *
+    * Plain path: one per-key window (lag + running flag-sum) then a
+    * (key, session) aggregation — two exchanges, map-side partial
+    * aggregation collapses each session's contiguous rows before the
+    * second. With `bucketBy` (a function of t) the window work runs
+    * skew-safely per (key, time-bucket) with a tiny per-bucket handoff
+    * (previous bucket's closing time decides whether a bucket's first row
+    * opens a session; a prefix sum of per-bucket session-start counts
+    * offsets the in-bucket numbering) — same shape as
+    * [[graft.core.BucketedOps.running]], inlined because the boundary flag
+    * needs the PREVIOUS row's time, not an at-or-before carry. One hot key
+    * (a bot user, a constant key) no longer funnels through one task.
+    */
+  def sessionize(df: DataFrame, gap: Long,
+      bucketBy: Option[Column] = None): DataFrame = {
+    val sessioned = bucketBy match {
+      case None =>
+        val w = Window.partitionBy(K).orderBy(T)
+        val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val prev = lag(col(T), 1).over(w)
+        val flag = when(prev.isNull || col(T) - prev > gap, 1L).otherwise(0L)
+        df.withColumn("_sess", sum(flag).over(wRun))
+      case Some(bk) =>
+        val d = df.withColumn("_bkt", bk)
+        val wIn = Window.partitionBy(K, "_bkt").orderBy(T)
+        val wInRun = wIn.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val prevIn = lag(col(T), 1).over(wIn)
+        // null for each bucket's first row — resolved from the handoff below
+        val flagIn = when(prevIn.isNull, lit(null).cast("long"))
+          .otherwise(when(col(T) - prevIn > gap, 1L).otherwise(0L))
+        val d2 = d.withColumn("_fin", flagIn)
+        // handoff: one row per (key, bucket) — in-bucket session starts,
+        // opening and closing times. groupBy on the window's own partition
+        // keys reuses the (key, bucket) exchange; only summaries move.
+        val tot = d2.groupBy(col(K), col("_bkt")).agg(
+          sum(coalesce(col("_fin"), lit(0L))).as("_sin"),
+          min(col(T)).as("_tmin"),
+          max(col(T)).as("_tmax"))
+        val wOff = Window.partitionBy(K).orderBy("_bkt")
+        val prevMax = lag(col("_tmax"), 1).over(wOff)
+        // does this bucket's FIRST row open a session?
+        val first = when(prevMax.isNull || col("_tmin") - prevMax > gap, 1L)
+          .otherwise(0L)
+        val wOffRun = wOff.rowsBetween(Window.unboundedPreceding, -1)
+        val offsets = tot
+          .withColumn("_first", first)
+          .withColumn("_off",
+            coalesce(sum(col("_sin") + col("_first")).over(wOffRun), lit(0L)))
+          .select(col(K).as("_hk"), col("_bkt").as("_hb"),
+            col("_first"), col("_off"))
+        // offsets side is one row per (key, bucket) — AQE broadcasts it, so
+        // the row side keeps its single (key, bucket) exchange
+        d2.join(offsets, d2(K) <=> offsets("_hk") && d2("_bkt") <=> offsets("_hb"))
+          .drop("_hk", "_hb")
+          .withColumn("_flag", coalesce(col("_fin"), col("_first")))
+          .withColumn("_sess", col("_off") + sum(col("_flag")).over(wInRun))
+    }
+    sessioned
+      .groupBy(col(K), col("_sess").as("session_idx"))
+      .agg(
+        min(col(T)).as("t_start"),
+        max(col(T)).as("t_end"),
+        count(lit(1)).as("n_events"),
+        sum(col(V)).as("v_sum"))
+  }
 }

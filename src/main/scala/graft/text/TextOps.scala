@@ -312,4 +312,43 @@ object TextOps {
       .withColumn("clean_digest", md5(col("_clean").cast("binary")))
       .drop("_lines", "_kept", "_clean")
   }
+
+  /** TF-IDF keyword extraction: the top-`k` terms of every document by
+    * smoothed tf-idf (sklearn's formula: idf = ln((1+N)/(1+df)) + 1, N =
+    * corpus size, df = documents containing the term), ranked by the
+    * 6-dp-rounded score with ties broken by term. Output
+    * (doc_id, term, rank, score).
+    *
+    * Scale shape: the corpus is tokenized once into (doc, term, tf) — one
+    * shuffle on (doc, term), map-side combine collapsing repeats. The
+    * document-frequency table is vocabulary-sized, aggregated from that
+    * SAME (doc, term) table (exchange reuse — the corpus is never
+    * re-scanned) and joined back broadcast; N rides a broadcast 1-row
+    * crossJoin, never a driver collect. The top-k window partitions by
+    * doc_id — per-doc vocabulary is bounded, so no key can funnel the
+    * corpus through one task.
+    */
+  def tfIdfTopK(docs: DataFrame, k: Int = 5, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val tf = docs
+      .select(col(idCol), explode(wsTokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("_n"))
+    val scored = tf
+      .join(broadcast(dfT), Seq("term"))
+      .crossJoin(broadcast(n))
+      .withColumn("score",
+        round(col("tf") *
+          (log((lit(1L) + col("_n")).cast("double") /
+            (lit(1L) + col("df"))) + 1.0), 6))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol))
+      .orderBy(col("score").desc, col("term").asc)
+    scored
+      .withColumn("term_rank", row_number().over(w))
+      .filter(col("term_rank") <= k)
+      .select(col(idCol), col("term"), col("term_rank"), col("score"))
+  }
 }
