@@ -35,7 +35,15 @@ object Bench {
     "q82_exact_substr", "q83_warc_ingest",
     // fourth-session additions: SemDeDup semantic dedup (q90), C4
     // heuristic page cleaning (q91), Gopher quality rules (q92)
-    "q90_semdedup", "q91_c4_clean", "q92_gopher_rules")
+    "q90_semdedup", "q91_c4_clean", "q92_gopher_rules",
+    // fifth-session additions: gap sessionization on the skew-safe
+    // bucketed path (q93), TF-IDF keyword extraction (q94),
+    // Bloom-prefiltered decontamination (q95), hourly percentile tier
+    // (q96), rolling z-score (q97), as-of enrichment (q98), M4
+    // downsample (q99), per-source quantile calibration (q100)
+    "q93_sessionize", "q94_tfidf_topk", "q95_bloom_decon",
+    "q96_tier_percentiles", "q97_rolling_zscore", "q98_asof_enrich",
+    "q99_m4_downsample", "q100_source_quantile")
 
   def session(cpus: String): SparkSession = {
     // 4 waves of tasks per core: on a shared VM with CPU steal, a stage is

@@ -3077,6 +3077,163 @@ object GraftQueries {
       |       CAST(n_contaminated >= 1 AS INT) AS contaminated
       |FROM a""".stripMargin
 
+  /** Hourly p50/p90/p99 tier over January (per event_type — denser bins
+    * than per-user, so the interpolated-rank arithmetic is actually
+    * exercised). */
+  def qTierPercentiles(spark: SparkSession, dir: String): DataFrame =
+    Rollup.tierPercentiles(
+      spark.read.parquet(s"$dir/events.parquet")
+        .select(col("event_type").as("key"), tsUs.as("t"), col("value").as("v")),
+      startUs = 1704067200000000L, endUs = 1706745600000000L,
+      stepUs = HOUR, qs = Seq(0.5, 0.9, 0.99))
+      .select(col("key").as("event_type"), col("bin_start"), col("n_points"),
+        col("q"), col("value"))
+
+  val sqlTierPercentiles: String =
+    """WITH e AS (SELECT event_type, epoch_us(ts) AS t, value AS v FROM events),
+      |b AS (
+      |  SELECT event_type,
+      |    CAST((t - 1704067200000000) // 3600000000 * 3600000000
+      |         + 1704067200000000 AS BIGINT) AS bin_start, v
+      |  FROM e WHERE t >= 1704067200000000 AND t < 1706745600000000),
+      |a AS (
+      |  SELECT event_type, bin_start, count(*) AS n_points,
+      |    quantile_cont(v, 0.5) AS p50, quantile_cont(v, 0.9) AS p90,
+      |    quantile_cont(v, 0.99) AS p99
+      |  FROM b GROUP BY 1, 2)
+      |SELECT event_type, bin_start, n_points, 0.5 AS q,
+      |  round(p50, 6) AS value FROM a
+      |UNION ALL SELECT event_type, bin_start, n_points, 0.9, round(p90, 6) FROM a
+      |UNION ALL SELECT event_type, bin_start, n_points, 0.99, round(p99, 6) FROM a""".stripMargin
+
+  /** Rolling z-score anomalies per user (24-event lookback, |z| > 2.5). */
+  def qRollingZscore(spark: SparkSession, dir: String): DataFrame =
+    graft.events.EventOps.rollingZscore(
+      spark.read.parquet(s"$dir/events.parquet")
+        .select(col("user_id").as("key"), tsUs.as("t"), col("value").as("v")),
+      lookback = 24, threshold = 2.5)
+      .select(col("key").as("user_id"), col("t"), col("v"), col("z"), col("anomaly"))
+
+  val sqlRollingZscore: String =
+    """WITH e AS (SELECT user_id, epoch_us(ts) AS t, value AS v FROM events),
+      |w AS (
+      |  SELECT user_id, t, v,
+      |    avg(v) OVER win AS mu, stddev_samp(v) OVER win AS sd,
+      |    count(v) OVER win AS n
+      |  FROM e WINDOW win AS (PARTITION BY user_id ORDER BY t, v
+      |    ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+      |SELECT user_id, t, v,
+      |  CASE WHEN n = 24 AND sd > 0 THEN round((v - mu) / sd, 6) END AS z,
+      |  CAST(CASE WHEN n = 24 AND sd > 0
+      |       THEN abs(round((v - mu) / sd, 6)) > 2.5 ELSE FALSE END AS INT) AS anomaly
+      |FROM w""".stripMargin
+
+  /** As-of enrichment: every event tagged with its user's last CLOSED
+    * hourly mean (availability time = bin close), on the skew-safe
+    * bucketed carry — checked against DuckDB's native ASOF JOIN. */
+  def qAsofEnrich(spark: SparkSession, dir: String): DataFrame = {
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("user_id").as("key"), tsUs.as("t"),
+        col("event_id"), col("event_type"), col("value").as("v"))
+    val hourly = ev
+      .groupBy(col("key"), floor(col("t") / HOUR).as("_hb"))
+      .agg(round(avg(col("v")), 6).as("v"))
+      .select(col("key"), (col("_hb") * HOUR + HOUR).cast("long").as("t"), col("v"))
+    MergeOps.asofJoin(ev, hourly, outCol = "asof_mean", bucketBy = dayBucket)
+      .select(col("key").as("user_id"), col("t"), col("event_id"),
+        col("event_type"), col("v"), col("asof_mean"))
+  }
+
+  val sqlAsofEnrich: String =
+    """WITH e AS (
+      |  SELECT event_id, user_id, epoch_us(ts) AS t, event_type, value AS v
+      |  FROM events),
+      |h0 AS (
+      |  SELECT user_id, t // 3600000000 AS hb, round(avg(v), 6) AS rv
+      |  FROM e GROUP BY 1, 2),
+      |h AS (
+      |  SELECT user_id, CAST(hb * 3600000000 + 3600000000 AS BIGINT) AS rt, rv
+      |  FROM h0)
+      |SELECT e.user_id, e.t, e.event_id, e.event_type, e.v,
+      |  h.rv AS asof_mean
+      |FROM e ASOF LEFT JOIN h
+      |  ON e.user_id = h.user_id AND e.t >= h.rt""".stripMargin
+
+  /** M4 downsample per (event_type, 6h pixel bin) — first/last/min/max
+    * points with the deterministic (t, v) tiebreak. */
+  def qM4Downsample(spark: SparkSession, dir: String): DataFrame =
+    Rollup.m4(
+      spark.read.parquet(s"$dir/events.parquet")
+        .select(col("event_type").as("key"), tsUs.as("t"), col("value").as("v")),
+      startUs = 1704067200000000L, stepUs = 6 * HOUR)
+      .select(col("key").as("event_type"), col("bin_start"), col("n_points"),
+        col("t_first"), col("t_last"), col("v_first"), col("v_last"),
+        col("v_min"), col("v_max"))
+
+  val sqlM4Downsample: String =
+    """WITH e AS (SELECT event_type, epoch_us(ts) AS t, value AS v FROM events),
+      |b AS (
+      |  SELECT event_type,
+      |    CAST((t - 1704067200000000) // 21600000000 * 21600000000
+      |         + 1704067200000000 AS BIGINT) AS bin_start, t, v
+      |  FROM e),
+      |r AS (
+      |  SELECT event_type, bin_start, t, v,
+      |    row_number() OVER (PARTITION BY event_type, bin_start
+      |      ORDER BY t ASC, v ASC) AS rf,
+      |    row_number() OVER (PARTITION BY event_type, bin_start
+      |      ORDER BY t DESC, v DESC) AS rl
+      |  FROM b)
+      |SELECT event_type, bin_start, count(*) AS n_points,
+      |  min(t) AS t_first, max(t) AS t_last,
+      |  max(CASE WHEN rf = 1 THEN v END) AS v_first,
+      |  max(CASE WHEN rl = 1 THEN v END) AS v_last,
+      |  min(v) AS v_min, max(v) AS v_max
+      |FROM r GROUP BY 1, 2""".stripMargin
+
+  /** Per-source quantile calibration: keep the top 30% of each source by
+    * quality score (ranked on the 6-dp-rounded score, tie-break doc_id,
+    * so ranks are engine-exact). */
+  def qSourceQuantile(spark: SparkSession, dir: String): DataFrame =
+    TextOps.sourceQuantileKeep(
+      TextOps.qualityFeatures(docs(spark, dir))
+        .select(col("doc_id"), col("source"), col("quality")),
+      frac = 0.3)
+      .select(col("doc_id"), col("source"), col("quality"),
+        col("q_rank"), col("keep"))
+
+  val sqlSourceQuantile: String = {
+    val stops = TextOps.stopWords.map(w => s"'$w'").mkString(", ")
+    s"""WITH f AS (
+       |  SELECT doc_id, source,
+       |    len(regexp_extract_all(text, '\\S+')) AS n_tokens,
+       |    len(list_filter(list_transform(regexp_extract_all(text, '\\S+'), x -> lower(x)),
+       |        x -> list_contains([$stops], x))) AS n_stop,
+       |    len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct,
+       |    len(regexp_extract_all(text, '[A-Za-z]')) AS n_alpha,
+       |    length(text) AS n_chars
+       |  FROM documents),
+       |r AS (
+       |  SELECT doc_id, source, n_tokens,
+       |    CASE WHEN n_tokens > 0 THEN n_stop * 1.0 / n_tokens ELSE 0.0 END AS stop_r,
+       |    CASE WHEN n_chars > 0 THEN n_punct * 1.0 / n_chars ELSE 0.0 END AS punct_r,
+       |    CASE WHEN n_chars > 0 THEN n_alpha * 1.0 / n_chars ELSE 0.0 END AS alpha_r
+       |  FROM f),
+       |q AS (
+       |  SELECT doc_id, source,
+       |    round(least(1.0, greatest(0.0,
+       |      0.3 * least(n_tokens / 100.0, 1.0) + 0.3 * alpha_r
+       |      + 0.2 * least(stop_r * 5.0, 1.0)
+       |      + 0.2 * (1.0 - least(punct_r * 10.0, 1.0)))), 6) AS quality
+       |  FROM r)
+       |SELECT doc_id, source, quality,
+       |  round(percent_rank() OVER (PARTITION BY source
+       |    ORDER BY quality DESC, doc_id ASC), 6) AS q_rank,
+       |  CAST(round(percent_rank() OVER (PARTITION BY source
+       |    ORDER BY quality DESC, doc_id ASC), 6) <= 0.3 AS INT) AS keep
+       |FROM q""".stripMargin
+  }
+
   // classic relational smoke (lineitem)
   def qLineitemAgg(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/lineitem.parquet")

@@ -143,4 +143,34 @@ object EventOps {
         count(lit(1)).as("n_events"),
         sum(col(V)).as("v_sum"))
   }
+
+  /** Rolling z-score anomaly detection: for each event, the deviation of
+    * `v` from the mean of the key's `lookback` IMMEDIATELY PRECEDING
+    * events, in units of their sample stddev — the classic streaming
+    * anomaly heuristic over irregular series (no resampling needed; the
+    * frame is row-count-based, so it adapts to event density). Rows whose
+    * key has fewer than `lookback` prior events emit null z (warm-up), as
+    * does a zero-variance history. Output (key, t, v, z, anomaly).
+    *
+    * Deterministic under duplicate times: the order is (t, v), and two
+    * fully identical rows produce the same output MULTISET whichever is
+    * ranked first. The frame is row-bounded (`lookback` rows of state per
+    * position), so per-task memory is O(lookback); the scale pressure
+    * point is the per-key sort — the same property as any ordered scan,
+    * and the reason the frame excludes the current row (a self-inclusive
+    * z underestimates every excursion).
+    */
+  def rollingZscore(df: DataFrame, lookback: Int,
+      threshold: Double = 3.0): DataFrame = {
+    require(lookback >= 2, s"lookback $lookback must be >= 2 for a stddev")
+    val w = Window.partitionBy(K).orderBy(col(T).asc, col(V).asc)
+      .rowsBetween(-lookback, -1)
+    val sd = stddev_samp(col(V)).over(w)
+    val z = when(count(col(V)).over(w) === lookback && sd > 0,
+      round((col(V) - avg(col(V)).over(w)) / sd, 6))
+    df.select(col(K), col(T), col(V))
+      .withColumn("z", z)
+      .withColumn("anomaly",
+        (col("z").isNotNull && abs(col("z")) > threshold).cast("int"))
+  }
 }

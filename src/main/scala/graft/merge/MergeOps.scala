@@ -91,6 +91,53 @@ object MergeOps {
       bucketBy: Option[Column] = None): DataFrame =
     operate(a, b, (x, y) => x * y, defaultA, defaultB, bucketBy)
 
+  /** As-of enrichment join: attach to every left row the latest right
+    * measurement at-or-before its time — DuckDB/kdb ASOF-JOIN semantics,
+    * and the probe-side generalization of [[alignPair]] (reference
+    * `get(t, "previous")` evaluated at an arbitrary probe table instead
+    * of a sample grid): left rows keep their FULL payload; right must be
+    * a series (unique (key, t), double values); at equal times the right
+    * measurement is visible to the left row (inclusive, matching
+    * `t >= r.t`); left rows with no prior measurement get null.
+    * Output = left columns + `outCol`.
+    *
+    * Same union-carry plan as [[alignPair]]: ONE (key) exchange and one
+    * sort — never a left×right-history range join (the O(|L|·|R|) trap a
+    * naive `l.t >= r.t` join plans). With `bucketBy` (a function of t)
+    * the carry runs per (key, time-bucket) through the BucketedOps
+    * handoff, so a hot key spreads across tasks.
+    */
+  def asofJoin(
+      left: DataFrame,
+      right: DataFrame,
+      outCol: String = "asof_v",
+      bucketBy: Option[Column] = None): DataFrame = {
+    val payload = left.columns.filter(c => c != K && c != T).toSeq
+    require(payload.nonEmpty, "left needs at least one payload column")
+    val sl = left.select(col(K), col(T),
+      lit(null).cast("struct<v:double>").as("_m"),
+      struct(payload.map(col): _*).as("_pl"))
+    val sr = right
+      .select(col(K), col(T), struct(col(V).cast("double").as("v")).as("_m"))
+      .withColumn("_pl", lit(null).cast(sl.schema("_pl").dataType))
+    val union = sl.unionByName(sr)
+    val tie = col("_m").isNull // right (measurement) rows first at equal t
+    val carried = bucketBy match {
+      case Some(bk) =>
+        graft.core.BucketedOps
+          .running(union, bk, Seq(tie), Nil, carries = Seq("_c" -> col("_m")))
+      case None =>
+        val w = Window.partitionBy(K).orderBy(col(T).asc, tie.asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        union.withColumn("_c", last(col("_m"), ignoreNulls = true).over(w))
+    }
+    carried
+      .filter(col("_pl").isNotNull)
+      .select(col(K) +: col(T) +:
+        payload.map(c => col(s"_pl.$c").as(c)) :+
+        col("_c.v").as(outCol): _*)
+  }
+
   /** Python-truthiness logical ops: `and`/`or` return an OPERAND, not a
     * boolean (tests/test_operations.py:183-207); xor returns a boolean.
     * Python `x or y` = x if truthy(x) else y; `x and y` = y if truthy(x)

@@ -144,4 +144,75 @@ object Rollup {
     daily.filter(col("bin_start") >= nowUs - dailyKeepUs),
     weekly
   )
+
+  /** Per-bin exact point-value percentiles — the monitoring-tier rollup
+    * (p50/p95/p99 latency per hour). Point-based (every measurement
+    * weighted once), complementing [[tierStats]]' time-weighted mean:
+    * latency-style event values are samples of a process, not a step
+    * function to integrate. Output one row per (key, bin, q):
+    * (key, bin_start, n_points, q, value).
+    *
+    * Exact interpolated percentile (Spark's `percentile` aggregate —
+    * rank q·(n−1) with linear interpolation, the same semantics as
+    * DuckDB `quantile_cont` / numpy `linear`), all requested quantiles
+    * computed by ONE aggregate pass over each bin. One shuffle on
+    * (key, bin); per-group state is the bin's sample multiset — bounded
+    * by bin width, never a key's full history, so a decade-long hot key
+    * costs the same per bin as a cold one. At 100 TB the drop-in
+    * scale escape is `percentile_approx` (t-digest, mergeable,
+    * fixed-size state) in the same plan; the exact form is the one an
+    * oracle can check bit-for-bit.
+    */
+  def tierPercentiles(
+      df: DataFrame,
+      startUs: Long,
+      endUs: Long,
+      stepUs: Long,
+      qs: Seq[Double]): DataFrame = {
+    require(stepUs > 0, s"bin width $stepUs must be positive")
+    require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0),
+      s"quantiles must be in [0,1]: $qs")
+    val qArr = array(qs.map(lit): _*)
+    df.filter(col(T) >= startUs && col(T) < endUs)
+      .groupBy(col(K),
+        (floor((col(T) - startUs) / stepUs) * stepUs + startUs)
+          .cast("long").as("bin_start"))
+      .agg(
+        count(lit(1)).as("n_points"),
+        percentile(col(V), qArr).as("_ps"))
+      .select(col(K), col("bin_start"), col("n_points"),
+        posexplode(col("_ps")))
+      .select(col(K), col("bin_start"), col("n_points"),
+        element_at(qArr, col("pos") + 1).as("q"),
+        round(col("col"), 6).as("value"))
+  }
+
+  /** M4 downsampling (Jugel et al., "M4: A Visualization-Oriented Time
+    * Series Data Aggregation", VLDB 2014 — public): per (key, pixel bin)
+    * the first, last, min and max points, the four values that make a
+    * line rendering of the bin pixel-exact at that resolution. Output
+    * (key, bin_start, n_points, t_first, t_last, v_first, v_last,
+    * v_min, v_max).
+    *
+    * Aggregate-only — min/max plus `min_by`/`max_by` ordered by the
+    * deterministic (t, v) struct (ties at equal t break by value, so the
+    * result is engine-independent). One shuffle on (key, bin) with
+    * map-side partial aggregation: constant state per group, no window,
+    * no sort — the cheapest possible 100 TB shape, and the reduction is
+    * associative so AQE/combiners handle any bin-level skew. */
+  def m4(df: DataFrame, startUs: Long, stepUs: Long): DataFrame = {
+    require(stepUs > 0, s"bin width $stepUs must be positive")
+    val ord = struct(col(T), col(V))
+    df.groupBy(col(K),
+        (floor((col(T) - startUs) / stepUs) * stepUs + startUs)
+          .cast("long").as("bin_start"))
+      .agg(
+        count(lit(1)).as("n_points"),
+        min(col(T)).as("t_first"),
+        max(col(T)).as("t_last"),
+        min_by(col(V), ord).as("v_first"),
+        max_by(col(V), ord).as("v_last"),
+        min(col(V)).as("v_min"),
+        max(col(V)).as("v_max"))
+  }
 }

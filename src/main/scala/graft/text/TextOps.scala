@@ -351,4 +351,35 @@ object TextOps {
       .filter(col("term_rank") <= k)
       .select(col(idCol), col("term"), col("term_rank"), col("score"))
   }
+
+  /** Per-source quantile calibration: percentile-rank every document's
+    * quality score WITHIN its source and keep the top `frac` — the
+    * threshold-free selection that survives heterogeneous sources (a
+    * single global cutoff keeps everything from a clean source and
+    * nothing from a noisy one; FineWeb/Dolma-style pipelines calibrate
+    * per source for exactly this reason). Rank order is
+    * (score desc, doc_id asc), so ranks are total and engine-independent;
+    * the score should be pre-rounded so both engines rank identical
+    * values. Output = input + (q_rank, keep).
+    *
+    * One window partitioned by source: per-partition volume equals
+    * source size, fine for O(100..10^4) sources at any corpus scale —
+    * the web's source distribution is fat but each partition streams
+    * through its sort, and a pathological mega-source swaps in a
+    * two-pass per-source histogram threshold (same contract) without
+    * touching callers.
+    */
+  def sourceQuantileKeep(
+      df: DataFrame,
+      frac: Double,
+      scoreCol: String = "quality",
+      sourceCol: String = "source",
+      idCol: String = "doc_id"): DataFrame = {
+    require(frac > 0.0 && frac <= 1.0, s"keep fraction $frac not in (0,1]")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(sourceCol))
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+    df.withColumn("q_rank", round(percent_rank().over(w), 6))
+      .withColumn("keep", (col("q_rank") <= frac).cast("int"))
+  }
 }

@@ -1,0 +1,122 @@
+package graft
+
+import graft.events.EventOps
+import graft.merge.MergeOps
+import graft.rollup.Rollup
+import graft.text.TextOps
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Hand-checked semantics for the analytics extensions: tier
+  * percentiles, M4 downsampling, rolling z-score, as-of enrichment join
+  * (plain == bucketed), per-source quantile calibration.
+  */
+class AnalyticsOpsSpec extends SparkSpec {
+
+  test("tierPercentiles: interpolated ranks, bin assignment, end-exclusive") {
+    val df = seriesL(Seq(
+      (10L, Some(1.0)), (20L, Some(2.0)), (30L, Some(3.0)), (40L, Some(4.0)),
+      (150L, Some(10.0)),
+      (250L, Some(99.0)))) // >= end, dropped
+    val out = Rollup.tierPercentiles(df, 0L, 200L, 100L, Seq(0.5, 1.0))
+      .collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+      .toSeq.sortBy(x => (x._1, x._3))
+    assert(out == Seq(
+      (0L, 4L, 0.5, 2.5), // rank 0.5*(4-1)=1.5 -> 2 + 0.5*(3-2)
+      (0L, 4L, 1.0, 4.0),
+      (100L, 1L, 0.5, 10.0),
+      (100L, 1L, 1.0, 10.0)))
+  }
+
+  test("m4: first/last by (t, v) tiebreak, min/max, singleton bin") {
+    val df = seriesL(Seq(
+      (10L, Some(5.0)), (10L, Some(1.0)), (20L, Some(3.0)),
+      (150L, Some(7.0))))
+    val out = Rollup.m4(df, 0L, 100L)
+      .collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getDouble(5), r.getDouble(6), r.getDouble(7), r.getDouble(8)))
+      .toSeq.sortBy(_._1)
+    assert(out == Seq(
+      (0L, 3L, 10L, 20L, 1.0, 3.0, 1.0, 5.0),
+      (100L, 1L, 150L, 150L, 7.0, 7.0, 7.0, 7.0)))
+  }
+
+  test("rollingZscore: warm-up nulls, exact z, anomaly flag, zero variance") {
+    val df = seriesL(Seq(
+      (1L, Some(1.0)), (2L, Some(3.0)), (3L, Some(1.0)),
+      (4L, Some(3.0)), (5L, Some(10.0))))
+    val out = EventOps.rollingZscore(df, lookback = 2, threshold = 1.0)
+      .collect()
+      .map(r => (r.getLong(1),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)), r.getInt(4)))
+      .toSeq.sortBy(_._1)
+    assert(out == Seq(
+      (1L, None, 0), (2L, None, 0),
+      (3L, Some(-0.707107), 0), // (1-2)/sqrt(2)
+      (4L, Some(0.707107), 0),
+      (5L, Some(5.656854), 1))) // (10-2)/sqrt(2)
+    // constant history -> sd = 0 -> null z, never a division blow-up
+    val const = seriesL(Seq((1L, Some(2.0)), (2L, Some(2.0)), (3L, Some(9.0))))
+    val z3 = EventOps.rollingZscore(const, lookback = 2, threshold = 1.0)
+      .filter(col("t") === 3).head()
+    assert(z3.isNullAt(3) && z3.getInt(4) == 0)
+  }
+
+  test("asofJoin: inclusive at-or-before, null before first, payload kept") {
+    val s = spark
+    import s.implicits._
+    val right = seriesL(Seq((10L, Some(1.0)), (20L, Some(2.0))))
+    val left = Seq(("s", 5L, "a"), ("s", 10L, "b"), ("s", 15L, "c"),
+      ("s", 25L, "d"), ("other", 30L, "e"))
+      .toDF("key", "t", "tag")
+    val out = MergeOps.asofJoin(left, right, outCol = "rv")
+      .collect()
+      .map(r => (r.getString(2), if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+      .toSeq.sortBy(_._1)
+    assert(out == Seq(
+      ("a", None), ("b", Some(1.0)), ("c", Some(1.0)), ("d", Some(2.0)),
+      ("e", None))) // key with no right series at all
+  }
+
+  test("asofJoin: bucketed path == plain path at several widths") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(20260818)
+    val right = (1 to 3).flatMap { k =>
+      (1 to 80).map(_ => (s"k$k", rnd.nextInt(2000).toLong, rnd.nextDouble()))
+    }.groupBy(r => (r._1, r._2)).map(_._2.head).toSeq // unique (key, t)
+      .toDF("key", "t", "v")
+    val left = (1 to 3).flatMap { k =>
+      (1 to 120).map(i => (s"k$k", rnd.nextInt(2200).toLong, i))
+    }.toDF("key", "t", "tag")
+    def norm(df: DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+      .toSeq.sorted(Ordering.by((x: (String, Long, Int, Option[Double])) =>
+        (x._1, x._2, x._3, x._4.getOrElse(Double.NaN).toString)))
+    val plain = norm(MergeOps.asofJoin(left, right))
+    for (width <- Seq(7L, 100L, 512L, 10000L)) {
+      val bk = Some(floor(col("t") / width).cast("long"))
+      assert(norm(MergeOps.asofJoin(left, right, bucketBy = bk)) == plain,
+        s"bucket width $width diverged")
+    }
+  }
+
+  test("sourceQuantileKeep: per-source ranks, tie-break, singleton source") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "A", 0.9), (2L, "A", 0.8), (3L, "A", 0.8), (4L, "A", 0.7),
+      (5L, "B", 0.1))
+      .toDF("doc_id", "source", "quality")
+    val out = TextOps.sourceQuantileKeep(df, frac = 0.4)
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(3), r.getInt(4)))
+      .toSeq.sortBy(_._1)
+    assert(out == Seq(
+      (1L, 0.0, 1), (2L, 0.333333, 1), (3L, 0.666667, 0), (4L, 1.0, 0),
+      (5L, 0.0, 1))) // single-row source: percent_rank 0 -> kept
+  }
+}
