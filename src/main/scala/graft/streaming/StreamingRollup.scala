@@ -28,6 +28,34 @@ object StreamingRollup {
       .select(col(K), col("win.start").as("bin_start"), col("n_points"),
         col("mean"), col("min"), col("max"))
 
+  /** Streaming gap sessionization — the continuous face of
+    * [[graft.events.EventOps.sessionize]], on Spark's native
+    * `session_window` (state-store-merged windows, watermark-bounded
+    * state; a session emits once, when the watermark passes its close +
+    * gap). Columns in: (key, ts: timestamp, v); out: one row per closed
+    * session (key, t_start, t_end, n_events, v_sum).
+    *
+    * Boundary semantics MATCH the batch operator exactly:
+    * `session_window` merges windows that touch (an event at precisely
+    * prev + gap extends the session), so a new session starts only when
+    * the inter-event gap is STRICTLY greater than `gap` — the same
+    * contract as `sessionize`'s `t - prev > gap` split. Spec'd in
+    * StreamingSpec with events at the exact boundary on both sides.
+    */
+  def sessionizeStream(
+      points: DataFrame,
+      gap: String,
+      watermarkDelay: String = "1 hour"): DataFrame =
+    points
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(col(K), session_window(col("ts"), gap).as("win"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col(V)).as("v_sum"),
+        min(col("ts")).as("t_start"),
+        max(col("ts")).as("t_end"))
+      .select(col(K), col("t_start"), col("t_end"), col("n_events"), col("v_sum"))
+
   case class PointEvent(key: String, t: Long, v: Double)
   case class Carried(key: String, t: Long, v: Double, prev: Option[Double])
 

@@ -217,4 +217,54 @@ class StreamingSpec extends SparkSpec {
     assert(rows(1L) == ((1, 1)), rows.toString) // 3 sentences, stops present
     assert(rows(2L) == ((0, 0)), rows.toString) // brace page; '{' not alphabetic
   }
+
+  test("streaming session_window sessionization == batch sessionize incl. exact-gap boundary") {
+    import spark.implicits._
+    // session_window merges windows that TOUCH: an event at exactly
+    // prev + gap stays in the session; only gap > g splits — the same
+    // boundary contract as the batch operator at the same gap.
+    val handPts = Seq( // exact 10s gap -> same; 10.000001s gap -> split
+      ("a", 0L), ("a", 5000000L), ("a", 15000000L), ("a", 25000001L))
+    val rnd = new scala.util.Random(42)
+    val randPts = (1 to 3).flatMap { k =>
+      var t = 0L
+      (1 to 100).map { _ =>
+        t += rnd.nextInt(20000000).toLong + 1 // 1µs .. 20s gaps
+        (s"r$k", t)
+      }
+    }
+    val all = handPts ++ randPts
+    val maxT = all.map(_._2).max
+    // a far-future flush event per key advances the watermark past every
+    // real session (append mode only emits sessions the watermark closed)
+    val flushT = maxT + 86400000000L
+    val df = (all ++ all.map(_._1).distinct.map((_, flushT)))
+      .zipWithIndex.map { case ((k, t), i) => (k, t, (i % 7).toDouble) }
+      .toDF("key", "t", "v")
+    val dir = java.nio.file.Files.createTempDirectory("graft_sess").toString
+    val staged = df.select(col("key"), timestamp_micros(col("t")).as("ts"), col("v"))
+    staged.write.mode("overwrite").parquet(s"$dir/in")
+    val src = spark.readStream.schema(staged.schema).parquet(s"$dir/in")
+    val q = StreamingRollup.sessionizeStream(src, "10 seconds", "0 seconds")
+      .writeStream.format("memory").queryName("sess_out").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    def norm(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+    val got = spark.table("sess_out")
+      .select(col("key"), unix_micros(col("t_start")), unix_micros(col("t_end")),
+        col("n_events"), round(col("v_sum"), 6))
+      .collect().map(norm).toSet
+    val exp = graft.events.EventOps.sessionize(df, gap = 10000000L)
+      .filter(col("t_start") < flushT) // flush sessions never close
+      .select(col("key"), col("t_start"), col("t_end"), col("n_events"),
+        round(col("v_sum"), 6))
+      .collect().map(norm).toSet
+    assert(exp.size > 20, s"fixture too small: ${exp.size}")
+    assert(got == exp,
+      s"streaming-only: ${got -- exp}\nbatch-only: ${exp -- got}")
+    // the hand case pins the boundary semantics: the exact-gap event
+    // extends the session; the gap+1µs event opens a new one
+    assert(got.exists(r => r._1 == "a" && r._2 == 0L && r._3 == 15000000L && r._4 == 3L))
+    assert(got.exists(r => r._1 == "a" && r._2 == 25000001L && r._4 == 1L))
+  }
 }
