@@ -3234,6 +3234,25 @@ object GraftQueries {
        |FROM q""".stripMargin
   }
 
+  /** PromQL-style counter rate per user (per-second, reset-aware). */
+  def qCounterRate(spark: SparkSession, dir: String): DataFrame =
+    graft.events.EventOps.counterRate(
+      spark.read.parquet(s"$dir/events.parquet")
+        .select(col("user_id").as("key"), tsUs.as("t"), col("value").as("v")))
+      .select(col("key").as("user_id"), col("t"), col("increase"), col("rate"))
+
+  val sqlCounterRate: String =
+    """WITH e AS (SELECT user_id, epoch_us(ts) AS t, value AS v FROM events),
+      |w AS (
+      |  SELECT user_id, t, v,
+      |    lag(v) OVER win AS pv, lag(t) OVER win AS pt
+      |  FROM e WINDOW win AS (PARTITION BY user_id ORDER BY t, v))
+      |SELECT user_id, t,
+      |  CASE WHEN v >= pv THEN v - pv ELSE v END AS increase,
+      |  round(CASE WHEN v >= pv THEN v - pv ELSE v END * 1000000 / (t - pt), 6)
+      |    AS rate
+      |FROM w WHERE pt IS NOT NULL AND t > pt""".stripMargin
+
   // classic relational smoke (lineitem)
   def qLineitemAgg(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/lineitem.parquet")

@@ -173,4 +173,26 @@ object EventOps {
       .withColumn("anomaly",
         (col("z").isNotNull && abs(col("z")) > threshold).cast("int"))
   }
+
+  /** PromQL-style counter rate: per key, for each adjacent point pair
+    * the increase and its per-`perUs` rate, treating a value DROP as a
+    * counter reset (the increase since a reset is the new value itself —
+    * Prometheus `rate()`/`increase()` semantics over monotone counters
+    * that restart at zero on process restart). Output one row at the
+    * LATER point of each pair: (key, t, increase, rate); a key's first
+    * point pairs with nothing; zero-duration pairs (equal t) are
+    * dropped rather than dividing by zero. Deterministic under
+    * duplicate times: order is (t, v). One per-key lag window — the
+    * standard ordered-scan shape; rate arithmetic is
+    * (increase · perUs) / Δt with exact long Δt, so engines agree
+    * bit-for-bit before the 6-dp round. */
+  def counterRate(df: DataFrame, perUs: Long = 1000000L): DataFrame = {
+    val w = Window.partitionBy(K).orderBy(col(T).asc, col(V).asc)
+    val pv = lag(col(V), 1).over(w)
+    val inc = when(col(V) >= pv, col(V) - pv).otherwise(col(V))
+    df.select(col(K), col(T), inc.as("_inc"), lag(col(T), 1).over(w).as("_pt"))
+      .filter(col("_pt").isNotNull && col(T) > col("_pt"))
+      .select(col(K), col(T), col("_inc").as("increase"),
+        round(col("_inc") * perUs / (col(T) - col("_pt")), 6).as("rate"))
+  }
 }

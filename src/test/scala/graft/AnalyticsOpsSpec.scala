@@ -104,6 +104,22 @@ class AnalyticsOpsSpec extends SparkSpec {
     }
   }
 
+  test("counterRate: increase, reset handling, zero-duration pair dropped") {
+    val df = seriesL(Seq(
+      (1L, Some(10.0)), (3L, Some(14.0)), // +4 over 2us
+      (5L, Some(2.0)), // drop -> reset: increase = new value
+      (5L, Some(7.0)), // equal-t pair: dropped (no zero-duration rate)
+      (8L, Some(9.0)))) // +2 over 3us from (5, 7)
+    val out = EventOps.counterRate(df)
+      .collect()
+      .map(r => (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toSeq.sortBy(_._1)
+    assert(out == Seq(
+      (3L, 4.0, 2000000.0),
+      (5L, 2.0, 1000000.0),
+      (8L, 2.0, 666666.666667)))
+  }
+
   test("sourceQuantileKeep: per-source ranks, tie-break, singleton source") {
     val s = spark
     import s.implicits._
