@@ -3012,10 +3012,10 @@ object GraftQueries {
       |  SELECT user_id, t, v,
       |    CASE WHEN lag(t) OVER w IS NULL
       |              OR t - lag(t) OVER w > 43200000000 THEN 1 ELSE 0 END AS flag
-      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)),
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, v)),
       |s AS (
       |  SELECT user_id, t, v,
-      |    CAST(sum(flag) OVER (PARTITION BY user_id ORDER BY t
+      |    CAST(sum(flag) OVER (PARTITION BY user_id ORDER BY t, v
       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
       |  FROM f)
       |SELECT user_id, session_idx, min(t) AS t_start, max(t) AS t_end,
@@ -3095,7 +3095,8 @@ object GraftQueries {
       |  SELECT event_type,
       |    CAST((t - 1704067200000000) // 3600000000 * 3600000000
       |         + 1704067200000000 AS BIGINT) AS bin_start, v
-      |  FROM e WHERE t >= 1704067200000000 AND t < 1706745600000000),
+      |  FROM e WHERE t >= 1704067200000000 AND t < 1706745600000000
+      |    AND v IS NOT NULL),
       |a AS (
       |  SELECT event_type, bin_start, count(*) AS n_points,
       |    quantile_cont(v, 0.5) AS p50, quantile_cont(v, 0.9) AS p90,
@@ -3124,8 +3125,8 @@ object GraftQueries {
       |    ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
       |SELECT user_id, t, v,
       |  CASE WHEN n = 24 AND sd > 0 THEN round((v - mu) / sd, 6) END AS z,
-      |  CAST(CASE WHEN n = 24 AND sd > 0
-      |       THEN abs(round((v - mu) / sd, 6)) > 2.5 ELSE FALSE END AS INT) AS anomaly
+      |  CAST(COALESCE(CASE WHEN n = 24 AND sd > 0
+      |       THEN abs(round((v - mu) / sd, 6)) > 2.5 END, FALSE) AS INT) AS anomaly
       |FROM w""".stripMargin
 
   /** As-of enrichment: every event tagged with its user's last CLOSED

@@ -206,10 +206,19 @@ object Dedup {
     val benchShingles = benchmark
       .select(explode(shingles(col(textCol), shingleN)).as("_s"))
       .distinct()
-    // model-build step: the count sizes the filter (benchmark-side job,
-    // small by definition), the build is one tree-aggregate over it
-    val nBench = math.max(benchShingles.count(), 1L)
-    val bloom = benchShingles.stat.bloomFilter("_s", nBench, fpp)
+    // model-build step: the count sizes the filter and the build is one
+    // tree-aggregate — two driver-blocking jobs over the same
+    // benchmark-shingle frame, so it is persisted across them and
+    // released immediately after (lifecycle-managed, like Bench's; the
+    // later verification join re-derives the frame lazily — one
+    // recomputation instead of three, and no cache entry outlives the
+    // call)
+    benchShingles.persist()
+    val bloom =
+      try {
+        val nBench = math.max(benchShingles.count(), 1L)
+        benchShingles.stat.bloomFilter("_s", nBench, fpp)
+      } finally benchShingles.unpersist()
     val bloomB = spark.sparkContext.broadcast(bloom)
     val mightContain = udf { s: String =>
       s != null && bloomB.value.mightContainString(s)

@@ -75,9 +75,10 @@ object EventOps {
     * row per (key, session): (key, session_idx 1-based, t_start, t_end,
     * n_events, v_sum).
     *
-    * Rows at equal `t` always share a session (gap 0 ≤ gap), so the result
-    * is deterministic without a tie column. Session membership for a row
-    * depends only on earlier times, never on `v`.
+    * Rows at equal `t` always share a session (gap 0 ≤ gap), so session
+    * membership depends only on times, never on `v`; internally every
+    * window pass still orders by (t, v) so the passes agree on which
+    * equal-t row carries the boundary flag (see the note below).
     *
     * Plain path: one per-key window (lag + running flag-sum) then a
     * (key, session) aggregation — two exchanges, map-side partial
@@ -93,16 +94,24 @@ object EventOps {
     */
   def sessionize(df: DataFrame, gap: Long,
       bucketBy: Option[Column] = None): DataFrame = {
+    // (t, v) ordering, not t alone: the boundary flag and the running
+    // flag-sum are evaluated in SEPARATE window passes (the bucketed path
+    // even re-sorts after the offsets join), and Spark's sort is not
+    // stable across exchanges — with a t-only order two equal-t rows
+    // could permute between the passes and swap which row carries the
+    // boundary flag. The v tie-break pins one total order in every pass;
+    // session MEMBERSHIP still depends only on times (equal-t rows always
+    // share a session either way).
     val sessioned = bucketBy match {
       case None =>
-        val w = Window.partitionBy(K).orderBy(T)
+        val w = Window.partitionBy(K).orderBy(col(T).asc, col(V).asc)
         val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         val prev = lag(col(T), 1).over(w)
         val flag = when(prev.isNull || col(T) - prev > gap, 1L).otherwise(0L)
         df.withColumn("_sess", sum(flag).over(wRun))
       case Some(bk) =>
         val d = df.withColumn("_bkt", bk)
-        val wIn = Window.partitionBy(K, "_bkt").orderBy(T)
+        val wIn = Window.partitionBy(K, "_bkt").orderBy(col(T).asc, col(V).asc)
         val wInRun = wIn.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         val prevIn = lag(col(T), 1).over(wIn)
         // null for each bucket's first row — resolved from the handoff below

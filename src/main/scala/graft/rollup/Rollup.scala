@@ -162,6 +162,11 @@ object Rollup {
     * scale escape is `percentile_approx` (t-digest, mergeable,
     * fixed-size state) in the same plan; the exact form is the one an
     * oracle can check bit-for-bit.
+    *
+    * Null-valued points carry no sample and are dropped UP FRONT (so
+    * `n_points` counts measurements and an all-null bin emits nothing,
+    * rather than `percentile` returning a null array that posexplode
+    * silently swallows while n_points still counted the rows).
     */
   def tierPercentiles(
       df: DataFrame,
@@ -173,7 +178,7 @@ object Rollup {
     require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0),
       s"quantiles must be in [0,1]: $qs")
     val qArr = array(qs.map(lit): _*)
-    df.filter(col(T) >= startUs && col(T) < endUs)
+    df.filter(col(T) >= startUs && col(T) < endUs && col(V).isNotNull)
       .groupBy(col(K),
         (floor((col(T) - startUs) / stepUs) * stepUs + startUs)
           .cast("long").as("bin_start"))

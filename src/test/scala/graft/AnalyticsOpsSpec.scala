@@ -29,6 +29,15 @@ class AnalyticsOpsSpec extends SparkSpec {
       (100L, 1L, 1.0, 10.0)))
   }
 
+  test("tierPercentiles: null values carry no sample; all-null bin emits nothing") {
+    val df = seriesL(Seq(
+      (10L, Some(1.0)), (20L, None), (30L, Some(3.0)), // mixed bin
+      (150L, None))) // all-null bin
+    val out = Rollup.tierPercentiles(df, 0L, 200L, 100L, Seq(0.5))
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(4))).toSeq
+    assert(out == Seq((0L, 2L, 2.0))) // n_points counts measurements only
+  }
+
   test("m4: first/last by (t, v) tiebreak, min/max, singleton bin") {
     val df = seriesL(Seq(
       (10L, Some(5.0)), (10L, Some(1.0)), (20L, Some(3.0)),

@@ -47,9 +47,13 @@ class SessionizeSpec extends SparkSpec {
     val rnd = new scala.util.Random(20260818)
     val pts = (1 to 4).flatMap { k =>
       var t = 0L
-      (1 to 200).map { _ =>
+      (1 to 200).flatMap { _ =>
         t += rnd.nextInt(120) + 1
-        (s"u$k", t, rnd.nextDouble())
+        // ~10% duplicate-timestamp pairs: the two window passes must
+        // agree on which equal-t row carries a boundary flag
+        val base = Seq((s"u$k", t, rnd.nextDouble()))
+        if (rnd.nextInt(10) == 0) base :+ ((s"u$k", t, rnd.nextDouble()))
+        else base
       }
     }
     val s = spark
@@ -62,6 +66,17 @@ class SessionizeSpec extends SparkSpec {
         bucketBy = Some(floor(col("t") / width))))
       assert(bucketed == plain, s"width $width diverged")
     }
+  }
+
+  test("equal-t rows AT a session boundary stay together on every path") {
+    // two rows share t=100, which opens a new session (gap 40 < 100);
+    // whichever row a pass orders first, both must land in session 2
+    val df = seriesL(Seq((0L, Some(1.0)), (100L, Some(3.0)), (100L, Some(2.0))))
+    val exp = Seq(("s", 1L, 0L, 0L, 1L, 1.0), ("s", 2L, 100L, 100L, 2L, 5.0))
+    assert(collectSessions(EventOps.sessionize(df, gap = 40L)) == exp)
+    for (width <- Seq(7L, 64L, 128L))
+      assert(collectSessions(EventOps.sessionize(df, gap = 40L,
+        bucketBy = Some(floor(col("t") / width)))) == exp, s"width $width")
   }
 
   test("bucket boundaries straddling a session do not split it") {
