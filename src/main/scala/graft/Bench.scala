@@ -43,7 +43,8 @@ object Bench {
     // downsample (q99), per-source quantile calibration (q100)
     "q93_sessionize", "q94_tfidf_topk", "q95_bloom_decon",
     "q96_tier_percentiles", "q97_rolling_zscore", "q98_asof_enrich",
-    "q99_m4_downsample", "q100_source_quantile", "q101_counter_rate")
+    "q99_m4_downsample", "q100_source_quantile", "q101_counter_rate",
+    "q102_shard_manifest", "q103_seasonal_residual", "q104_psi_drift")
 
   def session(cpus: String): SparkSession = {
     // 4 waves of tasks per core: on a shared VM with CPU steal, a stage is

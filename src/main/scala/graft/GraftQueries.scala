@@ -3254,6 +3254,83 @@ object GraftQueries {
       |    AS rate
       |FROM w WHERE pt IS NOT NULL AND t > pt""".stripMargin
 
+  /** Deterministic 16-shard export manifest over documents. */
+  def qShardManifest(spark: SparkSession, dir: String): DataFrame =
+    graft.pack.Packing.shardManifest(
+      docs(spark, dir).select(col("doc_id"),
+        size(TextOps.wsTokens(col("text"))).cast("long").as("n_tokens")),
+      nShards = 16)
+
+  val sqlShardManifest: String =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    ('0x' || substr(md5('shard' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+      |      % 16 AS shard,
+      |    len(regexp_extract_all(text, '\S+')) AS n_tokens
+      |  FROM documents)
+      |SELECT shard, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+      |  md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)) AS ids_digest
+      |FROM d GROUP BY 1""".stripMargin
+
+  /** Hour-of-day seasonal baseline residuals per event_type (3σ flags). */
+  def qSeasonalResidual(spark: SparkSession, dir: String): DataFrame =
+    graft.events.EventOps.seasonalResidual(
+      spark.read.parquet(s"$dir/events.parquet")
+        .select(col("event_type").as("key"), tsUs.as("t"), col("value").as("v")))
+      .select(col("key").as("event_type"), col("t"), col("v"),
+        col("season_bin"), col("baseline"), col("residual"), col("anomaly"))
+
+  val sqlSeasonalResidual: String =
+    """WITH e AS (
+      |  SELECT event_type, epoch_us(ts) AS t, value AS v FROM events
+      |  WHERE value IS NOT NULL),
+      |p AS (
+      |  SELECT event_type, t, v,
+      |    CAST((t // 3600000000) % 24 AS INT) AS season_bin FROM e),
+      |b AS (
+      |  SELECT event_type, season_bin, round(avg(v), 6) AS baseline,
+      |    round(stddev_samp(v), 6) AS sd, count(*) AS n
+      |  FROM p GROUP BY 1, 2)
+      |SELECT p.event_type, p.t, p.v, p.season_bin, b.baseline,
+      |  CASE WHEN b.n >= 2 AND b.sd > 0
+      |       THEN round(p.v - b.baseline, 6) END AS residual,
+      |  CAST(COALESCE(CASE WHEN b.n >= 2 AND b.sd > 0
+      |       THEN abs(round(p.v - b.baseline, 6)) > b.sd * 3.0 END, FALSE) AS INT)
+      |    AS anomaly
+      |FROM p JOIN b USING (event_type, season_bin)""".stripMargin
+
+  /** PSI value-distribution drift per event_type: first half of January
+    * vs the rest (10 bins over [0, 400], edge-clamped). */
+  def qPsiDrift(spark: SparkSession, dir: String): DataFrame =
+    graft.events.EventOps.psiDrift(
+      spark.read.parquet(s"$dir/events.parquet")
+        .select(col("event_type").as("key"), tsUs.as("t"), col("value").as("v")),
+      splitT = 1705363200000000L, lo = 0.0, hi = 400.0, nBins = 10)
+      .select(col("key").as("event_type"), col("n_a"), col("n_b"),
+        round(col("psi"), 6).as("psi"))
+
+  val sqlPsiDrift: String =
+    """WITH e AS (SELECT event_type, epoch_us(ts) AS t, value AS v FROM events
+      |  WHERE value IS NOT NULL),
+      |c AS (
+      |  SELECT event_type,
+      |    least(9, greatest(0, CAST(floor(v / 400.0 * 10) AS BIGINT))) AS bin,
+      |    sum(CASE WHEN t < 1705363200000000 THEN 1 ELSE 0 END) AS ca,
+      |    sum(CASE WHEN t >= 1705363200000000 THEN 1 ELSE 0 END) AS cb
+      |  FROM e GROUP BY 1, 2),
+      |tt AS (
+      |  SELECT event_type, CAST(sum(ca) AS BIGINT) AS n_a,
+      |    CAST(sum(cb) AS BIGINT) AS n_b
+      |  FROM c GROUP BY 1),
+      |terms AS (
+      |  SELECT c.event_type, tt.n_a, tt.n_b,
+      |    CAST(round(((c.ca + 0.5) / (tt.n_a + 5.0) - (c.cb + 0.5) / (tt.n_b + 5.0))
+      |      * ln(((c.ca + 0.5) / (tt.n_a + 5.0)) / ((c.cb + 0.5) / (tt.n_b + 5.0)))
+      |      * 1e6) AS BIGINT) AS term
+      |  FROM c JOIN tt USING (event_type))
+      |SELECT event_type, n_a, n_b, round(sum(term) / 1e6, 6) AS psi
+      |FROM terms GROUP BY 1, 2, 3""".stripMargin
+
   // classic relational smoke (lineitem)
   def qLineitemAgg(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/lineitem.parquet")

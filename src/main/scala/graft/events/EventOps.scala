@@ -183,6 +183,99 @@ object EventOps {
         (col("z").isNotNull && abs(col("z")) > threshold).cast("int"))
   }
 
+  /** Seasonal-baseline residuals: each event scored against the mean and
+    * sample stddev of its key's OWN seasonal bin (hour-of-day by
+    * default: bin = (t / binUs) mod (periodUs / binUs)) — the
+    * periodicity-aware complement of [[rollingZscore]]: a nightly
+    * traffic dip is normal at 3am and an anomaly at noon. Output
+    * (key, t, v, season_bin, baseline, residual, anomaly).
+    *
+    * The baseline table is (keys × bins) rows — aggregated once and
+    * broadcast back onto the events (never a window over the raw rows,
+    * so a hot key costs one combiner per task, not a sort). Baseline and
+    * stddev are rounded to the 1e-6 grid BEFORE the residual/threshold
+    * arithmetic, so every comparison is on engine-exact values
+    * (aggregation order cannot flip a flag). Bins with fewer than 2
+    * points (or zero variance) emit null residual and anomaly=0. */
+  def seasonalResidual(
+      df: DataFrame,
+      periodUs: Long = 86400000000L,
+      binUs: Long = 3600000000L,
+      nSigma: Double = 3.0): DataFrame = {
+    require(periodUs > 0 && binUs > 0 && periodUs % binUs == 0,
+      s"period $periodUs must be a positive multiple of bin $binUs")
+    val nBins = periodUs / binUs
+    val sbin = pmod(floor(col(T) / binUs), lit(nBins)).cast("int")
+    val pts = df.filter(col(V).isNotNull).withColumn("season_bin", sbin)
+    val base = pts
+      .groupBy(col(K), col("season_bin"))
+      .agg(
+        round(avg(col(V)), 6).as("baseline"),
+        round(stddev_samp(col(V)), 6).as("_sd"),
+        count(lit(1)).as("_n"))
+    val resid = round(col(V) - col("baseline"), 6)
+    val b2 = base.select(col(K).as("_bk"), col("season_bin").as("_bb"),
+      col("baseline"), col("_sd"), col("_n"))
+    pts
+      // null-safe <=>: a null merge key is legal in the series frames
+      // (the repo-wide convention); a Seq() join would silently drop it
+      .join(broadcast(b2),
+        pts(K) <=> b2("_bk") && pts("season_bin") <=> b2("_bb"))
+      .drop("_bk", "_bb")
+      .withColumn("residual",
+        when(col("_n") >= 2 && col("_sd") > 0, resid))
+      .withColumn("anomaly",
+        (col("residual").isNotNull &&
+          abs(col("residual")) > col("_sd") * nSigma).cast("int"))
+      .select(col(K), col(T), col(V), col("season_bin"),
+        col("baseline"), col("residual"), col("anomaly"))
+  }
+
+  /** Population Stability Index between the value distributions before
+    * and after `splitT` — the standard drift monitor between a
+    * reference window and a live window (PSI > 0.2 is the classic
+    * "investigate" threshold). Values bin into `nBins` equal-width
+    * buckets over [lo, hi] (outliers clamp to the edge bins); each
+    * side's proportions are add-½ smoothed so one-sided bins stay
+    * finite; bins empty on BOTH sides contribute nothing (they never
+    * materialize a row — the documented contract, replayed identically
+    * by the oracle). Output (key, n_a, n_b, psi).
+    *
+    * Per-bin terms are quantized to the 1e-6 integer grid and summed as
+    * longs, so the per-key total is aggregation-order independent (the
+    * q77/q80 discipline). Two aggregates over one (key, bin) exchange
+    * plus a per-key join of bin counts against key totals — no windows,
+    * no driver state; scales as groupBy does. */
+  def psiDrift(
+      df: DataFrame,
+      splitT: Long,
+      lo: Double,
+      hi: Double,
+      nBins: Int = 10): DataFrame = {
+    require(nBins > 0 && hi > lo, s"need hi > lo and nBins > 0")
+    val bin = least(lit(nBins - 1), greatest(lit(0),
+      floor((col(V) - lo) / (hi - lo) * nBins))).cast("int")
+    val counts = df.filter(col(V).isNotNull)
+      .groupBy(col(K), bin.as("_bin"))
+      .agg(
+        sum(when(col(T) < splitT, 1L).otherwise(0L)).as("_ca"),
+        sum(when(col(T) >= splitT, 1L).otherwise(0L)).as("_cb"))
+    val totals = counts.groupBy(col(K))
+      .agg(sum(col("_ca")).as("n_a"), sum(col("_cb")).as("n_b"))
+    val pa = (col("_ca") + 0.5) / (col("n_a") + 0.5 * nBins)
+    val pb = (col("_cb") + 0.5) / (col("n_b") + 0.5 * nBins)
+    val t2 = totals.select(col(K).as("_tk"), col("n_a"), col("n_b"))
+    counts
+      .join(t2, counts(K) <=> t2("_tk")) // null-safe, like the merge family
+      .drop("_tk")
+      .withColumn("_term",
+        round((pa - pb) * log(pa / pb) * 1e6).cast("long"))
+      .groupBy(col(K))
+      .agg(
+        first(col("n_a")).as("n_a"), first(col("n_b")).as("n_b"),
+        (sum(col("_term")) / 1e6).as("psi"))
+  }
+
   /** PromQL-style counter rate: per key, for each adjacent point pair
     * the increase and its per-`perUs` rate, treating a value DROP as a
     * counter reset (the increase since a reset is the new value itself —

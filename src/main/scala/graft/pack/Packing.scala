@@ -25,6 +25,40 @@ import org.apache.spark.sql.functions._
   */
 object Packing {
 
+  /** Deterministic shard assignment + per-shard export manifest — the
+    * reproducibility contract of a dataset release: every document maps
+    * to a shard by content-independent id hash (stable under corpus
+    * reorder, partitioning, and engine), and the manifest row per shard
+    * carries the counts and an order-independent id digest a consumer
+    * can re-derive to prove the shard it read is the shard that was
+    * written. Output (shard, n_docs, n_tokens, ids_digest).
+    *
+    * The digest is md5 over the comma-joined ASCENDING id list — an
+    * engine-portable canonical form (any engine can replay it); the
+    * per-shard sort is bounded by shard size (corpus/nShards), the same
+    * O(rows log rows/shards) as writing sorted shard files, which a
+    * release does anyway. One shuffle on the shard id; the md5-prefix
+    * hash (the [[graft.sample.Sampling.unitHash]] convention — any
+    * engine can replay it, unlike xxhash64) spreads ids uniformly so
+    * shards balance regardless of id distribution. */
+  def shardManifest(
+      df: DataFrame,
+      nShards: Int,
+      idCol: String = "doc_id",
+      tokenCol: String = "n_tokens"): DataFrame = {
+    require(nShards > 0, s"nShards $nShards must be positive")
+    val h = conv(substring(
+      md5(concat(lit("shard"), col(idCol).cast("string")).cast("binary")),
+      1, 8), 16, 10).cast("long")
+    df.groupBy(pmod(h, lit(nShards.toLong)).as("shard"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col(tokenCol)).as("n_tokens"),
+        md5(concat_ws(",",
+          transform(sort_array(collect_list(col(idCol))), _.cast("string")))
+          .cast("binary")).as("ids_digest"))
+  }
+
   /** docs + a token-count column -> (block_id, doc_id, tok_start, tok_end)
     * with doc-relative half-open spans; every block except the last holds
     * exactly `blockTokens` tokens. Zero-token docs are dropped (they carry

@@ -129,6 +129,61 @@ class AnalyticsOpsSpec extends SparkSpec {
       (8L, 2.0, 666666.666667)))
   }
 
+  test("shardManifest: numeric-order digest, doc/token accounting, partition invariance") {
+    val s = spark
+    import s.implicits._
+    val df = (1L to 20L).map(id => (id, id * 10)).toDF("doc_id", "n_tokens")
+    // nShards=1: digest must be md5 over NUMERICALLY sorted ids — the
+    // "1,10,11,...,2,20,..." lexicographic trap would change the bytes
+    val one = graft.pack.Packing.shardManifest(df, nShards = 1).head()
+    val canonical = (1L to 20L).mkString(",")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val expDigest = md.digest(canonical.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert((one.getLong(1), one.getLong(2), one.getString(3)) ==
+      ((20L, 2100L, expDigest)))
+    val m3 = graft.pack.Packing.shardManifest(df, nShards = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(3))).toSet
+    assert(m3.map(_._2).sum == 20L && m3.map(_._1).forall(sh => sh >= 0 && sh < 3))
+    val m3r = graft.pack.Packing.shardManifest(df.repartition(7), nShards = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(3))).toSet
+    assert(m3r == m3, "manifest must not depend on input partitioning")
+  }
+
+  test("seasonalResidual: per-bin baseline, zero-variance guard, sigma flag") {
+    val df = seriesL(Seq(
+      (0L, Some(1.0)), (20L, Some(3.0)), // bin 0: mean 2, sd 1.414214
+      (10L, Some(5.0)), (30L, Some(5.0)))) // bin 1: sd 0 -> null residual
+    def run(nSigma: Double) =
+      EventOps.seasonalResidual(df, periodUs = 20L, binUs = 10L, nSigma = nSigma)
+        .collect()
+        .map(r => (r.getLong(1), r.getInt(3), r.getDouble(4),
+          if (r.isNullAt(5)) None else Some(r.getDouble(5)), r.getInt(6)))
+        .toSeq.sortBy(_._1)
+    assert(run(3.0) == Seq(
+      (0L, 0, 2.0, Some(-1.0), 0), (10L, 1, 5.0, None, 0),
+      (20L, 0, 2.0, Some(1.0), 0), (30L, 1, 5.0, None, 0)))
+    // |residual| = 1 > 0.5 * 1.414214 -> flags with the tighter sigma
+    assert(run(0.5).map(_._5) == Seq(1, 0, 1, 0))
+  }
+
+  test("psiDrift: exact smoothed terms; identical windows give psi 0") {
+    val df = seriesL(Seq(
+      (1L, Some(0.5)), (2L, Some(0.5)), (3L, Some(1.5)), // window A
+      (11L, Some(1.5)), (12L, Some(1.5)))) // window B
+    val out = EventOps.psiDrift(df, splitT = 10L, lo = 0.0, hi = 2.0, nBins = 2)
+      .head()
+    def term(ca: Long, cb: Long, na: Long, nb: Long): Long = {
+      val pa = (ca + 0.5) / (na + 0.5 * 2); val pb = (cb + 0.5) / (nb + 0.5 * 2)
+      math.round((pa - pb) * math.log(pa / pb) * 1e6)
+    }
+    val exp = (term(2, 0, 3, 2) + term(1, 2, 3, 2)) / 1e6
+    assert((out.getLong(1), out.getLong(2), out.getDouble(3)) == ((3L, 2L, exp)))
+    val same = seriesL(Seq((1L, Some(0.5)), (2L, Some(1.5)),
+      (11L, Some(0.5)), (12L, Some(1.5))))
+    assert(EventOps.psiDrift(same, 10L, 0.0, 2.0, 2).head().getDouble(3) == 0.0)
+  }
+
   test("sourceQuantileKeep: per-source ranks, tie-break, singleton source") {
     val s = spark
     import s.implicits._
