@@ -327,9 +327,17 @@ object TextOps {
     * crossJoin, never a driver collect. The top-k window partitions by
     * doc_id — per-doc vocabulary is bounded, so no key can funnel the
     * corpus through one task.
+    *
+    * `broadcastVocab = true` fits corpora whose vocabulary fits an
+    * executor (the tested shape); a WEB-SCALE vocabulary (billions of
+    * raw whitespace types) exceeds broadcast limits — pass false and
+    * the df table shuffle-joins on `term` instead, sharing the (term)
+    * hash partitioning with the aggregate that built it (same contract
+    * as `Ann.ivfTopK`'s `broadcastQueries` / `sampleIntervalAt`'s
+    * `broadcastCells`).
     */
   def tfIdfTopK(docs: DataFrame, k: Int = 5, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text", broadcastVocab: Boolean = true): DataFrame = {
     val tf = docs
       .select(col(idCol), explode(wsTokens(col(textCol))).as("term"))
       .groupBy(col(idCol), col("term"))
@@ -337,7 +345,7 @@ object TextOps {
     val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("_n"))
     val scored = tf
-      .join(broadcast(dfT), Seq("term"))
+      .join(if (broadcastVocab) broadcast(dfT) else dfT, Seq("term"))
       .crossJoin(broadcast(n))
       .withColumn("score",
         round(col("tf") *

@@ -17,6 +17,32 @@ class TfidfBloomSpec extends SparkSpec {
     rows.toDF("doc_id", "text")
   }
 
+  test("tf-idf: broadcastVocab=false drops the vocab broadcast, results equal") {
+    val d = docsDf(Seq((1L, "a a b x"), (2L, "a c y"), (3L, "b c c d z")))
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      def planOf(b: Boolean): String =
+        TextOps.tfIdfTopK(d, k = 3, broadcastVocab = b)
+          .queryExecution.executedPlan.toString
+      // the 1-row N crossJoin broadcast appears in BOTH plans; the flag
+      // controls whether the vocabulary join adds one more
+      val re = "BroadcastExchange".r
+      assert(re.findAllIn(planOf(true)).size -
+        re.findAllIn(planOf(false)).size >= 1,
+        "flag=false must drop the vocab-side broadcast")
+      def rows(b: Boolean) = TextOps.tfIdfTopK(d, k = 3, broadcastVocab = b)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getDouble(3))).toSet
+      val shuffled = rows(false)
+      assert(shuffled == rows(true) && shuffled.nonEmpty)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+  }
+
   test("tf-idf: scores match the smoothed formula, ranked desc") {
     val d = docsDf(Seq((1L, "a a b"), (2L, "a c"), (3L, "b c c d")))
     val out = TextOps.tfIdfTopK(d, k = 5)
