@@ -3331,6 +3331,103 @@ object GraftQueries {
       |SELECT event_type, n_a, n_b, round(sum(term) / 1e6, 6) AS psi
       |FROM terms GROUP BY 1, 2, 3""".stripMargin
 
+  /** Interval overlap join: user sessions (12h gap, closed-through-last
+    * +1µs) × nightly per-user maintenance windows (02:00-03:00 each
+    * January day) — "which sessions did maintenance hit, and for how
+    * long". Bucketed range join, 6h buckets. */
+  def qIntervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    val sess = graft.events.EventOps.sessionize(
+      spark.read.parquet(s"$dir/events.parquet")
+        .select(col("user_id").as("key"), tsUs.as("t"), col("value").as("v")),
+      gap = 12L * 3600 * 1000000)
+      .select(col("key"), col("t_start").as("a0"),
+        (col("t_end") + 1L).as("a1"), col("n_events").cast("double").as("av"))
+    val wins = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("user_id").as("key")).distinct()
+      .select(col("key"), explode(sequence(lit(0L), lit(29L))).as("_d"))
+      .select(col("key"),
+        (lit(1704067200000000L) + col("_d") * DAY + 2 * HOUR).as("b0"),
+        (lit(1704067200000000L) + col("_d") * DAY + 3 * HOUR).as("b1"),
+        col("_d").cast("double").as("bv"))
+    SeriesOps.intervalOverlapJoin(sess, wins, bucketMicros = 6 * HOUR)
+      .select(col("key").as("user_id"), col("a0"), col("a1"), col("av"),
+        col("b0"), col("b1"), col("bv"), col("overlap_us"))
+  }
+
+  val sqlIntervalJoin: String =
+    """WITH e AS (SELECT user_id, epoch_us(ts) AS t, value AS v FROM events),
+      |f AS (
+      |  SELECT user_id, t,
+      |    CASE WHEN lag(t) OVER w IS NULL
+      |              OR t - lag(t) OVER w > 43200000000 THEN 1 ELSE 0 END AS flag
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, v)),
+      |s AS (
+      |  SELECT user_id, t,
+      |    sum(flag) OVER (PARTITION BY user_id ORDER BY t
+      |      ROWS UNBOUNDED PRECEDING) AS sess
+      |  FROM f),
+      |sess AS (
+      |  SELECT user_id, min(t) AS a0, max(t) + 1 AS a1,
+      |    CAST(count(*) AS DOUBLE) AS av
+      |  FROM s GROUP BY user_id, sess),
+      |m AS (
+      |  SELECT u.user_id,
+      |    1704067200000000 + d * 86400000000 + 7200000000 AS b0,
+      |    1704067200000000 + d * 86400000000 + 10800000000 AS b1,
+      |    CAST(d AS DOUBLE) AS bv
+      |  FROM (SELECT DISTINCT user_id FROM e) u, generate_series(0, 29) g(d))
+      |SELECT s.user_id, s.a0, s.a1, s.av, m.b0, m.b1, m.bv,
+      |  least(s.a1, m.b1) - greatest(s.a0, m.b0) AS overlap_us
+      |FROM sess s JOIN m ON s.user_id = m.user_id
+      |  AND s.a0 < m.b1 AND m.b0 < s.a1""".stripMargin
+
+  /** Weekly cohort retention triangle over January (origin = Jan 1). */
+  def qCohortRetention(spark: SparkSession, dir: String): DataFrame =
+    graft.events.EventOps.cohortRetention(
+      spark.read.parquet(s"$dir/events.parquet")
+        .select(col("user_id").as("key"), tsUs.as("t")),
+      originUs = 1704067200000000L)
+
+  val sqlCohortRetention: String =
+    """WITH e AS (
+      |  SELECT user_id,
+      |    (epoch_us(ts) - 1704067200000000) // 604800000000 AS wk
+      |  FROM events),
+      |w AS (SELECT DISTINCT user_id, wk FROM e),
+      |c AS (SELECT user_id, min(wk) AS cohort_wk FROM w GROUP BY 1),
+      |a AS (
+      |  SELECT c.cohort_wk, w.wk - c.cohort_wk AS k, count(*) AS n_users
+      |  FROM w JOIN c USING (user_id) GROUP BY 1, 2),
+      |s AS (SELECT cohort_wk, count(*) AS sz FROM c GROUP BY 1)
+      |SELECT a.cohort_wk, a.k, a.n_users,
+      |  round(a.n_users * 1.0 / s.sz, 6) AS retention
+      |FROM a JOIN s USING (cohort_wk)""".stripMargin
+
+  /** signup → click → purchase funnel per user (strictly-after steps). */
+  def qFunnel(spark: SparkSession, dir: String): DataFrame =
+    graft.events.EventOps.funnel(
+      spark.read.parquet(s"$dir/events.parquet")
+        .select(col("user_id").as("key"), tsUs.as("t"),
+          col("event_type").as("step")),
+      steps = Seq("signup", "click", "purchase"))
+      .select(col("key").as("user_id"), col("t_1"), col("t_2"), col("t_3"),
+        col("steps_reached"))
+
+  val sqlFunnel: String =
+    """WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_type FROM events),
+      |u AS (SELECT DISTINCT user_id FROM e),
+      |s1 AS (SELECT user_id, min(t) AS t_1 FROM e
+      |       WHERE event_type = 'signup' GROUP BY 1),
+      |s2 AS (SELECT e.user_id, min(e.t) AS t_2 FROM e JOIN s1 USING (user_id)
+      |       WHERE e.event_type = 'click' AND e.t > s1.t_1 GROUP BY 1),
+      |s3 AS (SELECT e.user_id, min(e.t) AS t_3 FROM e JOIN s2 USING (user_id)
+      |       WHERE e.event_type = 'purchase' AND e.t > s2.t_2 GROUP BY 1)
+      |SELECT u.user_id, s1.t_1, s2.t_2, s3.t_3,
+      |  CAST(CAST(s1.t_1 IS NOT NULL AS INT) + CAST(s2.t_2 IS NOT NULL AS INT)
+      |       + CAST(s3.t_3 IS NOT NULL AS INT) AS INT) AS steps_reached
+      |FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+      |  LEFT JOIN s3 USING (user_id)""".stripMargin
+
   // classic relational smoke (lineitem)
   def qLineitemAgg(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/lineitem.parquet")

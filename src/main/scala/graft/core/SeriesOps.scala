@@ -544,4 +544,43 @@ object SeriesOps {
     val kept = df.filter(col(T) < start || col(T) > end).select(col(K), col(T), col(V))
     kept.unionByName(startRows).unionByName(endRows)
   }
+
+  /** Per-key interval overlap join — the general form of the bucketed
+    * range join [[graft.regularize.Regularize.movingAverage]] and
+    * `sampleIntervalAt` build privately: every pair of overlapping
+    * half-open intervals (a0, a1) × (b0, b1) sharing a key, with the
+    * overlap length. Input a: (key, a0, a1, av); b: (key, b0, b1, bv);
+    * output (key, a0, a1, av, b0, b1, bv, overlap_us).
+    *
+    * Both sides explode over coarse `bucketMicros` buckets
+    * (chunk-bounded via [[explodeRangeChunked]], so a year-long interval
+    * cannot OOM a row), meet on an equi-join of (key, bucket), and each
+    * overlapping pair is attributed to exactly ONE bucket — the one
+    * containing the overlap start — so nothing double-counts and the
+    * plan is never a per-key cartesian. Shuffle volume is rows ×
+    * (span/bucket); pick `bucketMicros` near the typical interval
+    * length. A hot key spreads across its buckets; AQE can split a
+    * degenerate (key, bucket).
+    */
+  def intervalOverlapJoin(
+      a: DataFrame,
+      b: DataFrame,
+      bucketMicros: Long): DataFrame = {
+    require(bucketMicros > 0, s"bucket width $bucketMicros must be positive")
+    val w = lit(bucketMicros)
+    val aE = explodeRangeChunked(
+      a.select(col(K), col("a0"), col("a1"), col("av")),
+      floor(col("a0") / w), floor((col("a1") - 1) / w), "bkt")
+    val bE = explodeRangeChunked(
+      b.select(col(K).as("_bk"), col("b0"), col("b1"), col("bv")),
+      floor(col("b0") / w), floor((col("b1") - 1) / w), "_bbkt")
+    aE
+      .join(bE, aE(K) <=> bE("_bk") && aE("bkt") === bE("_bbkt"))
+      .filter(col("a0") < col("b1") && col("b0") < col("a1"))
+      .filter(col("bkt") === floor(greatest(col("a0"), col("b0")) / w))
+      .select(col(K), col("a0"), col("a1"), col("av"),
+        col("b0"), col("b1"), col("bv"),
+        (least(col("a1"), col("b1")) - greatest(col("a0"), col("b0")))
+          .as("overlap_us"))
+  }
 }

@@ -276,6 +276,71 @@ object EventOps {
         (sum(col("_term")) / 1e6).as("psi"))
   }
 
+  /** Weekly cohort retention: keys cohorted by their FIRST active week
+    * (week = floor((t − origin)/weekUs)), then for every (cohort, offset
+    * k) the number of cohort members active in week cohort+k and the
+    * retained fraction — the standard growth-analytics triangle. Output
+    * (cohort_wk, k, n_users, retention).
+    *
+    * Plan: distinct (key, week) first — everything after touches at most
+    * |keys|·|weeks| rows, never raw events; the cohort table reuses the
+    * same aggregate; cohort sizes are a per-cohort aggregate joined back
+    * broadcast (cohort count is span/week — tiny). Each key contributes
+    * once per week by construction, so the per-(cohort, k) count needs
+    * no count-distinct shuffle. */
+  def cohortRetention(df: DataFrame, originUs: Long,
+      weekUs: Long = 7L * 86400000000L): DataFrame = {
+    require(weekUs > 0, s"week width $weekUs must be positive")
+    val weeks = df
+      .select(col(K), floor((col(T) - originUs) / weekUs).cast("long").as("_wk"))
+      .distinct()
+    val cohort = weeks.groupBy(col(K)).agg(min(col("_wk")).as("cohort_wk"))
+      .select(col(K).as("_ck"), col("cohort_wk"))
+    val active = weeks
+      .join(cohort, weeks(K) <=> cohort("_ck")) // null-safe key, convention
+      .groupBy(col("cohort_wk"), (col("_wk") - col("cohort_wk")).as("k"))
+      .agg(count(lit(1)).as("n_users"))
+    val sizes = cohort.groupBy(col("cohort_wk")).agg(count(lit(1)).as("_size"))
+    active
+      .join(broadcast(sizes), Seq("cohort_wk"))
+      .select(col("cohort_wk"), col("k"), col("n_users"),
+        round(col("n_users").cast("double") / col("_size"), 6).as("retention"))
+  }
+
+  /** Ordered funnel: for each key, the time it FIRST completed each step
+    * of `steps` in order — step i+1 counts only STRICTLY AFTER step i's
+    * completion time (the classic product-analytics funnel; an earlier
+    * purchase does not satisfy a signup→purchase funnel). Input
+    * (key, t, step); output (key, t_1..t_n nullable, steps_reached).
+    *
+    * One conditional-min aggregate per step, each joined back on the key
+    * (n−1 key-partitioned joins of per-key 1-row frames — the exchanges
+    * reuse the same hash(key) partitioning; nothing is driver-side and
+    * no window touches raw events). Funnels are 3-6 steps in practice,
+    * so the chain depth is a small constant. */
+  def funnel(df: DataFrame, steps: Seq[String],
+      stepCol: String = "step"): DataFrame = {
+    require(steps.nonEmpty, "need at least one funnel step")
+    val keys = df.select(col(K)).distinct()
+    val result = steps.zipWithIndex.foldLeft(keys) { case (acc, (s, i)) =>
+      val prev = if (i == 0) lit(Long.MinValue) else col(s"t_$i")
+      val cond = col(stepCol) === s &&
+        (if (i == 0) lit(true) else col(s"t_$i").isNotNull && col(T) > prev)
+      val stepT = df
+        .join(acc.select((col(K).as("_fk") +:
+          (1 to i).map(j => col(s"t_$j"))): _*),
+          df(K) <=> col("_fk"))
+        .groupBy(col("_fk").as(K))
+        .agg(min(when(cond, col(T))).as(s"t_${i + 1}"))
+        .select(col(K).as("_sk"), col(s"t_${i + 1}"))
+      acc.join(stepT, acc(K) <=> stepT("_sk"), "left").drop("_sk")
+    }
+    val reached = (1 to steps.size).map(i =>
+      when(col(s"t_$i").isNotNull, 1).otherwise(0))
+      .reduce(_ + _)
+    result.withColumn("steps_reached", reached)
+  }
+
   /** PromQL-style counter rate: per key, for each adjacent point pair
     * the increase and its per-`perUs` rate, treating a value DROP as a
     * counter reset (the increase since a reset is the new value itself —

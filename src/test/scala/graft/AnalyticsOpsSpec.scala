@@ -184,6 +184,65 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(EventOps.psiDrift(same, 10L, 0.0, 2.0, 2).head().getDouble(3) == 0.0)
   }
 
+  test("intervalOverlapJoin: half-open boundaries, single attribution, any bucket width") {
+    val s = spark
+    import s.implicits._
+    val a = Seq(("s", 0L, 100L, 1.0), ("s", 200L, 300L, 2.0),
+      ("o", 0L, 50L, 3.0)).toDF("key", "a0", "a1", "av")
+    val b = Seq(("s", 50L, 150L, 9.0), ("s", 100L, 200L, 8.0),
+      ("s", 250L, 260L, 7.0), ("o", 400L, 500L, 6.0))
+      .toDF("key", "b0", "b1", "bv")
+    for (w <- Seq(7L, 64L, 1000L)) {
+      val out = graft.core.SeriesOps.intervalOverlapJoin(a, b, w)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(4), r.getLong(7)))
+        .toSet
+      // (0,100)x(100,200) and (200,300)x(100,200) touch but do not
+      // overlap (half-open); each real overlap appears exactly once
+      assert(out == Set(("s", 0L, 50L, 50L), ("s", 200L, 250L, 10L)),
+        s"width $w: $out")
+    }
+  }
+
+  test("cohortRetention: first-week cohorts, offsets, retained fractions") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(("u1", 5L), ("u1", 15L), ("u1", 35L), ("u2", 3L),
+      ("u3", 12L), ("u3", 17L), ("u3", 25L))
+      .toDF("key", "t")
+    val out = EventOps.cohortRetention(df, originUs = 0L, weekUs = 10L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(out == Set(
+      (0L, 0L, 2L, 1.0), (0L, 1L, 1L, 0.5), (0L, 3L, 1L, 0.5),
+      (1L, 0L, 1L, 1.0), (1L, 1L, 1L, 1.0)))
+  }
+
+  test("funnel: strictly-after ordering, partial completion, equal-time excluded") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      ("u1", 1L, "A"), ("u1", 5L, "B"), ("u1", 3L, "C"), // C before B -> stops at 2
+      ("u2", 1L, "B"), ("u2", 2L, "A"), ("u2", 4L, "B"), ("u2", 6L, "C"),
+      ("u3", 1L, "C"), // never signs up
+      ("u4", 1L, "A"), ("u4", 1L, "B")) // B not strictly after A
+      .toDF("key", "t", "step")
+    val out = EventOps.funnel(df, Seq("A", "B", "C"))
+      .collect()
+      .map(r => (r.getString(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3),
+        r.getInt(4)))
+      .toSeq.sortBy(_._1)
+    assert(out == Seq(
+      ("u1", 1L, 5L, -1L, 2),
+      ("u2", 2L, 4L, 6L, 3),
+      ("u3", -1L, -1L, -1L, 0),
+      ("u4", 1L, -1L, -1L, 1)))
+  }
+
   test("sourceQuantileKeep: per-source ranks, tie-break, singleton source") {
     val s = spark
     import s.implicits._
