@@ -45,7 +45,8 @@ object Bench {
     "q96_tier_percentiles", "q97_rolling_zscore", "q98_asof_enrich",
     "q99_m4_downsample", "q100_source_quantile", "q101_counter_rate",
     "q102_shard_manifest", "q103_seasonal_residual", "q104_psi_drift",
-    "q105_interval_join", "q106_cohort_retention", "q107_funnel")
+    "q105_interval_join", "q106_cohort_retention", "q107_funnel",
+    "q108_ewma")
 
   def session(cpus: String): SparkSession = {
     // 4 waves of tasks per core: on a shared VM with CPU steal, a stage is

@@ -3428,6 +3428,20 @@ object GraftQueries {
       |FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
       |  LEFT JOIN s3 USING (user_id)""".stripMargin
 
+  /** Irregular-interval EWMA per user (τ = 1h, 12h scan buckets).
+    * Deliberately registered WITHOUT an oracle (rows-only driver check):
+    * the distributed affine-scan necessarily reassociates float ops, so
+    * no cross-engine hash can be exact by construction — its correctness
+    * evidence is the randomized sequential-reference equivalence spec
+    * (AnalyticsOpsSpec, three bucket widths, 1e-9 relative). */
+  def qEwma(spark: SparkSession, dir: String): DataFrame =
+    graft.regularize.Regularize.ewma(
+      spark.read.parquet(s"$dir/events.parquet")
+        .select(col("user_id").as("key"), tsUs.as("t"), col("value").as("v")),
+      tauUs = HOUR.toDouble, bucketMicros = 12 * HOUR)
+      .select(col("key").as("user_id"), col("t"), col("v"),
+        round(col("ewma"), 6).as("ewma"))
+
   // classic relational smoke (lineitem)
   def qLineitemAgg(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/lineitem.parquet")

@@ -243,6 +243,53 @@ class AnalyticsOpsSpec extends SparkSpec {
       ("u4", 1L, -1L, -1L, 1)))
   }
 
+  test("ewma: equals the sequential recurrence at several bucket widths") {
+    val tau = 100.0
+    def seqEwma(pts: Seq[(Long, Double)]): Map[Long, Double] = {
+      var y = 0.0
+      var prev = Option.empty[Long]
+      pts.sortBy(identity).map { case (t, x) =>
+        val a = prev.map(p => math.exp((p - t) / tau)).getOrElse(0.0)
+        y = a * y + (1 - a) * x
+        prev = Some(t)
+        t -> y
+      }.toMap // fixture times are unique per key
+    }
+    val rnd = new scala.util.Random(20260818)
+    val byKey = (1 to 3).map { k =>
+      var t = 0L
+      val pts = (1 to 300).map { i =>
+        // mixed gaps: dense (<tau), moderate, and occasional huge
+        // (cross-bucket, decays the carry to ~0)
+        t += (if (i % 37 == 0) 5000 + rnd.nextInt(20000)
+              else 1 + rnd.nextInt(300)).toLong
+        (t, rnd.nextDouble() * 10 - 5)
+      }.groupBy(_._1).map(_._2.head).toSeq // unique t
+      s"k$k" -> pts
+    }.toMap
+    val s = spark
+    import s.implicits._
+    val df = byKey.toSeq.flatMap { case (k, pts) =>
+      pts.map { case (t, x) => (k, t, x) }
+    }.toDF("key", "t", "v")
+      // a null measurement must be dropped, not smoothed over
+      .unionByName(Seq(("k1", 7L)).toDF("key", "t")
+        .withColumn("v", lit(null).cast("double")))
+    val exp = byKey.map { case (k, pts) => k -> seqEwma(pts) }
+    for (width <- Seq(200L, 5000L, 30000L)) {
+      val out = graft.regularize.Regularize.ewma(df, tauUs = tau,
+        bucketMicros = width).collect()
+      assert(out.length == byKey.values.map(_.size).sum, s"width $width")
+      out.foreach { r =>
+        val (k, t, y) = (r.getString(0), r.getLong(1), r.getDouble(3))
+        val ref = exp(k).getOrElse(t,
+          fail(s"unexpected point ($k, $t) — the null row leaked through"))
+        assert(math.abs(y - ref) <= 1e-9 * (1 + math.abs(ref)),
+          s"width $width at ($k, $t): $y vs $ref")
+      }
+    }
+  }
+
   test("sourceQuantileKeep: per-source ranks, tie-break, singleton source") {
     val s = spark
     import s.implicits._
