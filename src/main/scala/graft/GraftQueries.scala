@@ -3357,13 +3357,13 @@ object GraftQueries {
   val sqlIntervalJoin: String =
     """WITH e AS (SELECT user_id, epoch_us(ts) AS t, value AS v FROM events),
       |f AS (
-      |  SELECT user_id, t,
+      |  SELECT user_id, t, v,
       |    CASE WHEN lag(t) OVER w IS NULL
       |              OR t - lag(t) OVER w > 43200000000 THEN 1 ELSE 0 END AS flag
       |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, v)),
       |s AS (
       |  SELECT user_id, t,
-      |    sum(flag) OVER (PARTITION BY user_id ORDER BY t
+      |    sum(flag) OVER (PARTITION BY user_id ORDER BY t, v
       |      ROWS UNBOUNDED PRECEDING) AS sess
       |  FROM f),
       |sess AS (

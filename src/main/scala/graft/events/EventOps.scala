@@ -201,7 +201,8 @@ object EventOps {
       df: DataFrame,
       periodUs: Long = 86400000000L,
       binUs: Long = 3600000000L,
-      nSigma: Double = 3.0): DataFrame = {
+      nSigma: Double = 3.0,
+      broadcastBaseline: Boolean = true): DataFrame = {
     require(periodUs > 0 && binUs > 0 && periodUs % binUs == 0,
       s"period $periodUs must be a positive multiple of bin $binUs")
     val nBins = periodUs / binUs
@@ -218,8 +219,11 @@ object EventOps {
       col("baseline"), col("_sd"), col("_n"))
     pts
       // null-safe <=>: a null merge key is legal in the series frames
-      // (the repo-wide convention); a Seq() join would silently drop it
-      .join(broadcast(b2),
+      // (the repo-wide convention); a Seq() join would silently drop it.
+      // broadcastBaseline=false shuffle-joins instead — the escape for a
+      // key cardinality whose (keys × bins) table exceeds broadcast
+      // limits (the tfIdfTopK/ivfTopK flag contract)
+      .join(if (broadcastBaseline) broadcast(b2) else b2,
         pts(K) <=> b2("_bk") && pts("season_bin") <=> b2("_bb"))
       .drop("_bk", "_bb")
       .withColumn("residual",
@@ -322,14 +326,19 @@ object EventOps {
       stepCol: String = "step"): DataFrame = {
     require(steps.nonEmpty, "need at least one funnel step")
     val keys = df.select(col(K)).distinct()
+    // events whose step is in no funnel stage can never match any
+    // conditional min — drop them BEFORE the n join+aggregate passes
+    // (keys still come from the unfiltered frame: a key with zero
+    // funnel events must still report steps_reached = 0)
+    val ev = df.filter(col(stepCol).isin(steps: _*))
     val result = steps.zipWithIndex.foldLeft(keys) { case (acc, (s, i)) =>
       val prev = if (i == 0) lit(Long.MinValue) else col(s"t_$i")
       val cond = col(stepCol) === s &&
         (if (i == 0) lit(true) else col(s"t_$i").isNotNull && col(T) > prev)
-      val stepT = df
+      val stepT = ev
         .join(acc.select((col(K).as("_fk") +:
           (1 to i).map(j => col(s"t_$j"))): _*),
-          df(K) <=> col("_fk"))
+          ev(K) <=> col("_fk"))
         .groupBy(col("_fk").as(K))
         .agg(min(when(cond, col(T))).as(s"t_${i + 1}"))
         .select(col(K).as("_sk"), col(s"t_${i + 1}"))
