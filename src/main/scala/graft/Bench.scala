@@ -46,7 +46,10 @@ object Bench {
     "q99_m4_downsample", "q100_source_quantile", "q101_counter_rate",
     "q102_shard_manifest", "q103_seasonal_residual", "q104_psi_drift",
     "q105_interval_join", "q106_cohort_retention", "q107_funnel",
-    "q108_ewma")
+    "q108_ewma",
+    // sixth-session additions: CUSUM changepoint scan (q109), KMV
+    // distinct-count sketch tiers (q110)
+    "q109_cusum", "q110_kmv_distinct")
 
   def session(cpus: String): SparkSession = {
     // 4 waves of tasks per core: on a shared VM with CPU steal, a stage is

@@ -3442,6 +3442,86 @@ object GraftQueries {
       .select(col("key").as("user_id"), col("t"), col("v"),
         round(col("ewma"), 6).as("ewma"))
 
+  /** Two-sided CUSUM changepoint scan per event_type (slack = σ/2,
+    * alarm at 4σ) — the sequential control chart as two stacked window
+    * passes over one per-key sort (cumsum − running-min closed form),
+    * integer-exact on the 1e-6 grid. */
+  def qCusum(spark: SparkSession, dir: String): DataFrame =
+    graft.events.EventOps.cusum(
+      spark.read.parquet(s"$dir/events.parquet")
+        .select(col("event_type").as("key"), tsUs.as("t"), col("value").as("v")))
+      .select(col("key").as("event_type"), col("t"), col("v"),
+        col("cusum_pos"), col("cusum_neg"), col("changepoint"))
+
+  val sqlCusum: String =
+    """WITH e AS (SELECT event_type, epoch_us(ts) AS t, value AS v FROM events
+      |  WHERE value IS NOT NULL),
+      |s AS (SELECT event_type, round(avg(v), 6) AS mu,
+      |        round(stddev_samp(v), 6) AS sd, count(*) AS n
+      |      FROM e GROUP BY 1),
+      |d AS (
+      |  SELECT e.event_type, e.t, e.v, s.sd, s.n,
+      |    CAST(round((e.v - s.mu - round(s.sd * 0.5, 6)) * 1e6) AS BIGINT) AS dp,
+      |    CAST(round((s.mu - round(s.sd * 0.5, 6) - e.v) * 1e6) AS BIGINT) AS dn
+      |  FROM e JOIN s USING (event_type)),
+      |c AS (
+      |  SELECT event_type, t, v, sd, n,
+      |    sum(dp) OVER win AS sp, sum(dn) OVER win AS sn2
+      |  FROM d
+      |  WINDOW win AS (PARTITION BY event_type ORDER BY t, v
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |m AS (
+      |  SELECT event_type, t, v, sd, n,
+      |    sp - least(min(sp) OVER win, 0) AS rp,
+      |    sn2 - least(min(sn2) OVER win, 0) AS rn
+      |  FROM c
+      |  WINDOW win AS (PARTITION BY event_type ORDER BY t, v
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      |SELECT event_type, t, v,
+      |  CASE WHEN n >= 2 AND sd > 0 THEN round(rp / 1e6, 6) END AS cusum_pos,
+      |  CASE WHEN n >= 2 AND sd > 0 THEN round(rn / 1e6, 6) END AS cusum_neg,
+      |  CAST(COALESCE(CASE WHEN n >= 2 AND sd > 0
+      |    THEN rp / 1e6 > round(sd * 4.0, 6) OR rn / 1e6 > round(sd * 4.0, 6)
+      |    END, FALSE) AS INT) AS changepoint
+      |FROM m""".stripMargin
+
+  /** Daily distinct-user KMV sketches per event_type, built hourly and
+    * MERGED to daily (k = 32) — the oracle rebuilds the daily sketch
+    * straight from raw rows, so a hash match proves the merge lossless
+    * (the continuous-aggregate property for count-distinct tiers). */
+  def qKmvDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val k = 32
+    val e = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("event_type"), tsUs.as("t"), col("user_id"))
+      .withColumn("hour", floor(col("t") / HOUR))
+    val hourly = graft.sketch.Kmv.sketch(e, Seq("event_type", "hour"), "user_id", k)
+    val daily = graft.sketch.Kmv.merge(
+      hourly.withColumn("day", floor(col("hour") / lit(24L))),
+      Seq("event_type", "day"), k)
+    daily.select(col("event_type"), col("day"),
+      size(col("kmv")).as("sketch_n"),
+      graft.sketch.Kmv.estimate(col("kmv"), k).as("est_distinct"))
+  }
+
+  val sqlKmvDistinct: String =
+    """WITH e AS (
+      |  SELECT DISTINCT event_type, epoch_us(ts) // 86400000000 AS day,
+      |    ('0x' || substr(md5('kmv' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+      |      AS h
+      |  FROM events),
+      |r AS (
+      |  SELECT event_type, day, h,
+      |    row_number() OVER (PARTITION BY event_type, day ORDER BY h) AS rn
+      |  FROM e),
+      |g AS (
+      |  SELECT event_type, day, count(*) AS sn, max(h) AS hk
+      |  FROM r WHERE rn <= 32 GROUP BY 1, 2)
+      |SELECT event_type, day, CAST(sn AS INT) AS sketch_n,
+      |  CASE WHEN sn < 32 THEN CAST(sn AS DOUBLE)
+      |       ELSE round(31.0 * CAST(1152921504606846976 AS DOUBLE) / hk, 6) END
+      |    AS est_distinct
+      |FROM g""".stripMargin
+
   // classic relational smoke (lineitem)
   def qLineitemAgg(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/lineitem.parquet")

@@ -371,4 +371,65 @@ object EventOps {
       .select(col(K), col(T), col("_inc").as("increase"),
         round(col("_inc") * perUs / (col(T) - col("_pt")), 6).as("rate"))
   }
+
+  /** Two-sided CUSUM control chart (Page's test) per key: the standard
+    * sequential changepoint score s⁺ᵢ = max(0, s⁺ᵢ₋₁ + (vᵢ − μ − slack))
+    * for upward level shifts, s⁻ symmetric for downward. The recurrence
+    * LOOKS inherently sequential, but has the classic closed form
+    * s⁺ᵢ = Sᵢ − min(0, min_{j≤i} Sⱼ) over the cumulative sum S of the
+    * drift-corrected deltas — i.e. cumsum minus running-min-of-cumsum:
+    * two stacked window passes over ONE per-key sort, no per-row
+    * iteration, no UDF (the same declarative-scan discipline as the
+    * q108 EWMA affine form). μ and the slack/threshold scale come from
+    * one per-key aggregate joined back (broadcast by default, shuffle
+    * escape via `broadcastStats = false` — the seasonalResidual flag
+    * contract); slack = slackSd·σ (the textbook k = δ/2 tuning) and the
+    * alarm threshold h = nSd·σ.
+    *
+    * Engine-exactness: μ, σ and slack are rounded to the 1e-6 grid
+    * BEFORE the deltas, and each delta is quantized to a 1e-6-grid LONG
+    * (the psiDrift discipline), so the running sums are integer-exact
+    * and aggregation/summation order cannot perturb a score or flag.
+    * Keys with <2 points or zero variance emit null scores, flag 0.
+    * Output (key, t, v, cusum_pos, cusum_neg, changepoint).
+    *
+    * Scale: one bounded aggregate + one per-key ordered scan — the same
+    * shape as rollingZscore; the scan is inherently whole-history per
+    * key (CUSUM's definition), so at 100 TB it runs per retention
+    * window, exactly where the tier pipeline scopes it. */
+  def cusum(df: DataFrame, slackSd: Double = 0.5, nSd: Double = 4.0,
+      broadcastStats: Boolean = true): DataFrame = {
+    val pts = df.filter(col(V).isNotNull)
+    val stats = pts.groupBy(col(K)).agg(
+      round(avg(col(V)), 6).as("_mu"),
+      round(stddev_samp(col(V)), 6).as("_sd"),
+      count(lit(1)).as("_n"))
+    val st2 = stats.select(col(K).as("_sk"), col("_mu"), col("_sd"), col("_n"))
+    val slack = round(col("_sd") * slackSd, 6)
+    val joined = pts
+      .join(if (broadcastStats) broadcast(st2) else st2, pts(K) <=> st2("_sk"))
+      .drop("_sk")
+      .withColumn("_dp",
+        round((col(V) - col("_mu") - slack) * 1e6, 0).cast("long"))
+      .withColumn("_dn",
+        round((col("_mu") - slack - col(V)) * 1e6, 0).cast("long"))
+    val w = Window.partitionBy(K).orderBy(col(T).asc, col(V).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withS = joined
+      .withColumn("_sp", sum(col("_dp")).over(w))
+      .withColumn("_sn", sum(col("_dn")).over(w))
+    val withR = withS // second pass reuses the same per-key sort
+      .withColumn("_rp", col("_sp") - least(min(col("_sp")).over(w), lit(0L)))
+      .withColumn("_rn", col("_sn") - least(min(col("_sn")).over(w), lit(0L)))
+    val ok = col("_n") >= 2 && col("_sd") > 0
+    val h = round(col("_sd") * nSd, 6)
+    withR
+      .withColumn("cusum_pos", when(ok, round(col("_rp") / 1e6, 6)))
+      .withColumn("cusum_neg", when(ok, round(col("_rn") / 1e6, 6)))
+      .withColumn("changepoint",
+        coalesce(when(ok, col("_rp") / 1e6 > h || col("_rn") / 1e6 > h),
+          lit(false)).cast("int"))
+      .select(col(K), col(T), col(V), col("cusum_pos"), col("cusum_neg"),
+        col("changepoint"))
+  }
 }

@@ -305,4 +305,52 @@ class AnalyticsOpsSpec extends SparkSpec {
       (1L, 0.0, 1), (2L, 0.333333, 1), (3L, 0.666667, 0), (4L, 1.0, 0),
       (5L, 0.0, 1))) // single-row source: percent_rank 0 -> kept
   }
+
+  test("cusum: closed form equals the sequential max(0, s+d) recurrence") {
+    val rnd = new scala.util.Random(421)
+    // step up at i=200: a textbook level shift the chart must flag
+    val pts = (1 to 400).map(i => (i.toLong * 7,
+      Some(rnd.nextGaussian() + (if (i > 200) 3.0 else 0.0))))
+    val df = seriesL(pts)
+    val out = EventOps.cusum(df, slackSd = 0.5, nSd = 4.0)
+      .select(col("t"), col("cusum_pos"), col("cusum_neg"), col("changepoint"))
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getInt(3)))
+      .toSeq.sortBy(_._1)
+    // sequential reference on the SAME quantized grid: μ/σ taken from the
+    // engine's own rounded aggregate (the contract), then the literal
+    // recurrence over exact 1e-6-grid longs — zero float ambiguity
+    val agg = df.agg(round(avg("v"), 6), round(stddev_samp("v"), 6)).head()
+    val (mu, sd) = (agg.getDouble(0), agg.getDouble(1))
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def grid(x: Double) =
+      BigDecimal(x * 1e6).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val slack = r6(sd * 0.5)
+    val h = r6(sd * 4.0)
+    var (sp, sn) = (0L, 0L)
+    val ref = pts.map { case (t, Some(v)) =>
+      sp = math.max(0L, sp + grid(v - mu - slack))
+      sn = math.max(0L, sn + grid(mu - slack - v))
+      (t, r6(sp / 1e6), r6(sn / 1e6),
+        if (sp / 1e6 > h || sn / 1e6 > h) 1 else 0)
+    }
+    assert(out == ref)
+    // the shift is flagged; with a GLOBAL μ the chart is retrospective —
+    // post-shift values sit above μ, so s⁺ grows monotonically-ish to its
+    // maximum at the series end (and the pre-shift region mirrors on s⁻)
+    assert(out.exists(_._4 == 1))
+    assert(out.last._4 == 1 &&
+      out.indexWhere(_._2 == out.map(_._2).max) >= 200)
+  }
+
+  test("cusum: zero-variance and singleton keys emit null scores, flag 0") {
+    val df = seriesL(Seq((1L, Some(2.0)), (2L, Some(2.0)), (3L, Some(2.0))))
+      .unionByName(seriesL(Seq((5L, Some(9.0))), key = "one"))
+    val out = EventOps.cusum(df).collect()
+    assert(out.length == 4)
+    out.foreach { r =>
+      assert(r.isNullAt(3) && r.isNullAt(4) && r.getInt(5) == 0)
+    }
+  }
 }
