@@ -48,8 +48,10 @@ object Bench {
     "q105_interval_join", "q106_cohort_retention", "q107_funnel",
     "q108_ewma",
     // sixth-session additions: CUSUM changepoint scan (q109), KMV
-    // distinct-count sketch tiers (q110)
-    "q109_cusum", "q110_kmv_distinct")
+    // distinct-count sketch tiers (q110), heartbeat downtime (q111),
+    // interval union/coverage (q112), Count-Min frequency tiers (q113)
+    "q109_cusum", "q110_kmv_distinct", "q111_downtime",
+    "q112_interval_union", "q113_cms_freq")
 
   def session(cpus: String): SparkSession = {
     // 4 waves of tasks per core: on a shared VM with CPU steal, a stage is

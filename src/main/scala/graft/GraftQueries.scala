@@ -3522,6 +3522,114 @@ object GraftQueries {
       |    AS est_distinct
       |FROM g""".stripMargin
 
+  /** Heartbeat downtime SLA report per user (12h heartbeat, calendar-day
+    * attribution) on the BUCKETED gap scan (weekly buckets) — the
+    * oracle replays dead-man's-switch gap detection + day splitting. */
+  def qDowntime(spark: SparkSession, dir: String): DataFrame =
+    graft.events.EventOps.downtime(
+      spark.read.parquet(s"$dir/events.parquet")
+        .select(col("user_id").as("key"), tsUs.as("t")),
+      heartbeatUs = 12 * HOUR,
+      bucketBy = Some(floor(col("t") / WEEK)))
+      .select(col("key").as("user_id"), col("day"), col("down_us"),
+        col("down_frac"))
+
+  val sqlDowntime: String =
+    """WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events),
+      |g AS (SELECT user_id, t,
+      |        lag(t) OVER (PARTITION BY user_id ORDER BY t) AS prev
+      |      FROM e),
+      |d AS (SELECT user_id, prev + 43200000000 AS d0, t AS d1 FROM g
+      |      WHERE t - prev > 43200000000),
+      |x AS (SELECT user_id, d0, d1,
+      |        unnest(generate_series(d0 // 86400000000,
+      |                               (d1 - 1) // 86400000000)) AS day
+      |      FROM d)
+      |SELECT user_id, day,
+      |  sum(least(d1, (day + 1) * 86400000000)
+      |      - greatest(d0, day * 86400000000)) AS down_us,
+      |  round(sum(least(d1, (day + 1) * 86400000000)
+      |      - greatest(d0, day * 86400000000)) / 86400000000.0, 6) AS down_frac
+      |FROM x GROUP BY 1, 2""".stripMargin
+
+  /** Interval union / activity coverage per user: each event opens a
+    * 30-minute activity window; overlapping-or-touching windows merge
+    * into maximal islands (BUCKETED two-handoff path, weekly buckets).
+    * The oracle is the classic gaps-and-islands running-max SQL. */
+  def qIntervalUnion(spark: SparkSession, dir: String): DataFrame =
+    graft.core.SeriesOps.intervalUnion(
+      spark.read.parquet(s"$dir/events.parquet")
+        .select(col("user_id").as("key"), tsUs.as("t0"),
+          (tsUs + 30L * 60L * 1000000L).as("t1")),
+      bucketBy = Some(floor(col("t0") / WEEK)))
+      .select(col("key").as("user_id"), col("u0"), col("u1"), col("n_merged"))
+
+  val sqlIntervalUnion: String =
+    """WITH e AS (SELECT user_id, epoch_us(ts) AS t0,
+      |             epoch_us(ts) + 1800000000 AS t1 FROM events),
+      |f AS (SELECT user_id, t0, t1,
+      |        CASE WHEN t0 > coalesce(max(t1) OVER
+      |            (PARTITION BY user_id ORDER BY t0, t1
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      |          -9223372036854775808) THEN 1 ELSE 0 END AS nw
+      |      FROM e),
+      |g AS (SELECT user_id, t0, t1,
+      |        sum(nw) OVER (PARTITION BY user_id ORDER BY t0, t1
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+      |      FROM f)
+      |SELECT user_id, min(t0) AS u0, max(t1) AS u1, count(*) AS n_merged
+      |FROM g GROUP BY user_id, grp""".stripMargin
+
+  /** Daily per-user event-frequency estimates from Count-Min sketches
+    * built hourly and MERGED to daily by linearity (d=4, w=256) — the
+    * frequency complement of q110's KMV tier; the oracle rebuilds the
+    * daily sketch straight from raw rows and replays every md5 cell, so
+    * a hash match proves the cell-wise-sum merge lossless. Probes are
+    * every fifth user; exact_n rides along to show the ≤ εN overshoot. */
+  def qCmsFreq(spark: SparkSession, dir: String): DataFrame = {
+    val (d, w) = (4, 256)
+    val e = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("event_type"), tsUs.as("t"), col("user_id"))
+      .withColumn("hour", floor(col("t") / HOUR))
+    val hourly = graft.sketch.CountMin.sketch(
+      e, Seq("event_type", "hour"), "user_id", d, w)
+    val daily = graft.sketch.CountMin.merge(
+      hourly.withColumn("day", floor(col("hour") / lit(24L))),
+      Seq("event_type", "day"))
+    val probes = e.withColumn("day", floor(col("t") / DAY))
+      .filter(col("user_id") % 5 === 0)
+      .groupBy(col("event_type"), col("day"), col("user_id"))
+      .agg(count(lit(1)).as("exact_n"))
+    graft.sketch.CountMin.lookup(
+      daily, Seq("event_type", "day"), probes, "user_id", d, w)
+      .join(probes, Seq("event_type", "day", "user_id"))
+      .select(col("event_type"), col("day"), col("user_id"),
+        col("exact_n"), col("est_n"))
+  }
+
+  val sqlCmsFreq: String =
+    """WITH e AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+      |             user_id FROM events),
+      |rr AS (SELECT unnest([0, 1, 2, 3]) AS r),
+      |h AS (SELECT e.event_type, e.day, e.user_id, rr.r,
+      |        ('0x' || substr(md5('cm' || CAST(rr.r AS VARCHAR) || ':'
+      |           || CAST(e.user_id AS VARCHAR)), 1, 15))::BIGINT % 256 AS c
+      |      FROM e CROSS JOIN rr),
+      |sk AS (SELECT event_type, day, r, c, count(*) AS cnt
+      |       FROM h GROUP BY 1, 2, 3, 4),
+      |p AS (SELECT event_type, day, user_id, count(*) AS exact_n FROM e
+      |      WHERE user_id % 5 = 0 GROUP BY 1, 2, 3),
+      |ph AS (SELECT p.event_type, p.day, p.user_id, p.exact_n, rr.r,
+      |        ('0x' || substr(md5('cm' || CAST(rr.r AS VARCHAR) || ':'
+      |           || CAST(p.user_id AS VARCHAR)), 1, 15))::BIGINT % 256 AS c
+      |       FROM p CROSS JOIN rr)
+      |SELECT ph.event_type, ph.day, ph.user_id, min(ph.exact_n) AS exact_n,
+      |  min(coalesce(sk.cnt, 0)) AS est_n
+      |FROM ph LEFT JOIN sk
+      |  ON ph.event_type IS NOT DISTINCT FROM sk.event_type
+      |  AND ph.day = sk.day AND ph.r = sk.r AND ph.c = sk.c
+      |GROUP BY 1, 2, 3""".stripMargin
+
   // classic relational smoke (lineitem)
   def qLineitemAgg(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/lineitem.parquet")

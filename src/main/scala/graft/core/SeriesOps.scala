@@ -583,4 +583,67 @@ object SeriesOps {
         (least(col("a1"), col("b1")) - greatest(col("a0"), col("b0")))
           .as("overlap_us"))
   }
+
+  /** Union of half-open intervals per key (the gaps-and-islands merge):
+    * overlapping or touching [t0, t1) rows coalesce into maximal merged
+    * intervals — the primitive behind coverage/uptime reports
+    * ("how much of the day was at least one session active?"). Touching
+    * counts as merged: [a,b) ∪ [b,c) = [a,c). Output one row per merged
+    * interval: (key, u0, u1, n_merged).
+    *
+    * Plain path: one per-key sort by (t0, t1); a row starts a new island
+    * iff its t0 exceeds the running max of every earlier t1 (an interval
+    * nested inside a predecessor extends nothing but merges — max, not
+    * lag, is the classic correctness trap here). Island ids are the
+    * running count of starts.
+    *
+    * `bucketBy` (a function of t0) runs both scans per (key, time-bucket)
+    * through two tiny per-(key, bucket) handoffs — the running max of
+    * earlier buckets' closing end, and the running count of earlier
+    * buckets' island starts — so a hot key's millions of intervals spread
+    * across tasks (the BucketedOps discipline; equivalence spec'd). */
+  def intervalUnion(df: DataFrame, bucketBy: Option[Column] = None): DataFrame = {
+    val flagged = bucketBy match {
+      case None =>
+        val w = Window.partitionBy(K).orderBy(col("t0"), col("t1"))
+        val prevMax = max(col("t1")).over(w.rowsBetween(Window.unboundedPreceding, -1))
+        val fl = df.withColumn("_new",
+          when(prevMax.isNull || col("t0") > prevMax, 1L).otherwise(0L))
+        fl.withColumn("_g",
+          sum(col("_new")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      case Some(bk) =>
+        val base = df.withColumn("_bkt", bk)
+        val wIn = Window.partitionBy(col(K), col("_bkt")).orderBy(col("t0"), col("t1"))
+        val inPrevMax = max(col("t1")).over(wIn.rowsBetween(Window.unboundedPreceding, -1))
+        // handoff 1: running max of earlier buckets' max end
+        val closings = base.groupBy(col(K), col("_bkt")).agg(max(col("t1")).as("_close"))
+        val wOff = Window.partitionBy(K).orderBy("_bkt")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val carry = closings
+          .withColumn("_carry", max(col("_close")).over(wOff))
+          .select(col(K).as("_ck"), col("_bkt").as("_cb"), col("_carry"))
+        val withPrev = base
+          .join(carry, base(K) <=> carry("_ck") && base("_bkt") === carry("_cb"))
+          .withColumn("_pm", greatest(
+            coalesce(inPrevMax, lit(Long.MinValue)),
+            coalesce(col("_carry"), lit(Long.MinValue))))
+          .withColumn("_new",
+            when(col("_pm") === Long.MinValue || col("t0") > col("_pm"), 1L)
+              .otherwise(0L))
+        // handoff 2: island ids offset by earlier buckets' start counts
+        val starts = withPrev.groupBy(col(K), col("_bkt"))
+          .agg(sum(col("_new")).as("_ns"))
+        val offs = starts
+          .withColumn("_goff", coalesce(sum(col("_ns")).over(wOff), lit(0L)))
+          .select(col(K).as("_ok"), col("_bkt").as("_ob"), col("_goff"))
+        withPrev
+          .join(offs, withPrev(K) <=> offs("_ok") && withPrev("_bkt") === offs("_ob"))
+          .withColumn("_g", col("_goff") +
+            sum(col("_new")).over(wIn.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    }
+    flagged.groupBy(col(K), col("_g"))
+      .agg(min(col("t0")).as("u0"), max(col("t1")).as("u1"),
+        count(lit(1)).as("n_merged"))
+      .select(col(K), col("u0"), col("u1"), col("n_merged"))
+  }
 }

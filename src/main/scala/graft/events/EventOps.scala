@@ -432,4 +432,60 @@ object EventOps {
       .select(col(K), col(T), col(V), col("cusum_pos"), col("cusum_neg"),
         col("changepoint"))
   }
+
+  /** Heartbeat downtime attribution — the SLA-report tier. A source that
+    * emits a heartbeat at least every `heartbeatUs` is "up"; any
+    * inter-event gap longer than that opens a down interval
+    * [prev + heartbeatUs, t) (the monitor notices the loss one heartbeat
+    * after the last beat, classic dead-man's-switch semantics). Down
+    * intervals are then SPLIT across calendar days so each (key, day)
+    * owns exactly its share — a 3-day outage charges 86400 s to each of
+    * three days, not 259200 s to the day it ended. Output (key, day,
+    * down_us, down_frac), days with zero downtime absent.
+    *
+    * Scale: the gap scan is the interEventTimes lag (one per-key sort;
+    * `bucketBy` runs it per (key, time-bucket) with a tiny per-bucket
+    * closing-time handoff, so a hot key never funnels through one task);
+    * the day split is a chunk-bounded explode over day INDICES — a
+    * year-long outage explodes to 365 rows, never to raw micros. */
+  def downtime(df: DataFrame, heartbeatUs: Long,
+      dayUs: Long = 86400000000L,
+      bucketBy: Option[Column] = None): DataFrame = {
+    require(heartbeatUs > 0, s"heartbeatUs $heartbeatUs must be positive")
+    require(dayUs > 0, s"dayUs $dayUs must be positive")
+    val prev = bucketBy match {
+      case None =>
+        val w = Window.partitionBy(K).orderBy(T)
+        df.select(col(K), col(T)).withColumn("_prev", lag(T, 1).over(w))
+      case Some(bk) =>
+        // per-(key, bucket) lag + a tiny per-bucket closing-time handoff:
+        // the first row of a bucket takes its predecessor from the running
+        // max of earlier buckets' closing times (closings are per-bucket
+        // maxima, so their running max IS the latest earlier event)
+        val base = df.select(col(K), col(T)).withColumn("_bkt", bk)
+        val wIn = Window.partitionBy(col(K), col("_bkt")).orderBy(T)
+        val inb = base.withColumn("_inprev", lag(T, 1).over(wIn))
+        val closings = base.groupBy(col(K), col("_bkt"))
+          .agg(max(col(T)).as("_close"))
+        val wOff = Window.partitionBy(K).orderBy("_bkt")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val carry = closings
+          .withColumn("_carry", max(col("_close")).over(wOff))
+          .select(col(K).as("_ck"), col("_bkt").as("_cb"), col("_carry"))
+        inb.join(carry, inb(K) <=> carry("_ck") && inb("_bkt") === carry("_cb"))
+          .withColumn("_prev", coalesce(col("_inprev"), col("_carry")))
+          .select(col(K), col(T), col("_prev"))
+    }
+    val gaps = prev
+      .filter(col(T) - col("_prev") > heartbeatUs)
+      .select(col(K), (col("_prev") + heartbeatUs).as("_d0"), col(T).as("_d1"))
+    graft.core.SeriesOps.explodeRangeChunked(
+      gaps, floor(col("_d0") / dayUs), floor((col("_d1") - 1) / dayUs), "day")
+      .select(col(K), col("day"),
+        (least(col("_d1"), (col("day") + 1) * dayUs) -
+          greatest(col("_d0"), col("day") * dayUs)).as("_over"))
+      .groupBy(col(K), col("day"))
+      .agg(sum("_over").as("down_us"))
+      .withColumn("down_frac", round(col("down_us") / dayUs, 6))
+  }
 }

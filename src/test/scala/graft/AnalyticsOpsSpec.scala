@@ -353,4 +353,85 @@ class AnalyticsOpsSpec extends SparkSpec {
       assert(r.isNullAt(3) && r.isNullAt(4) && r.getInt(5) == 0)
     }
   }
+
+  private def events(ts: Seq[Long], key: String = "a"): DataFrame = {
+    val s = spark
+    import s.implicits._
+    ts.map(t => (key, t)).toDF("key", "t")
+  }
+
+  test("downtime: dead-man's-switch gap, multi-day split, day fractions") {
+    // heartbeat 10, day 100: one event at 0, next at 350 -> down [10, 350)
+    val out = graft.events.EventOps.downtime(events(Seq(0L, 350L)),
+      heartbeatUs = 10L, dayUs = 100L)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq.sortBy(_._1)
+    assert(out == Seq((0L, 90L, 0.9), (1L, 100L, 1.0), (2L, 100L, 1.0),
+      (3L, 50L, 0.5)))
+  }
+
+  test("downtime: multiple gaps aggregate per day; exact-heartbeat gap is up") {
+    // gaps 0->30 (down [10,30)) and 30->80 (down [40,80)), then 80->90
+    // exactly the heartbeat -> no downtime
+    val out = graft.events.EventOps.downtime(events(Seq(0L, 30L, 80L, 90L)),
+      heartbeatUs = 10L, dayUs = 100L)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+    assert(out == Seq((0L, 60L)))
+  }
+
+  test("downtime: plain == bucketed at three widths incl. sparse buckets") {
+    val rnd = new scala.util.Random(511)
+    val ts = (1 to 300).scanLeft(0L)((acc, _) =>
+      acc + rnd.nextInt(40) + 1).toSeq
+    val df = events(ts).unionByName(events(ts.map(_ * 3 + 7), key = "b"))
+    val plain = graft.events.EventOps.downtime(df, 12L, 100L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    for (width <- Seq(25L, 170L, 4000L)) {
+      val b = graft.events.EventOps.downtime(df, 12L, 100L,
+        bucketBy = Some(floor(col("t") / width)))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(b == plain, s"bucket width $width diverged")
+    }
+  }
+
+  private def intervals(rows: Seq[(Long, Long)], key: String = "a"): DataFrame = {
+    val s = spark
+    import s.implicits._
+    rows.map { case (a, b) => (key, a, b) }.toDF("key", "t0", "t1")
+  }
+
+  test("intervalUnion: nested interval extends nothing (running max, not lag)") {
+    // [10,20) nests inside [0,100); [90,150) overlaps the OUTER end;
+    // [150,160) touches; [200,210) is a separate island
+    val out = graft.core.SeriesOps.intervalUnion(intervals(Seq(
+      (0L, 100L), (10L, 20L), (90L, 150L), (150L, 160L), (200L, 210L))))
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq.sortBy(_._1)
+    assert(out == Seq((0L, 160L, 4L), (200L, 210L, 1L)))
+  }
+
+  test("intervalUnion: duplicates merge; single interval passes through") {
+    val out = graft.core.SeriesOps.intervalUnion(intervals(Seq(
+      (5L, 9L), (5L, 9L), (30L, 31L))))
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq.sortBy(_._1)
+    assert(out == Seq((5L, 9L, 2L), (30L, 31L, 1L)))
+  }
+
+  test("intervalUnion: plain == bucketed at three widths") {
+    val rnd = new scala.util.Random(613)
+    val rows = (1 to 400).map { _ =>
+      val a = rnd.nextInt(5000).toLong; (a, a + 1 + rnd.nextInt(120))
+    }
+    val df = intervals(rows)
+      .unionByName(intervals(rows.map { case (a, b) => (a + 13, b + 13) }, "b"))
+    val plain = graft.core.SeriesOps.intervalUnion(df)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    for (width <- Seq(37L, 500L, 100000L)) {
+      val b = graft.core.SeriesOps.intervalUnion(df,
+        bucketBy = Some(floor(col("t0") / width)))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(b == plain, s"bucket width $width diverged")
+    }
+  }
 }

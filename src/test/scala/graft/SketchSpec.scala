@@ -45,4 +45,63 @@ class SketchSpec extends SparkSpec {
     // loose band guards against formula regressions, not luck
     assert(est > 97 * 0.4 && est < 97 * 2.5, s"est $est vs true 97")
   }
+
+  import graft.sketch.CountMin
+
+  test("cms: hourly→daily cell-wise sum equals the sketch built from raw") {
+    val rows = mkRows(500, 97)
+    val hourly = CountMin.sketch(rows, Seq("k", "hour"), "u", d = 4, w = 64)
+    val daily = CountMin.merge(hourly.withColumn("day", lit(0L)), Seq("k", "day"))
+    val direct = CountMin.sketch(rows.withColumn("day", lit(0L)),
+      Seq("k", "day"), "u", d = 4, w = 64)
+    val a = daily.collect().map(r =>
+      (r.getAs[Long]("day"), r.getAs[Int]("r"), r.getAs[Long]("c"), r.getAs[Long]("cnt"))).toSet
+    val b = direct.collect().map(r =>
+      (r.getAs[Long]("day"), r.getAs[Int]("r"), r.getAs[Long]("c"), r.getAs[Long]("cnt"))).toSet
+    assert(a == b)
+  }
+
+  test("cms: estimates never undercount (the one-sided error guarantee)") {
+    val s = spark
+    import s.implicits._
+    // w = 32 << 97 distinct: collisions everywhere, est must still be >= n
+    val rows = mkRows(500, 97).withColumn("day", lit(0L))
+    val sk = CountMin.sketch(rows, Seq("k", "day"), "u", d = 4, w = 32)
+    val exact = rows.groupBy("k", "day", "u").count()
+      .collect().map(r => (r.getString(2), r.getLong(3))).toMap
+    val probes = exact.keys.map(u => ("et", 0L, u)).toSeq.toDF("k", "day", "u")
+    val ests = CountMin.lookup(sk, Seq("k", "day"), probes, "u", d = 4, w = 32)
+      .collect().map(r => (r.getString(2), r.getLong(3))).toMap
+    exact.foreach { case (u, n) =>
+      assert(ests(u) >= n, s"CMS undercounted $u: ${ests(u)} < $n")
+    }
+  }
+
+  test("cms: wide grid is exact; absent probe hits an empty cell and reads 0") {
+    val s = spark
+    import s.implicits._
+    val rows = mkRows(300, 20).withColumn("day", lit(0L))
+    val sk = CountMin.sketch(rows, Seq("k", "day"), "u", d = 4, w = 8192)
+    val exact = rows.groupBy("k", "day", "u").count()
+    val probes = exact.select("k", "day", "u")
+    val joined = CountMin.lookup(sk, Seq("k", "day"), probes, "u", d = 4, w = 8192)
+      .join(exact, Seq("k", "day", "u"))
+      .collect().map(r => (r.getLong(3), r.getLong(4)))
+    // 20 distinct into 8192 columns x 4 rows: the min cell is collision-free
+    joined.foreach { case (est, n) => assert(est == n) }
+    // at this occupancy an unseen value's 4 cells can't ALL collide
+    val ghost = CountMin.lookup(sk, Seq("k", "day"),
+      Seq(("et", 0L, "never-seen")).toDF("k", "day", "u"), "u", d = 4, w = 8192)
+      .collect()
+    assert(ghost.length == 1 && ghost.head.getLong(3) == 0L)
+  }
+
+  test("cms: sketch is partitioning-invariant") {
+    val rows = mkRows(400, 50)
+    val a = CountMin.sketch(rows, Seq("k", "hour"), "u", d = 2, w = 16)
+      .collect().map(r => (r.getLong(1), r.getInt(2), r.getLong(3), r.getLong(4))).toSet
+    val b = CountMin.sketch(rows.repartition(13), Seq("k", "hour"), "u", d = 2, w = 16)
+      .collect().map(r => (r.getLong(1), r.getInt(2), r.getLong(3), r.getLong(4))).toSet
+    assert(a == b)
+  }
 }
