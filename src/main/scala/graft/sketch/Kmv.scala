@@ -68,4 +68,42 @@ object Kmv {
       .otherwise(round(
         lit((k - 1).toDouble) * lit(1152921504606846976.0) /
           element_at(kmvCol, k).cast("double"), 6))
+
+  /** Theta-sketch intersection (the set-operation KMV buys beyond plain
+    * count-distinct): per group, estimate |A ∩ B| from two sketches
+    * built over the SAME hash space (same salt). θ = the smaller
+    * saturated threshold h_k (+∞ when a side is unsaturated, i.e. holds
+    * its full distinct set); hashes below θ are a uniform 2⁶⁰·p sample
+    * of the union, so |{h < θ seen in BOTH}| / p estimates the
+    * intersection — and when both sides are unsaturated the common
+    * count IS the exact answer. Both sketches must share `salt`.
+    *
+    * Scale: one group-keyed join of k-element arrays, one explode-join
+    * on (group, hash) — every shuffle row is 16 bytes; nothing grows
+    * with the raw data. Output (groupCols*, n_both, est_common). */
+  def intersectEstimate(a: DataFrame, b: DataFrame, groupCols: Seq[String],
+      k: Int): DataFrame = {
+    val inf = Long.MaxValue
+    def theta(kmv: Column): Column =
+      when(size(kmv) < k, lit(inf)).otherwise(element_at(kmv, k))
+    val br = b.select(groupCols.map(n => col(n).as(s"_b_$n")) :+
+      col("kmv").as("_bkmv"): _*)
+    val joinCond = groupCols.map(n => col(n) <=> col(s"_b_$n")).reduce(_ && _)
+    val paired = a.join(br, joinCond)
+      .select(groupCols.map(col) :+
+        least(theta(col("kmv")), theta(col("_bkmv"))).as("_theta") :+
+        col("kmv") :+ col("_bkmv"): _*)
+    // common hashes below theta: arrays are tiny (<= k), so the
+    // membership test runs as one codegen'd intersect per row — no
+    // explode-join shuffle needed at all
+    val withN = paired.withColumn("_nb",
+      size(filter(array_intersect(col("kmv"), col("_bkmv")),
+        h => h < col("_theta"))).cast("long"))
+    withN.select(groupCols.map(col) :+
+      col("_nb").as("n_both") :+
+      when(col("_theta") === inf, col("_nb").cast("double"))
+        .otherwise(round(
+          col("_nb") * lit(1152921504606846976.0) / col("_theta"), 6))
+        .as("est_common"): _*)
+  }
 }

@@ -46,6 +46,51 @@ class SketchSpec extends SparkSpec {
     assert(est > 97 * 0.4 && est < 97 * 2.5, s"est $est vs true 97")
   }
 
+  test("kmv intersect: both unsaturated reports the exact overlap") {
+    val s = spark
+    import s.implicits._
+    // A = u0..u39, B = u25..u59 -> overlap 15, k = 64 holds everything
+    val a = (0 until 40).map(i => ("g", 0L, s"u$i")).toDF("k", "day", "u")
+    val b = (25 until 60).map(i => ("g", 0L, s"u$i")).toDF("k", "day", "u")
+    val out = Kmv.intersectEstimate(
+      Kmv.sketch(a, Seq("k", "day"), "u", 64),
+      Kmv.sketch(b, Seq("k", "day"), "u", 64), Seq("k", "day"), 64)
+      .head()
+    assert(out.getLong(2) == 15L && out.getDouble(3) == 15.0)
+  }
+
+  test("kmv intersect: saturated estimate replays n_both * 2^60 / theta") {
+    val s = spark
+    import s.implicits._
+    val a = (0 until 300).map(i => ("g", 0L, s"u$i")).toDF("k", "day", "u")
+    val b = (150 until 450).map(i => ("g", 0L, s"u$i")).toDF("k", "day", "u")
+    val sa = Kmv.sketch(a, Seq("k", "day"), "u", 16)
+    val sb = Kmv.sketch(b, Seq("k", "day"), "u", 16)
+    val out = Kmv.intersectEstimate(sa, sb, Seq("k", "day"), 16).head()
+    val ka = sa.head().getSeq[Long](2)
+    val kb = sb.head().getSeq[Long](2)
+    val theta = math.min(ka(15), kb(15))
+    val nb = ka.toSet.intersect(kb.toSet).count(_ < theta)
+    assert(out.getLong(2) == nb.toLong)
+    val expected = BigDecimal(nb * 1152921504606846976.0 / theta)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out.getDouble(3) == expected)
+    // true overlap 150 of 300/300; k=16 is noisy but the estimate must
+    // land in a sane band (deterministic hash -> regression guard)
+    assert(out.getDouble(3) > 150 * 0.25 && out.getDouble(3) < 150 * 4.0)
+  }
+
+  test("kmv intersect: disjoint sides estimate 0") {
+    val s = spark
+    import s.implicits._
+    val a = (0 until 200).map(i => ("g", 0L, s"a$i")).toDF("k", "day", "u")
+    val b = (0 until 200).map(i => ("g", 0L, s"b$i")).toDF("k", "day", "u")
+    val out = Kmv.intersectEstimate(
+      Kmv.sketch(a, Seq("k", "day"), "u", 16),
+      Kmv.sketch(b, Seq("k", "day"), "u", 16), Seq("k", "day"), 16).head()
+    assert(out.getLong(2) == 0L && out.getDouble(3) == 0.0)
+  }
+
   import graft.sketch.CountMin
 
   test("cms: hourly→daily cell-wise sum equals the sketch built from raw") {
