@@ -3680,6 +3680,24 @@ object GraftQueries {
       |  END AS est_common
       |FROM t2 LEFT JOIN c USING (day)""".stripMargin
 
+  /** Irregular-interval Holt level+trend per user (τ_level = 1h,
+    * τ_trend = 3h, 12h scan buckets). Like q108, registered WITHOUT an
+    * oracle (rows-only driver check) BY DESIGN: the distributed
+    * matrix-affine scan reassociates float ops, so no cross-engine hash
+    * can be exact — correctness evidence is the AnalyticsOpsSpec
+    * sequential-reference equivalence at 3 bucket widths (1e-9 rel). */
+  def qHoltTrend(spark: SparkSession, dir: String): DataFrame =
+    graft.regularize.Regularize.holt(
+      spark.read.parquet(s"$dir/events.parquet")
+        .select(col("user_id").as("key"), tsUs.as("t"), col("value").as("v")),
+      tauLevelUs = HOUR.toDouble, tauTrendUs = 3.0 * HOUR,
+      bucketMicros = 12 * HOUR)
+      .select(col("key").as("user_id"), col("t"), col("v"),
+        round(col("level"), 6).as("level"),
+        // trend is per-µs by construction; report per-hour so the 6-dp
+        // round keeps signal
+        round(col("trend") * HOUR, 6).as("trend_per_hr"))
+
   // classic relational smoke (lineitem)
   def qLineitemAgg(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/lineitem.parquet")

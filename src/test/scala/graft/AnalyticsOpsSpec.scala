@@ -418,6 +418,87 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(out == Seq((5L, 9L, 2L), (30L, 31L, 1L)))
   }
 
+  /** Sequential in-memory Holt reference (Wright's irregular form) on
+    * strictly-increasing times — the ground truth the distributed
+    * matrix-affine scan must reproduce. */
+  private def seqHolt(pts: Seq[(Long, Double)], tauL: Double, tauB: Double):
+      Seq[(Long, Double, Double)] = {
+    var l = 0.0; var b = 0.0; var prev = Long.MinValue; var init = false
+    pts.sortBy(_._1).map { case (t, x) =>
+      if (!init) { l = x; b = 0.0; init = true }
+      else {
+        val dt = (t - prev).toDouble
+        if (dt > 0) {
+          val u = math.exp(-dt / tauL); val w = math.exp(-dt / tauB)
+          val lNew = (1 - u) * x + u * (l + dt * b)
+          b = (1 - w) * (lNew - l) / dt + w * b
+          l = lNew
+        }
+      }
+      prev = t
+      (t, l, b)
+    }
+  }
+
+  test("holt: distributed matrix scan == sequential reference at 3 widths") {
+    val rnd = new scala.util.Random(733)
+    val keys = Seq("a", "b", "c")
+    val pts = keys.map { k =>
+      var t = 0L
+      k -> (1 to 250).map { _ =>
+        t += 1 + rnd.nextInt(500); (t, rnd.nextGaussian() * 3 + 10)
+      }
+    }.toMap
+    val s = spark
+    import s.implicits._
+    val df = pts.toSeq.flatMap { case (k, ps) =>
+      ps.map { case (t, x) => (k, t, x) }
+    }.toDF("key", "t", "v")
+    val ref = pts.map { case (k, ps) =>
+      k -> seqHolt(ps, 700.0, 2100.0).map(x => x._1 -> (x._2, x._3)).toMap
+    }
+    for (width <- Seq(97L, 1500L, 1000000L)) {
+      val out = graft.regularize.Regularize.holt(df, 700.0, 2100.0, width)
+        .collect().map(r => (r.getString(0), r.getLong(1),
+          r.getDouble(3), r.getDouble(4)))
+      assert(out.length == 750)
+      out.foreach { case (k, t, l, b) =>
+        val (rl, rb) = ref(k)(t)
+        assert(math.abs(l - rl) <= 1e-9 * math.max(1.0, math.abs(rl)),
+          s"level $k@$t: $l vs $rl (width $width)")
+        assert(math.abs(b - rb) <= 1e-9 * math.max(1.0, math.abs(rb)),
+          s"trend $k@$t: $b vs $rb (width $width)")
+      }
+    }
+  }
+
+  test("holt: constant series keeps level constant and trend zero") {
+    val df = seriesL((1 to 50).map(i => (i.toLong * 13, Some(4.25))))
+    val out = graft.regularize.Regularize.holt(df, 50.0, 150.0, 100L)
+      .collect().map(r => (r.getDouble(3), r.getDouble(4)))
+    out.foreach { case (l, b) =>
+      assert(math.abs(l - 4.25) < 1e-12 && math.abs(b) < 1e-12)
+    }
+  }
+
+  test("holt: first point seeds (x, 0); duplicate timestamps keep state") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(("k", 10L, 7.0), ("k", 10L, 9.0), ("k", 30L, 8.0),
+      ("k", 30L, 8.0)).toDF("key", "t", "v")
+    val out = graft.regularize.Regularize.holt(df, 20.0, 60.0, 25L)
+      .collect().map(r => (r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))).sortBy(x => (x._1, x._2))
+    // row (10, 7) seeds; (10, 9) is a dup-time no-op; (30, 8) steps once;
+    // the second (30, 8) is again a no-op sharing the stepped state
+    assert(out(0) == ((10L, 7.0, 7.0, 0.0)))
+    assert(out(1) == ((10L, 9.0, 7.0, 0.0)))
+    val expect = seqHolt(Seq((10L, 7.0), (30L, 8.0)), 20.0, 60.0).last
+    assert(out(2)._1 == 30L && math.abs(out(2)._3 - expect._2) < 1e-12 &&
+      math.abs(out(2)._4 - expect._3) < 1e-12)
+    assert(out(3) == out(2).copy(_2 = 8.0))
+  }
+
   test("intervalUnion: plain == bucketed at three widths") {
     val rnd = new scala.util.Random(613)
     val rows = (1 to 400).map { _ =>
