@@ -603,16 +603,24 @@ object SeriesOps {
     * buckets' island starts — so a hot key's millions of intervals spread
     * across tasks (the BucketedOps discipline; equivalence spec'd). */
   def intervalUnion(df: DataFrame, bucketBy: Option[Column] = None): DataFrame = {
+    // dedupe-first: exact-duplicate intervals collapse to one row + a
+    // count BEFORE any window runs, so the scan's (t0, t1) sort order is
+    // total — two passes over an exchange can never permute equal rows
+    // between the flag and the running sum (the sessionize tie lesson;
+    // duplicates here have NO distinguishing column to pin, so the only
+    // tie-insensitive formulation is to remove the ties)
+    val dd = df.groupBy(col(K), col("t0"), col("t1"))
+      .agg(count(lit(1)).as("_dup"))
     val flagged = bucketBy match {
       case None =>
         val w = Window.partitionBy(K).orderBy(col("t0"), col("t1"))
         val prevMax = max(col("t1")).over(w.rowsBetween(Window.unboundedPreceding, -1))
-        val fl = df.withColumn("_new",
+        val fl = dd.withColumn("_new",
           when(prevMax.isNull || col("t0") > prevMax, 1L).otherwise(0L))
         fl.withColumn("_g",
           sum(col("_new")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       case Some(bk) =>
-        val base = df.withColumn("_bkt", bk)
+        val base = dd.withColumn("_bkt", bk)
         val wIn = Window.partitionBy(col(K), col("_bkt")).orderBy(col("t0"), col("t1"))
         val inPrevMax = max(col("t1")).over(wIn.rowsBetween(Window.unboundedPreceding, -1))
         // handoff 1: running max of earlier buckets' max end
@@ -643,7 +651,7 @@ object SeriesOps {
     }
     flagged.groupBy(col(K), col("_g"))
       .agg(min(col("t0")).as("u0"), max(col("t1")).as("u1"),
-        count(lit(1)).as("n_merged"))
+        sum(col("_dup")).as("n_merged"))
       .select(col(K), col("u0"), col("u1"), col("n_merged"))
   }
 }

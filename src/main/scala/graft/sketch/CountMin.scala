@@ -27,10 +27,11 @@ import org.apache.spark.sql.functions._
   */
 object CountMin {
 
-  /** Row-r column index for a value: 60-bit md5 grid mod w. */
+  /** Row-r column index for a value: the shared [[Kmv.hash60]] 60-bit
+    * md5 grid (ONE oracle-parity-critical hash recipe in the codebase),
+    * salted per row, mod w. */
   def hashAt(c: Column, r: Int, w: Int): Column =
-    conv(substring(md5(concat(lit(s"cm$r:"), c.cast("string"))), 1, 15), 16, 10)
-      .cast("long") % w
+    Kmv.hash60(c, s"cm$r:") % w
 
   /** Build per-group sketches: one count cell per (group, r, c) touched.
     * Counts ITEMS (rows), the CMS contract — dedupe upstream to count

@@ -78,9 +78,10 @@ object Kmv {
     * intersection — and when both sides are unsaturated the common
     * count IS the exact answer. Both sketches must share `salt`.
     *
-    * Scale: one group-keyed join of k-element arrays, one explode-join
-    * on (group, hash) — every shuffle row is 16 bytes; nothing grows
-    * with the raw data. Output (groupCols*, n_both, est_common). */
+    * Scale: one group-keyed join of k-element arrays; the overlap
+    * itself is a codegen'd `array_intersect` + `filter` per row (the
+    * arrays are ≤ k elements), so no explode or extra shuffle exists in
+    * the plan. Output (groupCols*, n_both, est_common). */
   def intersectEstimate(a: DataFrame, b: DataFrame, groupCols: Seq[String],
       k: Int): DataFrame = {
     val inf = Long.MaxValue
