@@ -52,7 +52,7 @@ object Bench {
     // interval union/coverage (q112), Count-Min frequency tiers (q113)
     "q109_cusum", "q110_kmv_distinct", "q111_downtime",
     "q112_interval_union", "q113_cms_freq", "q114_kmv_intersect",
-    "q115_holt_trend")
+    "q115_holt_trend", "q116_hist_quantile")
 
   def session(cpus: String): SparkSession = {
     // 4 waves of tasks per core: on a shared VM with CPU steal, a stage is

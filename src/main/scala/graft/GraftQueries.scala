@@ -3698,6 +3698,48 @@ object GraftQueries {
         // round keeps signal
         round(col("trend") * HOUR, 6).as("trend_per_hr"))
 
+  /** Daily p50/p90/p99 from fixed-grid histogram sketches built hourly
+    * and MERGED to daily by linearity ([0, 500) in 50 bins) — the
+    * MERGEABLE quantile tier beside q96's exact-per-bin percentiles;
+    * the oracle rebuilds the daily histogram from raw rows and replays
+    * the cumulative-rank interpolation bit-for-bit. */
+  def qHistQuantile(spark: SparkSession, dir: String): DataFrame = {
+    val (lo, hi, nb) = (0.0, 500.0, 50)
+    val e = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("event_type"), tsUs.as("t"), col("value"))
+      .withColumn("hour", floor(col("t") / HOUR))
+    val hourly = graft.sketch.GridHist.sketch(
+      e, Seq("event_type", "hour"), "value", lo, hi, nb)
+    val daily = graft.sketch.GridHist.merge(
+      hourly.withColumn("day", floor(col("hour") / lit(24L))),
+      Seq("event_type", "day"))
+    graft.sketch.GridHist.quantiles(
+      daily, Seq("event_type", "day"), Seq(0.5, 0.9, 0.99), lo, hi, nb)
+      .select(col("event_type"), col("day"), col("q"), col("est"))
+  }
+
+  val sqlHistQuantile: String =
+    """WITH e AS (
+      |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+      |    greatest(0, least(49, CAST(floor((value - 0.0) / 10.0) AS BIGINT)))
+      |      AS bin
+      |  FROM events WHERE value IS NOT NULL),
+      |h AS (SELECT event_type, day, bin, count(*) AS cnt
+      |      FROM e GROUP BY 1, 2, 3),
+      |c AS (SELECT event_type, day, bin, cnt,
+      |        sum(cnt) OVER (PARTITION BY event_type, day ORDER BY bin
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |        sum(cnt) OVER (PARTITION BY event_type, day) AS n
+      |      FROM h),
+      |x AS (SELECT c.*, q.q, q.q * c.n AS target
+      |      FROM c CROSS JOIN (SELECT unnest([0.5::DOUBLE, 0.9::DOUBLE,
+      |        0.99::DOUBLE]) AS q) q
+      |      WHERE c.cum >= q.q * c.n)
+      |SELECT event_type, day, q,
+      |  round(min_by(0.0 + 10.0 * (bin + (target - (cum - cnt)) / cnt), bin),
+      |        6) AS est
+      |FROM x GROUP BY 1, 2, 3""".stripMargin
+
   // classic relational smoke (lineitem)
   def qLineitemAgg(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/lineitem.parquet")

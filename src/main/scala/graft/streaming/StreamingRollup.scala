@@ -177,4 +177,80 @@ object StreamingRollup {
           out.iterator
         })
   }
+
+  case class DownEvent(key: String, t: Long)
+  case class DownSlice(key: String, day: Long, downUs: Long)
+
+  /** State of one downtime key: the last event time already consumed by
+    * emitted gaps (Long.MinValue = none yet), the max event time seen,
+    * and the buffered event times still inside the lateness horizon
+    * (sorted). Buffer size is O(events within `allowedLatenessUs`). */
+  case class DowntimeKeyState(prevT: Long, maxT: Long, recent: Seq[Long])
+
+  /** Streaming face of [[graft.events.EventOps.downtime]]: dead-man's-
+    * switch gap detection with per-calendar-day attribution, emitting
+    * APPEND-only (key, day, down_us) increments (a consumer sums per
+    * (key, day) — slices for one gap never re-emit). A gap becomes
+    * FINAL only once the key's max event time has moved
+    * `allowedLatenessUs` past its right endpoint — an out-of-order
+    * event inside a still-open gap splices in and splits it correctly;
+    * one older than the horizon fails loudly (the [[mergeSumStream]]
+    * contract: raise the lateness budget or fix the source order).
+    * Same-t duplicates are gap-0 no-ops, matching batch. */
+  def downtimeStream(
+      events: Dataset[DownEvent],
+      heartbeatUs: Long,
+      dayUs: Long = 86400000000L,
+      allowedLatenessUs: Long = 0L): Dataset[DownSlice] = {
+    require(heartbeatUs > 0 && dayUs > 0 && allowedLatenessUs >= 0,
+      s"bad params: hb=$heartbeatUs day=$dayUs lateness=$allowedLatenessUs")
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        (key: String, rows: Iterator[DownEvent], state: GroupState[DowntimeKeyState]) => {
+          val s0 = state.getOption
+            .getOrElse(DowntimeKeyState(Long.MinValue, Long.MinValue, Nil))
+          val fresh = rows.map(_.t).toSeq
+          if (fresh.isEmpty) Iterator.empty
+          else {
+            val horizon =
+              if (s0.maxT == Long.MinValue) Long.MinValue
+              else s0.maxT - allowedLatenessUs
+            val lateT = fresh.min
+            if (lateT < horizon || (s0.prevT != Long.MinValue && lateT < s0.prevT))
+              throw new IllegalStateException(
+                s"downtimeStream: event at t=$lateT for key=$key is older than " +
+                  s"the horizon $horizon (maxT=${s0.maxT}, allowedLatenessUs=" +
+                  s"$allowedLatenessUs) — raise allowedLatenessUs or fix the source order")
+            val newMaxT = math.max(s0.maxT, fresh.max)
+            val cutoff =
+              if (allowedLatenessUs == 0L) newMaxT
+              else newMaxT - allowedLatenessUs
+            val all = (s0.recent ++ fresh).sorted
+            val out = Seq.newBuilder[DownSlice]
+            var p = s0.prevT
+            val kept = Seq.newBuilder[Long]
+            all.foreach { t =>
+              if (t <= cutoff) {
+                if (p != Long.MinValue && t - p > heartbeatUs) {
+                  // split the down interval [p + hb, t) across days
+                  val d0 = p + heartbeatUs
+                  var day = Math.floorDiv(d0, dayUs)
+                  val dayLast = Math.floorDiv(t - 1, dayUs)
+                  while (day <= dayLast) {
+                    val lo = math.max(d0, day * dayUs)
+                    val hi = math.min(t, (day + 1) * dayUs)
+                    out += DownSlice(key, day, hi - lo)
+                    day += 1
+                  }
+                }
+                p = t
+              } else kept += t
+            }
+            state.update(DowntimeKeyState(p, newMaxT, kept.result()))
+            out.result().iterator
+          }
+        })
+  }
 }

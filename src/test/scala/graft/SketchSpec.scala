@@ -91,6 +91,47 @@ class SketchSpec extends SparkSpec {
     assert(out.getLong(2) == 0L && out.getDouble(3) == 0.0)
   }
 
+  import graft.sketch.GridHist
+
+  test("gridhist: hourly→daily bin-wise sum equals the sketch built from raw") {
+    val s = spark
+    import s.implicits._
+    val rows = (1 to 400).map(i => ("et", (i % 4).toLong, (i % 83) * 1.7))
+      .toDF("k", "hour", "v")
+    val hourly = GridHist.sketch(rows, Seq("k", "hour"), "v", 0.0, 150.0, 15)
+    val daily = GridHist.merge(hourly.withColumn("day", lit(0L)), Seq("k", "day"))
+    val direct = GridHist.sketch(rows.withColumn("day", lit(0L)),
+      Seq("k", "day"), "v", 0.0, 150.0, 15)
+    val a = daily.collect().map(r => (r.getLong(2), r.getLong(3))).toSet
+    val b = direct.collect().map(r => (r.getLong(2), r.getLong(3))).toSet
+    assert(a == b && a.nonEmpty)
+  }
+
+  test("gridhist: interpolated quantiles, q=0/q=1 edges, hand case") {
+    val s = spark
+    import s.implicits._
+    // 4x value 5 (bin 0), 4x 15 (bin 1), 2x 25 (bin 2); n = 10
+    val rows = (Seq.fill(4)(5.0) ++ Seq.fill(4)(15.0) ++ Seq.fill(2)(25.0))
+      .map(v => ("g", 0L, v)).toDF("k", "day", "v")
+    val sk = GridHist.sketch(rows, Seq("k", "day"), "v", 0.0, 100.0, 10)
+    val out = GridHist.quantiles(sk, Seq("k", "day"), Seq(0.0, 0.5, 1.0),
+      0.0, 100.0, 10)
+      .collect().map(r => (r.getDouble(2), r.getDouble(3))).toMap
+    assert(out(0.0) == 0.0)   // first occupied bin's lower edge
+    assert(out(0.5) == 12.5)  // target 5: bin 1, frac (5-4)/4
+    assert(out(1.0) == 30.0)  // last occupied bin's upper edge
+  }
+
+  test("gridhist: out-of-range values clamp to the edge bins") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq(("g", 0L, -50.0), ("g", 0L, 5.0), ("g", 0L, 999.0))
+      .toDF("k", "day", "v")
+    val sk = GridHist.sketch(rows, Seq("k", "day"), "v", 0.0, 100.0, 10)
+      .collect().map(r => (r.getLong(2), r.getLong(3))).toMap
+    assert(sk == Map(0L -> 2L, 9L -> 1L))
+  }
+
   import graft.sketch.CountMin
 
   test("cms: hourly→daily cell-wise sum equals the sketch built from raw") {

@@ -267,4 +267,86 @@ class StreamingSpec extends SparkSpec {
     assert(got.exists(r => r._1 == "a" && r._2 == 0L && r._3 == 15000000L && r._4 == 3L))
     assert(got.exists(r => r._1 == "a" && r._2 == 25000001L && r._4 == 1L))
   }
+
+  test("streaming downtime slices sum to the batch SLA report") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(97)
+    // in-order per key across micro-batches (lateness 0 contract)
+    val ts = (1 to 200).scanLeft(50L)((acc, _) => acc + 5 + rnd.nextInt(90)).toSeq
+    val rows = ts.map(t => StreamingRollup.DownEvent("a", t)) ++
+      ts.map(t => StreamingRollup.DownEvent("b", t * 2 + 13))
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_dt").toString
+    // three files in event-time order => three micro-batches, gaps
+    // straddling batch boundaries exercise the cross-batch carry
+    rows.sortBy(_.t).grouped((rows.size + 2) / 3).zipWithIndex.foreach {
+      case (chunk, i) =>
+        chunk.toDS().coalesce(1).write.parquet(s"$dir/in/f$i")
+    }
+    val src = spark.readStream
+      .schema(implicitly[org.apache.spark.sql.Encoder[StreamingRollup.DownEvent]].schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("recursiveFileLookup", "true")
+      .parquet(s"$dir/in").as[StreamingRollup.DownEvent]
+    val q = StreamingRollup.downtimeStream(src, heartbeatUs = 40L, dayUs = 1000L)
+      .writeStream.format("memory").queryName("dt_out").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("dt_out")
+      .groupBy("key", "day").agg(sum("downUs").as("down_us"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val exp = graft.events.EventOps.downtime(
+      rows.map(e => (e.key, e.t)).toDF("key", "t"), 40L, 1000L)
+      .select(col("key"), col("day"), col("down_us"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(exp.nonEmpty && got == exp,
+      s"streaming-only: ${got -- exp}\nbatch-only: ${exp -- got}")
+  }
+
+  test("streaming downtime: out-of-order inside the budget splices; older fails loudly") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_dt2").toString
+    // batch 1 ends at t=500; the t=180 arrival in batch 2 is inside the
+    // 400-lateness budget and SPLITS the open [100, 500] gap
+    Seq(100L, 500L).map(StreamingRollup.DownEvent("k", _)).toDS()
+      .coalesce(1).write.parquet(s"$dir/in/f0")
+    Seq(180L, 900L).map(StreamingRollup.DownEvent("k", _)).toDS()
+      .coalesce(1).write.parquet(s"$dir/in/f1")
+    val src = spark.readStream
+      .schema(implicitly[org.apache.spark.sql.Encoder[StreamingRollup.DownEvent]].schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("recursiveFileLookup", "true")
+      .parquet(s"$dir/in").as[StreamingRollup.DownEvent]
+    val q = StreamingRollup.downtimeStream(src, heartbeatUs = 50L,
+      dayUs = 1000000L, allowedLatenessUs = 400L)
+      .writeStream.format("memory").queryName("dt2_out").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("dt2_out")
+      .groupBy("key", "day").agg(sum("downUs").as("down_us"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    // the (500, 900) gap is NOT final at stream end (900 is within the
+    // lateness budget of itself), so parity is against the batch over
+    // the finalized prefix only
+    val exp = graft.events.EventOps.downtime(
+      Seq(("k", 100L), ("k", 180L), ("k", 500L)).toDF("key", "t"),
+      50L, 1000000L)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(got == exp, s"got $got vs $exp")
+    // an arrival older than the horizon is a loud failure, not corruption
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      Seq(200L, 800L).map(StreamingRollup.DownEvent("k", _)).toDS()
+        .coalesce(1).write.parquet(s"$dir/late/f0")
+      Seq(300L).map(StreamingRollup.DownEvent("k", _)).toDS()
+        .coalesce(1).write.parquet(s"$dir/late/f1")
+      val src2 = spark.readStream
+        .schema(implicitly[org.apache.spark.sql.Encoder[StreamingRollup.DownEvent]].schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(s"$dir/late").as[StreamingRollup.DownEvent]
+      val q2 = StreamingRollup.downtimeStream(src2, heartbeatUs = 50L,
+        dayUs = 1000000L, allowedLatenessUs = 100L)
+        .writeStream.format("memory").queryName("dt3_out").outputMode("append").start()
+      try { q2.processAllAvailable() } finally q2.stop()
+    }
+    assert(ex.getMessage.contains("downtimeStream") ||
+      Option(ex.getCause).exists(_.getMessage.contains("downtimeStream")))
+  }
 }
