@@ -3740,6 +3740,201 @@ object GraftQueries {
       |        6) AS est
       |FROM x GROUP BY 1, 2, 3""".stripMargin
 
+  /** Lagged autocorrelation per user over the hourly mean-value grid
+    * (lags 1-3h) — bin means quantized to the 1e-3 grid so all six
+    * sufficient statistics are long-exact; the oracle replays the same
+    * grid, join and Pearson ratio. */
+  def qAcf(spark: SparkSession, dir: String): DataFrame =
+    graft.events.Correlation.autocorr(
+      spark.read.parquet(s"$dir/events.parquet")
+        .select(col("user_id").as("key"), tsUs.as("t"), col("value").as("v")),
+      lags = Seq(1, 2, 3), binUs = HOUR, minPairs = 8)
+      .select(col("key").as("user_id"), col("lag").as("lag_h"),
+        col("n_pairs"), col("r"))
+
+  val sqlAcf: String =
+    """WITH e AS (SELECT user_id, epoch_us(ts) // 3600000000 AS b, value
+      |           FROM events WHERE value IS NOT NULL),
+      |g AS (SELECT user_id, b,
+      |        CAST(floor(avg(value) * 1000 + 0.5) AS BIGINT) AS x
+      |      FROM e GROUP BY 1, 2),
+      |p AS (SELECT g.user_id, l.lag_h, g.x, h.x AS y
+      |      FROM g CROSS JOIN (SELECT unnest([1, 2, 3]) AS lag_h) l
+      |      JOIN g h ON g.user_id IS NOT DISTINCT FROM h.user_id
+      |        AND g.b + l.lag_h = h.b),
+      |s AS (SELECT user_id, lag_h, count(*) AS n_pairs,
+      |        sum(x) AS sx, sum(y) AS sy, sum(x * x) AS sxx,
+      |        sum(y * y) AS syy, sum(x * y) AS sxy
+      |      FROM p GROUP BY 1, 2)
+      |SELECT user_id, lag_h, n_pairs,
+      |  CASE WHEN n_pairs >= 8
+      |    AND CAST(n_pairs AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx > 0
+      |    AND CAST(n_pairs AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy > 0
+      |  THEN round((CAST(n_pairs AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+      |    / sqrt((CAST(n_pairs AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+      |         * (CAST(n_pairs AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6)
+      |  END AS r
+      |FROM s""".stripMargin
+
+  /** Hourly click-vs-view cross-correlation at lags −2..2 (counts are
+    * integers, so the statistics are exact with no quantization). */
+  def qXcorr(spark: SparkSession, dir: String): DataFrame =
+    graft.events.Correlation.crossCorr(
+      spark.read.parquet(s"$dir/events.parquet")
+        .select(col("event_type").as("key"), tsUs.as("t")),
+      keyA = "click", keyB = "view",
+      lags = Seq(-2, -1, 0, 1, 2), binUs = HOUR, minBins = 8)
+      .select(col("lag").as("lag_h"), col("n_bins"), col("r"))
+
+  val sqlXcorr: String =
+    """WITH e AS (SELECT event_type, epoch_us(ts) // 3600000000 AS b
+      |           FROM events WHERE event_type IN ('click', 'view')),
+      |c AS (SELECT event_type, b, count(*) AS c FROM e GROUP BY 1, 2),
+      |p AS (SELECT l.lag_h, a.c AS x, v.c AS y
+      |      FROM (SELECT b, c FROM c WHERE event_type = 'click') a
+      |      CROSS JOIN (SELECT unnest([-2, -1, 0, 1, 2]) AS lag_h) l
+      |      JOIN (SELECT b, c FROM c WHERE event_type = 'view') v
+      |        ON a.b + l.lag_h = v.b),
+      |s AS (SELECT lag_h, count(*) AS n_bins,
+      |        sum(x) AS sx, sum(y) AS sy, sum(x * x) AS sxx,
+      |        sum(y * y) AS syy, sum(x * y) AS sxy
+      |      FROM p GROUP BY 1)
+      |SELECT lag_h, n_bins,
+      |  CASE WHEN n_bins >= 8
+      |    AND CAST(n_bins AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx > 0
+      |    AND CAST(n_bins AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy > 0
+      |  THEN round((CAST(n_bins AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+      |    / sqrt((CAST(n_bins AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+      |         * (CAST(n_bins AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6)
+      |  END AS r
+      |FROM s""".stripMargin
+
+  /** Theil–Sen robust weekly trend per user: exact interpolated median
+    * of pairwise per-hour slopes quantized to the 1e-6 grid (floor-based
+    * snap — see Correlation.theilSen on round()'s non-portable half-up
+    * tie-break); the O(n²) blowup is bounded per (user, week) bucket by
+    * construction. */
+  def qTheilSen(spark: SparkSession, dir: String): DataFrame =
+    graft.events.Correlation.theilSen(
+      spark.read.parquet(s"$dir/events.parquet")
+        .select(col("user_id").as("key"), tsUs.as("t"), col("value").as("v")),
+      bucketUs = WEEK, perUs = HOUR)
+      .select(col("key").as("user_id"), col("bucket").as("week"),
+        col("n_pairs"), col("slope"))
+
+  val sqlTheilSen: String =
+    """WITH e AS (SELECT user_id, epoch_us(ts) // 604800000000 AS week,
+      |             epoch_us(ts) AS t, value AS v
+      |           FROM events WHERE value IS NOT NULL),
+      |p AS (SELECT a.user_id, a.week,
+      |        CAST(floor((b.v - a.v) * 3600000000 * 1000000.0 / (b.t - a.t)
+      |          + 0.5) AS BIGINT) AS s
+      |      FROM e a JOIN e b ON a.user_id IS NOT DISTINCT FROM b.user_id
+      |        AND a.week = b.week AND a.t < b.t)
+      |SELECT user_id, week, count(*) AS n_pairs,
+      |  quantile_cont(s, 0.5) / 1000000.0 AS slope
+      |FROM p GROUP BY 1, 2""".stripMargin
+
+  /** LTTB downsample per (event_type, 6h bucket), fixed-anchor parallel
+    * variant — the perceptual companion to q99's M4; anchors quantized
+    * to 6 dp from exact sums so the area argmax is engine-exact. */
+  def qLttb(spark: SparkSession, dir: String): DataFrame =
+    Rollup.lttb(
+      spark.read.parquet(s"$dir/events.parquet")
+        .select(col("event_type").as("key"), tsUs.as("t"), col("value").as("v")),
+      startUs = 1704067200000000L, stepUs = 6 * HOUR)
+      .select(col("key").as("event_type"), col("bin_start"), col("t"), col("v"))
+
+  val sqlLttb: String =
+    """WITH e AS (SELECT event_type, epoch_us(ts) AS t, value AS v
+      |           FROM events WHERE value IS NOT NULL),
+      |b AS (SELECT event_type,
+      |        CAST((t - 1704067200000000) // 21600000000 * 21600000000
+      |             + 1704067200000000 AS BIGINT) AS bin_start, t, v
+      |      FROM e),
+      |a AS (SELECT event_type, bin_start,
+      |        CAST(sum(t) AS DOUBLE) / count(*) AS ax,
+      |        floor(avg(v) * 1000000.0 + 0.5) / 1000000.0 AS ay
+      |      FROM b GROUP BY 1, 2),
+      |w AS (SELECT event_type, bin_start,
+      |        lag(ax) OVER win AS pax, lag(ay) OVER win AS pay,
+      |        lead(ax) OVER win AS nax, lead(ay) OVER win AS nay
+      |      FROM a WINDOW win AS (PARTITION BY event_type ORDER BY bin_start)),
+      |j AS (SELECT b.event_type, b.bin_start, b.t, b.v, w.pax, w.nax,
+      |        abs((w.pax - w.nax) * (b.v - w.pay)
+      |          - (w.pax - b.t) * (w.nay - w.pay)) AS area
+      |      FROM b JOIN w ON b.event_type IS NOT DISTINCT FROM w.event_type
+      |        AND b.bin_start = w.bin_start),
+      |r AS (SELECT *,
+      |        row_number() OVER (PARTITION BY event_type, bin_start
+      |          ORDER BY area DESC, t ASC, v ASC) AS ra,
+      |        row_number() OVER (PARTITION BY event_type, bin_start
+      |          ORDER BY t ASC, v ASC) AS rf,
+      |        row_number() OVER (PARTITION BY event_type, bin_start
+      |          ORDER BY t DESC, v DESC) AS rl
+      |      FROM j)
+      |SELECT event_type, bin_start, t, v FROM r
+      |WHERE CASE WHEN pax IS NULL THEN rf = 1
+      |           WHEN nax IS NULL THEN rl = 1
+      |           ELSE ra = 1 END""".stripMargin
+
+  /** Daily SAX words per user (8×3h PAA segments, 4-symbol absolute
+    * alphabet over [0,500), '_' for empty segments) — identical words
+    * are motif candidates. */
+  def qSax(spark: SparkSession, dir: String): DataFrame =
+    Rollup.saxWords(
+      spark.read.parquet(s"$dir/events.parquet")
+        .select(col("user_id").as("key"), tsUs.as("t"), col("value").as("v")),
+      wordUs = DAY, segUs = 3 * HOUR, alphabet = 4, lo = 0.0, hi = 500.0)
+      .select(col("key").as("user_id"), col("word_start"), col("word"),
+        col("n_segs"))
+
+  val sqlSax: String =
+    """WITH e AS (SELECT user_id, epoch_us(ts) AS t, value AS v
+      |           FROM events WHERE value IS NOT NULL),
+      |p AS (SELECT user_id,
+      |        CAST(t // 86400000000 * 86400000000 AS BIGINT) AS word_start,
+      |        CAST((t // 10800000000) % 8 AS INT) AS seg,
+      |        floor(avg(v) * 1000000.0 + 0.5) / 1000000.0 AS paa
+      |      FROM e GROUP BY 1, 2, 3),
+      |s AS (SELECT user_id, word_start, seg,
+      |        chr(97 + CAST(least(3, greatest(0, floor(paa / 125.0))) AS INT))
+      |          AS sym
+      |      FROM p),
+      |g AS (SELECT DISTINCT user_id, word_start FROM s),
+      |x AS (SELECT g.user_id, g.word_start, i.seg,
+      |        coalesce(s.sym, '_') AS sym
+      |      FROM g CROSS JOIN
+      |        (SELECT unnest([0, 1, 2, 3, 4, 5, 6, 7]) AS seg) i
+      |      LEFT JOIN s ON s.user_id IS NOT DISTINCT FROM g.user_id
+      |        AND s.word_start = g.word_start AND s.seg = i.seg)
+      |SELECT user_id, word_start,
+      |  string_agg(sym, '' ORDER BY seg) AS word,
+      |  count(*) FILTER (WHERE sym <> '_') AS n_segs
+      |FROM x GROUP BY 1, 2""".stripMargin
+
+  /** Top-3 largest inter-event gaps per user — the backfill-targeting
+    * report; exact long arithmetic end to end. */
+  def qTopGaps(spark: SparkSession, dir: String): DataFrame =
+    EventOps.topGaps(
+      spark.read.parquet(s"$dir/events.parquet")
+        .select(col("user_id").as("key"), tsUs.as("t")),
+      k = 3)
+      .select(col("key").as("user_id"), col("gap_rank"),
+        col("t_prev"), col("t"), col("gap"))
+
+  val sqlTopGaps: String =
+    """WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events),
+      |g AS (SELECT user_id, t,
+      |        lag(t) OVER (PARTITION BY user_id ORDER BY t) AS t_prev
+      |      FROM e),
+      |h AS (SELECT user_id, t_prev, t, t - t_prev AS gap
+      |      FROM g WHERE t_prev IS NOT NULL),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+      |        ORDER BY gap DESC, t ASC) AS gap_rank
+      |      FROM h)
+      |SELECT user_id, gap_rank, t_prev, t, gap FROM r WHERE gap_rank <= 3""".stripMargin
+
   // classic relational smoke (lineitem)
   def qLineitemAgg(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/lineitem.parquet")

@@ -1,0 +1,155 @@
+package graft.events
+
+import graft.core.SeriesOps.{K, T, V}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Correlation-family analytics over unevenly-spaced series: lagged
+  * autocorrelation and cross-correlation on a regularized bin grid, and
+  * the Theil–Sen robust trend (median pairwise slope). These are the
+  * standard exploratory statistics a monitoring stack runs on top of
+  * the rollup tiers (the reference stops at `moving_average` /
+  * `distribution`; ACF/CCF/Theil–Sen are the public textbook
+  * extensions — Sen 1968, Box–Jenkins ch. 2).
+  *
+  * Engine-exactness discipline (the psiDrift/q77 convention): inputs to
+  * every sum are quantized to an integer grid first (1e-3 here), so the
+  * per-group sums are LONG-exact and aggregation order cannot perturb
+  * them; the final Pearson ratio is then a fixed sequence of double ops
+  * on identical operands in any engine.
+  */
+object Correlation {
+
+  /** Lagged autocorrelation per key over a `binUs`-wide mean-value grid:
+    * for each lag L in `lags`, the Pearson correlation between the
+    * binned series x(b) and x(b+L), paired only where BOTH bins exist
+    * (no gap-fill — empty bins contribute nothing, the standard
+    * sparse-ACF convention). Bin means are quantized to the 1e-3 grid,
+    * so all six sufficient statistics (n, Σx, Σy, Σx², Σy², Σxy) are
+    * exact longs. Output (key, lag, n_pairs, r); r is null when
+    * n_pairs < minPairs or either side has zero variance.
+    *
+    * Scale: one (key, bin) aggregate, one explode by |lags| (a small
+    * constant), one self equi-join on (key, bin+lag) — all hash(key[,bin])
+    * exchanges with map-side partials; no windows, no driver state. The
+    * grid is at most span/binUs rows per key regardless of raw volume,
+    * so the join input is already the compacted tier, not raw events. */
+  def autocorr(
+      df: DataFrame,
+      lags: Seq[Int],
+      binUs: Long = 3600000000L,
+      minPairs: Int = 8): DataFrame = {
+    require(binUs > 0, s"bin width $binUs must be positive")
+    require(lags.nonEmpty && lags.forall(_ > 0), "lags must be positive")
+    val g = df.filter(col(V).isNotNull)
+      .groupBy(col(K), floor(col(T) / binUs).cast("long").as("_b"))
+      // floor(x·1000 + ½), not round(): see theilSen on why round()'s
+      // half-up tie-break is not engine-portable
+      .agg(floor(avg(col(V)) * 1000 + 0.5).cast("long").as("_x"))
+    val left = g.withColumn("lag", explode(lit(lags.toArray)))
+    val right = g.select(col(K).as("_rk"), col("_b").as("_rb"),
+      col("_x").as("_y"))
+    // null-safe <=> on the key (repo convention: null merge keys are legal)
+    val pairs = left.join(right,
+      left(K) <=> right("_rk") && (left("_b") + left("lag")) === right("_rb"))
+    val s = pairs.groupBy(col(K), col("lag")).agg(
+      count(lit(1)).as("n_pairs"),
+      sum(col("_x")).as("_sx"), sum(col("_y")).as("_sy"),
+      sum(col("_x") * col("_x")).as("_sxx"),
+      sum(col("_y") * col("_y")).as("_syy"),
+      sum(col("_x") * col("_y")).as("_sxy"))
+    val nD = col("n_pairs").cast("double")
+    val num = nD * col("_sxy").cast("double") -
+      col("_sx").cast("double") * col("_sy").cast("double")
+    val varX = nD * col("_sxx").cast("double") -
+      col("_sx").cast("double") * col("_sx").cast("double")
+    val varY = nD * col("_syy").cast("double") -
+      col("_sy").cast("double") * col("_sy").cast("double")
+    s.select(col(K), col("lag"), col("n_pairs"),
+      when(col("n_pairs") >= minPairs && varX > 0 && varY > 0,
+        round(num / sqrt(varX * varY), 6)).as("r"))
+  }
+
+  /** Lagged cross-correlation between two keys' bin-COUNT series (e.g.
+    * click rate vs view rate): for lag L, Pearson r between a's count
+    * at bin b and b's count at bin b+L, over bins where both series
+    * have at least one event (negative lags mean `other` leads). Counts
+    * are integers, so every sufficient statistic is long-exact with no
+    * quantization step at all. Output (lag, n_bins, r).
+    *
+    * Same plan shape as [[autocorr]]: two (key-filtered) bin aggregates,
+    * explode by |lags|, one equi-join on the shifted bin id. */
+  def crossCorr(
+      df: DataFrame,
+      keyA: String,
+      keyB: String,
+      lags: Seq[Int],
+      binUs: Long = 3600000000L,
+      minBins: Int = 8): DataFrame = {
+    require(binUs > 0, s"bin width $binUs must be positive")
+    require(lags.nonEmpty, "need at least one lag")
+    def counts(k: String) = df.filter(col(K) === k)
+      .groupBy(floor(col(T) / binUs).cast("long").as("_b"))
+      .agg(count(lit(1)).as("_c"))
+    val a = counts(keyA).withColumn("lag", explode(lit(lags.toArray)))
+    val b = counts(keyB).select(col("_b").as("_rb"), col("_c").as("_y"))
+    val pairs = a.join(b, (a("_b") + a("lag")) === b("_rb"))
+    val s = pairs.groupBy(col("lag")).agg(
+      count(lit(1)).as("n_bins"),
+      sum(col("_c")).as("_sx"), sum(col("_y")).as("_sy"),
+      sum(col("_c") * col("_c")).as("_sxx"),
+      sum(col("_y") * col("_y")).as("_syy"),
+      sum(col("_c") * col("_y")).as("_sxy"))
+    val nD = col("n_bins").cast("double")
+    val num = nD * col("_sxy").cast("double") -
+      col("_sx").cast("double") * col("_sy").cast("double")
+    val varX = nD * col("_sxx").cast("double") -
+      col("_sx").cast("double") * col("_sx").cast("double")
+    val varY = nD * col("_syy").cast("double") -
+      col("_sy").cast("double") * col("_sy").cast("double")
+    s.select(col("lag"), col("n_bins"),
+      when(col("n_bins") >= minBins && varX > 0 && varY > 0,
+        round(num / sqrt(varX * varY), 6)).as("r"))
+  }
+
+  /** Theil–Sen robust trend per (key, bucket): the MEDIAN of all
+    * pairwise slopes (v₂−v₁)/(t₂−t₁) over point pairs with t₁ < t₂
+    * inside the bucket — the classic outlier-resistant alternative to
+    * least-squares (Sen 1968, public). Slopes are reported per
+    * `perUs` (default per hour) and quantized to the 1e-6 grid BEFORE
+    * the median via floor(x·1e6 + ½) — NOT round(x, 6), whose half-up
+    * tie-break Spark resolves on the exact binary value while DuckDB
+    * resolves on x·1e6 (they disagree when x·1e6's nearest double
+    * crosses .5); floor of an identically-computed double is
+    * engine-exact. The median itself is the exact interpolated
+    * quantile over those longs (mean of the two middles for even n).
+    * Zero-duration pairs (equal t) are skipped. Output
+    * (key, bucket, n_pairs, slope) with slope back in per-`perUs`
+    * units (median/1e6).
+    *
+    * Scale: the self-join is equi on (key, bucket) with the t₁ < t₂
+    * filter, so pair count is O(n²) PER BUCKET, never global — the
+    * bucket width is the knob that bounds it (the documented contract;
+    * a week of hourly rollups is ~28k pairs). Run it over tier output,
+    * not raw events, exactly like [[EventOps.cusum]]. */
+  def theilSen(
+      df: DataFrame,
+      bucketUs: Long = 7L * 86400000000L,
+      perUs: Long = 3600000000L): DataFrame = {
+    require(bucketUs > 0, s"bucket width $bucketUs must be positive")
+    val pts = df.filter(col(V).isNotNull)
+      .select(col(K), floor(col(T) / bucketUs).cast("long").as("bucket"),
+        col(T), col(V))
+    val r = pts.select(col(K).as("_rk"), col("bucket").as("_rb"),
+      col(T).as("_t2"), col(V).as("_v2"))
+    val slopeU = floor(
+      (col("_v2") - col(V)) * perUs * 1e6 / (col("_t2") - col(T)) + 0.5)
+      .cast("long")
+    pts.join(r,
+        pts(K) <=> r("_rk") && pts("bucket") === r("_rb") && pts(T) < r("_t2"))
+      .select(col(K), col("bucket"), slopeU.as("_s"))
+      .groupBy(col(K), col("bucket"))
+      .agg(count(lit(1)).as("n_pairs"),
+        (expr("percentile(_s, 0.5)") / 1e6).as("slope"))
+  }
+}

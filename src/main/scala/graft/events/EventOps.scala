@@ -488,4 +488,23 @@ object EventOps {
       .agg(sum("_over").as("down_us"))
       .withColumn("down_frac", round(col("down_us") / dayUs, 6))
   }
+
+  /** Top-k largest inter-event gaps per key — the "where are my holes"
+    * report a retention pipeline runs before backfilling a tier. Output
+    * (key, gap_rank, t_prev, t, gap) with gap = t − previous event time,
+    * ranked by (gap desc, t asc) so ties are deterministic; exact long
+    * arithmetic throughout. Two per-key ordered scans (the
+    * [[interEventTimes]] shape plus a top-k), both over the same
+    * hash(key) exchange and sort. */
+  def topGaps(df: DataFrame, k: Int = 3): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val w = Window.partitionBy(K).orderBy(col(T).asc)
+    val wr = Window.partitionBy(K).orderBy(col("gap").desc, col(T).asc)
+    df.select(col(K), col(T), lag(col(T), 1).over(w).as("t_prev"))
+      .filter(col("t_prev").isNotNull)
+      .withColumn("gap", col(T) - col("t_prev"))
+      .withColumn("gap_rank", row_number().over(wr))
+      .filter(col("gap_rank") <= k)
+      .select(col(K), col("gap_rank"), col("t_prev"), col(T), col("gap"))
+  }
 }

@@ -4,6 +4,7 @@ import graft.core.SeriesOps
 import graft.core.SeriesOps.{K, T, V}
 import graft.regularize.{CalendarFloor, Regularize}
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Calendar binning and the continuous-aggregate tier cascade
@@ -219,5 +220,109 @@ object Rollup {
         max_by(col(V), ord).as("v_last"),
         min(col(V)).as("v_min"),
         max(col(V)).as("v_max"))
+  }
+
+  /** Largest-Triangle-Three-Buckets downsampling (Steinarsson 2013,
+    * public), in the parallel fixed-anchor variant: every bucket keeps
+    * the point maximizing the triangle area against the PREVIOUS and
+    * NEXT buckets' mean points (the sequential original anchors on the
+    * previously-selected point; anchoring on bucket means removes the
+    * chain dependency so every bucket decides independently — the
+    * standard distributed formulation). A key's first bucket keeps its
+    * first point and its last bucket its last point (LTTB's fixed
+    * endpoints); ties break by (t, v). Output (key, bin_start, t, v).
+    *
+    * Engine-exactness: the t-anchor is Σt/n on exact integer inputs
+    * (one double division — identical in any engine, no rounding
+    * step); the v-anchor is grid-snapped as floor(avg·1e6 + ½)/1e6
+    * rather than round(avg, 6), whose half-up tie-break differs
+    * between Spark (exact-binary BigDecimal) and multiply-based
+    * engines (the Correlation.theilSen finding). The area is then a
+    * fixed double expression on identical operands.
+    *
+    * Scale: one (key, bin) aggregate (the anchor table is |bins| rows —
+    * the M4 shape), one per-key lag/lead window over bins (tiny), one
+    * equi-join back to points, one per-(key, bin) top-1 window. The
+    * top-1 sorts each bucket's points once; bucket width is the bound,
+    * exactly like [[m4]]. */
+  def lttb(df: DataFrame, startUs: Long, stepUs: Long): DataFrame = {
+    require(stepUs > 0, s"bin width $stepUs must be positive")
+    val bin = (floor((col(T) - startUs) / stepUs) * stepUs + startUs)
+      .cast("long").as("bin_start")
+    val pts = df.filter(col(V).isNotNull).select(col(K), bin, col(T), col(V))
+    val anchors = pts.groupBy(col(K), col("bin_start"))
+      .agg(sum(col(T)).as("_st"), count(lit(1)).as("_n"),
+        (floor(avg(col(V)) * 1e6 + 0.5) / 1e6).as("_ay"))
+      .withColumn("_ax", col("_st").cast("double") / col("_n"))
+    val wb = Window.partitionBy(K).orderBy(col("bin_start"))
+    val a2 = anchors.select(col(K).as("_ak"), col("bin_start").as("_ab"),
+      lag(col("_ax"), 1).over(wb).as("_pax"),
+      lag(col("_ay"), 1).over(wb).as("_pay"),
+      lead(col("_ax"), 1).over(wb).as("_nax"),
+      lead(col("_ay"), 1).over(wb).as("_nay"))
+    // null-safe <=> on the key (repo convention)
+    val j = pts.join(a2,
+      pts(K) <=> a2("_ak") && pts("bin_start") === a2("_ab"))
+    val area = abs(
+      (col("_pax") - col("_nax")) * (col(V) - col("_pay")) -
+      (col("_pax") - col(T)) * (col("_nay") - col("_pay")))
+    val wp = Window.partitionBy(col(K), col("bin_start"))
+    val rnArea = row_number().over(wp.orderBy(
+      area.desc, col(T).asc, col(V).asc))
+    val rnFirst = row_number().over(wp.orderBy(col(T).asc, col(V).asc))
+    val rnLast = row_number().over(wp.orderBy(col(T).desc, col(V).desc))
+    val keep = when(col("_pax").isNull, rnFirst === 1)      // first (or only) bucket
+      .when(col("_nax").isNull, rnLast === 1)               // last bucket
+      .otherwise(rnArea === 1)                              // interior: max area
+    j.withColumn("_keep", keep)
+      .filter(col("_keep"))
+      .select(col(K), col("bin_start"), col(T), col(V))
+  }
+
+  /** SAX symbolic words (Lin et al. 2003, public), fixed-breakpoint
+    * variant: per (key, `wordUs` window) the value series is reduced to
+    * `wordUs / segUs` PAA segment means, each quantized into
+    * `alphabet` equal-width symbols over [lo, hi) ('a', 'b', …; the
+    * z-normalized Gaussian-breakpoint form trades engine-exactness for
+    * scale invariance, so the tier pipeline uses the absolute grid —
+    * same call as the grid histogram, q116). Segments with no points
+    * render '_'. Output (key, word_start, word, n_segs) — identical
+    * words across keys/windows are motif candidates, groupable
+    * downstream by an equi-shuffle on the word itself.
+    *
+    * One (key, window, segment) aggregate then one (key, window)
+    * aggregate assembling the word through an order-independent
+    * segment→symbol map (collect order cannot matter). No windows, no
+    * sorts — two hash exchanges, the cheapest shape. */
+  def saxWords(
+      df: DataFrame,
+      wordUs: Long = 86400000000L,
+      segUs: Long = 3L * 3600000000L,
+      alphabet: Int = 4,
+      lo: Double = 0.0,
+      hi: Double = 500.0): DataFrame = {
+    require(wordUs > 0 && segUs > 0 && wordUs % segUs == 0,
+      s"word $wordUs must be a positive multiple of segment $segUs")
+    require(alphabet >= 2 && alphabet <= 26 && hi > lo,
+      "need 2..26 symbols and hi > lo")
+    val nSegs = (wordUs / segUs).toInt
+    val paa = df.filter(col(V).isNotNull)
+      .groupBy(col(K),
+        (floor(col(T) / wordUs) * wordUs).cast("long").as("word_start"),
+        pmod(floor(col(T) / segUs), lit(nSegs.toLong)).cast("int").as("_seg"))
+      // grid-snap via floor(x·1e6 + ½), not round(): engine-portable
+      .agg((floor(avg(col(V)) * 1e6 + 0.5) / 1e6).as("_paa"))
+    val sym = chr(lit(97) + least(lit(alphabet - 1), greatest(lit(0),
+      floor((col("_paa") - lo) / ((hi - lo) / alphabet)))).cast("int"))
+    paa.withColumn("_sym", sym)
+      .groupBy(col(K), col("word_start"))
+      .agg(
+        map_from_entries(collect_list(struct(col("_seg"), col("_sym"))))
+          .as("_m"),
+        count(lit(1)).as("n_segs"))
+      .select(col(K), col("word_start"),
+        array_join(transform(sequence(lit(0), lit(nSegs - 1)),
+          i => coalesce(element_at(col("_m"), i), lit("_"))), "").as("word"),
+        col("n_segs"))
   }
 }

@@ -1,0 +1,167 @@
+package graft
+
+import graft.events.{Correlation, EventOps}
+import graft.rollup.Rollup
+import org.apache.spark.sql.functions._
+
+/** Hand-checked semantics for the correlation/trend/downsample family:
+  * lagged ACF/CCF on the bin grid, Theil–Sen median slope, fixed-anchor
+  * LTTB, SAX words, top-k gaps.
+  */
+class CorrelationSpec extends SparkSpec {
+
+  test("autocorr: perfectly linear bins -> r = 1; pairs require both bins") {
+    // bins 0..3 hold means 1,2,3,4 -> lag-1 pairs are collinear
+    val df = seriesL(Seq(
+      (5L, Some(1.0)), (15L, Some(2.0)), (25L, Some(3.0)), (35L, Some(4.0))))
+    val out = Correlation.autocorr(df, Seq(1), binUs = 10L, minPairs = 2)
+      .collect().map(r => (r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(out == Seq((1, 3L, 1.0)))
+  }
+
+  test("autocorr: minPairs gate and zero variance -> null r, row kept") {
+    val df = seriesL(Seq((5L, Some(1.0)), (15L, Some(2.0)), (25L, Some(3.0))))
+    val gated = Correlation.autocorr(df, Seq(1), binUs = 10L, minPairs = 5)
+      .head()
+    assert(gated.getLong(2) == 2L && gated.isNullAt(3))
+    val const = seriesL(Seq(
+      (5L, Some(7.0)), (15L, Some(7.0)), (25L, Some(7.0))))
+    val c = Correlation.autocorr(const, Seq(1), binUs = 10L, minPairs = 2)
+      .head()
+    assert(c.getLong(2) == 2L && c.isNullAt(3))
+  }
+
+  test("autocorr: gaps pair only existing bins; lag list explodes per lag") {
+    // bins 0,1,3 exist; lag 1 pairs (0,1); lag 2 pairs (1,3); lag 3 pairs (0,3)
+    val df = seriesL(Seq((5L, Some(1.0)), (15L, Some(2.0)), (35L, Some(4.0))))
+    val n = Correlation.autocorr(df, Seq(1, 2, 3), binUs = 10L, minPairs = 1)
+      .collect().map(r => (r.getInt(1), r.getLong(2))).toMap
+    assert(n == Map(1 -> 1L, 2 -> 1L, 3 -> 1L))
+  }
+
+  test("autocorr matches a sequential Pearson reference on seeded data") {
+    val rnd = new scala.util.Random(4242)
+    val pts = (0 until 400).map(_ =>
+      (rnd.nextInt(60).toLong * 10 + rnd.nextInt(10), Some(rnd.nextDouble() * 100)))
+    val df = seriesL(pts)
+    val got = Correlation.autocorr(df, Seq(2), binUs = 10L, minPairs = 2)
+      .head()
+    // sequential reference on the same quantization
+    val grid = pts.groupBy(_._1 / 10).map { case (b, ps) =>
+      val vs = ps.map(_._2.get)
+      b -> math.floor(vs.sum / vs.size * 1000 + 0.5).toLong
+    }
+    val pairs = grid.toSeq.flatMap { case (b, x) =>
+      grid.get(b + 2).map(y => (x, y)) }
+    val n = pairs.size.toDouble
+    val (sx, sy) = (pairs.map(_._1).sum.toDouble, pairs.map(_._2).sum.toDouble)
+    val sxx = pairs.map(p => p._1 * p._1).sum.toDouble
+    val syy = pairs.map(p => p._2 * p._2).sum.toDouble
+    val sxy = pairs.map(p => p._1 * p._2).sum.toDouble
+    val expected = (n * sxy - sx * sy) /
+      math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    assert(got.getLong(2) == pairs.size.toLong)
+    assert(math.abs(got.getDouble(3) - expected) < 1e-6)
+  }
+
+  test("crossCorr: anti-correlated counts -> r = -1; negative lag shifts") {
+    val s = spark
+    import s.implicits._
+    // A counts by bin: 1,2,3; B counts: 3,2,1
+    val rows =
+      Seq.fill(1)(("a", 5L)) ++ Seq.fill(2)(("a", 15L)) ++ Seq.fill(3)(("a", 25L)) ++
+      Seq.fill(3)(("b", 5L)) ++ Seq.fill(2)(("b", 15L)) ++ Seq.fill(1)(("b", 25L))
+    val df = rows.toDF("key", "t")
+    val r0 = Correlation.crossCorr(df, "a", "b", Seq(0), binUs = 10L, minBins = 2)
+      .head()
+    assert(r0.getLong(1) == 3L && r0.getDouble(2) == -1.0)
+    // B shifted one bin later equals A -> lag +1 gives r = 1
+    val rows2 =
+      Seq.fill(1)(("a", 5L)) ++ Seq.fill(2)(("a", 15L)) ++ Seq.fill(3)(("a", 25L)) ++
+      Seq.fill(1)(("b", 15L)) ++ Seq.fill(2)(("b", 25L)) ++ Seq.fill(3)(("b", 35L))
+    val r1 = Correlation.crossCorr(rows2.toDF("key", "t"), "a", "b",
+      Seq(1), binUs = 10L, minBins = 2).head()
+    assert(r1.getLong(1) == 3L && r1.getDouble(2) == 1.0)
+  }
+
+  test("theilSen: odd and even pair counts, exact grid median") {
+    // slopes over (0,0),(10,10),(20,40): 1, 2, 3 -> median 2
+    val odd = seriesL(Seq((0L, Some(0.0)), (10L, Some(10.0)), (20L, Some(40.0))))
+    val o = Correlation.theilSen(odd, bucketUs = 1000L, perUs = 1L).head()
+    assert(o.getLong(2) == 3L && o.getDouble(3) == 2.0)
+    // add (30,40): six slopes 1, 2, 4/3, 3, 1.5, 0 -> median (1.333333+1.5)/2
+    val even = seriesL(Seq(
+      (0L, Some(0.0)), (10L, Some(10.0)), (20L, Some(40.0)), (30L, Some(40.0))))
+    val e = Correlation.theilSen(even, bucketUs = 1000L, perUs = 1L).head()
+    assert(e.getLong(2) == 6L && e.getDouble(3) == 1.4166665)
+  }
+
+  test("theilSen: equal-t pairs skipped; buckets independent") {
+    val df = seriesL(Seq(
+      (0L, Some(0.0)), (0L, Some(5.0)), (10L, Some(10.0)), // bucket 0
+      (100L, Some(0.0)), (110L, Some(30.0))))              // bucket 1
+    val out = Correlation.theilSen(df, bucketUs = 100L, perUs = 1L)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq.sortBy(_._1)
+    // bucket 0: pairs (0,.)->(10,10): slopes 1.0 and 0.5 -> median 0.75
+    assert(out == Seq((0L, 2L, 0.75), (1L, 1L, 3.0)))
+  }
+
+  test("lttb: endpoints fixed, interior bucket keeps max-area point") {
+    val df = seriesL(Seq(
+      (1L, Some(0.0)), (2L, Some(5.0)),                      // first bucket
+      (11L, Some(0.0)), (15L, Some(100.0)), (19L, Some(0.0)), // interior
+      (21L, Some(1.0)), (25L, Some(2.0))))                    // last bucket
+    val out = Rollup.lttb(df, startUs = 0L, stepUs = 10L)
+      .collect().map(r => (r.getLong(2), r.getDouble(3))).toSeq.sortBy(_._1)
+    assert(out == Seq((1L, 0.0), (15L, 100.0), (25L, 2.0)))
+  }
+
+  test("lttb: single-bucket key keeps its first point; one row per bucket") {
+    val df = seriesL(Seq((3L, Some(9.0)), (7L, Some(1.0))))
+    val out = Rollup.lttb(df, 0L, 10L).collect()
+      .map(r => (r.getLong(2), r.getDouble(3))).toSeq
+    assert(out == Seq((3L, 9.0)))
+    val dense = seriesL((0L until 40L).map(t => (t, Some(t.toDouble * 7 % 13))))
+    assert(Rollup.lttb(dense, 0L, 10L).count() == 4)
+  }
+
+  test("saxWords: PAA symbols, '_' for empty segments, edge clamping") {
+    val df = seriesL(Seq(
+      (5L, Some(0.4)),   // seg 0 -> 'a'
+      (15L, Some(1.2)),  // seg 1 -> 'b'
+      (35L, Some(3.9)),  // seg 3 -> 'd'
+      (75L, Some(2.0)))) // seg 7 -> 'c'
+    val out = Rollup.saxWords(df, wordUs = 80L, segUs = 10L, alphabet = 4,
+      lo = 0.0, hi = 4.0).head()
+    assert(out.getString(2) == "ab_d___c" && out.getLong(3) == 4L)
+    // out-of-range values clamp to the edge symbols
+    val clamp = seriesL(Seq((5L, Some(99.0)), (15L, Some(-5.0))))
+    val w = Rollup.saxWords(clamp, 80L, 10L, 4, 0.0, 4.0).head().getString(2)
+    assert(w == "da______")
+  }
+
+  test("saxWords: segment PAA averages points; words split per window") {
+    val df = seriesL(Seq(
+      (1L, Some(0.0)), (9L, Some(2.0)), // seg 0 mean 1.0 -> 'b' (width 1)
+      (85L, Some(3.5))))                // next word, seg 0 -> 'd'
+    val out = Rollup.saxWords(df, 80L, 10L, 4, 0.0, 4.0)
+      .collect().map(r => (r.getLong(1), r.getString(2))).toSeq.sortBy(_._1)
+    assert(out == Seq((0L, "b_______"), (80L, "d_______")))
+  }
+
+  test("topGaps: rank by gap desc then t; k bounds output; exact longs") {
+    val df = seriesL(Seq(0L, 10L, 11L, 50L, 100L).map(t => (t, Some(1.0))))
+    val out = EventOps.topGaps(df.select(col("key"), col("t")), k = 3)
+      .collect()
+      .map(r => (r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSeq.sortBy(_._1)
+    assert(out == Seq(
+      (1, 50L, 100L, 50L),
+      (2, 11L, 50L, 39L),
+      (3, 0L, 10L, 10L)))
+    // a single-point key has no gaps at all
+    assert(EventOps.topGaps(seriesL(Seq((5L, Some(1.0))))
+      .select(col("key"), col("t"))).count() == 0)
+  }
+}
