@@ -3935,6 +3935,139 @@ object GraftQueries {
       |      FROM h)
       |SELECT user_id, gap_rank, t_prev, t, gap FROM r WHERE gap_rank <= 3""".stripMargin
 
+  /** Staleness-bounded sampling: the hourly previous-value grid of q03,
+    * but a carried measurement expires after 6h (the PromQL lookback
+    * rule) — grid points in a gap longer than the bound read null
+    * instead of the last pre-gap value. Oracle = the q03 ASOF join plus
+    * the age predicate. */
+  def qStaleSample(spark: SparkSession, dir: String): DataFrame = {
+    val pts = points(spark, dir)
+    val (tmin, tmax) = bounds(pts)
+    Regularize.samplePreviousStale(
+      pts, Regularize.gridSeq(pts, tmin, tmax, HOUR), nullD,
+      maxAgeUs = 6 * HOUR)
+  }
+
+  val sqlStaleSample: String =
+    sqlPrefix() +
+      s""", grid AS (
+         |  SELECT key, gt FROM (SELECT DISTINCT key FROM pts),
+         |    unnest(generate_series((SELECT tmin FROM b), (SELECT tmax FROM b), $HOUR)) g(gt))
+         |SELECT g.key AS key, g.gt AS t,
+         |  CASE WHEN g.gt - p.t <= ${6 * HOUR} THEN p.v END AS v
+         |FROM grid g ASOF LEFT JOIN pts p ON g.key = p.key AND g.gt >= p.t""".stripMargin
+
+  /** Per-(user, state) dwell-time statistics: how long each user STAYS
+    * in a state per entry — run-length analytics over the compacted
+    * state series (q63 sums total time-in-state; this reports the runs
+    * themselves: count, total, max, mean). The final run of each user
+    * is unterminated and excluded, like the open last segment
+    * everywhere else. */
+  def qStateDwell(spark: SparkSession, dir: String): DataFrame =
+    graft.categorical.CategoricalOps.dwellStats(statePoints(spark, dir))
+
+  val sqlStateDwell: String =
+    sqlStatePts +
+      """,
+        |l AS (SELECT key, t, sv,
+        |        CASE WHEN sv IS DISTINCT FROM lag(sv) OVER w THEN 1 ELSE 0
+        |        END AS nw
+        |      FROM spts WINDOW w AS (PARTITION BY key ORDER BY t)),
+        |r AS (SELECT key, t, sv,
+        |        sum(nw) OVER (PARTITION BY key ORDER BY t
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+        |      FROM l),
+        |p AS (SELECT key, run, min(sv) AS sv, min(t) AS r0
+        |      FROM r GROUP BY 1, 2),
+        |q AS (SELECT key, sv, r0,
+        |        lead(r0) OVER (PARTITION BY key ORDER BY r0) AS r1 FROM p)
+        |SELECT key, sv, count(*) AS n_runs, sum(r1 - r0) AS total_us,
+        |  max(r1 - r0) AS max_run_us,
+        |  CAST(sum(r1 - r0) AS DOUBLE) / count(*) AS mean_run_us
+        |FROM q WHERE r1 IS NOT NULL GROUP BY 1, 2""".stripMargin
+
+  /** Robust median/MAD outlier scan per (user, week): Hampel's rule on
+    * weekly buckets — every point scored |v − med| / MAD against its
+    * own bucket, flags at 3.5 MADs. The 1e-3 long quantization keeps
+    * both exact medians (halves/quarters) bit-identical cross-engine. */
+  def qMadAnomaly(spark: SparkSession, dir: String): DataFrame =
+    EventOps.madAnomaly(
+      spark.read.parquet(s"$dir/events.parquet")
+        .select(col("user_id").as("key"), tsUs.as("t"), col("value").as("v")),
+      bucketUs = WEEK, nMad = 3.5, minN = 4)
+      .select(col("key").as("user_id"), col("bucket").as("week"),
+        col("t"), col("v"), col("score"), col("anomaly"))
+
+  val sqlMadAnomaly: String =
+    """WITH e AS (SELECT user_id, epoch_us(ts) AS t, value AS v,
+      |             epoch_us(ts) // 604800000000 AS week,
+      |             CAST(floor(value * 1000 + 0.5) AS BIGINT) AS x
+      |           FROM events WHERE value IS NOT NULL),
+      |m AS (SELECT user_id, week, quantile_cont(x, 0.5) AS med,
+      |        count(*) AS n
+      |      FROM e GROUP BY 1, 2),
+      |d AS (SELECT e.user_id, e.week, e.t, e.v, m.n,
+      |        abs(e.x - m.med) AS dev
+      |      FROM e JOIN m ON e.user_id IS NOT DISTINCT FROM m.user_id
+      |        AND e.week = m.week),
+      |md AS (SELECT user_id, week, quantile_cont(dev, 0.5) AS mad
+      |       FROM d GROUP BY 1, 2)
+      |SELECT d.user_id, d.week, d.t, d.v,
+      |  CASE WHEN d.n >= 4 AND md.mad > 0 THEN round(d.dev / md.mad, 6)
+      |  END AS score,
+      |  CAST(coalesce(d.n >= 4 AND md.mad > 0 AND d.dev / md.mad > 3.5,
+      |    FALSE) AS INT) AS anomaly
+      |FROM d JOIN md ON d.user_id IS NOT DISTINCT FROM md.user_id
+      |  AND d.week = md.week""".stripMargin
+
+  /** Two-sided level-shift (step-change) detector per user: mean of the
+    * 12 points before vs the 12 from here on, flag when the jump
+    * exceeds 25.0 — integer window SUMS end to end, so not even the
+    * flag needs a rounding step. */
+  def qLevelShift(spark: SparkSession, dir: String): DataFrame =
+    EventOps.levelShift(
+      spark.read.parquet(s"$dir/events.parquet")
+        .select(col("user_id").as("key"), tsUs.as("t"), col("value").as("v")),
+      w = 12, threshold = 25.0)
+      .select(col("key").as("user_id"), col("t"), col("v"),
+        col("pre_mean"), col("post_mean"), col("shift"), col("level_shift"))
+
+  val sqlLevelShift: String =
+    """WITH e AS (SELECT user_id, epoch_us(ts) AS t, value AS v,
+      |             CAST(floor(value * 1000 + 0.5) AS BIGINT) AS x
+      |           FROM events WHERE value IS NOT NULL),
+      |w AS (SELECT user_id, t, v,
+      |        sum(x) OVER pre AS spre, count(*) OVER pre AS npre,
+      |        sum(x) OVER post AS spost, count(*) OVER post AS npost
+      |      FROM e
+      |      WINDOW pre AS (PARTITION BY user_id ORDER BY t, v
+      |          ROWS BETWEEN 12 PRECEDING AND 1 PRECEDING),
+      |        post AS (PARTITION BY user_id ORDER BY t, v
+      |          ROWS BETWEEN CURRENT ROW AND 11 FOLLOWING))
+      |SELECT user_id, t, v,
+      |  CASE WHEN npre = 12 AND npost = 12
+      |    THEN round(spre / 12000.0, 6) END AS pre_mean,
+      |  CASE WHEN npre = 12 AND npost = 12
+      |    THEN round(spost / 12000.0, 6) END AS post_mean,
+      |  CASE WHEN npre = 12 AND npost = 12
+      |    THEN round((spost - spre) / 12000.0, 6) END AS shift,
+      |  CAST(coalesce(npre = 12 AND npost = 12
+      |    AND abs(spost - spre) > 300000, FALSE) AS INT) AS level_shift
+      |FROM w""".stripMargin
+
+  /** Banded DTW distance between every pair of event-type hourly series
+    * (Sakoe–Chiba band 16). Registered WITHOUT an oracle (rows-only
+    * driver check) BY DESIGN: the alignment DP is not expressible in
+    * SQL; correctness evidence is CorrelationSpec's exact-DP
+    * equivalence and metric sanity properties. The distance itself is
+    * integer-exact (long milli-unit L1 costs). */
+  def qDtw(spark: SparkSession, dir: String): DataFrame =
+    graft.events.Correlation.dtwPairs(
+      spark.read.parquet(s"$dir/events.parquet")
+        .select(col("event_type").as("key"), tsUs.as("t"),
+          col("value").as("v")),
+      binUs = HOUR, band = 16)
+
   // classic relational smoke (lineitem)
   def qLineitemAgg(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/lineitem.parquet")

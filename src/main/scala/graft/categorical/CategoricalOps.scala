@@ -61,6 +61,52 @@ object CategoricalOps {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** Dwell (run-length) statistics per (key, state): how LONG the series
+    * stays in a state each time it enters it — the run-length complement
+    * of [[stateDistribution]] (which only sums total time-in-state) and
+    * [[transitions]] (which only counts entries). Consecutive repeated
+    * measurements of the same state merge into one run (`compact`
+    * semantics, traces/timeseries.py:187-191); a run lasts from its first
+    * measurement to the NEXT distinct state's first measurement; the last
+    * run of each key is unterminated and excluded, exactly like the open
+    * final segment in [[segments]]. Output (key, sv, n_runs, total_us,
+    * max_run_us, mean_run_us) — all engine-exact: the mean is a single
+    * IEEE division of exact long µs, the rest stay longs.
+    *
+    * Scale: one lag + one running-sum window per key (single hash(key)
+    * exchange, both windows share the sort), then a (key, state, run)
+    * aggregate whose groups collapse map-side — no join, no second
+    * shuffle beyond the final (key, sv) aggregate. */
+  def dwellStats(points: DataFrame, valueCol: String = "sv"): DataFrame = {
+    val ord = Window.partitionBy("key").orderBy("t")
+    val run = Window.partitionBy("key").orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sv = col(valueCol)
+    val runs = points
+      // null-safe <=>: a null state is a legitimate value and must not
+      // glue two distinct runs together; the first row always opens a run
+      .withColumn("_run", sum(when(row_number().over(ord) === 1, 1L)
+        .otherwise(when(lag(sv, 1).over(ord) <=> sv, 0L).otherwise(1L))).over(run))
+    val perRun = runs
+      .groupBy(col("key"), col("_run"))
+      .agg(first(sv).as(valueCol), min(col("t")).as("_r0"))
+    val next = Window.partitionBy("key").orderBy("_r0")
+    perRun
+      .withColumn("_r1", lead(col("_r0"), 1).over(next))
+      .filter(col("_r1").isNotNull) // final run is unterminated
+      .groupBy(col("key"), col(valueCol))
+      .agg(
+        count(lit(1)).as("n_runs"),
+        sum(col("_r1") - col("_r0")).as("total_us"),
+        max(col("_r1") - col("_r0")).as("max_run_us"),
+        // deliberately NOT round(…, 6): the mean is one IEEE division of
+        // exact longs (bit-identical in any engine), and at µs magnitudes
+        // ~1e11 a multiply-based round(x·1e6)/1e6 overflows 2^53 and
+        // CORRUPTS the value instead of cleaning it
+        (sum(col("_r1") - col("_r0")).cast("double") / count(lit(1)))
+          .as("mean_run_us"))
+  }
+
   /** Previous-interpolated state at regular grid times — `sample()`
     * (traces/timeseries.py:1409) for a string-valued series. Grid times
     * before a key's first measurement carry the default (null), like

@@ -152,4 +152,101 @@ object Correlation {
       .agg(count(lit(1)).as("n_pairs"),
         (expr("percentile(_s, 0.5)") / 1e6).as("slope"))
   }
+
+  /** Banded Dynamic Time Warping distance between every unordered pair
+    * of keys' binned series (Sakoe–Chiba band, public — Sakoe & Chiba
+    * 1978): the similarity measure that tolerates phase shift, the
+    * elastic complement of [[crossCorr]]'s fixed-lag Pearson. Each key's
+    * series reduces to its `binUs` mean-value grid first (bin means
+    * quantized to the 1e-3 grid as longs; absent bins are skipped — the
+    * sparse convention of [[autocorr]]); the DP then aligns the value
+    * SEQUENCES with L1 cost inside a ±`band` window around the
+    * length-normalized diagonal. Cost accumulation is integer-exact
+    * (long milli-units end to end; the one double division happens on
+    * the final answer) — but the operator registers rows-only with the
+    * driver because no SQL engine expresses the DP.
+    *
+    * Output (key_a, key_b, n_a, n_b, dtw, dtw_per_step) for every pair
+    * with both sides nonempty, key_a < key_b (a null key drops out of
+    * the pairing — a similarity row for it is meaningless); dtw is null
+    * when the band is too narrow to connect the corners (only possible
+    * for extreme length ratios with a tiny band). dtw_per_step divides
+    * by (n_a + n_b), the usual path-length normalizer.
+    *
+    * Scale shape: the binned table is |keys| rows with arrays bounded
+    * by `maxBins` (exceeding it raises loudly — the mergeGridAudit
+    * convention, never a silent truncation); the pair join is
+    * |keys|²/2 rows of array pointers; each pair costs
+    * O(min(n)·band) on one executor core. Per-pair-sequential /
+    * across-pairs-parallel is the shape DTW forces — at 100 TB the key
+    * universe is the gate (e.g. the anomaly-flagged subset), and raw
+    * point volume never enters the DP, only the |span/binUs|-bounded
+    * grid. */
+  def dtwPairs(
+      df: DataFrame,
+      binUs: Long = 3600000000L,
+      band: Int = 16,
+      maxBins: Int = 65536): DataFrame = {
+    require(binUs > 0, s"bin width $binUs must be positive")
+    require(band >= 1, s"band $band must be >= 1")
+    require(maxBins >= 1, s"maxBins $maxBins must be >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val g = df.filter(col(V).isNotNull && col(K).isNotNull)
+      .groupBy(col(K).cast("string").as(K),
+        floor(col(T) / binUs).cast("long").as("_b"))
+      .agg(floor(avg(col(V)) * 1000 + 0.5).cast("long").as("_x"))
+    val seqs = g
+      .groupBy(col(K))
+      .agg(transform(array_sort(collect_list(struct(col("_b"), col("_x")))),
+        s => s.getField("_x")).as("_s"))
+      .withColumn("_s",
+        when(size(col("_s")) <= maxBins, col("_s"))
+          .otherwise(raise_error(concat(
+            lit(s"dtwPairs: binned series longer than maxBins=$maxBins for key "),
+            col(K), lit("; widen binUs or raise maxBins")))))
+    val pairs = seqs.select(col(K).as("key_a"), col("_s").as("_xs"))
+      .join(seqs.select(col(K).as("key_b"), col("_s").as("_ys")),
+        col("key_a") < col("key_b"))
+      .as[(String, Seq[Long], String, Seq[Long])]
+    pairs
+      .map { case (ka, xs, kb, ys) =>
+        val d = dtwBanded(xs.toArray, ys.toArray, band)
+        (ka, kb, xs.length, ys.length,
+          d.map(_ / 1000.0),
+          d.map(_ / 1000.0 / (xs.length + ys.length)))
+      }
+      .toDF("key_a", "key_b", "n_a", "n_b", "dtw", "dtw_per_step")
+  }
+
+  /** The banded DP itself: L1 cost on long milli-units, two rolling rows
+    * of O(m) state, band centered on the length-normalized diagonal
+    * (j ≈ i·m/n). Returns None when no in-band path connects (1,1) to
+    * (n,m). INF/2 sentinel keeps the `cost + min(...)` adds overflow-free. */
+  private[graft] def dtwBanded(
+      x: Array[Long], y: Array[Long], band: Int): Option[Long] = {
+    val n = x.length
+    val m = y.length
+    if (n == 0 || m == 0) return None
+    val INF = Long.MaxValue / 4
+    var prev = Array.fill(m + 1)(INF)
+    var curr = Array.fill(m + 1)(INF)
+    prev(0) = 0L
+    var i = 1
+    while (i <= n) {
+      java.util.Arrays.fill(curr, INF)
+      val center = ((i.toLong * m) / n).toInt
+      val lo = math.max(1, center - band)
+      val hi = math.min(m, center + band)
+      var j = lo
+      while (j <= hi) {
+        val best = math.min(prev(j), math.min(prev(j - 1), curr(j - 1)))
+        if (best < INF) curr(j) = math.abs(x(i - 1) - y(j - 1)) + best
+        j += 1
+      }
+      val t = prev; prev = curr; curr = t
+      i += 1
+    }
+    if (prev(m) >= INF) None else Some(prev(m))
+  }
 }

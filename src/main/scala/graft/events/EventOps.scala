@@ -507,4 +507,97 @@ object EventOps {
       .filter(col("gap_rank") <= k)
       .select(col(K), col("gap_rank"), col("t_prev"), col(T), col("gap"))
   }
+
+  /** Robust (median/MAD) outlier scan per (key, bucket): each point is
+    * scored |v − median| / MAD against ITS OWN bucket's median and median
+    * absolute deviation — the robust complement of [[rollingZscore]]
+    * (mean/stddev are dragged by the very outliers being hunted; the
+    * median/MAD pair has a 50% breakdown point — Hampel's classic rule,
+    * public). Output (key, bucket, t, v, score, anomaly); buckets whose
+    * MAD is 0 (over half the points identical) or with <`minN` points
+    * emit null score, anomaly 0.
+    *
+    * Engine-exactness: v is snapped to the 1e-3 grid as a LONG
+    * (floor(v·1000 + ½) — the theilSen discipline; round()'s half-up
+    * tie-break is not portable), both medians are exact interpolated
+    * percentiles over integer-valued inputs (halves/quarters — exact in
+    * binary doubles), so score is one double division on identical
+    * operands in any engine.
+    *
+    * Scale: two (key, bucket) aggregates + one join back to points. The
+    * exact percentile holds a bucket's values per group — the bucket IS
+    * the bound (hourly/daily tiers), the same contract as
+    * [[graft.rollup.Rollup.tierPercentiles]]; the unbounded-scale escape
+    * is percentile_approx there, not here, because MAD's second median
+    * must see exact deviations. */
+  def madAnomaly(df: DataFrame, bucketUs: Long, nMad: Double = 3.5,
+      minN: Int = 4, broadcastStats: Boolean = true): DataFrame = {
+    require(bucketUs > 0, s"bucket width $bucketUs must be positive")
+    val pts = df.filter(col(V).isNotNull)
+      .withColumn("bucket", floor(col(T) / bucketUs).cast("long"))
+      .withColumn("_x", floor(col(V) * 1000 + 0.5).cast("long"))
+    val med = pts.groupBy(col(K), col("bucket"))
+      .agg(expr("percentile(_x, 0.5)").as("_med"), count(lit(1)).as("_n"))
+    val med2 = med.select(col(K).as("_mk"), col("bucket").as("_mb"),
+      col("_med"), col("_n"))
+    val withMed = pts
+      .join(if (broadcastStats) broadcast(med2) else med2,
+        col(K) <=> col("_mk") && col("bucket") === col("_mb"))
+      .drop("_mk", "_mb")
+      .withColumn("_dev", abs(col("_x") - col("_med")))
+    val mad = withMed.groupBy(col(K), col("bucket"))
+      .agg(expr("percentile(_dev, 0.5)").as("_mad"))
+    val mad2 = mad.select(col(K).as("_dk"), col("bucket").as("_db"), col("_mad"))
+    val ok = col("_n") >= minN && col("_mad") > 0
+    withMed
+      .join(if (broadcastStats) broadcast(mad2) else mad2,
+        col(K) <=> col("_dk") && col("bucket") === col("_db"))
+      .drop("_dk", "_db")
+      .withColumn("score", when(ok, round(col("_dev") / col("_mad"), 6)))
+      .withColumn("anomaly",
+        coalesce(when(ok, col("_dev") / col("_mad") > nMad), lit(false))
+          .cast("int"))
+      .select(col(K), col("bucket"), col(T), col(V), col("score"),
+        col("anomaly"))
+  }
+
+  /** Level-shift (step-change) detector: at each point, the mean of the
+    * `w` points STRICTLY BEFORE it vs the mean of the `w` points FROM it
+    * on; a shift fires where |post − pre| > threshold — the two-sided
+    * moving-window edge filter (classic step-detection form, public),
+    * the abrupt-jump complement of [[cusum]]'s slow-drift scan. Only
+    * positions with BOTH windows full emit a shift (warm-up rows emit
+    * null). Output (key, t, v, pre_mean, post_mean, shift, level_shift).
+    *
+    * Engine-exactness: v snaps to the 1e-3 grid as a LONG, both window
+    * aggregates are integer SUMS (no float accumulation order anywhere),
+    * and the means/shift divide the exact sums once at the end — the
+    * strongest portability discipline in the battery: not even a
+    * rounding step is needed for the flag, only for the reported
+    * doubles.
+    *
+    * Scale: two row-bounded frames over ONE per-key sort (w rows of
+    * state each) — the [[rollingZscore]] shape exactly. */
+  def levelShift(df: DataFrame, w: Int, threshold: Double): DataFrame = {
+    require(w >= 1, s"window $w must be >= 1")
+    val ord = Window.partitionBy(K).orderBy(col(T).asc, col(V).asc)
+    val pre = ord.rowsBetween(-w, -1)
+    val post = ord.rowsBetween(Window.currentRow, w - 1)
+    val thrMilli = math.rint(threshold * 1000).toLong
+    val pts = df.filter(col(V).isNotNull)
+      .withColumn("_x", floor(col(V) * 1000 + 0.5).cast("long"))
+    val full = count(lit(1)).over(pre) === w && count(lit(1)).over(post) === w
+    val sPre = sum(col("_x")).over(pre)
+    val sPost = sum(col("_x")).over(post)
+    pts
+      .withColumn("pre_mean", when(full, round(sPre / (1000.0 * w), 6)))
+      .withColumn("post_mean", when(full, round(sPost / (1000.0 * w), 6)))
+      .withColumn("shift",
+        when(full, round((sPost - sPre) / (1000.0 * w), 6)))
+      .withColumn("level_shift",
+        coalesce(when(full, abs(sPost - sPre) > thrMilli * w), lit(false))
+          .cast("int"))
+      .select(col(K), col(T), col(V), col("pre_mean"), col("post_mean"),
+        col("shift"), col("level_shift"))
+  }
 }
