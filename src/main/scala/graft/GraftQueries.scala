@@ -4068,6 +4068,94 @@ object GraftQueries {
           col("value").as("v")),
       binUs = HOUR, band = 16)
 
+  /** Hourly rate-burst report per event type: a bin bursts when its
+    * count exceeds 2× its own trailing-24h per-hour average; the flag
+    * compares exact integer cross-products, the RANGE frame makes empty
+    * hours free. */
+  def qBurstRate(spark: SparkSession, dir: String): DataFrame =
+    EventOps.burstRate(
+      spark.read.parquet(s"$dir/events.parquet")
+        .select(col("event_type").as("key"), tsUs.as("t")),
+      baseHours = 24, factor = 2)
+      .select(col("key").as("event_type"), col("hour"), col("n"),
+        col("base"), col("ratio"), col("burst"))
+
+  val sqlBurstRate: String =
+    """WITH e AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hour
+      |           FROM events),
+      |c AS (SELECT event_type, hour, count(*) AS n FROM e GROUP BY 1, 2),
+      |w AS (SELECT event_type, hour, n,
+      |        coalesce(sum(n) OVER (PARTITION BY event_type ORDER BY hour
+      |          RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING), 0) AS base,
+      |        min(hour) OVER (PARTITION BY event_type) AS h0
+      |      FROM c)
+      |SELECT event_type, hour, n, base,
+      |  CASE WHEN hour >= h0 + 24 AND base > 0
+      |    THEN round(n * 24 / CAST(base AS DOUBLE), 6) END AS ratio,
+      |  CAST(coalesce(hour >= h0 + 24 AND base > 0 AND n * 24 > base * 2,
+      |    FALSE) AS INT) AS burst
+      |FROM w""".stripMargin
+
+  /** Exact OLS trend per (user, week): slope/intercept/r² from six
+    * integer-exact sufficient statistics (x = seconds into the week,
+    * y = milli-value) — the parametric fit beside q119's Theil–Sen
+    * median slope. */
+  def qOlsTrend(spark: SparkSession, dir: String): DataFrame =
+    EventOps.olsTrend(
+      spark.read.parquet(s"$dir/events.parquet")
+        .select(col("user_id").as("key"), tsUs.as("t"), col("value").as("v")),
+      bucketUs = WEEK, minN = 3)
+      .select(col("key").as("user_id"), col("bucket").as("week"), col("n"),
+        col("slope_per_hr"), col("intercept"), col("r2"))
+
+  val sqlOlsTrend: String =
+    """WITH e AS (SELECT user_id, epoch_us(ts) // 604800000000 AS week,
+      |             (epoch_us(ts) - epoch_us(ts) // 604800000000
+      |               * 604800000000) // 1000000 AS x,
+      |             CAST(floor(value * 1000 + 0.5) AS BIGINT) AS y
+      |           FROM events WHERE value IS NOT NULL),
+      |s AS (SELECT user_id, week, count(*) AS n, sum(x) AS sx,
+      |        sum(y) AS sy, sum(x * x) AS sxx, sum(y * y) AS syy,
+      |        sum(x * y) AS sxy
+      |      FROM e GROUP BY 1, 2),
+      |d AS (SELECT *,
+      |        CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx AS dxx,
+      |        CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy AS dyy,
+      |        CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy AS dxy
+      |      FROM s)
+      |SELECT user_id, week, n,
+      |  CASE WHEN n >= 3 AND dxx > 0 AND dyy > 0
+      |    THEN round(dxy / dxx * 3600 / 1000.0, 6) END AS slope_per_hr,
+      |  CASE WHEN n >= 3 AND dxx > 0 AND dyy > 0
+      |    THEN round((sy / 1000.0 - dxy / dxx / 1000.0 * sx) / n, 6)
+      |  END AS intercept,
+      |  CASE WHEN n >= 3 AND dxx > 0 AND dyy > 0
+      |    THEN round(dxy * dxy / (dxx * dyy), 6) END AS r2
+      |FROM d""".stripMargin
+
+  /** Debounce with a 2h cooldown per user: the greedy chain of kept
+    * timestamps (first event, then the first ≥ 2h after the last kept
+    * one). The oracle replays the chain with a recursive CTE — one kept
+    * frontier row per user per iteration. */
+  def qDebounce(spark: SparkSession, dir: String): DataFrame =
+    EventOps.debounce(
+      spark.read.parquet(s"$dir/events.parquet")
+        .select(col("user_id").as("key"), tsUs.as("t")),
+      cooldownUs = 2 * HOUR)
+      .select(col("key").as("user_id"), col("t"))
+
+  val sqlDebounce: String =
+    s"""WITH RECURSIVE e AS (
+       |  SELECT DISTINCT user_id, epoch_us(ts) AS t FROM events),
+       |k AS (
+       |  SELECT user_id, min(t) AS t FROM e GROUP BY 1
+       |  UNION ALL
+       |  SELECT e.user_id, min(e.t) AS t
+       |  FROM k JOIN e ON e.user_id = k.user_id
+       |    AND e.t >= k.t + ${2 * HOUR}
+       |  GROUP BY 1)
+       |SELECT user_id, t FROM k""".stripMargin
+
   // classic relational smoke (lineitem)
   def qLineitemAgg(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/lineitem.parquet")

@@ -508,6 +508,129 @@ object EventOps {
       .select(col(K), col("gap_rank"), col("t_prev"), col(T), col("gap"))
   }
 
+  /** Rate-burst detector per (key, hour bin): the bin's event count
+    * against its own trailing `baseHours`-hour total — a bin "bursts"
+    * when its rate exceeds `factor`× the trailing per-hour average (the
+    * battery's rate-spike complement to [[levelShift]]'s value steps;
+    * the trailing-window rate test is the standard burst heuristic —
+    * Kleinberg KDD'02 frames the full state-machine version). Empty
+    * hours contribute zero baseline by simply being absent: the trailing
+    * frame is a RANGE window over the hour index, so gaps need no
+    * densification. Bins whose key has less than `baseHours` of history
+    * (hour < first hour + baseHours) or an empty baseline emit null
+    * ratio, burst 0. Output (key, hour, n, base, ratio, burst).
+    *
+    * Engine-exactness: counts are integers, the flag compares
+    * n·baseHours > factor·base in EXACT longs (factor must be a whole
+    * number for that reason), and ratio is one double division.
+    *
+    * Scale: one (key, hour) count aggregate — the rollup-tier shape —
+    * then two frames over one per-key sort of the BINNED table (rows =
+    * span/hour per key, never raw volume). */
+  def burstRate(df: DataFrame, baseHours: Int = 24, factor: Long = 3,
+      binUs: Long = 3600000000L): DataFrame = {
+    require(baseHours >= 1, s"baseHours $baseHours must be >= 1")
+    require(factor >= 1, s"factor $factor must be >= 1")
+    val bins = df
+      .groupBy(col(K), floor(col(T) / binUs).cast("long").as("hour"))
+      .agg(count(lit(1)).as("n"))
+    val ord = Window.partitionBy(K).orderBy(col("hour"))
+    val trail = ord.rangeBetween(-baseHours, -1)
+    val whole = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val warm = col("hour") >= min(col("hour")).over(whole) + baseHours
+    val base = coalesce(sum(col("n")).over(trail), lit(0L))
+    val ok = warm && base > 0
+    bins
+      .withColumn("base", base)
+      .withColumn("ratio",
+        when(ok, round(col("n") * lit(baseHours.toLong) / col("base").cast("double"), 6)))
+      .withColumn("burst",
+        coalesce(when(ok, col("n") * baseHours > col("base") * factor),
+          lit(false)).cast("int"))
+  }
+
+  /** Exact ordinary-least-squares trend per (key, bucket): slope,
+    * intercept and r² of value-vs-time within each bucket — the
+    * parametric companion to [[graft.events.Correlation.theilSen]]
+    * (median slope resists outliers; OLS adds the goodness-of-fit the
+    * robust fit can't give). x is SECONDS since the bucket start
+    * (longs), y the 1e-3-quantized value (longs), so all six sufficient
+    * statistics are integer-exact and the closed forms are fixed double
+    * expressions on identical operands in any engine — the
+    * [[Correlation.autocorr]] discipline. Buckets with < `minN` points
+    * or zero x- or y-variance emit null fit columns. Output (key,
+    * bucket, n, slope_per_hr, intercept, r2); slope is per HOUR so the
+    * 6-dp rounding keeps signal.
+    *
+    * Scale: one (key, bucket) aggregate with map-side partials —
+    * constant state per group, no window, the cheapest tier shape. */
+  def olsTrend(df: DataFrame, bucketUs: Long = 7L * 86400000000L,
+      minN: Int = 3): DataFrame = {
+    require(bucketUs > 0, s"bucket width $bucketUs must be positive")
+    val pts = df.filter(col(V).isNotNull)
+      .withColumn("bucket", floor(col(T) / bucketUs).cast("long"))
+      .withColumn("_x", ((col(T) - col("bucket") * bucketUs) / 1000000L)
+        .cast("long"))
+      .withColumn("_y", floor(col(V) * 1000 + 0.5).cast("long"))
+    val s = pts.groupBy(col(K), col("bucket")).agg(
+      count(lit(1)).as("n"),
+      sum(col("_x")).as("_sx"), sum(col("_y")).as("_sy"),
+      sum(col("_x") * col("_x")).as("_sxx"),
+      sum(col("_y") * col("_y")).as("_syy"),
+      sum(col("_x") * col("_y")).as("_sxy"))
+    // all in exact longs; the d* products are exact doubles (< 2^53 for
+    // tier-bounded buckets) evaluated in a fixed order
+    val dxx = col("n").cast("double") * col("_sxx") -
+      col("_sx").cast("double") * col("_sx")
+    val dyy = col("n").cast("double") * col("_syy") -
+      col("_sy").cast("double") * col("_sy")
+    val dxy = col("n").cast("double") * col("_sxy") -
+      col("_sx").cast("double") * col("_sy")
+    val ok = col("n") >= minN && dxx > 0 && dyy > 0
+    val slopeMilliPerSec = dxy / dxx
+    s.select(
+      col(K), col("bucket"), col("n"),
+      when(ok, round(slopeMilliPerSec * 3600 / 1000.0, 6)).as("slope_per_hr"),
+      when(ok, round((col("_sy") / 1000.0 - slopeMilliPerSec / 1000.0 *
+        col("_sx")) / col("n"), 6)).as("intercept"),
+      when(ok, round(dxy * dxy / (dxx * dyy), 6)).as("r2"))
+  }
+
+  /** Debounce: per key, keep a timestamp only when at least `cooldownUs`
+    * has passed since the last KEPT one — the rate-limiting dedupe an
+    * ingest edge applies to chattering sensors (distinct from
+    * session-first collapse: a long burst still emits one point per
+    * cooldown, not one per burst). Operates on the DISTINCT (key, t)
+    * set; the kept set is the unique greedy chain from each key's first
+    * event. Output (key, t) kept timestamps.
+    *
+    * The chain is inherently sequential per key (kept(i+1) is the first
+    * t ≥ kept(i) + cooldown — a non-associative recursion, unlike the
+    * affine scans), so it runs as one sorted-array fold per key,
+    * expression-only (array_sort + the `aggregate` higher-order
+    * function — no UDF, key type preserved). Per-task memory is the
+    * key's distinct-timestamp count — bounded per retention window at
+    * scale, the same per-key contract as [[cusum]]; across keys it is
+    * embarrassingly parallel. */
+  def debounce(df: DataFrame, cooldownUs: Long): DataFrame = {
+    require(cooldownUs > 0, s"cooldown $cooldownUs must be positive")
+    // Long.MinValue/2 seed: a plain MinValue + cooldown would overflow
+    val seed = Long.MinValue / 2
+    val kept = aggregate(
+      col("_ts"),
+      struct(lit(seed).as("last"),
+        array().cast("array<long>").as("ks")),
+      (acc, t) => when(t >= acc.getField("last") + cooldownUs,
+        struct(t.as("last"),
+          concat(acc.getField("ks"), array(t)).as("ks")))
+        .otherwise(acc),
+      acc => acc.getField("ks"))
+    df.select(col(K), col(T)).distinct()
+      .groupBy(col(K))
+      .agg(array_sort(collect_list(col(T))).as("_ts"))
+      .select(col(K), explode(kept).as(T))
+  }
+
   /** Robust (median/MAD) outlier scan per (key, bucket): each point is
     * scored |v − median| / MAD against ITS OWN bucket's median and median
     * absolute deviation — the robust complement of [[rollingZscore]]

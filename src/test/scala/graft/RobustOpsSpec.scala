@@ -165,6 +165,64 @@ class RobustOpsSpec extends SparkSpec {
     assert(r.getDouble(4) == 0.0) // pure time warp, no value cost
   }
 
+  test("burstRate: trailing RANGE baseline skips empty hours; warm-up gated") {
+    val H = 3600000000L
+    // hours 0..23: 1 event each (warm-up); hour 30: 6 events; base for
+    // hour 30 covers hours 6..29 -> 18 events present
+    val pts = seriesL((0 until 24).map(h => (h * H + 1, Some(1.0))) ++
+      (0 until 6).map(i => (30 * H + i * 1000L, Some(1.0))))
+    val out = EventOps.burstRate(pts, baseHours = 24, factor = 2,
+      binUs = H).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4)), r.getInt(5)))
+      .sortBy(_._1)
+    val byH = out.map(r => r._1 -> r).toMap
+    // warm-up rows: no ratio, no flag
+    assert(out.filter(_._1 < 24).forall(r => r._4.isEmpty && r._5 == 0))
+    // hour 30: n=6, base=18 (hours 6..23 have one event each), ratio 8
+    assert(byH(30L) == ((30L, 6L, 18L, Some(8.0), 1)))
+  }
+
+  test("olsTrend: exact fit on a perfect line; degenerate buckets null") {
+    // v = 2 + 36/hour * x  ->  slope 36.0/hr, intercept 2, r2 = 1
+    val pts = seriesL((0 until 10).map(i =>
+      (i * 100000000L, Some(2.0 + i * 0.001)))) // 0.001 per 100s = 36/hr... no:
+    // 0.001 per 100 s = 0.036/hr
+    val out = EventOps.olsTrend(pts, bucketUs = 86400000000L, minN = 3).head()
+    assert(out.getLong(2) == 10L)
+    assert(out.getDouble(3) == 0.036) // slope per hour
+    assert(out.getDouble(4) == 2.0)   // intercept at bucket start
+    assert(out.getDouble(5) == 1.0)   // perfect fit
+    val const = seriesL((0 until 5).map(i => (i * 1000000L, Some(3.0))))
+    val c = EventOps.olsTrend(const, bucketUs = 86400000000L).head()
+    assert(c.isNullAt(3) && c.isNullAt(4) && c.isNullAt(5))
+  }
+
+  test("debounce: greedy chain, duplicates collapse, per-key independence") {
+    val s = spark
+    import s.implicits._
+    val pts = Seq(
+      ("a", 0L), ("a", 0L), ("a", 50L), ("a", 100L), ("a", 160L), ("a", 210L),
+      ("b", 5L))
+      .toDF("key", "t")
+    val out = EventOps.debounce(pts, cooldownUs = 100L)
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(identity)
+    // a: keep 0 (dup collapses), skip 50, keep 100, skip 160, keep 210
+    assert(out.toSeq == Seq(("a", 0L), ("a", 100L), ("a", 210L), ("b", 5L)))
+  }
+
+  test("debounce matches a sequential reference on seeded data") {
+    val rnd = new scala.util.Random(90210)
+    val ts = (0 until 300).map(_ => rnd.nextInt(100000).toLong).distinct
+    val pts = seriesL(ts.map(t => (t, Some(1.0)))).select("key", "t")
+    val got = EventOps.debounce(pts, cooldownUs = 777L)
+      .collect().map(_.getLong(1)).sorted.toSeq
+    val expected = ts.sorted.foldLeft(List.empty[Long]) { (kept, t) =>
+      if (kept.isEmpty || t >= kept.head + 777L) t :: kept else kept
+    }.reverse
+    assert(got == expected)
+  }
+
   /** Classic unbanded O(nm) DTW on long costs — the test reference. */
   private def exactDtw(x: Array[Long], y: Array[Long]): Long = {
     val n = x.length
