@@ -253,4 +253,48 @@ object StreamingRollup {
           }
         })
   }
+
+  case class DebounceState(lastKept: Long, maxT: Long)
+
+  /** Streaming face of [[graft.events.EventOps.debounce]]: per key, emit
+    * an event only once at least `cooldownUs` has passed since the last
+    * EMITTED one — state is two longs per key (the last kept timestamp
+    * and the max time seen), the cheapest state in the module. Within a
+    * batch, events sort and the greedy chain replays exactly like batch
+    * debounce (same-t duplicates collapse); ACROSS batches the chain is
+    * append-only, so an event older than the key's max seen time could
+    * retroactively change decisions already emitted — it is detected
+    * and FAILS loudly (the [[mergeSumStream]] contract; debounce emits
+    * are consumed as triggers, so silent late reordering would mean
+    * phantom or missing alerts downstream). */
+  def debounceStream(
+      events: Dataset[DownEvent],
+      cooldownUs: Long): Dataset[DownEvent] = {
+    require(cooldownUs > 0, s"cooldown $cooldownUs must be positive")
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        (key: String, rows: Iterator[DownEvent], state: GroupState[DebounceState]) => {
+          // Long.MinValue/2 seed: MinValue + cooldown would overflow
+          val s0 = state.getOption
+            .getOrElse(DebounceState(Long.MinValue / 2, Long.MinValue))
+          val ts = rows.map(_.t).toArray.sorted.distinct
+          if (ts.isEmpty) Iterator.empty
+          else {
+            if (s0.maxT != Long.MinValue && ts.head < s0.maxT)
+              throw new IllegalStateException(
+                s"debounceStream: event at t=${ts.head} for key=$key is older " +
+                  s"than the max seen time ${s0.maxT} — the kept chain is " +
+                  "append-only; feed per-key event-time-ordered batches")
+            var last = s0.lastKept
+            val kept = Seq.newBuilder[DownEvent]
+            ts.foreach { t =>
+              if (t >= last + cooldownUs) { last = t; kept += DownEvent(key, t) }
+            }
+            state.update(DebounceState(last, math.max(s0.maxT, ts.last)))
+            kept.result().iterator
+          }
+        })
+  }
 }

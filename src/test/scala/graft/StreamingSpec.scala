@@ -349,4 +349,45 @@ class StreamingSpec extends SparkSpec {
     assert(ex.getMessage.contains("downtimeStream") ||
       Option(ex.getCause).exists(_.getMessage.contains("downtimeStream")))
   }
+
+  test("streaming debounce equals batch across batch splits; stale input fails") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[StreamingRollup.DownEvent]
+    val q = StreamingRollup.debounceStream(mem.toDS(), cooldownUs = 100L)
+      .writeStream.format("memory").queryName("deb_out").outputMode("append").start()
+    // batch 1 ends mid-cooldown for both keys
+    mem.addData(Seq(0L, 0L, 50L, 100L).map(StreamingRollup.DownEvent("a", _)) :+
+      StreamingRollup.DownEvent("b", 5L): _*)
+    q.processAllAvailable()
+    mem.addData(StreamingRollup.DownEvent("a", 160L),
+      StreamingRollup.DownEvent("a", 210L), StreamingRollup.DownEvent("b", 90L))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("deb_out").collect()
+      .map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+    // the batch operator over the union decides identically
+    val all = Seq(("a", 0L), ("a", 0L), ("a", 50L), ("a", 100L), ("a", 160L),
+      ("a", 210L), ("b", 5L), ("b", 90L)).toDF("key", "t")
+    val exp = graft.events.EventOps.debounce(all, cooldownUs = 100L)
+      .collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+    assert(got == exp, s"got $got vs $exp")
+    assert(got == Seq(("a", 0L), ("a", 100L), ("a", 210L), ("b", 5L)))
+
+    // an arrival older than the key's max seen time could rewrite the
+    // already-emitted chain -> loud failure, never a silent divergence
+    val mem2 = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[StreamingRollup.DownEvent]
+    val q2 = StreamingRollup.debounceStream(mem2.toDS(), cooldownUs = 100L)
+      .writeStream.format("memory").queryName("deb_fail").outputMode("append").start()
+    mem2.addData(StreamingRollup.DownEvent("a", 1000L))
+    q2.processAllAvailable()
+    mem2.addData(StreamingRollup.DownEvent("a", 500L)) // stale
+    val ex2 = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q2.processAllAvailable()
+    }
+    assert(ex2.getMessage.contains("debounceStream") ||
+      Option(ex2.getCause).exists(_.getMessage.contains("debounceStream")))
+    q2.stop()
+  }
 }
