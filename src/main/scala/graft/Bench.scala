@@ -52,7 +52,15 @@ object Bench {
     // interval union/coverage (q112), Count-Min frequency tiers (q113)
     "q109_cusum", "q110_kmv_distinct", "q111_downtime",
     "q112_interval_union", "q113_cms_freq", "q114_kmv_intersect",
-    "q115_holt_trend", "q116_hist_quantile")
+    "q115_holt_trend", "q116_hist_quantile",
+    // seventh/eighth-session additions: correlation + downsample family
+    // (q117-q122), then the robust/elastic analytics wave — staleness
+    // sampling, dwell runs, MAD + level-shift + burst anomaly scans,
+    // banded DTW, exact OLS tier, debounce (q123-q130)
+    "q117_acf", "q118_xcorr", "q119_theilsen", "q120_lttb", "q121_sax",
+    "q122_top_gaps", "q123_stale_sample", "q124_state_dwell",
+    "q125_mad_anomaly", "q126_level_shift", "q127_dtw", "q128_burst_rate",
+    "q129_ols_trend", "q130_debounce")
 
   def session(cpus: String): SparkSession = {
     // 4 waves of tasks per core: on a shared VM with CPU steal, a stage is
