@@ -4156,6 +4156,176 @@ object GraftQueries {
        |  GROUP BY 1)
        |SELECT user_id, t FROM k""".stripMargin
 
+  /** Seasonal-naive MASE backtest per event type on the hourly grid with
+    * a 24h season: does yesterday-same-hour beat the previous existing
+    * bin as a forecast? Both error sums are exact 1e-3 longs; the three
+    * reported doubles are one division each. */
+  def qSeasonalMase(spark: SparkSession, dir: String): DataFrame =
+    graft.events.Correlation.seasonalNaive(
+      spark.read.parquet(s"$dir/events.parquet")
+        .select(col("event_type").as("key"), tsUs.as("t"),
+          col("value").as("v")),
+      season = 24, binUs = HOUR, minPairs = 8)
+      .select(col("key").as("event_type"), col("n_seasonal"),
+        col("n_naive"), col("mae_seasonal"), col("mae_naive"), col("mase"))
+
+  val sqlSeasonalMase: String =
+    """WITH e AS (SELECT event_type, epoch_us(ts) // 3600000000 AS b,
+      |             value AS v
+      |           FROM events WHERE value IS NOT NULL),
+      |g AS (SELECT event_type, b,
+      |        CAST(floor(avg(v) * 1000 + 0.5) AS BIGINT) AS x
+      |      FROM e GROUP BY 1, 2),
+      |s AS (SELECT g.event_type, count(*) AS n_seasonal,
+      |        sum(abs(g.x - r.x)) AS es
+      |      FROM g JOIN g r
+      |        ON g.event_type IS NOT DISTINCT FROM r.event_type
+      |        AND g.b - 24 = r.b
+      |      GROUP BY 1),
+      |nv AS (SELECT event_type, count(*) AS n_naive, sum(abs(x - p)) AS en
+      |       FROM (SELECT event_type, x,
+      |               lag(x) OVER (PARTITION BY event_type ORDER BY b) AS p
+      |             FROM g)
+      |       WHERE p IS NOT NULL GROUP BY 1)
+      |SELECT coalesce(s.event_type, nv.event_type) AS event_type,
+      |  coalesce(s.n_seasonal, 0) AS n_seasonal,
+      |  coalesce(nv.n_naive, 0) AS n_naive,
+      |  CASE WHEN coalesce(s.n_seasonal, 0) >= 8
+      |    AND coalesce(nv.n_naive, 0) >= 8 AND nv.en > 0
+      |    THEN round(s.es / (1000.0 * s.n_seasonal), 6) END AS mae_seasonal,
+      |  CASE WHEN coalesce(s.n_seasonal, 0) >= 8
+      |    AND coalesce(nv.n_naive, 0) >= 8 AND nv.en > 0
+      |    THEN round(nv.en / (1000.0 * nv.n_naive), 6) END AS mae_naive,
+      |  CASE WHEN coalesce(s.n_seasonal, 0) >= 8
+      |    AND coalesce(nv.n_naive, 0) >= 8 AND nv.en > 0
+      |    THEN round((CAST(s.es AS DOUBLE) / s.n_seasonal)
+      |      / (CAST(nv.en AS DOUBLE) / nv.n_naive), 6) END AS mase
+      |FROM s FULL OUTER JOIN nv
+      |  ON s.event_type IS NOT DISTINCT FROM nv.event_type""".stripMargin
+
+  /** Calendar occupancy heatmap per event type: event count and share
+    * per (weekday, UTC hour) cell — Monday=0 via the
+    * epoch-day-0-is-Thursday shift, the distributionByDayOfWeek
+    * convention. */
+  def qCalendarHeatmap(spark: SparkSession, dir: String): DataFrame =
+    Rollup.calendarHeatmap(
+      spark.read.parquet(s"$dir/events.parquet")
+        .select(col("event_type").as("key"), tsUs.as("t")))
+      .select(col("key").as("event_type"), col("weekday"), col("hour"),
+        col("n"), col("share"))
+
+  val sqlCalendarHeatmap: String =
+    """WITH e AS (SELECT event_type, epoch_us(ts) AS t FROM events),
+      |c AS (SELECT event_type,
+      |        CAST((t // 86400000000 + 3) % 7 AS INT) AS weekday,
+      |        CAST((t // 3600000000) % 24 AS INT) AS hour,
+      |        count(*) AS n
+      |      FROM e GROUP BY 1, 2, 3),
+      |tt AS (SELECT event_type, sum(n) AS tot FROM c GROUP BY 1)
+      |SELECT c.event_type, c.weekday, c.hour, c.n,
+      |  round(c.n / CAST(tt.tot AS DOUBLE), 6) AS share
+      |FROM c JOIN tt
+      |  ON c.event_type IS NOT DISTINCT FROM tt.event_type""".stripMargin
+
+  /** Deadband compression with a 20.0-wide band per user: keep a point
+    * only when the (1e-3-quantized) value moved ≥ 20 away from the last
+    * KEPT value. The oracle replays the greedy chain with a recursive
+    * CTE, one frontier row per user per iteration, arg_min carrying the
+    * kept value forward. */
+  def qDeadband(spark: SparkSession, dir: String): DataFrame =
+    EventOps.deadband(
+      spark.read.parquet(s"$dir/events.parquet")
+        .select(col("user_id").as("key"), tsUs.as("t"),
+          col("value").as("v")),
+      delta = 20.0)
+      .select(col("key").as("user_id"), col("t"), col("v"))
+
+  val sqlDeadband: String =
+    """WITH RECURSIVE e AS (
+      |  SELECT user_id, epoch_us(ts) AS t, max(value) AS v,
+      |    CAST(floor(max(value) * 1000 + 0.5) AS BIGINT) AS x
+      |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+      |k AS (
+      |  SELECT user_id, min(t) AS t, arg_min(v, t) AS v, arg_min(x, t) AS x
+      |  FROM e GROUP BY 1
+      |  UNION ALL
+      |  SELECT e.user_id, min(e.t) AS t, arg_min(e.v, e.t) AS v,
+      |    arg_min(e.x, e.t) AS x
+      |  FROM k JOIN e ON e.user_id = k.user_id AND e.t > k.t
+      |    AND abs(e.x - k.x) >= 20000
+      |  GROUP BY 1)
+      |SELECT user_id, t, v FROM k""".stripMargin
+
+  /** Lead/lag detection between click and view hourly rates: the lag in
+    * [-6h, 6h] with the strongest |cross-correlation| (ties to the
+    * smallest lag) — one max_by aggregate over the q118 CCF sweep. */
+  def qBestLag(spark: SparkSession, dir: String): DataFrame =
+    graft.events.Correlation.bestLag(
+      spark.read.parquet(s"$dir/events.parquet")
+        .select(col("event_type").as("key"), tsUs.as("t")),
+      keyA = "click", keyB = "view", maxLag = 6, binUs = HOUR, minBins = 8)
+      .select(col("lag").as("lag_h"), col("n_bins"), col("r"))
+
+  val sqlBestLag: String =
+    """WITH e AS (SELECT event_type, epoch_us(ts) // 3600000000 AS b
+      |           FROM events WHERE event_type IN ('click', 'view')),
+      |c AS (SELECT event_type, b, count(*) AS c FROM e GROUP BY 1, 2),
+      |p AS (SELECT l.lag_h, a.c AS x, v.c AS y
+      |      FROM (SELECT b, c FROM c WHERE event_type = 'click') a
+      |      CROSS JOIN (SELECT unnest([-6, -5, -4, -3, -2, -1, 0, 1, 2,
+      |        3, 4, 5, 6]) AS lag_h) l
+      |      JOIN (SELECT b, c FROM c WHERE event_type = 'view') v
+      |        ON a.b + l.lag_h = v.b),
+      |s AS (SELECT lag_h, count(*) AS n_bins,
+      |        sum(x) AS sx, sum(y) AS sy, sum(x * x) AS sxx,
+      |        sum(y * y) AS syy, sum(x * y) AS sxy
+      |      FROM p GROUP BY 1),
+      |r AS (SELECT lag_h, n_bins,
+      |        CASE WHEN n_bins >= 8
+      |          AND CAST(n_bins AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx > 0
+      |          AND CAST(n_bins AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy > 0
+      |        THEN round((CAST(n_bins AS DOUBLE) * sxy
+      |            - CAST(sx AS DOUBLE) * sy)
+      |          / sqrt((CAST(n_bins AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+      |               * (CAST(n_bins AS DOUBLE) * syy
+      |                 - CAST(sy AS DOUBLE) * sy)), 6)
+      |        END AS r
+      |      FROM s)
+      |SELECT lag_h, n_bins, r FROM r WHERE r IS NOT NULL
+      |ORDER BY abs(r) DESC, lag_h ASC LIMIT 1""".stripMargin
+
+  /** Count-trimmed weekly mean per user: drop the 2 lowest and 2 highest
+    * values (by (v, t) — deterministic), average the rest — rank
+    * trimming, not percentile winsorizing, because interpolated
+    * percentile boundaries are not bit-portable across engines. */
+  def qTrimmedMean(spark: SparkSession, dir: String): DataFrame =
+    EventOps.trimmedMean(
+      spark.read.parquet(s"$dir/events.parquet")
+        .select(col("user_id").as("key"), tsUs.as("t"),
+          col("value").as("v")),
+      bucketUs = WEEK, trim = 2)
+      .select(col("key").as("user_id"), col("bucket").as("week"),
+        col("n"), col("n_used"), col("trimmed_mean"))
+
+  val sqlTrimmedMean: String =
+    """WITH e AS (SELECT user_id, epoch_us(ts) AS t,
+      |             epoch_us(ts) // 604800000000 AS week,
+      |             CAST(floor(value * 1000 + 0.5) AS BIGINT) AS x
+      |           FROM events WHERE value IS NOT NULL),
+      |w AS (SELECT user_id, week, x,
+      |        row_number() OVER (PARTITION BY user_id, week
+      |          ORDER BY x, t) AS rk,
+      |        count(*) OVER (PARTITION BY user_id, week) AS n
+      |      FROM e),
+      |a AS (SELECT user_id, week, max(n) AS n,
+      |        count(*) FILTER (WHERE rk > 2 AND rk <= n - 2) AS n_used,
+      |        sum(CASE WHEN rk > 2 AND rk <= n - 2 THEN x ELSE 0 END) AS sx
+      |      FROM w GROUP BY 1, 2)
+      |SELECT user_id, week, n, n_used,
+      |  CASE WHEN n_used > 0 THEN round(sx / (1000.0 * n_used), 6)
+      |  END AS trimmed_mean
+      |FROM a""".stripMargin
+
   // classic relational smoke (lineitem)
   def qLineitemAgg(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/lineitem.parquet")

@@ -112,6 +112,91 @@ object Correlation {
         round(num / sqrt(varX * varY), 6)).as("r"))
   }
 
+  /** Seasonal-naive forecast backtest per key (the MASE skill score,
+    * Hyndman & Koehler 2006, public): on the `binUs` mean-value grid,
+    * forecast each bin as the value one `season` earlier and score the
+    * absolute error against the one-step-naive error (previous EXISTING
+    * bin — the sparse convention of [[autocorr]]; no gap-fill). MASE < 1
+    * means the seasonal pattern beats persistence — the cheapest "is
+    * there a daily cycle worth modeling" gate a rollup stack runs before
+    * any real forecaster. Output (key, n_seasonal, n_naive,
+    * mae_seasonal, mae_naive, mase); the mae/mase columns are null when
+    * either pair count is under `minPairs` or the naive error is zero.
+    *
+    * Engine-exactness: bin means quantize to the 1e-3 long grid, both
+    * error sums are exact longs, and the three reported doubles are one
+    * division each on identical operands.
+    *
+    * Scale: one (key, bin) aggregate, one self equi-join on (key,
+    * bin+season) for the seasonal pairs ([[autocorr]]'s shape) and one
+    * lag window over the same per-key grid sort for the naive pairs —
+    * grid rows are span/binUs per key, never raw volume. */
+  def seasonalNaive(
+      df: DataFrame,
+      season: Int,
+      binUs: Long = 3600000000L,
+      minPairs: Int = 8): DataFrame = {
+    require(binUs > 0, s"bin width $binUs must be positive")
+    require(season > 0, s"season $season must be positive")
+    val g = df.filter(col(V).isNotNull)
+      .groupBy(col(K), floor(col(T) / binUs).cast("long").as("_b"))
+      .agg(floor(avg(col(V)) * 1000 + 0.5).cast("long").as("_x"))
+    val r = g.select(col(K).as("_rk"), col("_b").as("_rb"), col("_x").as("_y"))
+    val seas = g.join(r,
+        g(K) <=> r("_rk") && (g("_b") - season) === r("_rb"))
+      .groupBy(col(K))
+      .agg(count(lit(1)).as("n_seasonal"),
+        sum(abs(col("_x") - col("_y"))).as("_es"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(K).orderBy(col("_b"))
+    val naive = g.withColumn("_p", lag(col("_x"), 1).over(w))
+      .filter(col("_p").isNotNull)
+      .groupBy(col(K).as("_nk"))
+      .agg(count(lit(1)).as("n_naive"),
+        sum(abs(col("_x") - col("_p"))).as("_en"))
+    // null-safe <=> full-outer (repo convention: null merge keys are legal)
+    val j = seas.join(naive, seas(K) <=> naive("_nk"), "full_outer")
+      .withColumn(K, coalesce(seas(K), naive("_nk")))
+      .na.fill(0L, Seq("n_seasonal", "n_naive"))
+    val ok = col("n_seasonal") >= minPairs && col("n_naive") >= minPairs &&
+      col("_en") > 0
+    j.select(col(K), col("n_seasonal"), col("n_naive"),
+      when(ok, round(col("_es") / (col("n_seasonal") * 1000.0), 6))
+        .as("mae_seasonal"),
+      when(ok, round(col("_en") / (col("n_naive") * 1000.0), 6))
+        .as("mae_naive"),
+      when(ok, round((col("_es").cast("double") / col("n_seasonal")) /
+        (col("_en").cast("double") / col("n_naive")), 6)).as("mase"))
+  }
+
+  /** Lead/lag detection between two keys: the lag with the strongest
+    * |cross-correlation| over a symmetric lag sweep — "does A lead B,
+    * and by how much", the one-number summary on top of [[crossCorr]].
+    * Ties break toward the smallest lag (then |r| exactness makes the
+    * choice deterministic: r is already 6-dp rounded). Output a single
+    * row (lag, n_bins, r), empty when no lag clears `minBins`/variance.
+    *
+    * Scale: [[crossCorr]]'s plan plus ONE tiny max_by aggregate over the
+    * |lags|-row result — no window, no extra exchange of any size. */
+  def bestLag(
+      df: DataFrame,
+      keyA: String,
+      keyB: String,
+      maxLag: Int,
+      binUs: Long = 3600000000L,
+      minBins: Int = 8): DataFrame = {
+    require(maxLag >= 0, s"maxLag $maxLag must be >= 0")
+    val cc = crossCorr(df, keyA, keyB, (-maxLag) to maxLag, binUs, minBins)
+      .filter(col("r").isNotNull)
+    // max of (|r|, -lag) picks the strongest correlation, smallest lag on
+    // ties; |r| is exact on the 1e-6 grid so the ordering is portable
+    cc.agg(max_by(struct(col("lag"), col("n_bins"), col("r")),
+        struct(abs(col("r")), -col("lag"))).as("_best"))
+      .select(col("_best.lag").as("lag"), col("_best.n_bins").as("n_bins"),
+        col("_best.r").as("r"))
+      .filter(col("lag").isNotNull)
+  }
+
   /** Theil–Sen robust trend per (key, bucket): the MEDIAN of all
     * pairwise slopes (v₂−v₁)/(t₂−t₁) over point pairs with t₁ < t₂
     * inside the bucket — the classic outlier-resistant alternative to

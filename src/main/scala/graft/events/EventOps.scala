@@ -631,6 +631,91 @@ object EventOps {
       .select(col(K), explode(kept).as(T))
   }
 
+  /** Deadband compression: per key, keep a point only when its value has
+    * moved at least `delta` away from the LAST KEPT value — the classic
+    * historian dead-band filter (the fixed-threshold core of
+    * swinging-door trending, public), [[debounce]]'s complement in the
+    * VALUE domain: debounce rate-limits time, deadband rate-limits
+    * change, and together they are the lossy-ingest pair every
+    * timeseries historian runs at the edge. The first point per key is
+    * always kept; input collapses to one value per (key, t) first (max,
+    * deterministic). Output (key, t, v) kept points.
+    *
+    * Values compare on the 1e-3 long grid (floor(v·1000+½) — the
+    * theilSen discipline) so the ≥-delta test is integer-exact; the
+    * kept rows carry the ORIGINAL double v.
+    *
+    * Like debounce, the kept chain is a non-associative recursion
+    * (kept(i+1) depends on kept(i)'s VALUE), so it runs as one sorted
+    * array fold per key — expression-only, per-task memory = the key's
+    * point count within the retention window, across keys
+    * embarrassingly parallel. */
+  def deadband(df: DataFrame, delta: Double): DataFrame = {
+    require(delta > 0, s"delta $delta must be positive")
+    val deltaMilli = math.rint(delta * 1000).toLong
+    val pts = df.filter(col(V).isNotNull)
+      .groupBy(col(K), col(T))
+      .agg(max(col(V)).as(V))
+      .withColumn("_x", floor(col(V) * 1000 + 0.5).cast("long"))
+    // sentinel: no real quantized value can be within delta of MinValue/2
+    val seed = Long.MinValue / 2
+    val kept = aggregate(
+      col("_ps"),
+      struct(lit(seed).as("last"),
+        array().cast("array<struct<t:long,v:double>>").as("ks")),
+      (acc, p) => when(
+        abs(p.getField("_x") - acc.getField("last")) >= deltaMilli,
+        struct(p.getField("_x").as("last"),
+          concat(acc.getField("ks"),
+            array(struct(p.getField(T).as("t"), p.getField(V).as("v"))))
+            .as("ks")))
+        .otherwise(acc),
+      acc => acc.getField("ks"))
+    pts
+      .groupBy(col(K))
+      .agg(array_sort(collect_list(struct(col(T), col(V), col("_x"))))
+        .as("_ps"))
+      .select(col(K), explode(kept).as("_kp"))
+      .select(col(K), col("_kp.t").as(T), col("_kp.v").as(V))
+  }
+
+  /** Count-trimmed mean per (key, bucket): drop the `trim` lowest and
+    * `trim` highest values (by (v, t) order — deterministic under ties),
+    * then average the rest — the robust location estimate whose
+    * breakdown is tunable where [[madAnomaly]]'s median is fixed at 50%,
+    * and the COUNT-based form deliberately: a percentile-based winsorize
+    * puts the clamp boundary on an interpolated double whose last bit
+    * differs across engines, while rank trimming is integer-exact end to
+    * end. Buckets with n ≤ 2·trim emit null mean. Output (key, bucket,
+    * n, n_used, trimmed_mean).
+    *
+    * Scale: one row_number window over a per-(key, bucket) sort plus one
+    * aggregate — tier-bounded buckets keep the sort short; values sum as
+    * exact 1e-3 longs with ONE final division. */
+  def trimmedMean(df: DataFrame, bucketUs: Long, trim: Int = 1): DataFrame = {
+    require(bucketUs > 0, s"bucket width $bucketUs must be positive")
+    require(trim >= 1, s"trim $trim must be >= 1")
+    val pts = df.filter(col(V).isNotNull)
+      .withColumn("bucket", floor(col(T) / bucketUs).cast("long"))
+      .withColumn("_x", floor(col(V) * 1000 + 0.5).cast("long"))
+    val w = Window.partitionBy(col(K), col("bucket"))
+      .orderBy(col("_x").asc, col(T).asc)
+    val n = count(lit(1)).over(Window.partitionBy(col(K), col("bucket")))
+    pts
+      .withColumn("_rk", row_number().over(w))
+      .withColumn("_n", n)
+      .withColumn("_in",
+        col("_rk") > trim && col("_rk") <= col("_n") - trim)
+      .groupBy(col(K), col("bucket"))
+      .agg(max(col("_n")).as("n"),
+        sum(when(col("_in"), lit(1L)).otherwise(0L)).as("n_used"),
+        sum(when(col("_in"), col("_x")).otherwise(0L)).as("_sx"))
+      .select(col(K), col("bucket"), col("n"), col("n_used"),
+        when(col("n_used") > 0,
+          round(col("_sx") / (col("n_used") * 1000.0), 6))
+          .as("trimmed_mean"))
+  }
+
   /** Robust (median/MAD) outlier scan per (key, bucket): each point is
     * scored |v − median| / MAD against ITS OWN bucket's median and median
     * absolute deviation — the robust complement of [[rollingZscore]]

@@ -126,6 +126,37 @@ object Rollup {
         col(V))
       .agg(sum(col("t1") - col("t0")).as("weight"))
 
+  /** Calendar occupancy heatmap per key: event COUNT per (weekday, hour
+    * of day) cell plus each cell's share of the key's total — the
+    * "when does this series actually tick" fingerprint used for crawl
+    * scheduling and load shaping (the count-based complement of the
+    * duration-weighted [[distributionByHourOfDay]] /
+    * [[distributionByDayOfWeek]] pair, same conventions: UTC hours,
+    * Monday=0 via the epoch-day-0-is-Thursday shift). Output (key,
+    * weekday, hour, n, share); share is ONE double division rounded to
+    * 6 dp, every other column exact.
+    *
+    * Scale: one (key, weekday, hour) count aggregate with map-side
+    * partials — at most 168 cells per key regardless of volume — and
+    * the per-key total joins back off a second tiny aggregate rather
+    * than a window so nothing ever sorts. */
+  def calendarHeatmap(df: DataFrame): DataFrame = {
+    val cells = df
+      .groupBy(
+        col(K),
+        pmod(floor(col(T) / CalendarFloor.DAY) + 3, lit(7)).cast("int")
+          .as("weekday"),
+        pmod(floor(col(T) / CalendarFloor.HOUR), lit(24)).cast("int")
+          .as("hour"))
+      .agg(count(lit(1)).as("n"))
+    val totals = cells.groupBy(col(K))
+      .agg(sum(col("n")).as("_tot"))
+      .select(col(K).as("_tk"), col("_tot"))
+    cells.join(broadcast(totals), col(K) <=> col("_tk"))
+      .select(col(K), col("weekday"), col("hour"), col("n"),
+        round(col("n") / col("_tot").cast("double"), 6).as("share"))
+  }
+
   /** Retention policy: given tier tables and a reference "now", keep raw
     * points for `rawKeepUs`, hourly bins for `hourlyKeepUs`, daily for
     * `dailyKeepUs`, weekly forever. Returns the filtered tiers; callers

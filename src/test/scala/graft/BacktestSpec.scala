@@ -1,0 +1,154 @@
+package graft
+
+import graft.events.{Correlation, EventOps}
+import graft.rollup.Rollup
+import org.apache.spark.sql.functions._
+
+/** Hand-checked semantics for the forecast-backtest / compression wave:
+  * seasonal-naive MASE, best-lag CCF, calendar heatmap, deadband
+  * compression, count-trimmed mean.
+  */
+class BacktestSpec extends SparkSpec {
+
+  test("seasonalNaive: a perfect period-S cycle has zero seasonal error") {
+    // 10 cycles of period 4 on the unit bin grid: x(b) = pattern(b % 4)
+    val pattern = Seq(1.0, 5.0, 2.0, 8.0)
+    val pts = seriesL((0 until 40).map(b =>
+      (b.toLong, Some(pattern(b % 4)))))
+    val out = Correlation.seasonalNaive(pts, season = 4, binUs = 1L,
+      minPairs = 8).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getLong(1) == 36) // n_seasonal: bins 4..39
+    assert(r.getLong(2) == 39) // n_naive: bins 1..39
+    assert(r.getDouble(3) == 0.0) // mae_seasonal
+    assert(r.getDouble(4) > 0)    // the cycle itself has naive error
+    assert(r.getDouble(5) == 0.0) // mase
+  }
+
+  test("seasonalNaive: hand-computed errors on a short series") {
+    // bins 0,1,2,3 values 1,2,4,7; season 2 pairs: (2,0)=3,(3,1)=5 ->
+    // mae_s = 4.0 over 2; naive pairs: 1,2,3 -> mae_n = 2.0 over 3
+    val pts = seriesL(Seq((0L, Some(1.0)), (1L, Some(2.0)),
+      (2L, Some(4.0)), (3L, Some(7.0))))
+    val r = Correlation.seasonalNaive(pts, season = 2, binUs = 1L,
+      minPairs = 2).collect().head
+    assert(r.getLong(1) == 2 && r.getLong(2) == 3)
+    assert(r.getDouble(3) == 4.0)
+    assert(r.getDouble(4) == 2.0)
+    assert(r.getDouble(5) == 2.0) // mase = 4/2
+  }
+
+  test("seasonalNaive: under minPairs emits null scores, keeps counts") {
+    val pts = seriesL(Seq((0L, Some(1.0)), (1L, Some(2.0)), (2L, Some(3.0))))
+    val r = Correlation.seasonalNaive(pts, season = 1, binUs = 1L,
+      minPairs = 8).collect().head
+    assert(r.getLong(1) == 2 && r.getLong(2) == 2)
+    assert(r.isNullAt(3) && r.isNullAt(4) && r.isNullAt(5))
+  }
+
+  test("bestLag: detects a constructed lead and breaks ties to small lag") {
+    val s = spark
+    import s.implicits._
+    // b follows a exactly 3 bins later: counts per bin via repeated rows
+    val rnd = new scala.util.Random(11)
+    val counts = (0 until 40).map(_ => 1 + rnd.nextInt(5))
+    val rows =
+      counts.zipWithIndex.flatMap { case (c, b) =>
+        Seq.fill(c)(("a", b.toLong)) ++ Seq.fill(c)(("b", b + 3L))
+      }
+    val df = rows.toDF("key", "t")
+    val out = Correlation.bestLag(df, "a", "b", maxLag = 6, binUs = 1L,
+      minBins = 8).collect()
+    assert(out.length == 1)
+    assert(out.head.getInt(0) == 3)
+    assert(out.head.getDouble(2) == 1.0)
+  }
+
+  test("bestLag: empty when no lag clears minBins") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(("a", 0L), ("b", 1L)).toDF("key", "t")
+    assert(Correlation.bestLag(df, "a", "b", maxLag = 2, binUs = 1L,
+      minBins = 8).count() == 0)
+  }
+
+  test("calendarHeatmap: counts land in the right (weekday, hour) cells") {
+    val s = spark
+    import s.implicits._
+    val day = 86400000000L
+    val hour = 3600000000L
+    // epoch day 0 is Thursday (weekday 3); day 4 is Monday (weekday 0)
+    val df = Seq(
+      ("k", 0L), ("k", 1L),            // Thursday 00h x2
+      ("k", 4 * day + 5 * hour),       // Monday 05h
+      ("k", 11 * day + 5 * hour))      // next Monday 05h
+      .toDF("key", "t")
+    val out = Rollup.calendarHeatmap(df).collect()
+      .map(r => ((r.getInt(1), r.getInt(2)), (r.getLong(3), r.getDouble(4))))
+      .toMap
+    assert(out((3, 0)) == (2L, 0.5))
+    assert(out((0, 5)) == (2L, 0.5))
+    assert(out.size == 2)
+  }
+
+  test("deadband: greedy chain keeps only >= delta moves from last kept") {
+    val pts = seriesL(Seq(
+      (0L, Some(10.0)),  // kept (first)
+      (1L, Some(10.4)),  // |0.4| < 0.5 dropped
+      (2L, Some(10.5)),  // |0.5| >= 0.5 kept
+      (3L, Some(10.2)),  // vs 10.5: 0.3 dropped
+      (4L, Some(9.9)),   // vs 10.5: 0.6 kept
+      (5L, Some(9.9))))  // 0.0 dropped
+    val out = collectTVL(EventOps.deadband(pts, delta = 0.5))
+    assert(out == Seq(0L -> Some(10.0), 2L -> Some(10.5), 4L -> Some(9.9)))
+  }
+
+  test("deadband matches a sequential reference on seeded data") {
+    val rnd = new scala.util.Random(4242)
+    for (trial <- 0 until 4) {
+      val pts = (0 until 300).map(_ =>
+        (rnd.nextInt(500).toLong, Some(rnd.nextDouble() * 40)))
+      val delta = 3.0 + trial
+      val df = seriesL(pts)
+      // sequential reference: dedupe (t -> max v), sort, greedy chain on
+      // the same 1e-3 long grid
+      val deduped = pts.groupBy(_._1).map { case (t, ps) =>
+        (t, ps.map(_._2.get).max)
+      }.toSeq.sortBy(_._1)
+      val deltaMilli = math.rint(delta * 1000).toLong
+      var last = Long.MinValue / 2
+      val expect = deduped.flatMap { case (t, v) =>
+        val x = math.floor(v * 1000 + 0.5).toLong
+        if (math.abs(x - last) >= deltaMilli) { last = x; Some(t -> Some(v)) }
+        else None
+      }
+      assert(collectTVL(EventOps.deadband(df, delta)) == expect,
+        s"trial $trial")
+    }
+  }
+
+  test("trimmedMean: drops trim lowest/highest, null when nothing left") {
+    val pts = seriesL(Seq(
+      (0L, Some(100.0)), (1L, Some(1.0)), (2L, Some(2.0)),
+      (3L, Some(3.0)), (4L, Some(-50.0))))
+    // trim=1: drop -50 and 100 -> mean(1,2,3) = 2
+    val r = EventOps.trimmedMean(pts, bucketUs = 1000L, trim = 1)
+      .collect().head
+    assert(r.getLong(2) == 5 && r.getLong(3) == 3)
+    assert(r.getDouble(4) == 2.0)
+    // trim=3 over 5 points: nothing survives -> null mean
+    val r2 = EventOps.trimmedMean(pts, bucketUs = 1000L, trim = 3)
+      .collect().head
+    assert(r2.getLong(3) == 0 && r2.isNullAt(4))
+  }
+
+  test("trimmedMean: tie values trim deterministically by (v, t)") {
+    val pts = seriesL(Seq(
+      (0L, Some(5.0)), (1L, Some(5.0)), (2L, Some(5.0)), (3L, Some(7.0))))
+    // order: (5,0),(5,1),(5,2),(7,3); trim=1 keeps ranks 2..3 -> 5,5
+    val r = EventOps.trimmedMean(pts, bucketUs = 1000L, trim = 1)
+      .collect().head
+    assert(r.getLong(3) == 2 && r.getDouble(4) == 5.0)
+  }
+}
