@@ -60,7 +60,12 @@ object Bench {
     "q117_acf", "q118_xcorr", "q119_theilsen", "q120_lttb", "q121_sax",
     "q122_top_gaps", "q123_stale_sample", "q124_state_dwell",
     "q125_mad_anomaly", "q126_level_shift", "q127_dtw", "q128_burst_rate",
-    "q129_ols_trend", "q130_debounce")
+    "q129_ols_trend", "q130_debounce",
+    // ninth-session additions: forecast backtest + compression +
+    // SLA/composition wave (q131-q137)
+    "q131_seasonal_mase", "q132_calendar_heatmap", "q133_deadband",
+    "q134_best_lag", "q135_trimmed_mean", "q136_completeness",
+    "q137_burst_incidents")
 
   def session(cpus: String): SparkSession = {
     // 4 waves of tasks per core: on a shared VM with CPU steal, a stage is

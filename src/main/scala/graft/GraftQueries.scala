@@ -4326,6 +4326,77 @@ object GraftQueries {
       |  END AS trimmed_mean
       |FROM a""".stripMargin
 
+  /** Ingestion-completeness scorecard per (user, day): hourly-bin
+    * coverage share and the longest silent stretch including the day's
+    * edges — the per-source SLA report, exact long µs except the one
+    * coverage division. */
+  def qCompleteness(spark: SparkSession, dir: String): DataFrame =
+    EventOps.completeness(
+      spark.read.parquet(s"$dir/events.parquet")
+        .select(col("user_id").as("key"), tsUs.as("t")),
+      dayUs = DAY, binUs = HOUR)
+      .select(col("key").as("user_id"), col("day"), col("n"),
+        col("bins_present"), col("coverage"), col("max_gap_us"))
+
+  val sqlCompleteness: String =
+    """WITH e AS (SELECT user_id, epoch_us(ts) AS t,
+      |             epoch_us(ts) // 86400000000 AS day
+      |           FROM events),
+      |g AS (SELECT user_id, day, t,
+      |        t - coalesce(lag(t) OVER (PARTITION BY user_id, day
+      |          ORDER BY t), day * 86400000000) AS gap
+      |      FROM e),
+      |a AS (SELECT user_id, day, count(*) AS n,
+      |        count(DISTINCT t // 3600000000) AS bins_present,
+      |        max(gap) AS maxinner, max(t) AS lastt
+      |      FROM g GROUP BY 1, 2)
+      |SELECT user_id, day, n, bins_present,
+      |  round(bins_present / 24.0, 6) AS coverage,
+      |  greatest(maxinner, (day + 1) * 86400000000 - lastt) AS max_gap_us
+      |FROM a""".stripMargin
+
+  /** Composed burst-incident report: q128's hourly burst flags coalesced
+    * into maximal consecutive-hour incident intervals (gaps-and-islands
+    * on the hour index) with per-incident totals and peak ratio — the
+    * alerting rollup a monitoring stack pages on, and the composition
+    * proof that the battery's operators chain. */
+  def qBurstIncidents(spark: SparkSession, dir: String): DataFrame = {
+    val bursts = EventOps.burstRate(
+      spark.read.parquet(s"$dir/events.parquet")
+        .select(col("event_type").as("key"), tsUs.as("t")),
+      baseHours = 24, factor = 2)
+      .filter(col("burst") === 1)
+    val w = Window.partitionBy(col("key")).orderBy(col("hour"))
+    bursts
+      .withColumn("_isl", col("hour") - row_number().over(w))
+      .groupBy(col("key"), col("_isl"))
+      .agg(min("hour").as("start_hour"), max("hour").as("end_hour"),
+        count(lit(1)).as("n_hours"), sum("n").as("events"),
+        max("ratio").as("peak_ratio"))
+      .select(col("key").as("event_type"), col("start_hour"),
+        col("end_hour"), col("n_hours"), col("events"), col("peak_ratio"))
+  }
+
+  val sqlBurstIncidents: String =
+    """WITH e AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hour
+      |           FROM events),
+      |c AS (SELECT event_type, hour, count(*) AS n FROM e GROUP BY 1, 2),
+      |w AS (SELECT event_type, hour, n,
+      |        coalesce(sum(n) OVER (PARTITION BY event_type ORDER BY hour
+      |          RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING), 0) AS base,
+      |        min(hour) OVER (PARTITION BY event_type) AS h0
+      |      FROM c),
+      |b AS (SELECT event_type, hour, n,
+      |        round(n * 24 / CAST(base AS DOUBLE), 6) AS ratio
+      |      FROM w
+      |      WHERE hour >= h0 + 24 AND base > 0 AND n * 24 > base * 2),
+      |i AS (SELECT *, hour - row_number() OVER (PARTITION BY event_type
+      |        ORDER BY hour) AS isl
+      |      FROM b)
+      |SELECT event_type, min(hour) AS start_hour, max(hour) AS end_hour,
+      |  count(*) AS n_hours, sum(n) AS events, max(ratio) AS peak_ratio
+      |FROM i GROUP BY event_type, isl""".stripMargin
+
   // classic relational smoke (lineitem)
   def qLineitemAgg(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/lineitem.parquet")

@@ -716,6 +716,42 @@ object EventOps {
           .as("trimmed_mean"))
   }
 
+  /** Data-completeness scorecard per (key, day): how much of the day the
+    * feed actually covered — the ingestion-SLA report a 10^12-row
+    * pipeline publishes per source before anyone trusts a tier built on
+    * it. Output (key, day, n, bins_present, coverage, max_gap_us):
+    * `bins_present` = distinct `binUs` cells with ≥1 event, `coverage`
+    * = bins_present / (dayUs/binUs) (ONE double division), `max_gap_us`
+    * = the longest silent stretch INCLUDING the day's edges (day start →
+    * first event, last event → day end) — the worst-blackout number, in
+    * exact long µs.
+    *
+    * Scale: one lag window over a per-(key, day) sort plus one
+    * aggregate — day-bounded partitions keep the sort short, and the
+    * output is |keys|·|days| rows regardless of raw volume. */
+  def completeness(df: DataFrame, dayUs: Long = 86400000000L,
+      binUs: Long = 3600000000L): DataFrame = {
+    require(dayUs > 0 && binUs > 0, "dayUs and binUs must be positive")
+    require(dayUs % binUs == 0, s"binUs $binUs must divide dayUs $dayUs")
+    val nBins = dayUs / binUs
+    val pts = df
+      .withColumn("day", floor(col(T) / dayUs).cast("long"))
+    val w = Window.partitionBy(col(K), col("day")).orderBy(col(T).asc)
+    // gap to the previous event, or to the day start for the first one
+    val gap = col(T) - coalesce(lag(col(T), 1).over(w), col("day") * dayUs)
+    pts
+      .withColumn("_gap", gap)
+      .groupBy(col(K), col("day"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(floor(col(T) / binUs)).as("bins_present"),
+        max(col("_gap")).as("_maxInner"),
+        max(col(T)).as("_last"))
+      .select(col(K), col("day"), col("n"), col("bins_present"),
+        round(col("bins_present") / lit(nBins.toDouble), 6).as("coverage"),
+        greatest(col("_maxInner"),
+          (col("day") + 1) * dayUs - col("_last")).as("max_gap_us"))
+  }
+
   /** Robust (median/MAD) outlier scan per (key, bucket): each point is
     * scored |v − median| / MAD against ITS OWN bucket's median and median
     * absolute deviation — the robust complement of [[rollingZscore]]

@@ -297,4 +297,55 @@ object StreamingRollup {
           }
         })
   }
+
+  case class DeadbandState(lastKeptX: Long, maxT: Long)
+
+  /** Streaming face of [[graft.events.EventOps.deadband]]: per key, emit
+    * a point only when its 1e-3-quantized value has moved at least
+    * `delta` from the last EMITTED value — state is two longs per key
+    * (the last kept quantized value and the max time seen). Within a
+    * batch, points sort by time and same-t duplicates collapse to max v,
+    * exactly like the batch fold; ACROSS batches the contract is
+    * STRICTLY increasing event time per key — stricter than
+    * [[debounceStream]]'s ≤, because here a same-t re-delivery is a
+    * value CORRECTION the append-only chain cannot honor (batch deadband
+    * would have folded it into the dedupe before deciding). Stale or
+    * equal-time input fails loudly. */
+  def deadbandStream(
+      events: Dataset[PointEvent],
+      delta: Double): Dataset[PointEvent] = {
+    require(delta > 0, s"delta $delta must be positive")
+    val deltaMilli = math.rint(delta * 1000).toLong
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        (key: String, rows: Iterator[PointEvent], state: GroupState[DeadbandState]) => {
+          // MinValue/2 sentinel: no real quantized value is within delta
+          val s0 = state.getOption
+            .getOrElse(DeadbandState(Long.MinValue / 2, Long.MinValue))
+          val pts = rows.toArray.groupBy(_.t)
+            .map { case (t, ps) => (t, ps.map(_.v).max) }
+            .toArray.sortBy(_._1)
+          if (pts.isEmpty) Iterator.empty
+          else {
+            if (s0.maxT != Long.MinValue && pts.head._1 <= s0.maxT)
+              throw new IllegalStateException(
+                s"deadbandStream: point at t=${pts.head._1} for key=$key is " +
+                  s"not after the max seen time ${s0.maxT} — the kept chain " +
+                  "is append-only and same-t re-delivery is a correction; " +
+                  "feed per-key strictly-time-ordered batches")
+            var last = s0.lastKeptX
+            val kept = Seq.newBuilder[PointEvent]
+            pts.foreach { case (t, v) =>
+              val x = math.floor(v * 1000 + 0.5).toLong
+              if (math.abs(x - last) >= deltaMilli) {
+                last = x; kept += PointEvent(key, t, v)
+              }
+            }
+            state.update(DeadbandState(last, math.max(s0.maxT, pts.last._1)))
+            kept.result().iterator
+          }
+        })
+  }
 }

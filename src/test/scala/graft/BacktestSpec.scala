@@ -143,6 +143,23 @@ class BacktestSpec extends SparkSpec {
     assert(r2.getLong(3) == 0 && r2.isNullAt(4))
   }
 
+  test("completeness: bin coverage and edge-inclusive max gap") {
+    val s = spark
+    import s.implicits._
+    // 100µs "days" of 4 25µs bins
+    val df = Seq(("k", 0L), ("k", 30L), ("k", 55L), ("k", 199L))
+      .toDF("key", "t")
+    val out = EventOps.completeness(df, dayUs = 100L, binUs = 25L)
+      .collect()
+      .map(r => (r.getLong(1),
+        (r.getLong(2), r.getLong(3), r.getDouble(4), r.getLong(5))))
+      .toMap
+    // day 0: bins {0,1,2} of 4, gaps 0/30/25 + end edge 100-55=45
+    assert(out(0L) == (3L, 3L, 0.75, 45L))
+    // day 1: one event at 199 -> start edge 99 dominates, end edge 1
+    assert(out(1L) == (1L, 1L, 0.25, 99L))
+  }
+
   test("trimmedMean: tie values trim deterministically by (v, t)") {
     val pts = seriesL(Seq(
       (0L, Some(5.0)), (1L, Some(5.0)), (2L, Some(5.0)), (3L, Some(7.0))))

@@ -390,4 +390,51 @@ class StreamingSpec extends SparkSpec {
       Option(ex2.getCause).exists(_.getMessage.contains("debounceStream")))
     q2.stop()
   }
+
+  test("streaming deadband equals batch across batch splits; same-t re-delivery fails") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[StreamingRollup.PointEvent]
+    val q = StreamingRollup.deadbandStream(mem.toDS(), delta = 0.5)
+      .writeStream.format("memory").queryName("db_out").outputMode("append").start()
+    // batch 1 ends with the chain mid-band for key a
+    mem.addData(
+      StreamingRollup.PointEvent("a", 0L, 10.0),   // kept (first)
+      StreamingRollup.PointEvent("a", 1L, 10.4),   // dropped
+      StreamingRollup.PointEvent("a", 2L, 10.5),   // kept
+      StreamingRollup.PointEvent("b", 0L, 1.0))    // kept (first)
+    q.processAllAvailable()
+    mem.addData(
+      StreamingRollup.PointEvent("a", 3L, 10.2),   // vs 10.5: dropped
+      StreamingRollup.PointEvent("a", 4L, 9.9),    // vs 10.5: kept
+      StreamingRollup.PointEvent("b", 1L, 1.2))    // dropped
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("db_out").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    val all = Seq(("a", 0L, 10.0), ("a", 1L, 10.4), ("a", 2L, 10.5),
+      ("a", 3L, 10.2), ("a", 4L, 9.9), ("b", 0L, 1.0), ("b", 1L, 1.2))
+      .toDF("key", "t", "v")
+    val exp = graft.events.EventOps.deadband(all, delta = 0.5)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .sorted.toSeq
+    assert(got == exp, s"got $got vs $exp")
+    assert(got == Seq(("a", 0L, 10.0), ("a", 2L, 10.5), ("a", 4L, 9.9),
+      ("b", 0L, 1.0)))
+
+    // same-t re-delivery is a value correction -> loud failure
+    val mem2 = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[StreamingRollup.PointEvent]
+    val q2 = StreamingRollup.deadbandStream(mem2.toDS(), delta = 0.5)
+      .writeStream.format("memory").queryName("db_fail").outputMode("append").start()
+    mem2.addData(StreamingRollup.PointEvent("a", 100L, 5.0))
+    q2.processAllAvailable()
+    mem2.addData(StreamingRollup.PointEvent("a", 100L, 9.0)) // correction
+    val ex2 = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q2.processAllAvailable()
+    }
+    assert(ex2.getMessage.contains("deadbandStream") ||
+      Option(ex2.getCause).exists(_.getMessage.contains("deadbandStream")))
+    q2.stop()
+  }
 }
