@@ -4397,6 +4397,89 @@ object GraftQueries {
       |  count(*) AS n_hours, sum(n) AS events, max(ratio) AS peak_ratio
       |FROM i GROUP BY event_type, isl""".stripMargin
 
+  /** Daily AUC tier per user: left-Riemann (previous-interp) and
+    * trapezoid integrals in value·seconds over each day's own points —
+    * exact 1e-3-long terms summed in DECIMAL(38,0) (DuckDB: hugeint),
+    * one double division at the end. */
+  def qAuc(spark: SparkSession, dir: String): DataFrame =
+    EventOps.auc(
+      spark.read.parquet(s"$dir/events.parquet")
+        .select(col("user_id").as("key"), tsUs.as("t"),
+          col("value").as("v")),
+      dayUs = DAY)
+      .select(col("key").as("user_id"), col("day"), col("n"),
+        col("auc_prev"), col("auc_linear"))
+
+  val sqlAuc: String =
+    """WITH e AS (SELECT user_id, epoch_us(ts) AS t,
+      |             epoch_us(ts) // 86400000000 AS day,
+      |             CAST(floor(value * 1000 + 0.5) AS BIGINT) AS x
+      |           FROM events WHERE value IS NOT NULL),
+      |p AS (SELECT user_id, day, t, x,
+      |        lead(t) OVER w - t AS dur, lead(x) OVER w AS x1
+      |      FROM e
+      |      WINDOW w AS (PARTITION BY user_id, day ORDER BY t, x)),
+      |a AS (SELECT user_id, day, count(*) AS n,
+      |        sum(CAST(dur AS HUGEINT) * x) AS sp,
+      |        sum(CAST(dur AS HUGEINT) * (x + x1)) AS sl
+      |      FROM p GROUP BY 1, 2)
+      |SELECT user_id, day, n,
+      |  CASE WHEN n > 1 THEN round(CAST(sp AS DOUBLE) / 1.0e9, 6)
+      |  END AS auc_prev,
+      |  CASE WHEN n > 1 THEN round(CAST(sl AS DOUBLE) / 2.0e9, 6)
+      |  END AS auc_linear
+      |FROM a""".stripMargin
+
+  /** Western Electric SPC rules per (user, week): beyond-3σ points,
+    * 2-of-3 beyond 2σ same side, 9 consecutive same side — side exact
+    * in longs, σ comparisons the fixed-double-expression discipline. */
+  def qSpcRules(spark: SparkSession, dir: String): DataFrame =
+    EventOps.spcRules(
+      spark.read.parquet(s"$dir/events.parquet")
+        .select(col("user_id").as("key"), tsUs.as("t"),
+          col("value").as("v")),
+      bucketUs = WEEK, minN = 8)
+      .select(col("key").as("user_id"), col("bucket").as("week"),
+        col("t"), col("v"), col("side"), col("r1"), col("r2"), col("r4"))
+
+  val sqlSpcRules: String =
+    """WITH e AS (SELECT user_id, epoch_us(ts) AS t, value AS v,
+      |             epoch_us(ts) // 604800000000 AS week,
+      |             CAST(floor(value * 1000 + 0.5) AS BIGINT) AS x
+      |           FROM events WHERE value IS NOT NULL),
+      |s AS (SELECT user_id, week, count(*) AS n, sum(x) AS sx,
+      |        sum(x * x) AS sxx
+      |      FROM e GROUP BY 1, 2),
+      |j AS (SELECT e.user_id, e.week, e.t, e.v, e.x, s.n, s.sx, s.sxx,
+      |        CAST(sign(s.n * e.x - s.sx) AS INT) AS side,
+      |        abs(e.x - CAST(s.sx AS DOUBLE) / s.n) AS dev,
+      |        sqrt((CAST(s.sxx AS DOUBLE)
+      |          - CAST(s.sx AS DOUBLE) * s.sx / s.n) / s.n) AS sigma
+      |      FROM e JOIN s ON e.user_id IS NOT DISTINCT FROM s.user_id
+      |        AND e.week = s.week),
+      |b AS (SELECT *,
+      |        CAST(side = 1 AND dev > sigma * 2 AS INT) AS b2p,
+      |        CAST(side = -1 AND dev > sigma * 2 AS INT) AS b2n,
+      |        CAST(dev > sigma * 3 AS INT) AS r1f
+      |      FROM j),
+      |wn AS (SELECT *,
+      |        sum(b2p) OVER w3 AS c2p, sum(b2n) OVER w3 AS c2n,
+      |        sum(CAST(side = 1 AS INT)) OVER w9 AS c9p,
+      |        sum(CAST(side = -1 AS INT)) OVER w9 AS c9n
+      |      FROM b
+      |      WINDOW w3 AS (PARTITION BY user_id, week ORDER BY t, x
+      |          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+      |        w9 AS (PARTITION BY user_id, week ORDER BY t, x
+      |          ROWS BETWEEN 8 PRECEDING AND CURRENT ROW))
+      |SELECT user_id, week, t, v,
+      |  CASE WHEN n >= 8 THEN side END AS side,
+      |  CAST(coalesce(n >= 8 AND r1f = 1, FALSE) AS INT) AS r1,
+      |  CAST(coalesce(n >= 8 AND ((b2p = 1 AND c2p >= 2)
+      |    OR (b2n = 1 AND c2n >= 2)), FALSE) AS INT) AS r2,
+      |  CAST(coalesce(n >= 8 AND ((side = 1 AND c9p = 9)
+      |    OR (side = -1 AND c9n = 9)), FALSE) AS INT) AS r4
+      |FROM wn""".stripMargin
+
   // classic relational smoke (lineitem)
   def qLineitemAgg(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/lineitem.parquet")

@@ -716,6 +716,127 @@ object EventOps {
           .as("trimmed_mean"))
   }
 
+  /** Area-under-curve tier per (key, day): the integral of the series
+    * over each day's own points, under BOTH interpolation readings —
+    * `auc_prev` = Σ dur·v₀ (left-Riemann, the previous-interpolation
+    * integral, what a counter's value-seconds mean) and `auc_linear` =
+    * Σ dur·(v₀+v₁)/2 (trapezoid, numpy.trapz convention). Consecutive
+    * points pair WITHIN a day only — no extrapolation across day edges
+    * (the edge-conservative reading; the gap-filled alternative is the
+    * rollup tier cascade). Days with a single point emit n but null
+    * AUCs. Output (key, day, n, auc_prev, auc_linear) in value·seconds.
+    *
+    * Engine-exactness: v quantizes to 1e-3 longs; each term
+    * dur_µs·(x₀[+x₁]) is an exact long and the SUM accumulates in
+    * DECIMAL(38,0) (µs·milli overflows int64 over a long day —
+    * decimal is the documented escape, exact in Spark and DuckDB's
+    * hugeint alike); the one double division at the end converts to
+    * value·seconds.
+    *
+    * Scale: one lead window over a per-(key, day) sort + one aggregate
+    * — the [[completeness]] shape exactly. */
+  def auc(df: DataFrame, dayUs: Long = 86400000000L): DataFrame = {
+    require(dayUs > 0, s"day width $dayUs must be positive")
+    val pts = df.filter(col(V).isNotNull)
+      .withColumn("day", floor(col(T) / dayUs).cast("long"))
+      .withColumn("_x", floor(col(V) * 1000 + 0.5).cast("long"))
+    // (t, x) order: duplicate-t points contribute zero-width terms, but
+    // WHICH one pairs with the next distinct t must be deterministic
+    val w = Window.partitionBy(col(K), col("day"))
+      .orderBy(col(T).asc, col("_x").asc)
+    val dur = lead(col(T), 1).over(w) - col(T)
+    val x1 = lead(col("_x"), 1).over(w)
+    pts
+      .withColumn("_dur", dur)
+      .withColumn("_x1", x1)
+      .groupBy(col(K), col("day"))
+      .agg(count(lit(1)).as("n"),
+        // decimal BEFORE the multiply: dur·x itself can clear int64 for
+        // extreme value magnitudes, not just the sum
+        sum(col("_dur").cast("decimal(38,0)") * col("_x")).as("_sp"),
+        sum(col("_dur").cast("decimal(38,0)") * (col("_x") + col("_x1")))
+          .as("_sl"))
+      .select(col(K), col("day"), col("n"),
+        when(col("n") > 1, round(col("_sp").cast("double") / 1.0e9, 6))
+          .as("auc_prev"),
+        when(col("n") > 1, round(col("_sl").cast("double") / 2.0e9, 6))
+          .as("auc_linear"))
+  }
+
+  /** Western Electric control-chart rules per (key, bucket) — the
+    * classic SPC battery (public, WE Statistical Quality Control
+    * Handbook 1956): each point scored against ITS bucket's center line
+    * (mean) and sigma with three escalating pattern rules: `r1` =
+    * beyond 3σ; `r2` = at least 2 of the trailing 3 points beyond 2σ on
+    * the SAME side (this point among them); `r4` = 9 consecutive points
+    * on one side of center, this point the 9th. The drift complement of
+    * [[cusum]] with per-pattern attribution. Buckets with < `minN`
+    * points emit null/0 flags. Output (key, bucket, t, v, side, r1,
+    * r2, r4); side ∈ {-1, 0, 1} vs center.
+    *
+    * Engine-exactness: `side` compares n·x vs Σx in EXACT longs; the σ
+    * comparisons are fixed double expressions on the integer sufficient
+    * statistics (the [[olsTrend]] discipline — exact cross-products
+    * overflow int64 at tier-scale n, so the flags use identically-
+    * ordered double arithmetic instead, deterministic in any engine).
+    * The pattern rules count per-SIDE hits over ROW frames (two
+    * counters, pick by the current row's side — window aggregates
+    * cannot reference the current row, counting both sides can).
+    *
+    * Scale: one (key, bucket) stats aggregate broadcast back, then
+    * three row-bounded frames over ONE per-(key, bucket) sort — the
+    * [[levelShift]] shape. */
+  def spcRules(df: DataFrame, bucketUs: Long, minN: Int = 8,
+      broadcastStats: Boolean = true): DataFrame = {
+    require(bucketUs > 0, s"bucket width $bucketUs must be positive")
+    val pts = df.filter(col(V).isNotNull)
+      .withColumn("bucket", floor(col(T) / bucketUs).cast("long"))
+      .withColumn("_x", floor(col(V) * 1000 + 0.5).cast("long"))
+    val st = pts.groupBy(col(K).as("_sk"), col("bucket").as("_sb"))
+      .agg(count(lit(1)).as("_n"), sum(col("_x")).as("_sx"),
+        sum(col("_x") * col("_x")).as("_sxx"))
+    val joined = pts.join(
+      if (broadcastStats) broadcast(st) else st,
+      col(K) <=> col("_sk") && col("bucket") === col("_sb"))
+      .drop("_sk", "_sb")
+    // side: sign(n·x − Σx) — exact longs (n·x ≤ 2^63 for milli values)
+    val side = signum(col("_n") * col("_x") - col("_sx")).cast("int")
+    // fixed-order double stats: mean, then population sigma
+    val mean = col("_sx").cast("double") / col("_n")
+    val variance = (col("_sxx").cast("double") -
+      col("_sx").cast("double") * col("_sx") / col("_n")) / col("_n")
+    val dev = col("_x") - mean
+    val sigma = sqrt(variance)
+    val w = Window.partitionBy(col(K), col("bucket"))
+      .orderBy(col(T).asc, col("_x").asc)
+    val w3 = w.rowsBetween(-2, Window.currentRow)
+    val w9 = w.rowsBetween(-8, Window.currentRow)
+    val scored = joined
+      .withColumn("_side", side)
+      .withColumn("_b2p",
+        (col("_side") === 1 && abs(dev) > sigma * 2).cast("int"))
+      .withColumn("_b2n",
+        (col("_side") === -1 && abs(dev) > sigma * 2).cast("int"))
+      .withColumn("_r1", (abs(dev) > sigma * 3).cast("int"))
+    val ok = col("_n") >= minN
+    scored
+      .withColumn("_c2p", sum(col("_b2p")).over(w3))
+      .withColumn("_c2n", sum(col("_b2n")).over(w3))
+      .withColumn("_c9p", sum((col("_side") === 1).cast("int")).over(w9))
+      .withColumn("_c9n", sum((col("_side") === -1).cast("int")).over(w9))
+      .select(col(K), col("bucket"), col(T), col(V),
+        when(ok, col("_side")).as("side"),
+        coalesce(when(ok, col("_r1") === 1), lit(false)).cast("int").as("r1"),
+        coalesce(when(ok,
+          (col("_b2p") === 1 && col("_c2p") >= 2) ||
+          (col("_b2n") === 1 && col("_c2n") >= 2)), lit(false))
+          .cast("int").as("r2"),
+        coalesce(when(ok,
+          (col("_side") === 1 && col("_c9p") === 9) ||
+          (col("_side") === -1 && col("_c9n") === 9)), lit(false))
+          .cast("int").as("r4"))
+  }
+
   /** Data-completeness scorecard per (key, day): how much of the day the
     * feed actually covered — the ingestion-SLA report a 10^12-row
     * pipeline publishes per source before anyone trusts a tier built on

@@ -160,6 +160,54 @@ class BacktestSpec extends SparkSpec {
     assert(out(1L) == (1L, 1L, 0.25, 99L))
   }
 
+  test("auc: left-Riemann and trapezoid over a hand-checked day") {
+    // 100s "day" in µs; points (0s, 2), (10s, 4), (30s, 0)
+    val us = 1000000L
+    val pts = seriesL(Seq((0L, Some(2.0)), (10 * us, Some(4.0)),
+      (30 * us, Some(0.0))))
+    val r = EventOps.auc(pts, dayUs = 100 * us).collect().head
+    assert(r.getLong(2) == 3)
+    // prev: 10*2 + 20*4 = 100; linear: 10*(2+4)/2 + 20*(4+0)/2 = 70
+    assert(r.getDouble(3) == 100.0)
+    assert(r.getDouble(4) == 70.0)
+  }
+
+  test("auc: single-point day emits null integrals; days independent") {
+    val us = 1000000L
+    val pts = seriesL(Seq((0L, Some(5.0)), (10 * us, Some(5.0)),
+      (100 * us, Some(9.0))))
+    val out = EventOps.auc(pts, dayUs = 100 * us).collect()
+      .map(r => r.getLong(1) -> r).toMap
+    assert(out(0L).getDouble(3) == 50.0) // 10s at 5
+    assert(out(1L).isNullAt(3) && out(1L).isNullAt(4))
+  }
+
+  test("spcRules: r1/r2/r4 fire on constructed patterns") {
+    // bucket stats over all 12 points; 10 at 10.0, one spike, one dip
+    val base = (0 until 9).map(i => (i.toLong, Some(10.0)))
+    val pts = seriesL(base ++ Seq(
+      (9L, Some(10.0)), (10L, Some(30.0)), (11L, Some(10.0))))
+    val out = EventOps.spcRules(pts, bucketUs = 1000L, minN = 8)
+      .collect().map(r => (r.getLong(2),
+        (r.getInt(4), r.getInt(5), r.getInt(6), r.getInt(7)))).toMap
+    // the spike is far beyond 3 sigma of the (mostly flat) bucket
+    assert(out(10L)._1 == 1 && out(10L)._2 == 1)
+    // every 10.0 sits below the mean (side -1); the 9th consecutive
+    // below-center point fires r4
+    assert(out(8L)._1 == -1 && out(8L)._4 == 1)
+    assert(out(7L)._4 == 0) // only 8 so far
+  }
+
+  test("spcRules: r2 needs 2 of trailing 3 beyond 2 sigma, same side") {
+    // flat bucket with two adjacent high spikes: second spike fires r2
+    val pts = seriesL((0 until 10).map(i => (i.toLong, Some(10.0))) ++
+      Seq((10L, Some(20.0)), (11L, Some(20.0))))
+    val out = EventOps.spcRules(pts, bucketUs = 1000L, minN = 8)
+      .collect().map(r => (r.getLong(2), r.getInt(6))).toMap
+    assert(out(11L) == 1)
+    assert(out(10L) == 0) // only 1 of trailing 3 beyond 2 sigma yet
+  }
+
   test("trimmedMean: tie values trim deterministically by (v, t)") {
     val pts = seriesL(Seq(
       (0L, Some(5.0)), (1L, Some(5.0)), (2L, Some(5.0)), (3L, Some(7.0))))
