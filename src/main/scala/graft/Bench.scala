@@ -65,7 +65,10 @@ object Bench {
     // SLA/composition wave (q131-q137)
     "q131_seasonal_mase", "q132_calendar_heatmap", "q133_deadband",
     "q134_best_lag", "q135_trimmed_mean", "q136_completeness",
-    "q137_burst_incidents", "q138_auc", "q139_spc_rules")
+    "q137_burst_incidents", "q138_auc", "q139_spc_rules",
+    "q140_peaks", "q141_records", "q142_activity_overlap",
+    "q143_schedule_conformance", "q144_leaderboard",
+    "q145_trailing_actives")
 
   def session(cpus: String): SparkSession = {
     // 4 waves of tasks per core: on a shared VM with CPU steal, a stage is

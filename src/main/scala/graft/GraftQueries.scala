@@ -4013,7 +4013,8 @@ object GraftQueries {
       |md AS (SELECT user_id, week, quantile_cont(dev, 0.5) AS mad
       |       FROM d GROUP BY 1, 2)
       |SELECT d.user_id, d.week, d.t, d.v,
-      |  CASE WHEN d.n >= 4 AND md.mad > 0 THEN round(d.dev / md.mad, 6)
+      |  CASE WHEN d.n >= 4 AND md.mad > 0
+      |    THEN floor(d.dev / md.mad * 1000000 + 0.5) / 1000000
       |  END AS score,
       |  CAST(coalesce(d.n >= 4 AND md.mad > 0 AND d.dev / md.mad > 3.5,
       |    FALSE) AS INT) AS anomaly
@@ -4424,9 +4425,11 @@ object GraftQueries {
       |        sum(CAST(dur AS HUGEINT) * (x + x1)) AS sl
       |      FROM p GROUP BY 1, 2)
       |SELECT user_id, day, n,
-      |  CASE WHEN n > 1 THEN round(CAST(sp AS DOUBLE) / 1.0e9, 6)
+      |  CASE WHEN n > 1
+      |    THEN floor(CAST(sp AS DOUBLE) / 1.0e9 * 1000000 + 0.5) / 1000000
       |  END AS auc_prev,
-      |  CASE WHEN n > 1 THEN round(CAST(sl AS DOUBLE) / 2.0e9, 6)
+      |  CASE WHEN n > 1
+      |    THEN floor(CAST(sl AS DOUBLE) / 2.0e9 * 1000000 + 0.5) / 1000000
       |  END AS auc_linear
       |FROM a""".stripMargin
 
@@ -4479,6 +4482,171 @@ object GraftQueries {
       |  CAST(coalesce(n >= 8 AND ((side = 1 AND c9p = 9)
       |    OR (side = -1 AND c9n = 9)), FALSE) AS INT) AS r4
       |FROM wn""".stripMargin
+
+  /** Peak detection per user: strictly above the 6 points before, at
+    * least the 6 after (plateaus resolve to their first point), both
+    * frames full; local_range is height above the ±6 window minimum. */
+  def qPeaks(spark: SparkSession, dir: String): DataFrame =
+    EventOps.peaks(
+      spark.read.parquet(s"$dir/events.parquet")
+        .select(col("user_id").as("key"), tsUs.as("t"),
+          col("value").as("v")),
+      w = 6)
+      .select(col("key").as("user_id"), col("t"), col("v"),
+        col("local_range"))
+
+  val sqlPeaks: String =
+    """WITH e AS (SELECT user_id, epoch_us(ts) AS t, value AS v,
+      |             CAST(floor(value * 1000 + 0.5) AS BIGINT) AS x
+      |           FROM events WHERE value IS NOT NULL),
+      |w AS (SELECT user_id, t, v, x,
+      |        count(*) OVER pre AS npre, count(*) OVER post AS npost,
+      |        max(x) OVER pre AS mpre, max(x) OVER post AS mpost,
+      |        min(x) OVER wboth AS mboth
+      |      FROM e
+      |      WINDOW pre AS (PARTITION BY user_id ORDER BY t, x
+      |          ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING),
+      |        post AS (PARTITION BY user_id ORDER BY t, x
+      |          ROWS BETWEEN 1 FOLLOWING AND 6 FOLLOWING),
+      |        wboth AS (PARTITION BY user_id ORDER BY t, x
+      |          ROWS BETWEEN 6 PRECEDING AND 6 FOLLOWING))
+      |SELECT user_id, t, v, round((x - mboth) / 1000.0, 6) AS local_range
+      |FROM w
+      |WHERE npre = 6 AND npost = 6 AND x > mpre AND x >= mpost""".stripMargin
+
+  /** Running-record scan per user: new all-time highs/lows with the
+    * margin past the previous record; the first point is both records
+    * by convention. */
+  def qRecords(spark: SparkSession, dir: String): DataFrame =
+    EventOps.records(
+      spark.read.parquet(s"$dir/events.parquet")
+        .select(col("user_id").as("key"), tsUs.as("t"),
+          col("value").as("v")))
+      .select(col("key").as("user_id"), col("t"), col("v"),
+        col("record_high"), col("record_low"), col("margin"))
+
+  val sqlRecords: String =
+    """WITH e AS (SELECT user_id, epoch_us(ts) AS t, value AS v,
+      |             CAST(floor(value * 1000 + 0.5) AS BIGINT) AS x
+      |           FROM events WHERE value IS NOT NULL),
+      |w AS (SELECT user_id, t, v, x,
+      |        max(x) OVER pre AS hi, min(x) OVER pre AS lo
+      |      FROM e
+      |      WINDOW pre AS (PARTITION BY user_id ORDER BY t, x
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+      |SELECT user_id, t, v,
+      |  CAST(coalesce(x > hi, TRUE) AS INT) AS record_high,
+      |  CAST(coalesce(x < lo, TRUE) AS INT) AS record_low,
+      |  CASE WHEN coalesce(x > hi, TRUE) AND hi IS NOT NULL
+      |      THEN round((x - hi) / 1000.0, 6)
+      |    WHEN coalesce(x < lo, TRUE) AND lo IS NOT NULL
+      |      THEN round((lo - x) / 1000.0, 6)
+      |  END AS margin
+      |FROM w
+      |WHERE coalesce(x > hi, TRUE) OR coalesce(x < lo, TRUE)""".stripMargin
+
+  /** Activity-overlap matrix across event types: exact Jaccard of
+    * hourly active-bin sets for every co-active pair — the equi-join-
+    * on-bin pair generator, never an all-pairs cross join. */
+  def qActivityOverlap(spark: SparkSession, dir: String): DataFrame =
+    graft.events.Correlation.activityOverlap(
+      spark.read.parquet(s"$dir/events.parquet")
+        .select(col("event_type").as("key"), tsUs.as("t")),
+      binUs = HOUR)
+
+  val sqlActivityOverlap: String =
+    """WITH b AS (SELECT DISTINCT event_type,
+      |             epoch_us(ts) // 3600000000 AS bin
+      |           FROM events WHERE event_type IS NOT NULL),
+      |tot AS (SELECT event_type, count(*) AS n FROM b GROUP BY 1),
+      |i AS (SELECT l.event_type AS key_a, r.event_type AS key_b,
+      |        count(*) AS inter
+      |      FROM b l JOIN b r ON l.bin = r.bin
+      |        AND l.event_type < r.event_type
+      |      GROUP BY 1, 2)
+      |SELECT i.key_a, i.key_b, ta.n AS n_a, tb.n AS n_b, i.inter,
+      |  round(i.inter / CAST(ta.n + tb.n - i.inter AS DOUBLE), 6)
+      |    AS jaccard
+      |FROM i JOIN tot ta ON i.key_a = ta.event_type
+      |JOIN tot tb ON i.key_b = tb.event_type""".stripMargin
+
+  /** Schedule conformance per (user, week) against a nominal 1h
+    * reporting period: on-time (gap ≤ 1.5h, tested as 2·gap ≤ 3h in
+    * exact longs), late (≤ 3h), missed (beyond), plus the on-time
+    * share. */
+  def qScheduleConformance(spark: SparkSession, dir: String): DataFrame =
+    EventOps.scheduleConformance(
+      spark.read.parquet(s"$dir/events.parquet")
+        .select(col("user_id").as("key"), tsUs.as("t")),
+      periodUs = HOUR, bucketUs = WEEK)
+      .select(col("key").as("user_id"), col("bucket").as("week"),
+        col("n_gaps"), col("n_on_time"), col("n_late"), col("n_missed"),
+        col("conformance"))
+
+  val sqlScheduleConformance: String =
+    """WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events),
+      |g AS (SELECT user_id, t,
+      |        t - lag(t) OVER (PARTITION BY user_id ORDER BY t) AS gap,
+      |        t // 604800000000 AS week
+      |      FROM e),
+      |a AS (SELECT user_id, week, gap FROM g WHERE gap IS NOT NULL)
+      |SELECT user_id, week, count(*) AS n_gaps,
+      |  count(*) FILTER (WHERE gap * 2 <= 10800000000) AS n_on_time,
+      |  count(*) FILTER (WHERE gap * 2 > 10800000000
+      |    AND gap <= 10800000000) AS n_late,
+      |  count(*) FILTER (WHERE gap > 10800000000) AS n_missed,
+      |  round(count(*) FILTER (WHERE gap * 2 <= 10800000000)
+      |    / CAST(count(*) AS DOUBLE), 6) AS conformance
+      |FROM a GROUP BY 1, 2""".stripMargin
+
+  /** Daily event-type leaderboard with rank churn vs the previous
+    * appearing day: count ranks tie-break by name, delta positive =
+    * moved up. */
+  def qLeaderboard(spark: SparkSession, dir: String): DataFrame =
+    EventOps.leaderboard(
+      spark.read.parquet(s"$dir/events.parquet")
+        .select(col("event_type").as("key"), tsUs.as("t")),
+      dayUs = DAY)
+      .select(col("key").as("event_type"), col("day"), col("n"),
+        col("rank"), col("prev_rank"), col("delta"))
+
+  val sqlLeaderboard: String =
+    """WITH c AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+      |             count(*) AS n
+      |           FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2),
+      |r AS (SELECT event_type, day, n,
+      |        row_number() OVER (PARTITION BY day
+      |          ORDER BY n DESC, event_type) AS rank
+      |      FROM c)
+      |SELECT event_type, day, n, rank,
+      |  lag(rank) OVER (PARTITION BY event_type ORDER BY day)
+      |    AS prev_rank,
+      |  lag(rank) OVER (PARTITION BY event_type ORDER BY day) - rank
+      |    AS delta
+      |FROM r""".stripMargin
+
+  /** Trailing 7-day distinct active users per (event_type, day) — the
+    * exact WAU tier; days with no data for the type emit nothing. */
+  def qTrailingActives(spark: SparkSession, dir: String): DataFrame =
+    EventOps.trailingDistinct(
+      spark.read.parquet(s"$dir/events.parquet")
+        .select(col("event_type").as("key"), tsUs.as("t"),
+          col("user_id")),
+      actorCol = "user_id", windowDays = 7, dayUs = DAY)
+      .select(col("key").as("event_type"), col("day"), col("active"))
+
+  val sqlTrailingActives: String =
+    """WITH b AS (SELECT DISTINCT event_type,
+      |             epoch_us(ts) // 86400000000 AS day, user_id
+      |           FROM events
+      |           WHERE event_type IS NOT NULL AND user_id IS NOT NULL),
+      |p AS (SELECT DISTINCT event_type, day FROM b),
+      |x AS (SELECT b.event_type, b.day + g.i AS day, b.user_id
+      |      FROM b CROSS JOIN (SELECT unnest(range(7)) AS i) g)
+      |SELECT x.event_type, x.day, count(DISTINCT x.user_id) AS active
+      |FROM x SEMI JOIN p ON x.event_type = p.event_type
+      |  AND x.day = p.day
+      |GROUP BY 1, 2""".stripMargin
 
   // classic relational smoke (lineitem)
   def qLineitemAgg(spark: SparkSession, dir: String): DataFrame =

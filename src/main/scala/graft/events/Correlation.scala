@@ -238,6 +238,49 @@ object Correlation {
         (expr("percentile(_s, 0.5)") / 1e6).as("slope"))
   }
 
+  /** Activity-overlap matrix: for every unordered key pair that is ever
+    * co-active, the Jaccard similarity of their ACTIVE-BIN sets ("do
+    * these two series tick at the same times") — the exact set-overlap
+    * complement of [[crossCorr]]'s value correlation and of the KMV
+    * θ-sketch's approximate distinct overlap. Output (key_a, key_b,
+    * n_a, n_b, inter, jaccard), key_a < key_b (null keys drop out of
+    * pairing, the [[dtwPairs]] rule); pairs with ZERO shared bins are
+    * absent by construction — the sparse convention, since at scale the
+    * all-pairs zero matrix is the explosion.
+    *
+    * Scale: the distinct (key, bin) table is span/binUs-bounded per
+    * key; the pair generator is an equi-join ON BIN (never an all-pairs
+    * cross join), so a bin shared by k keys contributes k·(k−1)/2 rows
+    * — bounded by the key universe per bin, the gate a caller controls
+    * (like dtwPairs, run it over the flagged subset at 100 TB, and
+    * count aggregates shrink it immediately); per-key totals join back
+    * broadcast. Jaccard is ONE division on exact longs. */
+  def activityOverlap(
+      df: DataFrame,
+      binUs: Long = 3600000000L): DataFrame = {
+    require(binUs > 0, s"bin width $binUs must be positive")
+    val bins = df.filter(col(K).isNotNull)
+      .select(col(K).cast("string").as(K),
+        floor(col(T) / binUs).cast("long").as("_b"))
+      .distinct()
+    val totals = bins.groupBy(col(K)).agg(count(lit(1)).as("_n"))
+    val inter = bins.select(col(K).as("key_a"), col("_b"))
+      .join(bins.select(col(K).as("key_b"), col("_b")), Seq("_b"))
+      .filter(col("key_a") < col("key_b"))
+      .groupBy(col("key_a"), col("key_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(broadcast(totals.select(col(K).as("key_a"), col("_n").as("n_a"))),
+        Seq("key_a"))
+      .join(broadcast(totals.select(col(K).as("key_b"), col("_n").as("n_b"))),
+        Seq("key_b"))
+      .select(col("key_a"), col("key_b"), col("n_a"), col("n_b"),
+        col("inter"),
+        round(col("inter") /
+          (col("n_a") + col("n_b") - col("inter")).cast("double"), 6)
+          .as("jaccard"))
+  }
+
   /** Banded Dynamic Time Warping distance between every unordered pair
     * of keys' binned series (Sakoe–Chiba band, public — Sakoe & Chiba
     * 1978): the similarity measure that tolerates phase shift, the

@@ -757,9 +757,13 @@ object EventOps {
         sum(col("_dur").cast("decimal(38,0)") * (col("_x") + col("_x1")))
           .as("_sl"))
       .select(col(K), col("day"), col("n"),
-        when(col("n") > 1, round(col("_sp").cast("double") / 1.0e9, 6))
+        // floor-snap (see madAnomaly): integer sums over 1e9 land on
+        // exact 5e-7 ties where round()'s half-up is not portable
+        when(col("n") > 1,
+          floor(col("_sp").cast("double") / 1.0e9 * 1e6 + 0.5) / 1e6)
           .as("auc_prev"),
-        when(col("n") > 1, round(col("_sl").cast("double") / 2.0e9, 6))
+        when(col("n") > 1,
+          floor(col("_sl").cast("double") / 2.0e9 * 1e6 + 0.5) / 1e6)
           .as("auc_linear"))
   }
 
@@ -837,6 +841,164 @@ object EventOps {
           .cast("int").as("r4"))
   }
 
+  /** Local-extremum (peak) detection per key: a point is a peak when its
+    * value strictly exceeds the max of the `w` points before it and is
+    * at least the max of the `w` points after (ties break to the FIRST
+    * point of a plateau — the deterministic convention), both frames
+    * FULL (series edges never qualify — the [[levelShift]] warm-up
+    * rule). `local_range` = height above the ±w window minimum, the
+    * cheap prominence proxy. Output (key, t, v, local_range) for peak
+    * rows only; all comparisons on exact 1e-3 longs.
+    *
+    * Scale: four row-bounded frames over ONE per-key sort — the
+    * [[levelShift]] shape; output shrinks to the peak rows. */
+  def peaks(df: DataFrame, w: Int): DataFrame = {
+    require(w >= 1, s"window $w must be >= 1")
+    // (t, _x) order so frame membership under duplicate timestamps is
+    // identical in any engine replaying the same quantized grid
+    val ord = Window.partitionBy(col(K)).orderBy(col(T).asc, col("_x").asc)
+    val pre = ord.rowsBetween(-w, -1)
+    val post = ord.rowsBetween(1, w)
+    val both = ord.rowsBetween(-w, w)
+    val pts = df.filter(col(V).isNotNull)
+      .withColumn("_x", floor(col(V) * 1000 + 0.5).cast("long"))
+    pts
+      .withColumn("_full",
+        count(lit(1)).over(pre) === w && count(lit(1)).over(post) === w)
+      .withColumn("_peak",
+        col("_full") && col("_x") > max(col("_x")).over(pre) &&
+          col("_x") >= max(col("_x")).over(post))
+      .withColumn("_min", min(col("_x")).over(both))
+      .filter(col("_peak"))
+      .select(col(K), col(T), col(V),
+        round((col("_x") - col("_min")) / 1000.0, 6).as("local_range"))
+  }
+
+  /** Running-record scan per key: flag points that set a new all-time
+    * high or low for their series — the "new record" events a
+    * monitoring feed annotates. The FIRST point is both records by
+    * convention; `margin` = distance past the previous record (null on
+    * the first point). Output (key, t, v, record_high, record_low,
+    * margin) for record rows only; exact 1e-3-long comparisons, margin
+    * one division.
+    *
+    * Scale: two unbounded-preceding frames over one per-key sort —
+    * running state is a single long each. */
+  def records(df: DataFrame): DataFrame = {
+    val ord = Window.partitionBy(col(K)).orderBy(col(T).asc, col("_x").asc)
+    val pre = ord.rowsBetween(Window.unboundedPreceding, -1)
+    val pts = df.filter(col(V).isNotNull)
+      .withColumn("_x", floor(col(V) * 1000 + 0.5).cast("long"))
+    pts
+      .withColumn("_hi", max(col("_x")).over(pre))
+      .withColumn("_lo", min(col("_x")).over(pre))
+      .withColumn("record_high",
+        coalesce(col("_x") > col("_hi"), lit(true)).cast("int"))
+      .withColumn("record_low",
+        coalesce(col("_x") < col("_lo"), lit(true)).cast("int"))
+      .filter(col("record_high") === 1 || col("record_low") === 1)
+      .select(col(K), col(T), col(V), col("record_high"), col("record_low"),
+        when(col("record_high") === 1 && col("_hi").isNotNull,
+          round((col("_x") - col("_hi")) / 1000.0, 6))
+          .otherwise(when(col("record_low") === 1 && col("_lo").isNotNull,
+            round((col("_lo") - col("_x")) / 1000.0, 6)))
+          .as("margin"))
+  }
+
+  /** Schedule-conformance watchdog per (key, bucket): given a nominal
+    * reporting period, classify every inter-event gap — on-time
+    * (gap ≤ 1.5·period, tested as 2·gap ≤ 3·period in EXACT longs),
+    * late (≤ 3·period), missed (beyond) — and report per-bucket counts
+    * plus the on-time share (ONE division). Gaps attribute to the
+    * bucket of their CLOSING event. Output (key, bucket, n_gaps,
+    * n_on_time, n_late, n_missed, conformance).
+    *
+    * Scale: one lag window over a per-key sort + one (key, bucket)
+    * aggregate — the [[topGaps]] shape with a tier rollup on top. */
+  def scheduleConformance(df: DataFrame, periodUs: Long,
+      bucketUs: Long): DataFrame = {
+    require(periodUs > 0 && bucketUs > 0, "period and bucket must be positive")
+    val ord = Window.partitionBy(col(K)).orderBy(col(T).asc)
+    val gaps = df
+      .select(col(K), col(T), lag(col(T), 1).over(ord).as("_p"))
+      .filter(col("_p").isNotNull)
+      .withColumn("_gap", col(T) - col("_p"))
+      .withColumn("bucket", floor(col(T) / bucketUs).cast("long"))
+    gaps
+      .groupBy(col(K), col("bucket"))
+      .agg(count(lit(1)).as("n_gaps"),
+        sum(when(col("_gap") * 2 <= periodUs * 3, 1L).otherwise(0L))
+          .as("n_on_time"),
+        sum(when(col("_gap") * 2 > periodUs * 3 &&
+          col("_gap") <= periodUs * 3, 1L).otherwise(0L)).as("n_late"),
+        sum(when(col("_gap") > periodUs * 3, 1L).otherwise(0L))
+          .as("n_missed"))
+      .withColumn("conformance",
+        round(col("n_on_time") / col("n_gaps").cast("double"), 6))
+  }
+
+  /** Daily leaderboard churn: rank keys by event count within each day
+    * and report each key's rank movement vs the previous day it
+    * appeared — the "which sources surged" report. Rank ties break by
+    * key (deterministic); `delta` = prev_rank − rank (positive = moved
+    * up), null on a key's first day. Output (key, day, n, rank,
+    * prev_rank, delta).
+    *
+    * Scale: one (key, day) count aggregate, then a rank window
+    * partitioned BY DAY over the tier (|keys| rows per day — safe
+    * exactly when the key universe fits a partition; at 100 TB that is
+    * the curated leaderboard universe, not raw cardinality — the
+    * [[graft.events.Correlation.dtwPairs]] gate), then a lag window
+    * per key over days. */
+  def leaderboard(df: DataFrame, dayUs: Long = 86400000000L): DataFrame = {
+    require(dayUs > 0, s"day width $dayUs must be positive")
+    val counts = df.filter(col(K).isNotNull)
+      .groupBy(col(K).cast("string").as(K),
+        floor(col(T) / dayUs).cast("long").as("day"))
+      .agg(count(lit(1)).as("n"))
+    val byDay = Window.partitionBy(col("day"))
+      .orderBy(col("n").desc, col(K).asc)
+    val byKey = Window.partitionBy(col(K)).orderBy(col("day").asc)
+    counts
+      .withColumn("rank", row_number().over(byDay))
+      .withColumn("prev_rank", lag(col("rank"), 1).over(byKey))
+      .withColumn("delta", col("prev_rank") - col("rank"))
+  }
+
+  /** Trailing-window distinct actives per (key, day): how many distinct
+    * `actorCol` values were seen in the last `windowDays` days ending
+    * at each day the key has data — the WAU/MAU tier, EXACT (the
+    * KMV sketch is the approximate escape at unbounded cardinality).
+    * Days with no data emit nothing (sparse convention). Output (key,
+    * day, active).
+    *
+    * Scale: the distinct (key, day, actor) tier explodes each row to
+    * the ≤`windowDays` target days it contributes to (a bounded
+    * constant, the chunked-explode rule), then one count-distinct
+    * aggregate per (key, target day) and a semi-join back to days that
+    * exist. Raw volume collapses at the FIRST distinct; everything
+    * after is tier-sized. */
+  def trailingDistinct(df: DataFrame, actorCol: String,
+      windowDays: Int = 7, dayUs: Long = 86400000000L): DataFrame = {
+    require(windowDays >= 1, s"windowDays $windowDays must be >= 1")
+    require(dayUs > 0, s"day width $dayUs must be positive")
+    // null keys drop out (the leaderboard/dtwPairs pairing rule) — the
+    // Seq-join semi below is equality-based by design
+    val base = df.filter(col(actorCol).isNotNull && col(K).isNotNull)
+      .select(col(K), floor(col(T) / dayUs).cast("long").as("day"),
+        col(actorCol).as("_actor"))
+      .distinct()
+    val present = base.select(col(K), col("day")).distinct()
+    val contrib = base
+      .withColumn("_target",
+        explode(sequence(col("day"), col("day") + (windowDays - 1))))
+      .select(col(K), col("_target").as("day"), col("_actor"))
+    contrib
+      .join(present, Seq(K, "day"), "left_semi")
+      .groupBy(col(K), col("day"))
+      .agg(countDistinct(col("_actor")).as("active"))
+  }
+
   /** Data-completeness scorecard per (key, day): how much of the day the
     * feed actually covered — the ingestion-SLA report a 10^12-row
     * pipeline publishes per source before anyone trusts a tier built on
@@ -886,8 +1048,11 @@ object EventOps {
     * (floor(v·1000 + ½) — the theilSen discipline; round()'s half-up
     * tie-break is not portable), both medians are exact interpolated
     * percentiles over integer-valued inputs (halves/quarters — exact in
-    * binary doubles), so score is one double division on identical
-    * operands in any engine.
+    * binary doubles), so the score ratio is computed on identical
+    * operands in any engine and reported via the floor-snap
+    * (floor(x·1e6+½)/1e6 — the ratio CAN land exactly on the 5e-7
+    * boundary where round()'s half-up tie-break is not portable; a
+    * sf0.1 row did).
     *
     * Scale: two (key, bucket) aggregates + one join back to points. The
     * exact percentile holds a bucket's values per group — the bucket IS
@@ -918,7 +1083,11 @@ object EventOps {
       .join(if (broadcastStats) broadcast(mad2) else mad2,
         col(K) <=> col("_dk") && col("bucket") === col("_db"))
       .drop("_dk", "_db")
-      .withColumn("score", when(ok, round(col("_dev") / col("_mad"), 6)))
+      // floor-snap, not round(x, 6): dev/mad is a ratio of exact
+      // halves/quarters that CAN land exactly on the 5e-7 boundary,
+      // where round()'s half-up tie-break is not engine-portable
+      .withColumn("score", when(ok,
+        floor(col("_dev") / col("_mad") * 1e6 + 0.5) / 1e6))
       .withColumn("anomaly",
         coalesce(when(ok, col("_dev") / col("_mad") > nMad), lit(false))
           .cast("int"))

@@ -208,6 +208,104 @@ class BacktestSpec extends SparkSpec {
     assert(out(10L) == 0) // only 1 of trailing 3 beyond 2 sigma yet
   }
 
+  test("peaks: full-frame local maxima, plateau resolves to first point") {
+    val vals = Seq(1.0, 2, 3, 2, 1, 2, 5, 5, 2, 1, 0, 1, 2)
+    val pts = seriesL(vals.zipWithIndex.map { case (v, i) =>
+      (i.toLong, Some(v))
+    })
+    val out = EventOps.peaks(pts, w = 2).collect()
+      .map(r => (r.getLong(1), r.getDouble(3))).toMap
+    // t=2 (3): beats {1,2} before and {2,1} after -> peak, range 3-1=2
+    // t=6 (5): beats {1,2} before, ties t=7 after (>= wins) -> peak
+    // t=7 (5): NOT > its predecessor 5 -> not a peak
+    assert(out.keySet == Set(2L, 6L))
+    assert(out(2L) == 2.0)
+    assert(out(6L) == 4.0) // min over {1,2,5,5,2} is 1
+  }
+
+  test("peaks: series edges never qualify (frames must be full)") {
+    val pts = seriesL(Seq((0L, Some(3.0)), (1L, Some(1.0)),
+      (2L, Some(5.0)), (3L, Some(1.0)), (4L, Some(3.0))))
+    // the local maxima at the edges are skipped (partial frames);
+    // t=2 is the only full-frame peak
+    val out = EventOps.peaks(pts, w = 2).collect()
+    assert(out.map(_.getLong(1)).toSeq == Seq(2L))
+  }
+
+  test("records: first point is both records; margins past old record") {
+    val pts = seriesL(Seq((0L, Some(5.0)), (1L, Some(7.0)),
+      (2L, Some(6.0)), (3L, Some(3.0)), (4L, Some(7.0))))
+    val out = EventOps.records(pts).collect()
+      .map(r => (r.getLong(1), (r.getInt(3), r.getInt(4),
+        if (r.isNullAt(5)) None else Some(r.getDouble(5))))).toMap
+    assert(out(0L) == (1, 1, None))
+    assert(out(1L) == (1, 0, Some(2.0)))  // high 5 -> 7
+    assert(out(3L) == (0, 1, Some(2.0)))  // low 5 -> 3
+    assert(!out.contains(2L) && !out.contains(4L)) // 7 ties, not a record
+  }
+
+  test("activityOverlap: exact jaccard of active bins, sparse pairs") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      ("a", 0L), ("a", 5L), ("a", 10L), ("a", 15L),
+      ("b", 10L), ("b", 15L), ("b", 20L),
+      ("c", 100L))
+      .toDF("key", "t")
+    val out = graft.events.Correlation.activityOverlap(df, binUs = 5L)
+      .collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))))
+      .toMap
+    // a bins {0,1,2,3}, b bins {2,3,4}: inter 2, union 5
+    assert(out(("a", "b")) == (4L, 3L, 2L, 0.4))
+    // c shares nothing -> absent
+    assert(out.size == 1)
+  }
+
+  test("scheduleConformance: exact 1.5x/3x gap classes and share") {
+    val h = 10L // nominal period in this toy unit
+    val pts = seriesL(Seq(0L, 10L, 25L, 55L, 120L).map(t => (t, Some(0.0))))
+      .select("key", "t")
+    val out = EventOps.scheduleConformance(pts, periodUs = h, bucketUs = 1000L)
+      .collect().head
+    // gaps 10 (on-time), 15 (on-time, == 1.5p), 30 (late, == 3p),
+    // 65 (missed)
+    assert((out.getLong(2), out.getLong(3), out.getLong(4),
+      out.getLong(5)) == (4L, 2L, 1L, 1L))
+    assert(out.getDouble(6) == 0.5)
+  }
+
+  test("leaderboard: per-day ranks with churn vs previous appearing day") {
+    val s = spark
+    import s.implicits._
+    // day width 10: day 0 counts a=3 b=1; day 1 counts a=1 b=2
+    val df = (Seq.fill(3)(("a", 0L)) ++ Seq(("b", 5L)) ++
+      Seq(("a", 10L)) ++ Seq.fill(2)(("b", 15L))).toDF("key", "t")
+    val out = EventOps.leaderboard(df, dayUs = 10L).collect()
+      .map(r => ((r.getString(0), r.getLong(1)),
+        (r.getLong(2), r.getInt(3),
+          if (r.isNullAt(4)) None else Some(r.getInt(4))))).toMap
+    assert(out(("a", 0L)) == (3L, 1, None))
+    assert(out(("b", 0L)) == (1L, 2, None))
+    assert(out(("a", 1L)) == (1L, 2, Some(1))) // fell to 2
+    assert(out(("b", 1L)) == (2L, 1, Some(2))) // rose to 1
+  }
+
+  test("trailingDistinct: exact trailing-window actives, sparse days") {
+    val s = spark
+    import s.implicits._
+    // day width 10, window 2 days: k active days 0 (u1,u2), 2 (u2)
+    val df = Seq(("k", 0L, "u1"), ("k", 5L, "u2"), ("k", 25L, "u2"))
+      .toDF("key", "t", "user")
+    val out = EventOps.trailingDistinct(df, "user", windowDays = 2,
+      dayUs = 10L).collect()
+      .map(r => r.getLong(1) -> r.getLong(2)).toMap
+    // day 0: {u1,u2}; day 2: {u2} only (day 0 outside the 2-day window);
+    // day 1 absent (no data that day)
+    assert(out == Map(0L -> 2L, 2L -> 1L))
+  }
+
   test("trimmedMean: tie values trim deterministically by (v, t)") {
     val pts = seriesL(Seq(
       (0L, Some(5.0)), (1L, Some(5.0)), (2L, Some(5.0)), (3L, Some(7.0))))
