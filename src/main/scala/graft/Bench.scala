@@ -68,7 +68,8 @@ object Bench {
     "q137_burst_incidents", "q138_auc", "q139_spc_rules",
     "q140_peaks", "q141_records", "q142_activity_overlap",
     "q143_schedule_conformance", "q144_leaderboard",
-    "q145_trailing_actives")
+    "q145_trailing_actives", "q146_ohlc", "q147_seasonal_index",
+    "q148_session_stats")
 
   def session(cpus: String): SparkSession = {
     // 4 waves of tasks per core: on a shared VM with CPU steal, a stage is

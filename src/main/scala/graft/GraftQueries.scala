@@ -4648,6 +4648,107 @@ object GraftQueries {
       |  AND x.day = p.day
       |GROUP BY 1, 2""".stripMargin
 
+  /** Daily OHLC bars per user — pure selection (open/close by time,
+    * high/low by value), the one tier needing no rounding discipline at
+    * all. */
+  def qOhlc(spark: SparkSession, dir: String): DataFrame =
+    Rollup.ohlc(
+      spark.read.parquet(s"$dir/events.parquet")
+        .select(col("user_id").as("key"), tsUs.as("t"),
+          col("value").as("v")),
+      bucketUs = DAY)
+      .select(col("key").as("user_id"), col("bucket").as("day"),
+        col("open"), col("high"), col("low"), col("close"), col("n"))
+
+  val sqlOhlc: String =
+    """WITH e AS (SELECT user_id, epoch_us(ts) AS t, max(value) AS v
+      |           FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+      |d AS (SELECT user_id, t // 86400000000 AS day, t, v FROM e)
+      |SELECT user_id, day,
+      |  arg_min(v, t) AS open, max(v) AS high, min(v) AS low,
+      |  arg_max(v, t) AS close, count(*) AS n
+      |FROM d GROUP BY 1, 2""".stripMargin
+
+  /** Hour-of-day seasonal index per event type: each hour's mean value
+    * over the type's overall mean, floor-snapped. */
+  def qSeasonalIndex(spark: SparkSession, dir: String): DataFrame =
+    Rollup.seasonalIndex(
+      spark.read.parquet(s"$dir/events.parquet")
+        .select(col("event_type").as("key"), tsUs.as("t"),
+          col("value").as("v")))
+      .select(col("key").as("event_type"), col("hour"), col("n"),
+        col("hour_mean"), col("seasonal_index"))
+
+  val sqlSeasonalIndex: String =
+    """WITH e AS (SELECT event_type,
+      |             CAST((epoch_us(ts) // 3600000000) % 24 AS INT) AS hour,
+      |             CAST(floor(value * 1000 + 0.5) AS BIGINT) AS x
+      |           FROM events WHERE value IS NOT NULL),
+      |h AS (SELECT event_type, hour, count(*) AS n, sum(x) AS sh
+      |      FROM e GROUP BY 1, 2),
+      |t AS (SELECT event_type, sum(n) AS nt, sum(sh) AS st
+      |      FROM h GROUP BY 1)
+      |SELECT h.event_type, h.hour, h.n,
+      |  floor(CAST(h.sh AS DOUBLE) / h.n / 1000.0 * 1000000 + 0.5)
+      |    / 1000000 AS hour_mean,
+      |  CASE WHEN t.st <> 0
+      |    THEN floor((CAST(h.sh AS DOUBLE) / h.n)
+      |      / (CAST(t.st AS DOUBLE) / t.nt) * 1000000 + 0.5) / 1000000
+      |  END AS seasonal_index
+      |FROM h JOIN t ON h.event_type IS NOT DISTINCT FROM t.event_type"""
+      .stripMargin
+
+  /** Composed session statistics per (user, week of session start):
+    * session counts, mean duration in seconds, mean events per session
+    * — q93's sessionization rolled into a weekly tier, floor-snapped
+    * means over exact sums. */
+  def qSessionStats(spark: SparkSession, dir: String): DataFrame = {
+    val sessions = EventOps.sessionize(
+      spark.read.parquet(s"$dir/events.parquet")
+        .select(col("user_id").as("key"), tsUs.as("t"),
+          col("value").as("v")),
+      gap = 12L * 3600 * 1000000,
+      bucketBy = dayBucket)
+    sessions
+      .withColumn("week", floor(col("t_start") / WEEK).cast("long"))
+      .groupBy(col("key"), col("week"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(col("n_events")).as("events"),
+        sum(col("t_end") - col("t_start")).as("_durUs"))
+      .select(col("key").as("user_id"), col("week"), col("n_sessions"),
+        col("events"),
+        (floor(col("_durUs").cast("double") / col("n_sessions") / 1.0e6
+          * 1e6 + 0.5) / 1e6).as("mean_dur_s"),
+        (floor(col("events").cast("double") / col("n_sessions") * 1e6
+          + 0.5) / 1e6).as("mean_events"))
+  }
+
+  val sqlSessionStats: String =
+    """WITH e AS (SELECT user_id, epoch_us(ts) AS t, value AS v FROM events),
+      |f AS (
+      |  SELECT user_id, t, v,
+      |    CASE WHEN lag(t) OVER w IS NULL
+      |              OR t - lag(t) OVER w > 43200000000 THEN 1 ELSE 0 END AS flag
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, v)),
+      |s AS (
+      |  SELECT user_id, t,
+      |    CAST(sum(flag) OVER (PARTITION BY user_id ORDER BY t, v
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+      |  FROM f),
+      |g AS (SELECT user_id, session_idx, min(t) AS t_start,
+      |        max(t) AS t_end, count(*) AS n_events
+      |      FROM s GROUP BY 1, 2),
+      |a AS (SELECT user_id, t_start // 604800000000 AS week,
+      |        count(*) AS n_sessions, sum(n_events) AS events,
+      |        sum(t_end - t_start) AS dur
+      |      FROM g GROUP BY 1, 2)
+      |SELECT user_id, week, n_sessions, events,
+      |  floor(CAST(dur AS DOUBLE) / n_sessions / 1.0e6 * 1000000 + 0.5)
+      |    / 1000000 AS mean_dur_s,
+      |  floor(CAST(events AS DOUBLE) / n_sessions * 1000000 + 0.5)
+      |    / 1000000 AS mean_events
+      |FROM a""".stripMargin
+
   // classic relational smoke (lineitem)
   def qLineitemAgg(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/lineitem.parquet")

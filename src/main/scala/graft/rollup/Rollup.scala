@@ -157,6 +157,64 @@ object Rollup {
         round(col("n") / col("_tot").cast("double"), 6).as("share"))
   }
 
+  /** OHLC bars per (key, bucket): open/high/low/close/count — the
+    * finance-standard downsample, and the only tier in the battery that
+    * is PURE SELECTION: no arithmetic at all, so no quantization or
+    * rounding discipline is even needed (open/close pick by time,
+    * high/low are max/min of the stored doubles). Input dedupes to one
+    * value per (key, t) first (max — the SortedDict-overwrite loader
+    * convention) so the by-time picks are unambiguous. Output (key,
+    * bucket, open, high, low, close, n).
+    *
+    * Scale: ONE (key, bucket) hash aggregate with map-side partials —
+    * min_by/max_by carry (t, v) pairs as constant state; the cheapest
+    * possible tier shape, no window, no sort. */
+  def ohlc(df: DataFrame, bucketUs: Long): DataFrame = {
+    require(bucketUs > 0, s"bucket width $bucketUs must be positive")
+    val pts = df.filter(col(V).isNotNull)
+      .groupBy(col(K), col(T))
+      .agg(max(col(V)).as(V))
+      .withColumn("bucket", floor(col(T) / bucketUs).cast("long"))
+    pts.groupBy(col(K), col("bucket"))
+      .agg(min_by(col(V), col(T)).as("open"),
+        max(col(V)).as("high"),
+        min(col(V)).as("low"),
+        max_by(col(V), col(T)).as("close"),
+        count(lit(1)).as("n"))
+  }
+
+  /** Hour-of-day seasonal index per key: each UTC hour's mean value as a
+    * ratio to the key's overall mean — the multiplicative seasonal
+    * profile a forecaster divides out before trending (the count-free
+    * companion of [[calendarHeatmap]]; hours the key never ticks are
+    * absent). Output (key, hour, n, hour_mean, seasonal_index); the
+    * index is null when the overall mean is exactly zero (exact long
+    * test). Means and index are fixed double expressions on exact 1e-3
+    * long sums, reported via the floor-snap (ratios of integer sums can
+    * land exactly on the 5e-7 rounding boundary).
+    *
+    * Scale: one (key, hour) aggregate (≤24 rows per key) + per-key
+    * totals joined back broadcast — the [[calendarHeatmap]] shape. */
+  def seasonalIndex(df: DataFrame): DataFrame = {
+    val pts = df.filter(col(V).isNotNull)
+      .withColumn("_x", floor(col(V) * 1000 + 0.5).cast("long"))
+      .withColumn("hour",
+        pmod(floor(col(T) / CalendarFloor.HOUR), lit(24)).cast("int"))
+    val hours = pts.groupBy(col(K), col("hour"))
+      .agg(count(lit(1)).as("n"), sum(col("_x")).as("_sh"))
+    val totals = hours.groupBy(col(K))
+      .agg(sum(col("n")).as("_nt"), sum(col("_sh")).as("_st"))
+      .select(col(K).as("_tk"), col("_nt"), col("_st"))
+    val hourMean = col("_sh").cast("double") / col("n")
+    val overallMean = col("_st").cast("double") / col("_nt")
+    hours.join(broadcast(totals), col(K) <=> col("_tk"))
+      .select(col(K), col("hour"), col("n"),
+        (floor(hourMean / 1000.0 * 1e6 + 0.5) / 1e6).as("hour_mean"),
+        when(col("_st") =!= 0,
+          floor(hourMean / overallMean * 1e6 + 0.5) / 1e6)
+          .as("seasonal_index"))
+  }
+
   /** Retention policy: given tier tables and a reference "now", keep raw
     * points for `rawKeepUs`, hourly bins for `hourlyKeepUs`, daily for
     * `dailyKeepUs`, weekly forever. Returns the filtered tiers; callers

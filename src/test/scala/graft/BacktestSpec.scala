@@ -306,6 +306,36 @@ class BacktestSpec extends SparkSpec {
     assert(out == Map(0L -> 2L, 2L -> 1L))
   }
 
+  test("ohlc: by-time open/close, by-value high/low, dup-t collapses") {
+    val pts = seriesL(Seq(
+      (5L, Some(3.0)), (5L, Some(7.0)), // dup t -> max 7 is the open
+      (6L, Some(1.0)), (8L, Some(9.0)), (9L, Some(4.0)),
+      (15L, Some(2.0))))
+    val out = Rollup.ohlc(pts, bucketUs = 10L).collect()
+      .map(r => r.getLong(1) -> (r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getLong(6))).toMap
+    assert(out(0L) == (7.0, 9.0, 1.0, 4.0, 4L))
+    assert(out(1L) == (2.0, 2.0, 2.0, 2.0, 1L))
+  }
+
+  test("seasonalIndex: hourly mean over overall mean, zero-mean gated") {
+    val s = spark
+    import s.implicits._
+    val hour = 3600000000L
+    // hour 0: 2.0, 4.0 (mean 3); hour 1: 6.0 (mean 6); overall mean 4
+    val df = Seq(("k", 0L, 2.0), ("k", 100L, 4.0), ("k", hour, 6.0))
+      .toDF("key", "t", "v")
+    val out = Rollup.seasonalIndex(df).collect()
+      .map(r => r.getInt(1) -> (r.getLong(2), r.getDouble(3),
+        r.getDouble(4))).toMap
+    assert(out(0) == (2L, 3.0, 0.75))
+    assert(out(1) == (1L, 6.0, 1.5))
+    // zero overall mean -> null index
+    val z = Seq(("k", 0L, 1.0), ("k", hour, -1.0)).toDF("key", "t", "v")
+    val zo = Rollup.seasonalIndex(z).collect()
+    assert(zo.forall(_.isNullAt(4)))
+  }
+
   test("trimmedMean: tie values trim deterministically by (v, t)") {
     val pts = seriesL(Seq(
       (0L, Some(5.0)), (1L, Some(5.0)), (2L, Some(5.0)), (3L, Some(7.0))))
