@@ -69,7 +69,9 @@ object Bench {
     "q140_peaks", "q141_records", "q142_activity_overlap",
     "q143_schedule_conformance", "q144_leaderboard",
     "q145_trailing_actives", "q146_ohlc", "q147_seasonal_index",
-    "q148_session_stats")
+    "q148_session_stats",
+    // concentration / plausibility screens (q149-q151)
+    "q149_drawdown", "q150_gini", "q151_benford")
 
   def session(cpus: String): SparkSession = {
     // 4 waves of tasks per core: on a shared VM with CPU steal, a stage is

@@ -4749,6 +4749,112 @@ object GraftQueries {
       |    / 1000000 AS mean_events
       |FROM a""".stripMargin
 
+  /** Maximum drawdown per user: deepest drop from a running value peak,
+    * with the peak/trough times (earliest-tie convention on both). */
+  def qDrawdown(spark: SparkSession, dir: String): DataFrame =
+    EventOps.maxDrawdown(
+      spark.read.parquet(s"$dir/events.parquet")
+        .groupBy(col("user_id").as("key"), tsUs.as("t"))
+        .agg(max("value").as("v")))
+      .select(col("key").as("user_id"), col("n"), col("max_dd"),
+        col("peak_t"), col("trough_t"))
+
+  val sqlDrawdown: String =
+    """WITH e AS (SELECT user_id, epoch_us(ts) AS t, max(value) AS v
+      |           FROM events GROUP BY 1, 2),
+      |q AS (SELECT user_id, t,
+      |        CAST(floor(v * 1000 + 0.5) AS BIGINT) AS x
+      |      FROM e WHERE v IS NOT NULL),
+      |r AS (SELECT user_id, t, x,
+      |        max(x) OVER w AS px,
+      |        max(x) OVER w - x AS dd
+      |      FROM q
+      |      WINDOW w AS (PARTITION BY user_id ORDER BY t
+      |        ROWS UNBOUNDED PRECEDING)),
+      |m AS (SELECT user_id, count(*) AS n, max(dd) AS mdd FROM r GROUP BY 1),
+      |tr AS (SELECT r.user_id, m.n, m.mdd, min(r.t) AS trough_t,
+      |         arg_min(r.px, r.t) AS ppx
+      |       FROM r JOIN m ON r.user_id = m.user_id AND r.dd = m.mdd
+      |       GROUP BY 1, 2, 3),
+      |pk AS (SELECT tr.user_id, tr.n, tr.mdd, tr.trough_t,
+      |         min(r.t) AS peak_t
+      |       FROM tr JOIN r ON r.user_id = tr.user_id
+      |         AND r.t <= tr.trough_t AND r.x = tr.ppx
+      |       GROUP BY 1, 2, 3, 4)
+      |SELECT user_id, n, round(mdd / 1000.0, 6) AS max_dd, peak_t,
+      |  trough_t
+      |FROM pk""".stripMargin
+
+  /** Gini concentration of event volume across users within each event
+    * type — the hot-domain concentration screen. */
+  def qGini(spark: SparkSession, dir: String): DataFrame =
+    graft.stats.StatsOps.gini(
+      spark.read.parquet(s"$dir/events.parquet")
+        .filter(col("event_type").isNotNull && col("user_id").isNotNull)
+        .groupBy(col("event_type").as("key"), col("user_id"))
+        .agg(count(lit(1)).as("_n")),
+      col("_n"))
+      .select(col("key").as("event_type"), col("n_units"), col("total"),
+        col("gini"))
+
+  val sqlGini: String =
+    """WITH c AS (SELECT event_type, user_id, count(*) AS x
+      |           FROM events
+      |           WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+      |           GROUP BY 1, 2),
+      |r AS (SELECT event_type, x,
+      |        row_number() OVER (PARTITION BY event_type ORDER BY x)
+      |          AS i
+      |      FROM c)
+      |SELECT event_type, count(*) AS n_units, sum(x) AS total,
+      |  CASE WHEN sum(x) > 0 THEN
+      |    round((2 * sum(i * x) - (count(*) + 1) * sum(x))
+      |      / CAST(count(*) * sum(x) AS DOUBLE), 6)
+      |  END AS gini
+      |FROM r GROUP BY 1""".stripMargin
+
+  /** Benford leading-digit screen of event values per type: per-digit
+    * counts/shares plus the χ² statistic vs the Benford expectation. */
+  def qBenford(spark: SparkSession, dir: String): DataFrame =
+    graft.stats.StatsOps.benford(
+      spark.read.parquet(s"$dir/events.parquet")
+        .filter(col("event_type").isNotNull && col("value").isNotNull)
+        .select(col("event_type").as("key"),
+          floor(col("value") * 1000 + 0.5).cast("long").as("_xq")),
+      col("_xq"))
+      .select(col("key").as("event_type"), col("digit"), col("n"),
+        col("share"), col("exp_p"), col("chi2"))
+
+  val sqlBenford: String =
+    """WITH p AS (SELECT event_type,
+      |             CAST(floor(value * 1000 + 0.5) AS BIGINT) AS x
+      |           FROM events
+      |           WHERE event_type IS NOT NULL AND value IS NOT NULL),
+      |d AS (SELECT event_type,
+      |        CAST(substring(CAST(x AS VARCHAR), 1, 1) AS INT) AS digit
+      |      FROM p WHERE x > 0),
+      |c AS (SELECT event_type, digit, count(*) AS n FROM d GROUP BY 1, 2),
+      |t AS (SELECT event_type, sum(n) AS tot FROM c GROUP BY 1),
+      |bp AS (SELECT unnest([1,2,3,4,5,6,7,8,9]) AS digit,
+      |         unnest([0.301029995663981, 0.176091259055681,
+      |                 0.124938736608300, 0.096910013008056,
+      |                 0.079181246047625, 0.066946789630613,
+      |                 0.057991946977687, 0.051152522447381,
+      |                 0.045757490560675]) AS exp_p),
+      |g AS (SELECT t.event_type, bp.digit, coalesce(c.n, 0) AS n, t.tot,
+      |        bp.exp_p, CAST(t.tot AS DOUBLE) * bp.exp_p AS e
+      |      FROM t CROSS JOIN bp
+      |      LEFT JOIN c ON c.event_type = t.event_type
+      |        AND c.digit = bp.digit),
+      |u AS (SELECT *, CAST(floor((CAST(n AS DOUBLE) - e)
+      |        * (CAST(n AS DOUBLE) - e) / e * 1e6 + 0.5) AS BIGINT)
+      |        AS term FROM g),
+      |x AS (SELECT event_type, sum(term) AS chi_u FROM u GROUP BY 1)
+      |SELECT u.event_type, u.digit, u.n,
+      |  round(u.n / CAST(u.tot AS DOUBLE), 6) AS share, u.exp_p,
+      |  x.chi_u / 1e6 AS chi2
+      |FROM u JOIN x ON u.event_type = x.event_type""".stripMargin
+
   // classic relational smoke (lineitem)
   def qLineitemAgg(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/lineitem.parquet")

@@ -1134,4 +1134,41 @@ object EventOps {
       .select(col(K), col(T), col(V), col("pre_mean"), col("post_mean"),
         col("shift"), col("level_shift"))
   }
+
+  /** Maximum drawdown per key: the deepest drop from a running peak —
+    * dd(t) = runmax(v) − v(t), reported at its trough with the time of
+    * the peak it fell from. Ties: the deepest drawdown breaks to the
+    * EARLIEST trough; the peak is the EARLIEST time the running maximum
+    * was attained at-or-before that trough. Keys that only rise report
+    * max_dd = 0 at their first point. Output (key, n, max_dd, peak_t,
+    * trough_t).
+    *
+    * Engine-exactness: v snaps to the 1e-3 grid as a LONG; the running
+    * peak, drawdown and both argmax tie-breaks are integer struct
+    * comparisons; the single division by 1000 at the end is exact IEEE.
+    *
+    * Scale: one unbounded-preceding struct-max frame over one per-key
+    * sort (state = one (long, long) pair) + one per-key aggregate — the
+    * [[records]] shape. A pathological single-key corpus would route
+    * through [[graft.core.BucketedOps]]' per-bucket handoff instead. */
+  def maxDrawdown(df: DataFrame): DataFrame = {
+    val ord = Window.partitionBy(col(K)).orderBy(col(T).asc, col(V).asc)
+    val run = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pts = df.filter(col(V).isNotNull)
+      .withColumn("_x", floor(col(V) * 1000 + 0.5).cast("long"))
+    // running max as a struct of (value, -t): lexicographic max = highest
+    // value, tie -> max(-t) = earliest attaining time
+    val peaked = pts
+      .withColumn("_pk", max(struct(col("_x"), (-col(T)).as("_nt"))).over(run))
+      .withColumn("_dd", col("_pk._x") - col("_x"))
+    peaked
+      .groupBy(col(K))
+      .agg(count(lit(1)).as("n"),
+        // deepest drawdown, tie -> earliest trough; carry its peak time
+        max(struct(col("_dd"), (-col(T)).as("_nt"),
+          (-col("_pk._nt")).as("_pt"))).as("_m"))
+      .select(col(K), col("n"),
+        round(col("_m._dd") / 1000.0, 6).as("max_dd"),
+        col("_m._pt").as("peak_t"), (-col("_m._nt")).as("trough_t"))
+  }
 }

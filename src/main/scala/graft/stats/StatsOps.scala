@@ -1,0 +1,101 @@
+package graft.stats
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Cross-sectional distribution statistics over per-unit aggregates —
+  * the "who dominates this corpus" scans a crawl curator runs beside the
+  * time-series tiers (hot-domain concentration, value-plausibility
+  * screens). No reference counterpart; standard published estimators.
+  */
+object StatsOps {
+
+  /** Gini concentration coefficient per key over non-negative integer
+    * weights x (one row per (key, unit), `x` pre-aggregated by the
+    * caller): with units sorted ascending by x,
+    *
+    *   G = (2·Σ i·x_(i) − (n+1)·Σx) / (n·Σx)
+    *
+    * 0 = perfectly even, →1 = one unit holds everything. Tie order
+    * among equal x does not affect the sum (Σi over an equal-x block is
+    * fixed), so no tie-break column is needed and the result is
+    * engine-exact: every term is BIGINT until the single final divide.
+    * Keys with Σx = 0 report null. Output (key, n_units, total, gini).
+    *
+    * Scale: the input is already a per-(key, unit) AGGREGATE (the
+    * exchange carries one row per unit, never raw events), so the rank
+    * window partitions over tier-sized groups — the [[graft.events
+    * .EventOps.leaderboard]] regime. A group too big for one task would
+    * rank via the 256-ordered-bucket exclusive prefix sum of
+    * [[graft.pack.Packing.packSequences]]; at 10^12 raw rows the
+    * BIGINT products also move to DECIMAL(38). */
+  def gini(df: DataFrame, x: Column): DataFrame = {
+    df.select(col("key"), x.cast("long").as("_x"))
+      .withColumn("_i", row_number().over(Window.partitionBy(col("key"))
+        .orderBy(col("_x").asc)))
+      .groupBy(col("key"))
+      .agg(count(lit(1)).as("n_units"), sum(col("_x")).as("total"),
+        sum(col("_i") * col("_x")).as("_ix"))
+      .select(col("key"), col("n_units"), col("total"),
+        when(col("total") > 0,
+          round((lit(2) * col("_ix") - (col("n_units") + 1) * col("total"))
+            / (col("n_units") * col("total")).cast("double"), 6))
+          .as("gini"))
+  }
+
+  /** Benford first-digit screen per key over pre-quantized positive
+    * LONG values: observed count and share per leading digit 1-9
+    * (zero-filled), the Benford expectation, and the key-level χ²
+    * statistic against it — the classic fabricated-data / unit-mixup
+    * detector for metric pipelines.
+    *
+    * Engine-exactness: the leading digit is the first character of the
+    * BIGINT's decimal string (identical in any engine — no float log10
+    * at bin edges); the expected shares are fixed decimal literals (the
+    * model's constants, shared with the oracle); each χ² term is one
+    * deterministic IEEE expression snapped to the 1e-6 grid as a LONG
+    * before the 9-term sum, so partial-aggregation order cannot move
+    * the result. Output (key, digit, n, share, exp_p, chi2).
+    *
+    * Scale: one (key, digit) count aggregate (≤ 9 rows per key after
+    * map-side combine) + a 9-row broadcast digit grid. */
+  def benford(df: DataFrame, xq: Column): DataFrame = {
+    val pos = df.select(col("key"), xq.cast("long").as("_x"))
+      .filter(col("_x") > 0)
+      .withColumn("digit", substring(col("_x").cast("string"), 1, 1).cast("int"))
+    val counts = pos.groupBy(col("key"), col("digit"))
+      .agg(count(lit(1)).as("n"))
+    val totals = counts.groupBy(col("key").as("_tk"))
+      .agg(sum(col("n")).as("_tot"))
+    val digits = pos.sparkSession.range(1, 10)
+      .select(col("id").cast("int").as("_d"))
+    val probs = map(BenfordP.flatMap { case (d, p) =>
+      Seq(lit(d), lit(p)) }: _*)
+    val grid = totals.crossJoin(broadcast(digits))
+      .join(counts,
+        col("_tk") <=> counts("key") && col("_d") === counts("digit"),
+        "left")
+      .select(col("_tk").as("key"), col("_d").as("digit"),
+        coalesce(col("n"), lit(0L)).as("n"), col("_tot"))
+      .withColumn("exp_p", probs(col("digit")))
+      .withColumn("_e", col("_tot").cast("double") * col("exp_p"))
+      .withColumn("_term",
+        floor((col("n").cast("double") - col("_e")) *
+          (col("n").cast("double") - col("_e")) / col("_e") * 1e6 + 0.5)
+          .cast("long"))
+    val chi = grid.groupBy(col("key").as("_ck"))
+      .agg(sum(col("_term")).as("_chi_u"))
+    grid.join(chi, col("key") <=> col("_ck"))
+      .select(col("key"), col("digit"), col("n"),
+        round(col("n") / col("_tot").cast("double"), 6).as("share"),
+        col("exp_p"), (col("_chi_u") / 1e6).as("chi2"))
+  }
+
+  /** log10(1 + 1/d), d = 1..9, as fixed 15-digit literals — the model
+    * constants the oracle shares verbatim. */
+  final val BenfordP: Seq[(Int, Double)] = Seq(
+    1 -> 0.301029995663981, 2 -> 0.176091259055681, 3 -> 0.124938736608300,
+    4 -> 0.096910013008056, 5 -> 0.079181246047625, 6 -> 0.066946789630613,
+    7 -> 0.057991946977687, 8 -> 0.051152522447381, 9 -> 0.045757490560675)
+}
