@@ -71,7 +71,9 @@ object Bench {
     "q145_trailing_actives", "q146_ohlc", "q147_seasonal_index",
     "q148_session_stats",
     // concentration / plausibility screens (q149-q151)
-    "q149_drawdown", "q150_gini", "q151_benford")
+    "q149_drawdown", "q150_gini", "q151_benford",
+    // survival / sketch-window / clamp-scan wave (q152-q154)
+    "q152_kaplan_meier", "q153_rolling_kmv", "q154_saturating")
 
   def session(cpus: String): SparkSession = {
     // 4 waves of tasks per core: on a shared VM with CPU steal, a stage is

@@ -4855,6 +4855,151 @@ object GraftQueries {
       |  x.chi_u / 1e6 AS chi2
       |FROM u JOIN x ON u.event_type = x.event_type""".stripMargin
 
+  /** Kaplan-Meier survival of inter-event waiting times (day ticks) per
+    * event type, right-censoring each user's still-open wait at the
+    * corpus horizon; the survival product is a left fold, so the oracle
+    * replays it bit-exactly with a recursive CTE. */
+  def qKaplanMeier(spark: SparkSession, dir: String): DataFrame =
+    EventOps.kaplanMeier(
+      spark.read.parquet(s"$dir/events.parquet")
+        .select(col("event_type").as("key"), col("user_id").as("actor"),
+          tsUs.as("t")),
+      unitUs = DAY)
+      .select(col("key").as("event_type"), col("d"), col("n_risk"),
+        col("n_event"), col("survival"))
+
+  val sqlKaplanMeier: String =
+    """WITH RECURSIVE
+      |e AS (SELECT DISTINCT event_type, user_id, epoch_us(ts) AS t
+      |      FROM events),
+      |hz AS (SELECT max(epoch_us(ts)) AS h FROM events),
+      |g AS (SELECT event_type,
+      |        t - lag(t) OVER (PARTITION BY event_type, user_id
+      |          ORDER BY t) AS gap
+      |      FROM e),
+      |obs AS (
+      |  SELECT event_type, gap // 86400000000 AS d, 1 AS ev
+      |  FROM g WHERE gap IS NOT NULL
+      |  UNION ALL
+      |  SELECT l.event_type, (hz.h - l.last_t) // 86400000000 AS d, 0 AS ev
+      |  FROM (SELECT event_type, user_id, max(t) AS last_t
+      |        FROM e GROUP BY 1, 2) l, hz),
+      |byd AS (SELECT event_type, d, count(*) AS c,
+      |          count(*) FILTER (WHERE ev = 1) AS ne
+      |        FROM obs GROUP BY 1, 2),
+      |st0 AS (SELECT event_type, d, ne,
+      |          sum(c) OVER (PARTITION BY event_type)
+      |            - coalesce(sum(c) OVER (PARTITION BY event_type
+      |                ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+      |                AND 1 PRECEDING), 0) AS nr
+      |        FROM byd),
+      |st AS (SELECT event_type, d, nr, ne,
+      |         CAST(nr - ne AS DOUBLE) / CAST(nr AS DOUBLE) AS f,
+      |         row_number() OVER (PARTITION BY event_type ORDER BY d) AS i
+      |       FROM st0 WHERE ne > 0),
+      |km AS (
+      |  SELECT event_type, d, nr, ne, i, f AS s FROM st WHERE i = 1
+      |  UNION ALL
+      |  SELECT st.event_type, st.d, st.nr, st.ne, st.i, km.s * st.f
+      |  FROM st JOIN km ON st.event_type = km.event_type
+      |    AND st.i = km.i + 1)
+      |SELECT event_type, d, CAST(nr AS BIGINT) AS n_risk,
+      |  CAST(ne AS BIGINT) AS n_event, round(s, 6) AS survival
+      |FROM km""".stripMargin
+
+  /** Trailing 7-day distinct actives per (event_type, day) from MERGED
+    * daily KMV sketches (k = 32) — the mergeable-sketch scale path for
+    * the exact q145 tier: the window union re-mins daily sketches, and
+    * the oracle rebuilds each window straight from raw rows, proving
+    * the union lossless. */
+  def qRollingKmv(spark: SparkSession, dir: String): DataFrame = {
+    val k = 32
+    val e = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("event_type"), tsUs.as("t"), col("user_id"))
+      .withColumn("day", floor(col("t") / DAY).cast("long"))
+    val daily = graft.sketch.Kmv.sketch(e, Seq("event_type", "day"),
+      "user_id", k)
+    val present = daily.select(col("event_type"), col("day"))
+    val expanded = daily
+      .select(col("event_type"),
+        explode(sequence(col("day"), col("day") + 6)).as("_d2"),
+        col("kmv"))
+      .select(col("event_type"), col("_d2").as("day"), col("kmv"))
+    graft.sketch.Kmv.merge(expanded, Seq("event_type", "day"), k)
+      .join(present, Seq("event_type", "day"), "left_semi")
+      .select(col("event_type"), col("day"),
+        size(col("kmv")).as("sketch_n"),
+        graft.sketch.Kmv.estimate(col("kmv"), k).as("est_active"))
+  }
+
+  val sqlRollingKmv: String =
+    """WITH e AS (
+      |  SELECT DISTINCT event_type, epoch_us(ts) // 86400000000 AS day,
+      |    ('0x' || substr(md5('kmv' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+      |      AS h
+      |  FROM events),
+      |p AS (SELECT DISTINCT event_type, day FROM e),
+      |x AS (SELECT DISTINCT e.event_type, e.day + g.i AS day, e.h
+      |      FROM e CROSS JOIN (SELECT unnest(range(7)) AS i) g),
+      |r AS (SELECT x.event_type, x.day, x.h,
+      |        row_number() OVER (PARTITION BY x.event_type, x.day
+      |          ORDER BY x.h) AS rn
+      |      FROM x SEMI JOIN p ON x.event_type = p.event_type
+      |        AND x.day = p.day),
+      |g2 AS (SELECT event_type, day, count(*) AS sn, max(h) AS hk
+      |       FROM r WHERE rn <= 32 GROUP BY 1, 2)
+      |SELECT event_type, day, CAST(sn AS INT) AS sketch_n,
+      |  CASE WHEN sn < 32 THEN CAST(sn AS DOUBLE)
+      |       ELSE round(31.0 * CAST(1152921504606846976 AS DOUBLE) / hk, 6)
+      |  END AS est_active
+      |FROM g2""".stripMargin
+
+  /** Saturating credit ledger per user: each event deposits
+    * (value − 50) credit units against a 500-unit capacity with a hard
+    * floor at 0 — the two-barrier Lindley scan, distributed via the
+    * clamp-affine monoid; exact integer arithmetic end to end. */
+  def qSaturating(spark: SparkSession, dir: String): DataFrame =
+    EventOps.saturatingSum(
+      spark.read.parquet(s"$dir/events.parquet")
+        .filter(col("value").isNotNull)
+        .groupBy(col("user_id").as("key"), tsUs.as("t"))
+        .agg(sum(floor(col("value") * 1000 + 0.5).cast("long") - 50000L)
+          .as("a")),
+      cap = 500000L, bucketMicros = WEEK)
+      .select(col("key").as("user_id"), col("t"),
+        (col("a") / 1000.0).as("delta"),
+        (col("level") / 1000.0).as("credit"), col("clipped"))
+
+  val sqlSaturating: String =
+    """WITH RECURSIVE
+      |e AS (SELECT user_id, epoch_us(ts) AS t,
+      |        CAST(floor(value * 1000 + 0.5) AS BIGINT) - 50000 AS a0
+      |      FROM events WHERE value IS NOT NULL),
+      |g AS (SELECT user_id, t, CAST(sum(a0) AS BIGINT) AS a
+      |      FROM e GROUP BY 1, 2),
+      |s AS (SELECT user_id, t, a,
+      |        row_number() OVER (PARTITION BY user_id ORDER BY t) AS i
+      |      FROM g),
+      |rec AS (
+      |  SELECT user_id, t, a, i,
+      |    least(500000, greatest(0, a)) AS level,
+      |    CASE WHEN a > least(500000, greatest(0, a)) THEN 1
+      |         WHEN a < least(500000, greatest(0, a)) THEN -1
+      |         ELSE 0 END AS clipped
+      |  FROM s WHERE i = 1
+      |  UNION ALL
+      |  SELECT s.user_id, s.t, s.a, s.i,
+      |    least(500000, greatest(0, rec.level + s.a)),
+      |    CASE WHEN rec.level + s.a
+      |           > least(500000, greatest(0, rec.level + s.a)) THEN 1
+      |         WHEN rec.level + s.a
+      |           < least(500000, greatest(0, rec.level + s.a)) THEN -1
+      |         ELSE 0 END
+      |  FROM s JOIN rec ON s.user_id = rec.user_id AND s.i = rec.i + 1)
+      |SELECT user_id, t, a / 1000.0 AS delta, level / 1000.0 AS credit,
+      |  clipped
+      |FROM rec""".stripMargin
+
   // classic relational smoke (lineitem)
   def qLineitemAgg(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/lineitem.parquet")

@@ -1135,6 +1135,187 @@ object EventOps {
         col("shift"), col("level_shift"))
   }
 
+  /** Kaplan-Meier survival estimator over inter-event waiting times per
+    * key (Kaplan & Meier 1958): each actor's gaps are complete
+    * observations; the wait still open at the horizon (the actor's last
+    * event → horizon end) enters RIGHT-CENSORED, which is the whole
+    * point of KM — a plain CCDF of completed gaps would bias the tail
+    * short. Durations snap to `unitUs` ticks (floor). At each distinct
+    * uncensored duration d: n_risk = observations with duration ≥ d,
+    * n_event = uncensored at exactly d, S ← S · (n_risk − n_event) /
+    * n_risk. Output (key, d, n_risk, n_event, survival), one row per
+    * step (uncensored durations only).
+    *
+    * Engine-exactness: everything is exact-LONG until the per-step
+    * factor; the survival product is a LEFT FOLD over the ascending-d
+    * step list (one `aggregate()` HOF per key), so both engines multiply
+    * the identical IEEE doubles in the identical order — bit-exact with
+    * no grid snapping, the [[graft.regularize.Regularize.ewma]] carries
+    * discipline applied to a product.
+    *
+    * Scale: gaps = one lag window per (key, actor) sort; the step table
+    * is a per-(key, tick) AGGREGATE bounded by the duration range, so
+    * the collected fold array is tier-sized (the ewma/holt per-bucket
+    * contract), never data-sized. */
+  def kaplanMeier(df: DataFrame, unitUs: Long,
+      horizonUs: Option[Long] = None): DataFrame = {
+    require(unitUs > 0, s"unit $unitUs must be positive")
+    val pts = df.groupBy(col(K), col("actor"), col(T)).agg(count(lit(1)))
+      .select(col(K), col("actor"), col(T))
+    val ord = Window.partitionBy(col(K), col("actor")).orderBy(col(T).asc)
+    val gaps = pts
+      .select(col(K), (col(T) - lag(col(T), 1).over(ord)).as("_gap"))
+      .filter(col("_gap").isNotNull)
+      .select(col(K), floor(col("_gap") / unitUs).cast("long").as("_d"),
+        lit(1L).as("_e"))
+    val lasts = pts.groupBy(col(K), col("actor")).agg(max(col(T)).as("_last"))
+    val censored = horizonUs match {
+      case Some(h) => lasts.select(col(K),
+        floor((lit(h) - col("_last")) / unitUs).cast("long").as("_d"),
+        lit(0L).as("_e"))
+      case None =>
+        val hz = df.agg(max(col(T)).as("_hz"))
+        lasts.crossJoin(broadcast(hz)).select(col(K),
+          floor((col("_hz") - col("_last")) / unitUs).cast("long").as("_d"),
+          lit(0L).as("_e"))
+    }
+    val byD = gaps.unionByName(censored)
+      .groupBy(col(K), col("_d"))
+      .agg(count(lit(1)).as("_c"), sum(col("_e")).as("_ne"))
+    val w = Window.partitionBy(col(K)).orderBy(col("_d").asc)
+    val steps = byD
+      .withColumn("_before",
+        coalesce(sum(col("_c")).over(
+          w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("_total", sum(col("_c")).over(
+        Window.partitionBy(col(K))))
+      .withColumn("_nr", col("_total") - col("_before"))
+      .filter(col("_ne") > 0)
+    steps
+      .groupBy(col(K))
+      .agg(sort_array(collect_list(
+        struct(col("_d").as("d"), col("_nr").as("nr"), col("_ne").as("ne"))))
+        .as("_arr"))
+      .select(col(K), explode(expr(
+        """aggregate(
+             _arr,
+             struct(cast(1.0d as double) as s,
+                    cast(array() as
+                      array<struct<d:bigint, nr:bigint, ne:bigint,
+                                   s:double>>) as out),
+             (acc, x) -> struct(
+               acc.s * (cast(x.nr - x.ne as double) / cast(x.nr as double))
+                 as s,
+               array_append(acc.out, struct(x.d as d, x.nr as nr,
+                 x.ne as ne,
+                 acc.s * (cast(x.nr - x.ne as double)
+                   / cast(x.nr as double)) as s)) as out),
+             acc -> acc.out)""")).as("_km"))
+      .select(col(K), col("_km.d").as("d"), col("_km.nr").as("n_risk"),
+        col("_km.ne").as("n_event"), round(col("_km.s"), 6).as("survival"))
+  }
+
+  /** Saturating running sum (two-barrier Lindley scan): per key in
+    * (t, a) order, s ← min(cap, max(0, s + a)) from s = 0 — the
+    * battery / credit-ledger / token-balance recurrence. `clipped`
+    * reports where a barrier bit: +1 (ceiling), −1 (floor), 0.
+    * Output (key, t, a, level, clipped).
+    *
+    * The recurrence looks sequential, but each step is the clamp-affine
+    * map x ↦ min(hi, max(lo, x + a)), and those maps compose in closed
+    * form — (a₂,lo₂,hi₂)∘(a₁,lo₁,hi₁) = (a₁+a₂, max(lo₂, lo₁+a₂),
+    * min(hi₂, max(lo₂, hi₁+a₂))) — an associative monoid, so the scan
+    * distributes exactly like [[graft.regularize.Regularize.holt]]'s
+    * matrix-affine one:
+    *
+    *  1. rows bucket by `floor(t / bucketMicros)`; ONE `aggregate()`
+    *     HOF over each (key, bucket)'s sorted row array emits every
+    *     row's composed in-bucket prefix (A, LO, HI) — the function the
+    *     bucket applies to whatever carry-in level it receives;
+    *  2. per-bucket NET triples fold per key in a second tiny HOF (the
+    *     ewma carries pattern), emitting each bucket's carry-in level;
+    *     rows finish with level = min(HI, max(LO, carry + A)).
+    *
+    * Everything is exact LONG arithmetic — no rounding discipline is
+    * even needed; results are bucketing-invariant (property-tested), so
+    * the width is purely a performance/memory knob like holt's. */
+  def saturatingSum(df: DataFrame, cap: Long,
+      bucketMicros: Long): DataFrame = {
+    require(cap > 0, s"capacity $cap must be positive")
+    require(bucketMicros > 0, s"bucket width $bucketMicros must be positive")
+    val d = df.select(col(K), col(T), col("a").cast("long").as("a"))
+      .withColumn("_bkt", floor(col(T) / bucketMicros).cast("long"))
+    val scanned = d
+      .groupBy(col(K), col("_bkt"))
+      .agg(sort_array(collect_list(struct(col(T).as("t"), col("a"))))
+        .as("_arr"))
+      .select(col(K), col("_bkt"), explode(expr(
+        s"""aggregate(
+              _arr,
+              struct(true as first, cast(0 as bigint) as pa,
+                     cast(0 as bigint) as lo, cast(0 as bigint) as hi,
+                     cast(array() as
+                       array<struct<t:bigint, a:bigint, pa:bigint,
+                                    lo:bigint, hi:bigint>>) as out),
+              (acc, x) -> struct(
+                false as first,
+                acc.pa + x.a as pa,
+                if(acc.first, cast(0 as bigint),
+                   greatest(cast(0 as bigint), acc.lo + x.a)) as lo,
+                if(acc.first, cast(${cap} as bigint),
+                   least(cast(${cap} as bigint),
+                     greatest(cast(0 as bigint), acc.hi + x.a))) as hi,
+                array_append(acc.out, struct(
+                  x.t as t, x.a as a, acc.pa + x.a as pa,
+                  if(acc.first, cast(0 as bigint),
+                     greatest(cast(0 as bigint), acc.lo + x.a)) as lo,
+                  if(acc.first, cast(${cap} as bigint),
+                     least(cast(${cap} as bigint),
+                       greatest(cast(0 as bigint), acc.hi + x.a))) as hi))
+                  as out),
+              acc -> acc.out)""")).as("_r"))
+      .select(col(K), col("_bkt"), col("_r.t").as(T), col("_r.a").as("a"),
+        col("_r.pa").as("_A"), col("_r.lo").as("_lo"), col("_r.hi").as("_hi"))
+    // per-bucket net = the last row's composed triple
+    val ordS = struct(col(T), col("a"))
+    val nets = scanned.groupBy(col(K).as("_nk"), col("_bkt").as("_nb"))
+      .agg(max_by(col("_A"), ordS).as("_An"),
+        max_by(col("_lo"), ordS).as("_lon"),
+        max_by(col("_hi"), ordS).as("_hin"))
+    val carries = nets
+      .groupBy(col("_nk"))
+      .agg(sort_array(collect_list(struct(col("_nb"), col("_An"),
+        col("_lon"), col("_hin")))).as("_arr"))
+      .select(col("_nk"), explode(expr(
+        """aggregate(
+             _arr,
+             struct(cast(0 as bigint) as y,
+                    cast(array() as array<struct<b:bigint, yin:bigint>>)
+                      as out),
+             (acc, e) -> struct(
+               least(e._hin, greatest(e._lon, acc.y + e._An)) as y,
+               array_append(acc.out, struct(e._nb as b, acc.y as yin))
+                 as out),
+             acc -> acc.out)""")).as("_c"))
+      .select(col("_nk"), col("_c.b").as("_cb"), col("_c.yin").as("_yin"))
+    val leveled = scanned
+      .join(carries,
+        scanned(K) <=> carries("_nk") && scanned("_bkt") <=> carries("_cb"))
+      .withColumn("level",
+        least(col("_hi"), greatest(col("_lo"), col("_yin") + col("_A"))))
+    // clip flag: compare to the previous level (in-bucket lag; the
+    // bucket's first row compares to its carry-in)
+    val wIn = Window.partitionBy(col(K), col("_bkt"))
+      .orderBy(col(T).asc, col("a").asc)
+    leveled
+      .withColumn("_prev", coalesce(lag(col("level"), 1).over(wIn),
+        col("_yin")))
+      .select(col(K), col(T), col("a"), col("level"),
+        when(col("_prev") + col("a") > col("level"), lit(1))
+          .when(col("_prev") + col("a") < col("level"), lit(-1))
+          .otherwise(lit(0)).as("clipped"))
+  }
+
   /** Maximum drawdown per key: the deepest drop from a running peak —
     * dd(t) = runmax(v) − v(t), reported at its trough with the time of
     * the peak it fell from. Ties: the deepest drawdown breaks to the
