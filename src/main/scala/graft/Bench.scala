@@ -73,7 +73,9 @@ object Bench {
     // concentration / plausibility screens (q149-q151)
     "q149_drawdown", "q150_gini", "q151_benford",
     // survival / sketch-window / clamp-scan wave (q152-q154)
-    "q152_kaplan_meier", "q153_rolling_kmv", "q154_saturating")
+    "q152_kaplan_meier", "q153_rolling_kmv", "q154_saturating",
+    // weighted-correlation / mode / diversity wave (q155-q157)
+    "q155_tw_pearson", "q156_mode_tier", "q157_simpson")
 
   def session(cpus: String): SparkSession = {
     // 4 waves of tasks per core: on a shared VM with CPU steal, a stage is

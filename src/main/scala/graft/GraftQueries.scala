@@ -5000,6 +5000,119 @@ object GraftQueries {
       |  clipped
       |FROM rec""".stripMargin
 
+  /** Duration-weighted Pearson correlation of the click and view series
+    * on their as-of-merged segment grid (skew-safe constant-key merge,
+    * the q19 alignment) — 1e-2 value grid, whole-second weights, exact
+    * long moments. */
+  def qTwPearson(spark: SparkSession, dir: String): DataFrame = {
+    val pts = points(spark, dir)
+    val a = pts.filter(col("key") === "click")
+      .withColumn("key", constKey("pair", col("key")))
+    val b = pts.filter(col("key") === "view")
+      .withColumn("key", constKey("pair", col("key")))
+    graft.events.Correlation.twPearson(a, b, dayBucket)
+      .select(col("key"), col("n_segments"), col("w_secs"), col("r"))
+  }
+
+  val sqlTwPearson: String =
+    """WITH pts AS (
+      |  SELECT event_type AS key, epoch_us(ts) AS t, max(value) AS v
+      |  FROM events WHERE event_type IN ('click', 'view') GROUP BY 1, 2),
+      |u AS (
+      |  SELECT t, CASE WHEN key = 'click' THEN v END AS va,
+      |         CASE WHEN key = 'view' THEN v END AS vb,
+      |         CASE WHEN key = 'click' THEN 0 ELSE 1 END AS side
+      |  FROM pts),
+      |f AS (SELECT t, side,
+      |        last_value(va IGNORE NULLS) OVER (ORDER BY t, side
+      |          ROWS UNBOUNDED PRECEDING) AS la,
+      |        last_value(vb IGNORE NULLS) OVER (ORDER BY t, side
+      |          ROWS UNBOUNDED PRECEDING) AS lb,
+      |        row_number() OVER (PARTITION BY t ORDER BY side DESC) AS rn
+      |      FROM u),
+      |al AS (SELECT t, la, lb, lead(t) OVER (ORDER BY t) AS nt
+      |       FROM f WHERE rn = 1),
+      |q AS (SELECT CAST(floor(la * 100 + 0.5) AS BIGINT) AS xa,
+      |        CAST(floor(lb * 100 + 0.5) AS BIGINT) AS xb,
+      |        (nt - t) // 1000000 AS ws
+      |      FROM al
+      |      WHERE nt IS NOT NULL AND la IS NOT NULL AND lb IS NOT NULL),
+      |s AS (SELECT count(*) AS n_segments, sum(ws) AS w,
+      |        sum(ws * xa) AS sx, sum(ws * xb) AS sy,
+      |        sum(ws * xa * xa) AS sxx, sum(ws * xb * xb) AS syy,
+      |        sum(ws * xa * xb) AS sxy
+      |      FROM q)
+      |SELECT 'pair' AS key, n_segments, CAST(w AS BIGINT) AS w_secs,
+      |  CASE WHEN w > 0
+      |    AND CAST(w AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx > 0
+      |    AND CAST(w AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy > 0
+      |  THEN round((CAST(w AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+      |    / sqrt((CAST(w AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+      |         * (CAST(w AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6)
+      |  END AS r
+      |FROM s""".stripMargin
+
+  /** Daily modal value per event type: most frequent 1e-3-grid value,
+    * smallest-value tie-break, with its share of the day. */
+  def qModeTier(spark: SparkSession, dir: String): DataFrame =
+    Rollup.modeTier(
+      spark.read.parquet(s"$dir/events.parquet")
+        .select(col("event_type").as("key"), tsUs.as("t"),
+          col("value").as("v")),
+      bucketUs = DAY)
+      .select(col("key").as("event_type"), col("bucket").as("day"),
+        col("mode_v"), col("n_mode"), col("n_total"), col("n_distinct"),
+        col("share"))
+
+  val sqlModeTier: String =
+    """WITH e AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+      |             CAST(floor(value * 1000 + 0.5) AS BIGINT) AS xq
+      |           FROM events WHERE value IS NOT NULL),
+      |c AS (SELECT event_type, day, xq, count(*) AS c
+      |      FROM e GROUP BY 1, 2, 3),
+      |r AS (SELECT event_type, day, xq, c,
+      |        sum(c) OVER (PARTITION BY event_type, day) AS n_total,
+      |        count(*) OVER (PARTITION BY event_type, day) AS n_distinct,
+      |        row_number() OVER (PARTITION BY event_type, day
+      |          ORDER BY c DESC, xq ASC) AS rn
+      |      FROM c)
+      |SELECT event_type, day, xq / 1000.0 AS mode_v, c AS n_mode,
+      |  CAST(n_total AS BIGINT) AS n_total, n_distinct,
+      |  round(c / CAST(n_total AS DOUBLE), 6) AS share
+      |FROM r WHERE rn = 1""".stripMargin
+
+  /** Gini–Simpson diversity of the duration-weighted coarse-state
+    * distribution per event type (q05's histogram fed to Simpson 1949):
+    * how many states each series effectively lives in. */
+  def qSimpson(spark: SparkSession, dir: String): DataFrame = {
+    val pts = points(spark, dir)
+    val (tmin, tmax) = bounds(pts)
+    val segs = SeriesOps.segmentsInRange(pts, lit(tmin), lit(tmax), nullD)
+    AggOps.simpsonDiversity(
+      AggOps.distribution(
+        segs.withColumn("v", floor(col("v") / 50).cast("double")),
+        normalized = false))
+      .select(col("key").as("event_type"), col("n_states"), col("w_secs"),
+        col("simpson"), col("effective_states"))
+  }
+
+  val sqlSimpson: String =
+    sqlPrefix() +
+      """, d AS (
+        | SELECT key, CAST(floor(v / 50) AS DOUBLE) AS state,
+        |   CAST(sum(t1 - t0) AS BIGINT) AS weight_us
+        | FROM segs WHERE t1 > t0 AND v IS NOT NULL GROUP BY 1, 2),
+        |a AS (SELECT key, count(*) AS n_states,
+        |        sum(weight_us // 1000000) AS w,
+        |        sum((weight_us // 1000000) * (weight_us // 1000000)) AS sq
+        |      FROM d GROUP BY 1)
+        |SELECT key AS event_type, n_states, CAST(w AS BIGINT) AS w_secs,
+        |  CASE WHEN w > 0 THEN
+        |    round(1.0 - sq / (CAST(w AS DOUBLE) * w), 6) END AS simpson,
+        |  CASE WHEN sq > 0 THEN
+        |    round(CAST(w AS DOUBLE) * w / sq, 6) END AS effective_states
+        |FROM a""".stripMargin
+
   // classic relational smoke (lineitem)
   def qLineitemAgg(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/lineitem.parquet")

@@ -86,4 +86,36 @@ object AggOps {
         (sum(w * pow(col(V) - col("mean"), 2)) / sum(w)).as("variance"))
       .withColumn("stddev", sqrt(col("variance")))
   }
+
+  /** Gini–Simpson diversity of the duration-weighted value distribution
+    * per key (Simpson 1949): with p_i the share of measured time spent
+    * in state i, diversity = 1 − Σp_i² and effective_states = 1/Σp_i²
+    * (the "how many states does this series really live in" number).
+    * Input is a [[distribution]] frame (key, v, weight); null states
+    * (unmeasured time) are excluded.
+    *
+    * Engine-exactness: per-state weights quantize to whole SECONDS as
+    * LONGs after the exact-µs distribution sum (so Σw and Σw² are exact
+    * longs — µs weights would overflow the square), and both ratios are
+    * fixed double expressions rounded to 6. Keys with zero measured
+    * seconds report nulls. Output (key, n_states, w_secs, simpson,
+    * effective_states).
+    *
+    * Scale: one per-key aggregate over the already-tier-sized
+    * distribution — constant state per key. */
+  def simpsonDiversity(dist: DataFrame): DataFrame = {
+    val agg = dist.filter(col(V).isNotNull)
+      .select(col(K),
+        expr("cast(weight as bigint) div 1000000").as("_ws"))
+      .groupBy(col(K))
+      .agg(count(lit(1)).as("n_states"), sum(col("_ws")).as("w_secs"),
+        sum(col("_ws") * col("_ws")).as("_sq"))
+    agg.select(col(K), col("n_states"), col("w_secs"),
+      when(col("w_secs") > 0,
+        round(lit(1.0) - col("_sq") /
+          (col("w_secs").cast("double") * col("w_secs")), 6)).as("simpson"),
+      when(col("_sq") > 0,
+        round(col("w_secs").cast("double") * col("w_secs") / col("_sq"), 6))
+        .as("effective_states"))
+  }
 }

@@ -351,6 +351,59 @@ object Correlation {
     * of O(m) state, band centered on the length-normalized diagonal
     * (j ≈ i·m/n). Returns None when no in-band path connects (1,1) to
     * (n,m). INF/2 sentinel keeps the `cost + min(...)` adds overflow-free. */
+  /** Duration-weighted Pearson correlation between two series on their
+    * as-of-merged segment grid ([[graft.merge.MergeOps.alignPair]]): at
+    * every union time both carried-forward values form a segment that
+    * lasts until the next union time; each segment contributes its
+    * (value_a, value_b) pair weighted by its duration — the correct
+    * correlation for UNEVENLY-spaced series, where per-point Pearson
+    * over-weights chatty stretches. Segments before both series have
+    * started are excluded; the last point spans no segment.
+    *
+    * Engine-exactness: values snap to the 1e-2 grid, durations to whole
+    * seconds (both LONGs, integer `div`), so all six sufficient
+    * statistics are exact long sums (bounded: total_secs·max_x² <
+    * 2^63/300 at the 1e-2 grid); the final ratio is the fixed double
+    * expression of [[autocorr]]. Output (key, n_segments, w_secs, r);
+    * r is null on zero weight or zero variance.
+    *
+    * Scale: the alignPair union-carry plan (one (key[, bucket]) exchange
+    * + sort, skew-safe under `bucketBy`) followed by one per-key
+    * aggregate with map-side partials. */
+  def twPearson(
+      a: DataFrame,
+      b: DataFrame,
+      bucketBy: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+    val aligned = graft.merge.MergeOps.alignPair(a, b, bucketBy = bucketBy)
+    val ord = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(K)).orderBy(col(T).asc)
+    val segs = aligned
+      .withColumn("_nt", lead(col(T), 1).over(ord))
+      .filter(col("_nt").isNotNull && col("va").isNotNull &&
+        col("vb").isNotNull)
+      .select(col(K),
+        floor(col("va") * 100 + 0.5).cast("long").as("_xa"),
+        floor(col("vb") * 100 + 0.5).cast("long").as("_xb"),
+        expr("(_nt - t) div 1000000").as("_ws"))
+    val varA = col("w_secs").cast("double") * col("_sxx") -
+      col("_sx").cast("double") * col("_sx")
+    val varB = col("w_secs").cast("double") * col("_syy") -
+      col("_sy").cast("double") * col("_sy")
+    segs
+      .groupBy(col(K))
+      .agg(count(lit(1)).as("n_segments"), sum(col("_ws")).as("w_secs"),
+        sum(col("_ws") * col("_xa")).as("_sx"),
+        sum(col("_ws") * col("_xb")).as("_sy"),
+        sum(col("_ws") * col("_xa") * col("_xa")).as("_sxx"),
+        sum(col("_ws") * col("_xb") * col("_xb")).as("_syy"),
+        sum(col("_ws") * col("_xa") * col("_xb")).as("_sxy"))
+      .select(col(K), col("n_segments"), col("w_secs"),
+        when(col("w_secs") > 0 && varA > 0 && varB > 0,
+          round((col("w_secs").cast("double") * col("_sxy") -
+            col("_sx").cast("double") * col("_sy")) / sqrt(varA * varB), 6))
+          .as("r"))
+  }
+
   private[graft] def dtwBanded(
       x: Array[Long], y: Array[Long], band: Int): Option[Long] = {
     val n = x.length

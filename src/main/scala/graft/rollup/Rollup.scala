@@ -183,6 +183,31 @@ object Rollup {
         count(lit(1)).as("n"))
   }
 
+  /** Modal value per (key, bucket): the most frequent 1e-3-grid value,
+    * ties to the SMALLEST value — the "dominant status per day" tier for
+    * enum-like metrics where a mean is meaningless. Output (key, bucket,
+    * mode_v, n_mode, n_total, n_distinct, share); everything is exact
+    * integer counts/comparisons, one division for the share.
+    *
+    * Scale: two hash aggregates — (key, bucket, value) counts with
+    * map-side combine (degenerate hot values collapse there), then one
+    * struct-max per (key, bucket) with constant state. No windows. */
+  def modeTier(df: DataFrame, bucketUs: Long): DataFrame = {
+    require(bucketUs > 0, s"bucket width $bucketUs must be positive")
+    val counts = df.filter(col(V).isNotNull)
+      .groupBy(col(K), floor(col(T) / bucketUs).cast("long").as("bucket"),
+        floor(col(V) * 1000 + 0.5).cast("long").as("_xq"))
+      .agg(count(lit(1)).as("_c"))
+    counts
+      .groupBy(col(K), col("bucket"))
+      .agg(sum(col("_c")).as("n_total"), count(lit(1)).as("n_distinct"),
+        max(struct(col("_c").as("c"), (-col("_xq")).as("nx"))).as("_m"))
+      .select(col(K), col("bucket"),
+        ((-col("_m.nx")) / 1000.0).as("mode_v"),
+        col("_m.c").as("n_mode"), col("n_total"), col("n_distinct"),
+        round(col("_m.c") / col("n_total").cast("double"), 6).as("share"))
+  }
+
   /** Hour-of-day seasonal index per key: each UTC hour's mean value as a
     * ratio to the key's overall mean — the multiplicative seasonal
     * profile a forecaster divides out before trending (the count-free

@@ -81,4 +81,69 @@ class StatsOpsSpec extends SparkSpec {
     val chis = out.map(_.getDouble(5)).distinct
     assert(chis.length == 1 && chis.head > 0)
   }
+
+  test("twPearson: perfectly linear co-movement gives r = 1") {
+    import graft.events.Correlation
+    // b = 2a at the same times; any weighting keeps r = 1
+    val a = seriesL(Seq(0L -> Some(1.0), 1000000L -> Some(3.0),
+      5000000L -> Some(2.0), 9000000L -> Some(5.0)))
+    val b = seriesL(Seq(0L -> Some(2.0), 1000000L -> Some(6.0),
+      5000000L -> Some(4.0), 9000000L -> Some(10.0)))
+    val r = Correlation.twPearson(a, b).collect().head
+    assert(r.getDouble(3) == 1.0)
+    assert(r.getLong(1) == 3) // last union point spans no segment
+    assert(r.getLong(2) == 9) // 9 whole seconds of overlap
+  }
+
+  test("twPearson: anti-correlated steps give r = -1; constants give null") {
+    import graft.events.Correlation
+    val a = seriesL(Seq(0L -> Some(1.0), 2000000L -> Some(3.0),
+      4000000L -> Some(1.0), 6000000L -> Some(3.0)))
+    val down = seriesL(Seq(0L -> Some(3.0), 2000000L -> Some(1.0),
+      4000000L -> Some(3.0), 6000000L -> Some(1.0)))
+    assert(Correlation.twPearson(a, down).collect().head.getDouble(3) == -1.0)
+    val const = seriesL(Seq(0L -> Some(7.0), 6000000L -> Some(7.0)))
+    assert(Correlation.twPearson(a, const).collect().head.isNullAt(3))
+  }
+
+  test("twPearson: duration weighting dominates point counts") {
+    import graft.events.Correlation
+    // two 1000s concordant segments vs two 1s discordant ones: the
+    // UNWEIGHTED four-pair Pearson is exactly 0; duration weighting
+    // must push r near 1
+    val s = 1000000L
+    val aPts = Seq(0L -> Some(0.0), 1000 * s -> Some(10.0),
+      2000 * s -> Some(10.0), 2001 * s -> Some(0.0), 2002 * s -> Some(0.0))
+    val bPts = Seq(0L -> Some(0.0), 1000 * s -> Some(10.0),
+      2000 * s -> Some(0.0), 2001 * s -> Some(10.0), 2002 * s -> Some(0.0))
+    val r = Correlation.twPearson(seriesL(aPts), seriesL(bPts))
+      .collect().head.getDouble(3)
+    assert(r > 0.99, s"duration weighting should dominate, got $r")
+  }
+
+  test("modeTier: modal value with smallest-value tie-break and share") {
+    import graft.rollup.Rollup
+    val pts = seriesL(Seq(0L -> Some(2.0), 1L -> Some(2.0),
+      2L -> Some(1.0), 3L -> Some(1.0), 4L -> Some(5.0)))
+    val r = Rollup.modeTier(pts, bucketUs = 100L).collect().head
+    assert(r.getDouble(2) == 1.0) // tie 2x2.0 vs 2x1.0 -> smaller value
+    assert(r.getLong(3) == 2 && r.getLong(4) == 5 && r.getLong(5) == 3)
+    assert(r.getDouble(6) == 0.4)
+  }
+
+  test("simpsonDiversity: uniform two-state split and single state") {
+    import graft.agg.AggOps
+    val s = spark
+    import s.implicits._
+    // distribution frame directly: two states with equal second weights
+    val dist = Seq(("k", 1.0, 5000000.0), ("k", 2.0, 5000000.0),
+      ("one", 9.0, 3000000.0))
+      .toDF("key", "v", "weight")
+    val out = AggOps.simpsonDiversity(dist).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out("k").getDouble(3) == 0.5)
+    assert(out("k").getDouble(4) == 2.0)
+    assert(out("one").getDouble(3) == 0.0)
+    assert(out("one").getDouble(4) == 1.0)
+  }
 }
