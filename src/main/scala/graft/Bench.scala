@@ -75,7 +75,9 @@ object Bench {
     // survival / sketch-window / clamp-scan wave (q152-q154)
     "q152_kaplan_meier", "q153_rolling_kmv", "q154_saturating",
     // weighted-correlation / mode / diversity wave (q155-q157)
-    "q155_tw_pearson", "q156_mode_tier", "q157_simpson")
+    "q155_tw_pearson", "q156_mode_tier", "q157_simpson",
+    // O(n) sliding max / session lift / fleet normalization (q158-q160)
+    "q158_sliding_max", "q159_session_lift", "q160_fleet_norm")
 
   def session(cpus: String): SparkSession = {
     // 4 waves of tasks per core: on a shared VM with CPU steal, a stage is

@@ -5113,6 +5113,145 @@ object GraftQueries {
         |    round(CAST(w AS DOUBLE) * w / sq, 6) END AS effective_states
         |FROM a""".stripMargin
 
+  /** Trailing 6-hour maximum per event-type series on the O(n)
+    * two-block plan; the oracle is the naive RANGE window — agreement
+    * proves the decomposition. */
+  def qSlidingMax(spark: SparkSession, dir: String): DataFrame =
+    EventOps.slidingMax(points(spark, dir), windowUs = 6 * HOUR)
+      .select(col("key").as("event_type"), col("t"), col("v"),
+        col("win_max"))
+
+  val sqlSlidingMax: String =
+    """WITH pts AS (
+      |  SELECT event_type, epoch_us(ts) AS t, max(value) AS v
+      |  FROM events GROUP BY 1, 2)
+      |SELECT event_type, t, v,
+      |  max(CAST(floor(v * 1000 + 0.5) AS BIGINT)) OVER (
+      |    PARTITION BY event_type ORDER BY t
+      |    RANGE BETWEEN 21599999999 PRECEDING AND CURRENT ROW) / 1000.0
+      |    AS win_max
+      |FROM pts""".stripMargin
+
+  /** Event-type co-occurrence lift within 12h user sessions: how much
+    * more often two types share a session than independence predicts —
+    * integer counts end to end, one division. */
+  def qSessionLift(spark: SparkSession, dir: String): DataFrame = {
+    val assigned = EventOps.sessionAssign(
+      spark.read.parquet(s"$dir/events.parquet")
+        .select(col("user_id").as("key"), tsUs.as("t"),
+          col("value").as("v"), col("event_type")),
+      gap = 12L * HOUR, bucketBy = dayBucket)
+      .select(col("key"), col("session_idx"), col("event_type"))
+      .distinct()
+    val nTotal = assigned.select(col("key"), col("session_idx")).distinct()
+      .agg(count(lit(1)).as("_n"))
+    val singles = assigned.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("_na"))
+    val r = assigned.select(col("key").as("_k2"),
+      col("session_idx").as("_s2"), col("event_type").as("type_b"))
+    val pairs = assigned
+      .join(r, col("key") <=> col("_k2") && col("session_idx") === col("_s2")
+        && col("event_type") < col("type_b"))
+      .groupBy(col("event_type").as("type_a"), col("type_b"))
+      .agg(count(lit(1)).as("n_ab"))
+    pairs
+      .join(broadcast(singles.select(col("event_type").as("type_a"),
+        col("_na").as("n_a"))), Seq("type_a"))
+      .join(broadcast(singles.select(col("event_type").as("type_b"),
+        col("_na").as("n_b"))), Seq("type_b"))
+      .crossJoin(broadcast(nTotal))
+      .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+        col("n_ab"),
+        round((col("_n") * col("n_ab")) /
+          (col("n_a") * col("n_b")).cast("double"), 6).as("lift"))
+  }
+
+  val sqlSessionLift: String =
+    """WITH e AS (SELECT user_id, epoch_us(ts) AS t, value AS v,
+      |             event_type
+      |           FROM events),
+      |f AS (
+      |  SELECT user_id, t, v, event_type,
+      |    CASE WHEN lag(t) OVER w IS NULL
+      |              OR t - lag(t) OVER w > 43200000000 THEN 1 ELSE 0 END
+      |      AS flag
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, v)),
+      |s AS (
+      |  SELECT DISTINCT user_id,
+      |    CAST(sum(flag) OVER (PARTITION BY user_id ORDER BY t, v
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess, event_type
+      |  FROM f),
+      |n AS (SELECT count(*) AS n_total
+      |      FROM (SELECT DISTINCT user_id, sess FROM s)),
+      |g AS (SELECT event_type, count(*) AS na FROM s GROUP BY 1),
+      |p AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+      |        count(*) AS n_ab
+      |      FROM s a JOIN s b ON a.user_id = b.user_id
+      |        AND a.sess = b.sess AND a.event_type < b.event_type
+      |      GROUP BY 1, 2)
+      |SELECT p.type_b, p.type_a, ga.na AS n_a, gb.na AS n_b, p.n_ab,
+      |  round((n.n_total * p.n_ab) / CAST(ga.na * gb.na AS DOUBLE), 6)
+      |    AS lift
+      |FROM p JOIN g ga ON p.type_a = ga.event_type
+      |JOIN g gb ON p.type_b = gb.event_type
+      |CROSS JOIN n""".stripMargin
+
+  /** Fleet-relative hourly normalization per user: the user's hourly
+    * mean against the cross-user median of hourly means that hour —
+    * exact integer means (1e-3 grid, floor division), exact two-middle
+    * median, one final ratio. */
+  def qFleetNorm(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = spark.read.parquet(s"$dir/events.parquet")
+      .filter(col("value").isNotNull)
+      .groupBy(col("user_id"), floor(tsUs / HOUR).cast("long").as("hour"))
+      .agg(sum(floor(col("value") * 1000 + 0.5).cast("long")).as("_sx"),
+        count(lit(1)).as("_c"))
+      .select(col("user_id"), col("hour"), expr("_sx div _c").as("_m"))
+    val w = Window.partitionBy(col("hour"))
+      .orderBy(col("_m").asc, col("user_id").asc)
+    val ranked = hourly
+      .withColumn("_rn", row_number().over(w))
+      .withColumn("_cnt", count(lit(1)).over(Window.partitionBy(col("hour"))))
+    val medians = ranked
+      .groupBy(col("hour").as("_h"))
+      .agg(max(col("_cnt")).as("n_users"),
+        max(when(col("_rn") === expr("(_cnt + 1) div 2"), col("_m")))
+          .as("_lo"),
+        max(when(col("_rn") === expr("_cnt div 2 + 1"), col("_m")))
+          .as("_hi"))
+    hourly
+      .join(medians, col("hour") === col("_h"))
+      .select(col("user_id"), col("hour"),
+        (col("_m") / 1000.0).as("user_mean"),
+        ((col("_lo") + col("_hi")) / 2000.0).as("fleet_median"),
+        col("n_users"),
+        when(col("_lo") + col("_hi") > 0,
+          round((lit(2) * col("_m")).cast("double") /
+            (col("_lo") + col("_hi")), 6)).as("rel"))
+  }
+
+  val sqlFleetNorm: String =
+    """WITH h AS (
+      |  SELECT user_id, epoch_us(ts) // 3600000000 AS hour,
+      |    sum(CAST(floor(value * 1000 + 0.5) AS BIGINT))
+      |      // count(*) AS m
+      |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+      |r AS (SELECT user_id, hour, m,
+      |        row_number() OVER (PARTITION BY hour ORDER BY m, user_id)
+      |          AS rn,
+      |        count(*) OVER (PARTITION BY hour) AS cnt
+      |      FROM h),
+      |md AS (SELECT hour, max(cnt) AS n_users,
+      |         max(CASE WHEN rn = (cnt + 1) // 2 THEN m END) AS lo,
+      |         max(CASE WHEN rn = cnt // 2 + 1 THEN m END) AS hi
+      |       FROM r GROUP BY 1)
+      |SELECT h.user_id, h.hour, h.m / 1000.0 AS user_mean,
+      |  (md.lo + md.hi) / 2000.0 AS fleet_median,
+      |  CAST(md.n_users AS BIGINT) AS n_users,
+      |  CASE WHEN md.lo + md.hi > 0 THEN
+      |    round(CAST(2 * h.m AS DOUBLE) / (md.lo + md.hi), 6) END AS rel
+      |FROM h JOIN md ON h.hour = md.hour""".stripMargin
+
   // classic relational smoke (lineitem)
   def qLineitemAgg(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/lineitem.parquet")

@@ -93,6 +93,21 @@ object EventOps {
     * (a bot user, a constant key) no longer funnels through one task.
     */
   def sessionize(df: DataFrame, gap: Long,
+      bucketBy: Option[Column] = None): DataFrame =
+    sessionAssign(df, gap, bucketBy)
+      .groupBy(col(K), col("session_idx"))
+      .agg(
+        min(col(T)).as("t_start"),
+        max(col(T)).as("t_end"),
+        count(lit(1)).as("n_events"),
+        sum(col(V)).as("v_sum"))
+
+  /** The per-row face of [[sessionize]]: every input row (plus any extra
+    * columns it carries) with its `session_idx` — for consumers that
+    * need session MEMBERSHIP (co-occurrence, per-session sequences)
+    * rather than the session aggregate. Same plan, same boundary
+    * semantics, same skew-safe bucketed path. */
+  def sessionAssign(df: DataFrame, gap: Long,
       bucketBy: Option[Column] = None): DataFrame = {
     // (t, v) ordering, not t alone: the boundary flag and the running
     // flag-sum are evaluated in SEPARATE window passes (the bucketed path
@@ -145,12 +160,8 @@ object EventOps {
           .withColumn("_sess", col("_off") + sum(col("_flag")).over(wInRun))
     }
     sessioned
-      .groupBy(col(K), col("_sess").as("session_idx"))
-      .agg(
-        min(col(T)).as("t_start"),
-        max(col(T)).as("t_end"),
-        count(lit(1)).as("n_events"),
-        sum(col(V)).as("v_sum"))
+      .withColumn("session_idx", col("_sess"))
+      .drop("_sess", "_bkt", "_fin", "_off", "_first", "_flag")
   }
 
   /** Rolling z-score anomaly detection: for each event, the deviation of
@@ -1314,6 +1325,53 @@ object EventOps {
         when(col("_prev") + col("a") > col("level"), lit(1))
           .when(col("_prev") + col("a") < col("level"), lit(-1))
           .otherwise(lit(0)).as("clipped"))
+  }
+
+  /** Trailing-window maximum per point — max of v over (t − W, t] — in
+    * O(n) aggregate work via the classic two-block decomposition,
+    * instead of the O(n·W) a naive RANGE frame costs (Spark's window
+    * max re-scans its frame per row; for a dense key and a wide window
+    * that is the quadratic trap). Rows bucket by `floor(t / W)`, so the
+    * window spans AT MOST two buckets: the answer is
+    * greatest(prefix-max of the own bucket up to t, suffix-max of the
+    * previous bucket past t − W). The suffix lookup rides the same
+    * union-carry shape as [[graft.merge.MergeOps.alignPair]]: each
+    * point posts a probe row at position t − W into its previous
+    * bucket, and ONE descending in-bucket running max answers every
+    * probe — two windows and one (key, t) self-join total, all state
+    * O(1). Input dedupes to one value per (key, t) (max — the loader
+    * convention). Output (key, t, v, win_max); values on the 1e-3 grid,
+    * the boundary test is strict (t' > t − W) in exact longs.
+    */
+  def slidingMax(df: DataFrame, windowUs: Long): DataFrame = {
+    require(windowUs > 0, s"window width $windowUs must be positive")
+    val pts = df.filter(col(V).isNotNull)
+      .groupBy(col(K), col(T)).agg(max(col(V)).as(V))
+      .withColumn("_x", floor(col(V) * 1000 + 0.5).cast("long"))
+      .withColumn("_b", floor(col(T) / windowUs).cast("long"))
+    val data = pts.select(col(K), col("_b"), col(T).as("_pos"),
+      lit(null).cast("long").as("_ot"), col("_x"))
+    val probes = pts.select(col(K), (col("_b") - 1).as("_b"),
+      (col(T) - windowUs).as("_pos"), col(T).as("_ot"),
+      lit(null).cast("long").as("_x"))
+    // suffix max within the bucket, scanned right-to-left; at equal
+    // position the probe sorts FIRST so a data row exactly at t − W is
+    // excluded (strict boundary)
+    val wSuf = Window.partitionBy(col(K), col("_b"))
+      .orderBy(col("_pos").desc, col("_ot").isNull.asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val answered = data.unionByName(probes)
+      .withColumn("_sm", max(col("_x")).over(wSuf))
+      .filter(col("_ot").isNotNull)
+      .select(col(K).as("_pk"), col("_ot"), col("_sm"))
+    val wPre = Window.partitionBy(col(K), col("_b"))
+      .orderBy(col(T).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pts
+      .withColumn("_pm", max(col("_x")).over(wPre))
+      .join(answered, pts(K) <=> col("_pk") && pts(T) === col("_ot"))
+      .select(col(K), col(T), col(V),
+        (greatest(col("_pm"), col("_sm")) / 1000.0).as("win_max"))
   }
 
   /** Maximum drawdown per key: the deepest drop from a running peak —

@@ -131,6 +131,49 @@ class StatsOpsSpec extends SparkSpec {
     assert(r.getDouble(6) == 0.4)
   }
 
+  test("slidingMax: equals the naive RANGE-frame window on random data") {
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(19)
+    val pts = (0 until 400).map(_ =>
+      (rnd.nextLong(2000), Some(rnd.nextInt(1000) / 10.0)))
+      .distinct
+    val df = seriesL(pts) // dedupes are handled inside the operator
+    for (w <- Seq(1L, 17L, 100L, 5000L)) {
+      val got = EventOps.slidingMax(df, w)
+        .select("t", "win_max").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toMap
+      val naive = df.groupBy(col("key"), col("t"))
+        .agg(max(col("v")).as("v"))
+        .withColumn("_x", floor(col("v") * 1000 + 0.5).cast("long"))
+        .withColumn("wm",
+          max(col("_x")).over(Window.partitionBy(col("key"))
+            .orderBy(col("t")).rangeBetween(-(w - 1), 0)) / 1000.0)
+        .select("t", "wm").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toMap
+      assert(got == naive, s"window $w diverged")
+    }
+  }
+
+  test("slidingMax: strict left boundary — a point exactly W back drops") {
+    val df = seriesL(Seq(0L -> Some(9.0), 10L -> Some(1.0)))
+    val out = EventOps.slidingMax(df, windowUs = 10L)
+      .orderBy("t").collect().map(_.getDouble(3)).toSeq
+    assert(out == Seq(9.0, 1.0)) // t=10 window is (0, 10]: the 9 at t=0 is out
+  }
+
+  test("sessionAssign: membership matches sessionize boundaries") {
+    import graft.events.EventOps
+    val df = seriesL(Seq(0L -> Some(1.0), 5L -> Some(2.0),
+      100L -> Some(3.0), 104L -> Some(4.0), 300L -> Some(5.0)))
+    val out = EventOps.sessionAssign(df, gap = 10L)
+      .select("t", "session_idx").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out(0L) == out(5L) && out(100L) == out(104L))
+    assert(out(0L) != out(100L) && out(100L) != out(300L))
+    // the aggregate face sees the same three sessions
+    assert(EventOps.sessionize(df, gap = 10L).count() == 3)
+  }
+
   test("simpsonDiversity: uniform two-state split and single state") {
     import graft.agg.AggOps
     val s = spark
