@@ -77,7 +77,9 @@ object Bench {
     // weighted-correlation / mode / diversity wave (q155-q157)
     "q155_tw_pearson", "q156_mode_tier", "q157_simpson",
     // O(n) sliding max / session lift / fleet normalization (q158-q160)
-    "q158_sliding_max", "q159_session_lift", "q160_fleet_norm")
+    "q158_sliding_max", "q159_session_lift", "q160_fleet_norm",
+    // flap suppression / rarity score / bounded interpolation (q161-q163)
+    "q161_flap_suppress", "q162_rarity", "q163_bounded_sample")
 
   def session(cpus: String): SparkSession = {
     // 4 waves of tasks per core: on a shared VM with CPU steal, a stage is

@@ -5252,6 +5252,74 @@ object GraftQueries {
       |    round(CAST(2 * h.m AS DOUBLE) / (md.lo + md.hi), 6) END AS rel
       |FROM h JOIN md ON h.hour = md.hour""".stripMargin
 
+  /** Alert-flapping suppression at the 150.0 threshold: every state
+    * crossing with its trailing-6h crossing count on the O(n) as-of-
+    * prefix plan; the oracle is the naive RANGE count — agreement
+    * proves the prefix-difference identity. */
+  def qFlapSuppress(spark: SparkSession, dir: String): DataFrame =
+    EventOps.flapSuppress(points(spark, dir), lit(150.0),
+      windowUs = 6 * HOUR, maxFlips = 4)
+
+  val sqlFlapSuppress: String =
+    """WITH pts AS (
+      |  SELECT event_type AS key, epoch_us(ts) AS t, max(value) AS v
+      |  FROM events GROUP BY 1, 2),
+      |s AS (SELECT key, t, CAST(v >= 150.0 AS INT) AS st,
+      |        lag(CAST(v >= 150.0 AS INT))
+      |          OVER (PARTITION BY key ORDER BY t) AS pst
+      |      FROM pts),
+      |c AS (SELECT key, t, st FROM s WHERE pst IS NOT NULL AND st <> pst)
+      |SELECT key, t, CAST(st AS BIGINT) AS state,
+      |  count(*) OVER w AS n_cross,
+      |  CAST(count(*) OVER w > 4 AS BIGINT) AS suppressed
+      |FROM c WINDOW w AS (PARTITION BY key ORDER BY t
+      |  RANGE BETWEEN 21599999999 PRECEDING AND CURRENT ROW)""".stripMargin
+
+  /** Histogram-rarity anomaly score: each point's self-information in
+    * bits against its key's own 25-wide value-bin histogram — exact
+    * integer counts, one final log₂. */
+  def qRarity(spark: SparkSession, dir: String): DataFrame =
+    graft.stats.StatsOps.rarity(points(spark, dir), floor(col("v") / 25))
+
+  val sqlRarity: String =
+    """WITH pts AS (
+      |  SELECT event_type AS key, epoch_us(ts) AS t, max(value) AS v
+      |  FROM events GROUP BY 1, 2),
+      |bn AS (SELECT key, t, v, CAST(floor(v / 25) AS BIGINT) AS bin
+      |       FROM pts),
+      |c AS (SELECT key, bin, count(*) AS n_bin FROM bn GROUP BY 1, 2),
+      |tt AS (SELECT key, count(*) AS n_key FROM bn GROUP BY 1)
+      |SELECT bn.key, bn.t, bn.v, bn.bin, c.n_bin, tt.n_key,
+      |  round(-log2(c.n_bin / CAST(tt.n_key AS DOUBLE)), 6) AS surprise
+      |FROM bn JOIN c ON bn.key = c.key AND bn.bin = c.bin
+      |JOIN tt ON bn.key = tt.key""".stripMargin
+
+  /** Hourly linear sampling with a 4-hour interpolation bound: probes
+    * strictly inside a wider bracketing gap answer null instead of
+    * drawing a line across the outage. */
+  def qBoundedSample(spark: SparkSession, dir: String): DataFrame = {
+    val pts = points(spark, dir)
+    val (tmin, tmax) = bounds(pts)
+    Regularize.sampleLinearBounded(
+      pts, Regularize.gridSeq(pts, tmin, tmax, HOUR), nullD,
+      maxGapUs = 4 * HOUR)
+      .withColumn("v", round(col("v"), 6))
+  }
+
+  val sqlBoundedSample: String =
+    sqlPrefix() +
+      s""", grid AS (
+         |  SELECT key, gt FROM (SELECT DISTINCT key FROM pts),
+         |    unnest(generate_series((SELECT tmin FROM b), (SELECT tmax FROM b), $HOUR)) g(gt))
+         |SELECT g.key AS key, g.gt AS t,
+         |  round(CASE WHEN p.t IS NULL THEN NULL
+         |             WHEN n.t IS NULL THEN p.v
+         |             WHEN g.gt <> p.t AND n.t - p.t > ${4 * HOUR} THEN NULL
+         |             ELSE p.v + (g.gt - p.t) / (n.t - p.t) * (n.v - p.v) END, 6) AS v
+         |FROM grid g
+         |ASOF LEFT JOIN pts p ON g.key = p.key AND g.gt >= p.t
+         |ASOF LEFT JOIN pts n ON g.key = n.key AND g.gt < n.t""".stripMargin
+
   // classic relational smoke (lineitem)
   def qLineitemAgg(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/lineitem.parquet")

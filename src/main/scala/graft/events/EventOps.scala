@@ -1374,6 +1374,56 @@ object EventOps {
         (greatest(col("_pm"), col("_sm")) / 1000.0).as("win_max"))
   }
 
+  /** Alert-flapping suppression: threshold the series into a boolean
+    * state, keep the state CHANGES (crossings), and for each crossing
+    * count the crossings in the trailing window (t − W, t] — a crossing
+    * whose trailing count exceeds `maxFlips` is "flapping" and gets
+    * suppressed (the classic alert-storm damper; [[threshold]] +
+    * [[graft.core.SeriesOps.compact]] give the crossing stream, this op
+    * adds the storm test). Trailing count in O(n): each crossing carries
+    * its 1-based running index r, posts a probe at position t − W, and
+    * ONE as-of window answers every probe with r_asof = #crossings at or
+    * before t − W; the count is r − r_asof — no RANGE re-scan, state
+    * O(1) per row. At equal position the probe sorts AFTER data, so a
+    * crossing exactly at t − W lands in the subtracted prefix (strict
+    * left boundary, matching the oracle's integer RANGE frame). Input
+    * dedupes to max v per (key, t); windows partition by key alone —
+    * the crossing stream is the COMPACTED state sequence (≪ raw
+    * points), so a hot key carries only its state flips.
+    * Output (key, t, state, n_cross, suppressed 0/1).
+    */
+  def flapSuppress(df: DataFrame, threshold: Column, windowUs: Long,
+      maxFlips: Int): DataFrame = {
+    require(windowUs > 0, s"window width $windowUs must be positive")
+    val wk = Window.partitionBy(col(K)).orderBy(col(T).asc)
+    val st = df.filter(col(V).isNotNull)
+      .groupBy(col(K), col(T)).agg(max(col(V)).as(V))
+      .withColumn("_st", (col(V) >= threshold).cast("int"))
+      .withColumn("_pst", lag(col("_st"), 1).over(wk))
+    val cross = st
+      .filter(col("_pst").isNotNull && col("_st") =!= col("_pst"))
+      .withColumn("_r", row_number().over(wk))
+    val data = cross.select(col(K), col(T).as("_pos"),
+      lit(null).cast("long").as("_ot"), col("_r"))
+    val probes = cross.select(col(K), (col(T) - windowUs).as("_pos"),
+      col(T).as("_ot"), lit(null).cast("int").as("_r"))
+    // as-of prefix index: last data _r at position <= t − W; probe sorts
+    // after data at equal position so a crossing exactly at t − W counts
+    // into the subtracted prefix
+    val wAsof = Window.partitionBy(col(K))
+      .orderBy(col("_pos").asc, col("_ot").isNotNull.asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val asof = data.unionByName(probes)
+      .withColumn("_ra", last(col("_r"), ignoreNulls = true).over(wAsof))
+      .filter(col("_ot").isNotNull)
+      .select(col(K).as("_ak"), col("_ot"), coalesce(col("_ra"), lit(0)).as("_ra"))
+    cross
+      .join(asof, col(K) <=> col("_ak") && col(T) === col("_ot"))
+      .select(col(K), col(T), col("_st").cast("long").as("state"),
+        (col("_r") - col("_ra")).cast("long").as("n_cross"),
+        (col("_r") - col("_ra") > maxFlips).cast("long").as("suppressed"))
+  }
+
   /** Maximum drawdown per key: the deepest drop from a running peak —
     * dd(t) = runmax(v) − v(t), reported at its trough with the time of
     * the peak it fell from. Ties: the deepest drawdown breaks to the

@@ -92,6 +92,37 @@ object StatsOps {
         col("exp_p"), (col("_chi_u") / 1e6).as("chi2"))
   }
 
+  /** Per-point rarity (self-information) against the key's own value-bin
+    * histogram: surprise = −log₂(n_bin / n_key) — 0 bits for a value in
+    * a bin the key always occupies, high for a bin it almost never
+    * visits. The histogram-frequency anomaly score every metrics
+    * pipeline ends up with: no distributional assumption (unlike the
+    * z-score family), robust to multi-modal series. `bin` is the
+    * caller's quantization (engine-exact, e.g. `floor(v / width)`).
+    *
+    * Scale: two count aggregates — (key, bin) and (key) — whose results
+    * are FLEET-SIZED (keys × occupied bins), broadcast back onto the raw
+    * stream; the full point stream is touched once with no wide shuffle.
+    * Both counts are exact longs; the single float op is the final log₂
+    * of their ratio, snapped to the 1e-6 grid.
+    * Output (key, t, v, bin, n_bin, n_key, surprise). */
+  def rarity(df: DataFrame, bin: Column): DataFrame = {
+    val binned = df.select(col("key"), col("t"), col("v"),
+      bin.cast("long").as("bin"))
+    val counts = binned.groupBy(col("key").as("_bk"), col("bin").as("_bb"))
+      .agg(count(lit(1)).as("n_bin"))
+    val totals = binned.groupBy(col("key").as("_tk"))
+      .agg(count(lit(1)).as("n_key"))
+    binned
+      .join(broadcast(counts),
+        col("key") <=> col("_bk") && col("bin") <=> col("_bb"))
+      .join(broadcast(totals), col("key") <=> col("_tk"))
+      .select(col("key"), col("t"), col("v"), col("bin"),
+        col("n_bin"), col("n_key"),
+        round(-log2(col("n_bin").cast("double") / col("n_key")), 6)
+          .as("surprise"))
+  }
+
   /** log10(1 + 1/d), d = 1..9, as fixed 15-digit literals — the model
     * constants the oracle shares verbatim. */
   final val BenfordP: Seq[(Int, Double)] = Seq(

@@ -29,6 +29,25 @@ class RegularizeSpec extends SparkSpec {
     approxEq(collectTV(out), Goldens.sampleLinInt)
   }
 
+  test("sampleLinearBounded: ∞-gap limit equals sampleLinear; wide gaps null") {
+    val df = seriesL(ts5L)
+    val grid = Regularize.gridDf(df, gridOf(0L to 10L))
+    // bound wider than any gap -> identical to the unbounded form
+    val unbounded = collectTV(Regularize.sampleLinear(df, grid, nullD))
+    approxEq(collectTV(
+      Regularize.sampleLinearBounded(df, grid, nullD, maxGapUs = 100L)),
+      unbounded)
+    // bound 3: the 2->6 gap (width 4) nulls its INTERIOR probes only;
+    // exact hits (t=2, t=6), before-first and after-last are untouched
+    val got = collectTV(
+      Regularize.sampleLinearBounded(df, grid, nullD, maxGapUs = 3L))
+    val expect = unbounded.map {
+      case (t, _) if t >= 3 && t <= 5 => (t, None)
+      case other => other
+    }
+    approxEq(got, expect)
+  }
+
   test("moving average center matches reference (test_methods.py:216-219)") {
     val df = seriesL(ts5L)
     val out = Regularize.movingAverage(df, Regularize.gridLongs(2, 8, 1), 2, "center", nullD)

@@ -174,6 +174,60 @@ class StatsOpsSpec extends SparkSpec {
     assert(EventOps.sessionize(df, gap = 10L).count() == 3)
   }
 
+  test("flapSuppress: equals the naive RANGE-frame crossing count") {
+    import graft.events.EventOps
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(23)
+    val pts = (0 until 500).map(_ =>
+      (rnd.nextLong(3000), Some(rnd.nextInt(100).toDouble))).distinct
+    val df = seriesL(pts)
+    for (w <- Seq(1L, 29L, 250L, 10000L)) {
+      val got = EventOps.flapSuppress(df, lit(50.0), w, maxFlips = 3)
+        .select("t", "n_cross", "suppressed").collect()
+        .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+      val wk = Window.partitionBy(col("key")).orderBy(col("t"))
+      val naive = df.groupBy(col("key"), col("t"))
+        .agg(max(col("v")).as("v"))
+        .withColumn("_st", (col("v") >= 50.0).cast("int"))
+        .withColumn("_pst", lag(col("_st"), 1).over(wk))
+        .filter(col("_pst").isNotNull && col("_st") =!= col("_pst"))
+        .withColumn("n",
+          count(lit(1)).over(Window.partitionBy(col("key"))
+            .orderBy(col("t")).rangeBetween(-(w - 1), 0)))
+        .select(col("t"), col("n"), (col("n") > 3).cast("long").as("s"))
+        .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+      assert(got == naive, s"window $w diverged")
+    }
+  }
+
+  test("flapSuppress: crossing exactly W back is outside the window") {
+    import graft.events.EventOps
+    // states 0,1,0,1: crossings at t=10,20,30. With W=10 each window
+    // (t-10, t] excludes the predecessor sitting exactly W back, so every
+    // n_cross is 1; with W=11 the predecessor is inside and n_cross grows
+    val df = seriesL(Seq(0L -> Some(0.0), 10L -> Some(9.0),
+      20L -> Some(0.0), 30L -> Some(9.0)))
+    val strict = EventOps.flapSuppress(df, lit(5.0), windowUs = 10L, maxFlips = 1)
+      .orderBy("t").collect().map(r => (r.getLong(1), r.getLong(3))).toSeq
+    assert(strict == Seq((10L, 1L), (20L, 1L), (30L, 1L)))
+    val wide = EventOps.flapSuppress(df, lit(5.0), windowUs = 11L, maxFlips = 1)
+      .orderBy("t").collect().map(r => (r.getLong(1), r.getLong(3))).toSeq
+    assert(wide == Seq((10L, 1L), (20L, 2L), (30L, 2L)))
+  }
+
+  test("rarity: exact self-information on a known histogram") {
+    import graft.stats.StatsOps
+    // key s: bins {0:3 rows, 1:1 row} of 4 -> surprises log2(4/3), 2.0
+    val df = seriesL(Seq(0L -> Some(1.0), 1L -> Some(2.0),
+      2L -> Some(3.0), 3L -> Some(10.0)))
+    val out = StatsOps.rarity(df, floor(col("v") / 10)).collect()
+      .map(r => r.getLong(1) -> r.getDouble(6)).toMap
+    val lo = BigDecimal(-math.log(3.0 / 4.0) / math.log(2.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(0L) == lo && out(1L) == lo && out(2L) == lo)
+    assert(out(3L) == 2.0)
+  }
+
   test("simpsonDiversity: uniform two-state split and single state") {
     import graft.agg.AggOps
     val s = spark
