@@ -5320,6 +5320,66 @@ object GraftQueries {
          |ASOF LEFT JOIN pts p ON g.key = p.key AND g.gt >= p.t
          |ASOF LEFT JOIN pts n ON g.key = n.key AND g.gt < n.t""".stripMargin
 
+  /** Net user-activity intervals: 30-min session coverage MINUS 2-hour
+    * incident blackouts (events with value ≥ 180) — the interval-set
+    * difference sweep over the two coalesced unions. */
+  def qIntervalDiff(spark: SparkSession, dir: String): DataFrame = {
+    val e = spark.read.parquet(s"$dir/events.parquet")
+    val a = e.select(col("user_id").as("key"), tsUs.as("t0"),
+      (tsUs + 30L * 60L * 1000000L).as("t1"))
+    val b = e.filter(col("value") >= 180)
+      .select(col("user_id").as("key"), tsUs.as("t0"),
+        (tsUs + 2L * HOUR).as("t1"))
+    SeriesOps.intervalDifference(a, b,
+      bucketBy = Some(floor(col("t0") / WEEK)))
+      .select(col("key").as("user_id"), col("d0"), col("d1"),
+        (col("d1") - col("d0")).as("net_us"))
+  }
+
+  val sqlIntervalDiff: String =
+    """WITH ea AS (SELECT user_id, epoch_us(ts) AS t0,
+      |              epoch_us(ts) + 1800000000 AS t1 FROM events),
+      |eb AS (SELECT user_id, epoch_us(ts) AS t0,
+      |         epoch_us(ts) + 7200000000 AS t1 FROM events
+      |       WHERE value >= 180),
+      |fa AS (SELECT user_id, t0, t1,
+      |         CASE WHEN t0 > coalesce(max(t1) OVER
+      |             (PARTITION BY user_id ORDER BY t0, t1
+      |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      |           -9223372036854775808) THEN 1 ELSE 0 END AS nw
+      |       FROM ea),
+      |ga AS (SELECT user_id, t0, t1,
+      |         sum(nw) OVER (PARTITION BY user_id ORDER BY t0, t1
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+      |       FROM fa),
+      |ua AS (SELECT user_id, min(t0) AS u0, max(t1) AS u1
+      |       FROM ga GROUP BY user_id, grp),
+      |fb AS (SELECT user_id, t0, t1,
+      |         CASE WHEN t0 > coalesce(max(t1) OVER
+      |             (PARTITION BY user_id ORDER BY t0, t1
+      |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      |           -9223372036854775808) THEN 1 ELSE 0 END AS nw
+      |       FROM eb),
+      |gb AS (SELECT user_id, t0, t1,
+      |         sum(nw) OVER (PARTITION BY user_id ORDER BY t0, t1
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+      |       FROM fb),
+      |ub AS (SELECT user_id, min(t0) AS u0, max(t1) AS u1
+      |       FROM gb GROUP BY user_id, grp),
+      |d AS (SELECT user_id, u0 AS t, 1 AS da, 0 AS db FROM ua
+      |      UNION ALL SELECT user_id, u1, -1, 0 FROM ua
+      |      UNION ALL SELECT user_id, u0, 0, 1 FROM ub
+      |      UNION ALL SELECT user_id, u1, 0, -1 FROM ub),
+      |g2 AS (SELECT user_id, t, sum(da) AS da, sum(db) AS db
+      |       FROM d GROUP BY 1, 2),
+      |s AS (SELECT user_id, t,
+      |        sum(da) OVER w AS ra, sum(db) OVER w AS rb,
+      |        lead(t) OVER (PARTITION BY user_id ORDER BY t) AS nt
+      |      FROM g2 WINDOW w AS (PARTITION BY user_id ORDER BY t
+      |        ROWS UNBOUNDED PRECEDING))
+      |SELECT user_id, t AS d0, nt AS d1, nt - t AS net_us
+      |FROM s WHERE ra > 0 AND rb = 0 AND nt IS NOT NULL""".stripMargin
+
   // classic relational smoke (lineitem)
   def qLineitemAgg(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/lineitem.parquet")

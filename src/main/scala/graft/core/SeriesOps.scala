@@ -654,4 +654,45 @@ object SeriesOps {
         sum(col("_dup")).as("n_merged"))
       .select(col(K), col("u0"), col("u1"), col("n_merged"))
   }
+
+  /** Per-key interval-set difference: the time covered by `a` but NOT by
+    * `b` (both (key, t0, t1) half-open interval frames) — the SLA
+    * primitive "downtime minus maintenance windows". Both sides first
+    * coalesce through [[intervalUnion]]; the difference is then ONE
+    * boundary sweep: every union endpoint becomes a ±1 delta row on two
+    * counters (a-coverage, b-coverage), two running sums replay the
+    * sweep, and the segment [t, next boundary) is emitted where
+    * a-coverage > 0 and b-coverage = 0. Because the unions are disjoint
+    * AND non-touching (touching intervals merge), coverage parity
+    * toggles at every boundary that borders an emitted segment — so the
+    * output segments are provably maximal with no post-merge pass.
+    * Output (key, d0, d1).
+    *
+    * Scale: the sweep runs over UNION boundaries (two rows per merged
+    * interval — the coalesced tier, not the raw rows; the unions
+    * themselves take `bucketBy` for hot keys). A key whose merged
+    * intervals still overflow one task would split the sweep with the
+    * same two-counter BucketedOps handoff intervalUnion uses. */
+  def intervalDifference(
+      a: DataFrame, b: DataFrame,
+      bucketBy: Option[Column] = None): DataFrame = {
+    val uA = intervalUnion(a, bucketBy).select(col(K), col("u0"), col("u1"))
+    val uB = intervalUnion(b, bucketBy).select(col(K), col("u0"), col("u1"))
+    def deltas(u: DataFrame, da: Int, db: Int) =
+      u.select(col(K), col("u0").as(T),
+        lit(da.toLong).as("_da"), lit(db.toLong).as("_db"))
+        .unionByName(u.select(col(K), col("u1").as(T),
+          lit(-da.toLong).as("_da"), lit(-db.toLong).as("_db")))
+    val bounds = deltas(uA, 1, 0).unionByName(deltas(uB, 0, 1))
+      .groupBy(col(K), col(T))
+      .agg(sum(col("_da")).as("_da"), sum(col("_db")).as("_db"))
+    val w = Window.partitionBy(K).orderBy(col(T).asc)
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bounds
+      .withColumn("_ra", sum(col("_da")).over(run))
+      .withColumn("_rb", sum(col("_db")).over(run))
+      .withColumn("_nt", lead(col(T), 1).over(w))
+      .filter(col("_ra") > 0 && col("_rb") === 0 && col("_nt").isNotNull)
+      .select(col(K), col(T).as("d0"), col("_nt").as("d1"))
+  }
 }

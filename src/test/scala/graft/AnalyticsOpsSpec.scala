@@ -418,6 +418,47 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(out == Seq((5L, 9L, 2L), (30L, 31L, 1L)))
   }
 
+  test("intervalDifference: punch-out, trim, swallow, untouched island") {
+    // a-coverage [0,100) ∪ [200,300); b punches [20,40) out of the first
+    // (split), trims its tail from 90, swallows nothing of the second
+    val out = graft.core.SeriesOps.intervalDifference(
+      intervals(Seq((0L, 60L), (50L, 100L), (200L, 300L))),
+      intervals(Seq((20L, 30L), (25L, 40L), (90L, 120L))))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq.sortBy(_._1)
+    assert(out == Seq((0L, 20L), (40L, 90L), (200L, 300L)))
+  }
+
+  test("intervalDifference: b fully covers / empty b / touching edges") {
+    // full cover -> nothing survives
+    assert(graft.core.SeriesOps.intervalDifference(
+      intervals(Seq((10L, 20L))), intervals(Seq((0L, 30L)))).isEmpty)
+    // empty b -> the union of a, unchanged
+    val noB = graft.core.SeriesOps.intervalDifference(
+      intervals(Seq((10L, 20L), (15L, 25L))),
+      intervals(Seq.empty[(Long, Long)]))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+    assert(noB == Seq((10L, 25L)))
+    // b touching a's edges removes nothing: [0,10) and [20,30) vs [10,20)
+    val touch = graft.core.SeriesOps.intervalDifference(
+      intervals(Seq((10L, 20L))),
+      intervals(Seq((0L, 10L), (20L, 30L))))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+    assert(touch == Seq((10L, 20L)))
+  }
+
+  test("intervalDifference: random ≡ brute-force point-set difference") {
+    val rnd = new scala.util.Random(41)
+    def gen(n: Int) = (0 until n).map { _ =>
+      val a = rnd.nextInt(500).toLong; (a, a + 1 + rnd.nextInt(60)) }
+    val a = gen(60); val b = gen(25)
+    val got = graft.core.SeriesOps.intervalDifference(
+      intervals(a), intervals(b))
+      .collect().flatMap(r => r.getLong(1) until r.getLong(2)).toSet
+    val want = a.flatMap { case (x, y) => x until y }.toSet --
+      b.flatMap { case (x, y) => x until y }.toSet
+    assert(got == want)
+  }
+
   /** Sequential in-memory Holt reference (Wright's irregular form) on
     * strictly-increasing times — the ground truth the distributed
     * matrix-affine scan must reproduce. */
