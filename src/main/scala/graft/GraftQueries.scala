@@ -5052,6 +5052,69 @@ object GraftQueries {
       |  END AS r
       |FROM s""".stripMargin
 
+  /** Duration-weighted SPEARMAN of the click/view pair on the same
+    * as-of-merged grid as q155: per-second midranks in exact half-unit
+    * longs, decimal(38)/HUGEINT moments, one final IEEE ratio. */
+  def qTwSpearman(spark: SparkSession, dir: String): DataFrame = {
+    val pts = points(spark, dir)
+    val a = pts.filter(col("key") === "click")
+      .withColumn("key", constKey("pair", col("key")))
+    val b = pts.filter(col("key") === "view")
+      .withColumn("key", constKey("pair", col("key")))
+    graft.events.Correlation.twSpearman(a, b, dayBucket)
+      .select(col("key"), col("n_segments"), col("w_secs"), col("rho"))
+  }
+
+  val sqlTwSpearman: String =
+    """WITH pts AS (
+      |  SELECT event_type AS key, epoch_us(ts) AS t, max(value) AS v
+      |  FROM events WHERE event_type IN ('click', 'view') GROUP BY 1, 2),
+      |u AS (
+      |  SELECT t, CASE WHEN key = 'click' THEN v END AS va,
+      |         CASE WHEN key = 'view' THEN v END AS vb,
+      |         CASE WHEN key = 'click' THEN 0 ELSE 1 END AS side
+      |  FROM pts),
+      |f AS (SELECT t, side,
+      |        last_value(va IGNORE NULLS) OVER (ORDER BY t, side
+      |          ROWS UNBOUNDED PRECEDING) AS la,
+      |        last_value(vb IGNORE NULLS) OVER (ORDER BY t, side
+      |          ROWS UNBOUNDED PRECEDING) AS lb,
+      |        row_number() OVER (PARTITION BY t ORDER BY side DESC) AS rn
+      |      FROM u),
+      |al AS (SELECT t, la, lb, lead(t) OVER (ORDER BY t) AS nt
+      |       FROM f WHERE rn = 1),
+      |q AS (SELECT CAST(floor(la * 100 + 0.5) AS BIGINT) AS xa,
+      |        CAST(floor(lb * 100 + 0.5) AS BIGINT) AS xb,
+      |        (nt - t) // 1000000 AS ws
+      |      FROM al
+      |      WHERE nt IS NOT NULL AND la IS NOT NULL AND lb IS NOT NULL),
+      |wa AS (SELECT xa, sum(ws) AS w FROM q GROUP BY 1),
+      |ra AS (SELECT xa,
+      |         2 * (sum(w) OVER (ORDER BY xa ROWS UNBOUNDED PRECEDING)
+      |              - w) + w + 1 AS r
+      |       FROM wa),
+      |wb AS (SELECT xb, sum(ws) AS w FROM q GROUP BY 1),
+      |rb AS (SELECT xb,
+      |         2 * (sum(w) OVER (ORDER BY xb ROWS UNBOUNDED PRECEDING)
+      |              - w) + w + 1 AS r
+      |       FROM wb),
+      |j AS (SELECT CAST(q.ws AS HUGEINT) AS ws,
+      |        CAST(ra.r AS HUGEINT) AS da, CAST(rb.r AS HUGEINT) AS db
+      |      FROM q JOIN ra ON q.xa = ra.xa JOIN rb ON q.xb = rb.xb),
+      |s AS (SELECT count(*) AS n_segments, sum(ws) AS w,
+      |        sum(ws * da) AS sx, sum(ws * db) AS sy,
+      |        sum(ws * da * da) AS sxx, sum(ws * db * db) AS syy,
+      |        sum(ws * da * db) AS sxy
+      |      FROM j)
+      |SELECT 'pair' AS key, n_segments, CAST(w AS BIGINT) AS w_secs,
+      |  CASE WHEN w > 0 AND w * sxx - sx * sx > 0
+      |    AND w * syy - sy * sy > 0
+      |  THEN round(CAST(w * sxy - sx * sy AS DOUBLE)
+      |    / sqrt(CAST(w * sxx - sx * sx AS DOUBLE)
+      |         * CAST(w * syy - sy * sy AS DOUBLE)), 6)
+      |  END AS rho
+      |FROM s""".stripMargin
+
   /** Daily modal value per event type: most frequent 1e-3-grid value,
     * smallest-value tie-break, with its share of the day. */
   def qModeTier(spark: SparkSession, dir: String): DataFrame =
@@ -5379,6 +5442,67 @@ object GraftQueries {
       |        ROWS UNBOUNDED PRECEDING))
       |SELECT user_id, t AS d0, nt AS d1, nt - t AS net_us
       |FROM s WHERE ra > 0 AND rb = 0 AND nt IS NOT NULL""".stripMargin
+
+  /** Event-triggered average around high-value triggers (≥ 170): the
+    * mean series profile at hourly offsets −3h..+3h relative to each
+    * trigger — one as-of window samples every (trigger, offset) probe. */
+  def qEventAvg(spark: SparkSession, dir: String): DataFrame = {
+    val trig = spark.read.parquet(s"$dir/events.parquet")
+      .filter(col("value") >= 170)
+      .select(col("event_type").as("key"), tsUs.as("t")).distinct()
+    EventOps.eventTriggeredAverage(points(spark, dir), trig,
+      (-3L to 3L).map(_ * HOUR))
+  }
+
+  val sqlEventAvg: String =
+    """WITH pts AS (
+      |  SELECT event_type AS key, epoch_us(ts) AS t, max(value) AS v
+      |  FROM events GROUP BY 1, 2),
+      |trig AS (SELECT DISTINCT event_type AS key, epoch_us(ts) AS t
+      |         FROM events WHERE value >= 170),
+      |off AS (SELECT unnest(generate_series(-3, 3)) * 3600000000 AS off_us),
+      |pr AS (SELECT trig.key, trig.t + off.off_us AS pt, off.off_us
+      |       FROM trig CROSS JOIN off)
+      |SELECT pr.key AS key, pr.off_us, count(*) AS n_events,
+      |  count(p.v) AS n_sampled,
+      |  round(sum(CAST(floor(p.v * 1000 + 0.5) AS BIGINT))
+      |          / 1000.0 / count(p.v), 6) AS mean_v
+      |FROM pr ASOF LEFT JOIN pts p ON pr.key = p.key AND pr.pt >= p.t
+      |GROUP BY 1, 2""".stripMargin
+
+  /** SRE multi-window burn rate over the event stream: each event is a
+    * request, bad = value ≥ 170, budget 10%; alert when both the 1h and
+    * 6h trailing windows burn at ≥ 2× — O(n) prefix-difference counts,
+    * the oracle replays the naive RANGE frames. */
+  def qBurnRate(spark: SparkSession, dir: String): DataFrame =
+    EventOps.burnRate(
+      spark.read.parquet(s"$dir/events.parquet")
+        .select(col("event_type").as("key"), tsUs.as("t"),
+          col("value").as("v")),
+      isBad = col("v") >= 170, budget = 0.1,
+      shortUs = HOUR, longUs = 6 * HOUR, burnThreshold = 2.0)
+
+  val sqlBurnRate: String =
+    """WITH byt AS (
+      |  SELECT event_type AS key, epoch_us(ts) AS t, count(*) AS n,
+      |         sum(CAST(value >= 170 AS BIGINT)) AS b
+      |  FROM events GROUP BY 1, 2),
+      |w AS (SELECT key, t,
+      |        sum(n) OVER ws AS tot_s, sum(b) OVER ws AS bad_s,
+      |        sum(n) OVER wl AS tot_l, sum(b) OVER wl AS bad_l
+      |      FROM byt
+      |      WINDOW ws AS (PARTITION BY key ORDER BY t
+      |        RANGE BETWEEN 3599999999 PRECEDING AND CURRENT ROW),
+      |      wl AS (PARTITION BY key ORDER BY t
+      |        RANGE BETWEEN 21599999999 PRECEDING AND CURRENT ROW))
+      |SELECT key, t, tot_s, bad_s,
+      |  round(CAST(bad_s AS DOUBLE) / tot_s / 0.1, 6) AS burn_s,
+      |  tot_l, bad_l,
+      |  round(CAST(bad_l AS DOUBLE) / tot_l / 0.1, 6) AS burn_l,
+      |  CAST(round(CAST(bad_s AS DOUBLE) / tot_s / 0.1, 6) >= 2.0
+      |   AND round(CAST(bad_l AS DOUBLE) / tot_l / 0.1, 6) >= 2.0
+      |   AS BIGINT) AS alert
+      |FROM w""".stripMargin
 
   // classic relational smoke (lineitem)
   def qLineitemAgg(spark: SparkSession, dir: String): DataFrame =

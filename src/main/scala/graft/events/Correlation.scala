@@ -404,6 +404,72 @@ object Correlation {
           .as("r"))
   }
 
+  /** Duration-weighted SPEARMAN correlation: [[twPearson]] on the
+    * duration-midranks instead of the values — the robust, monotone-
+    * invariant face of the same alignment. Each whole second of a
+    * segment counts as one observation of the step function, so the
+    * rank of value x is the classic midrank of the per-second
+    * expansion, W(<x) + (w(x) + 1) / 2 seconds, kept EXACT in
+    * half-units as the long R = 2·W(<x) + w(x) + 1 (ρ is affine-
+    * invariant, so the doubling cancels). Rank moments grow as S³–S⁴
+    * (S = total seconds) — past int64 — so the sufficient statistics
+    * accumulate in decimal(38,0) (exact 128-bit in both engines; the
+    * DuckDB oracle mirrors with HUGEINT) and only the final ratio is
+    * IEEE. Output (key, n_segments, w_secs, rho); null on zero weight
+    * or a constant side.
+    *
+    * Scale: the twPearson plan plus two (key, distinct-value)-sized
+    * rank tables equi-joined back — rank tables are histogram-sized,
+    * never row-sized, and broadcast/AQE-friendly. */
+  def twSpearman(
+      a: DataFrame,
+      b: DataFrame,
+      bucketBy: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val aligned = graft.merge.MergeOps.alignPair(a, b, bucketBy = bucketBy)
+    val ord = Window.partitionBy(col(K)).orderBy(col(T).asc)
+    val segs = aligned
+      .withColumn("_nt", lead(col(T), 1).over(ord))
+      .filter(col("_nt").isNotNull && col("va").isNotNull &&
+        col("vb").isNotNull)
+      .select(col(K),
+        floor(col("va") * 100 + 0.5).cast("long").as("_xa"),
+        floor(col("vb") * 100 + 0.5).cast("long").as("_xb"),
+        expr("(_nt - t) div 1000000").as("_ws"))
+    def ranks(x: String, rk: String, rx: String, r: String) = {
+      val cum = Window.partitionBy("_gk").orderBy(col(rx).asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      segs.groupBy(col(K).as("_gk"), col(x).as(rx))
+        .agg(sum(col("_ws")).as("_w"))
+        .withColumn("_cum", sum(col("_w")).over(cum))
+        .select(col("_gk").as(rk), col(rx),
+          (lit(2) * (col("_cum") - col("_w")) + col("_w") + 1).as(r))
+    }
+    val dec = "decimal(38,0)"
+    val withRanks = segs
+      .join(ranks("_xa", "_rka", "_rxa", "_ra"),
+        col(K) <=> col("_rka") && col("_xa") === col("_rxa"))
+      .join(ranks("_xb", "_rkb", "_rxb", "_rb"),
+        col(K) <=> col("_rkb") && col("_xb") === col("_rxb"))
+      .select(col(K), col("_ws"),
+        col("_ra").cast(dec).as("_da"), col("_rb").cast(dec).as("_db"))
+    val agg = withRanks
+      .groupBy(col(K))
+      .agg(count(lit(1)).as("n_segments"), sum(col("_ws")).as("w_secs"),
+        sum(col("_ws").cast(dec) * col("_da")).as("_sx"),
+        sum(col("_ws").cast(dec) * col("_db")).as("_sy"),
+        sum(col("_ws").cast(dec) * col("_da") * col("_da")).as("_sxx"),
+        sum(col("_ws").cast(dec) * col("_db") * col("_db")).as("_syy"),
+        sum(col("_ws").cast(dec) * col("_da") * col("_db")).as("_sxy"))
+    val n = col("w_secs").cast(dec)
+    val num = (n * col("_sxy") - col("_sx") * col("_sy")).cast("double")
+    val va = (n * col("_sxx") - col("_sx") * col("_sx")).cast("double")
+    val vb = (n * col("_syy") - col("_sy") * col("_sy")).cast("double")
+    agg.select(col(K), col("n_segments"), col("w_secs"),
+      when(col("w_secs") > 0 && va > 0 && vb > 0,
+        round(num / sqrt(va * vb), 6)).as("rho"))
+  }
+
   private[graft] def dtwBanded(
       x: Array[Long], y: Array[Long], band: Int): Option[Long] = {
     val n = x.length

@@ -1460,4 +1460,118 @@ object EventOps {
         round(col("_m._dd") / 1000.0, 6).as("max_dd"),
         col("_m._pt").as("peak_t"), (-col("_m._nt")).as("trough_t"))
   }
+
+  /** Event-triggered average (the "event study" / stimulus-locked
+    * profile): for each trigger event and each relative offset in
+    * `offsetsUs`, sample the value series at `t_trigger + offset` with
+    * previous-value interpolation (the reference's `get(t, "previous")`
+    * semantics, traces/timeseries.py:91-110 — a measurement exactly at
+    * the probe time counts), then average ACROSS triggers per (key,
+    * offset) — "what does the series do, on average, around a deploy".
+    * Probes before a key's first measurement answer null and are
+    * excluded from the mean but counted (n_events vs n_sampled).
+    *
+    * Plan: triggers × broadcast offset axis → tagged probe rows riding
+    * ONE union-then-window as-of per key (the [[graft.regularize
+    * .Regularize.samplePrevious]] idiom with the offset carried through
+    * — no per-offset data replication, no range join), then one
+    * aggregate. Engine-exactness: the sampled value quantizes to the
+    * 1e-3 grid as a LONG before the sum; the mean is ONE IEEE division.
+    * Output (key, off_us, n_events, n_sampled, mean_v).
+    */
+  def eventTriggeredAverage(
+      pts: DataFrame, triggers: DataFrame,
+      offsetsUs: Seq[Long]): DataFrame = {
+    require(offsetsUs.nonEmpty, "offsetsUs must be non-empty")
+    val offs = offsetsUs.map(o => lit(o).cast("long"))
+    val data = pts.filter(col(V).isNotNull)
+      .groupBy(col(K), col(T)).agg(max(col(V)).as(V)) // loader convention
+      .select(col(K), col(T), col(V),
+        lit(null).cast("long").as("_off"), lit(0).as("_g"))
+    val probe = triggers
+      .select(col(K), col(T), explode(array(offs: _*)).as("_off"))
+      .select(col(K), (col(T) + col("_off")).as(T),
+        lit(null).cast("double").as(V), col("_off"), lit(1).as("_g"))
+    val w = Window.partitionBy(K)
+      .orderBy(col(T).asc, col("_g").asc) // data before probes at equal t
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    data.unionByName(probe)
+      .withColumn("_s",
+        last(when(col("_g") === 0, struct(col(V))), ignoreNulls = true).over(w))
+      .filter(col("_g") === 1)
+      .select(col(K), col("_off"), col("_s").getField(V).as("_sv"))
+      .groupBy(col(K), col("_off").as("off_us"))
+      .agg(count(lit(1)).as("n_events"),
+        count(col("_sv")).as("n_sampled"),
+        sum(floor(col("_sv") * 1000 + 0.5).cast("long")).as("_q"))
+      .select(col(K), col("off_us"), col("n_events"), col("n_sampled"),
+        round(col("_q") / 1000.0 / col("n_sampled"), 6).as("mean_v"))
+  }
+
+  /** Multi-window error-budget burn rate (the SRE workbook's
+    * multiwindow multi-burn-rate alert, public sre.google — the
+    * composition every SLO monitor runs): per key, each event is a
+    * request, "bad" = `isBad`; at every distinct event time the
+    * trailing windows (t − W, t] for W ∈ {shortUs, longUs} give
+    * burn_W = (bad_W / total_W) / budget, and the alert fires when
+    * BOTH windows burn at ≥ `burnThreshold` (the short window for
+    * responsiveness, the long one to gate flickers). Trailing counts in
+    * O(n) per window by the [[flapSuppress]] prefix-difference
+    * identity: running (total, bad) prefixes + one as-of probe at
+    * t − W — never a RANGE re-scan. Rows pre-aggregate to per-(key, t)
+    * counts so prefixes are deterministic; a probe at an occupied
+    * position sorts AFTER data (strict left boundary, matching the
+    * integer RANGE frame of the oracle). Burn rates are two IEEE
+    * divisions in a fixed order, rounded to 6 dp; the alert compares
+    * the rounded values. Output (key, t, tot_s, bad_s, burn_s, tot_l,
+    * bad_l, burn_l, alert).
+    */
+  def burnRate(df: DataFrame, isBad: Column, budget: Double,
+      shortUs: Long, longUs: Long, burnThreshold: Double): DataFrame = {
+    require(budget > 0 && budget <= 1, s"budget $budget must be in (0, 1]")
+    require(shortUs > 0 && longUs > shortUs,
+      s"windows must satisfy 0 < short ($shortUs) < long ($longUs)")
+    val wk = Window.partitionBy(col(K)).orderBy(col(T).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val byT = df
+      .groupBy(col(K), col(T))
+      .agg(count(lit(1)).as("_n"),
+        coalesce(sum(isBad.cast("long")), lit(0L)).as("_b"))
+      .withColumn("_rt", sum(col("_n")).over(wk))
+      .withColumn("_rb", sum(col("_b")).over(wk))
+    val data = byT.select(col(K), col(T).as("_pos"),
+      lit(null).cast("long").as("_ot"),
+      struct(col("_rt"), col("_rb")).as("_pfx"))
+    def answered(windowUs: Long, sfx: String) = {
+      val probes = byT.select(col(K), (col(T) - windowUs).as("_pos"),
+        col(T).as("_ot"),
+        lit(null).cast("struct<_rt:bigint,_rb:bigint>").as("_pfx"))
+      val wAsof = Window.partitionBy(col(K))
+        .orderBy(col("_pos").asc, col("_ot").isNotNull.asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      data.unionByName(probes)
+        .withColumn("_a", last(col("_pfx"), ignoreNulls = true).over(wAsof))
+        .filter(col("_ot").isNotNull)
+        .select(col(K).as(s"_ak$sfx"), col("_ot").as(s"_ot$sfx"),
+          coalesce(col("_a._rt"), lit(0L)).as(s"_at$sfx"),
+          coalesce(col("_a._rb"), lit(0L)).as(s"_ab$sfx"))
+    }
+    def burn(tot: Column, bad: Column) =
+      round(bad.cast("double") / tot / budget, 6)
+    byT
+      .join(answered(shortUs, "s"),
+        col(K) <=> col("_aks") && col(T) === col("_ots"))
+      .join(answered(longUs, "l"),
+        col(K) <=> col("_akl") && col(T) === col("_otl"))
+      .withColumn("tot_s", col("_rt") - col("_ats"))
+      .withColumn("bad_s", col("_rb") - col("_abs"))
+      .withColumn("tot_l", col("_rt") - col("_atl"))
+      .withColumn("bad_l", col("_rb") - col("_abl"))
+      .withColumn("burn_s", burn(col("tot_s"), col("bad_s")))
+      .withColumn("burn_l", burn(col("tot_l"), col("bad_l")))
+      .select(col(K), col(T), col("tot_s"), col("bad_s"), col("burn_s"),
+        col("tot_l"), col("bad_l"), col("burn_l"),
+        (col("burn_s") >= burnThreshold && col("burn_l") >= burnThreshold)
+          .cast("long").as("alert"))
+  }
 }

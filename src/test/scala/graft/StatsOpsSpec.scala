@@ -243,4 +243,176 @@ class StatsOpsSpec extends SparkSpec {
     assert(out("one").getDouble(3) == 0.0)
     assert(out("one").getDouble(4) == 1.0)
   }
+
+  test("twSpearman: monotone but nonlinear co-movement gives rho = 1") {
+    import graft.events.Correlation
+    // b = a^3 at the same times: Pearson < 1, Spearman exactly 1
+    val a = seriesL(Seq(0L -> Some(1.0), 1000000L -> Some(3.0),
+      5000000L -> Some(2.0), 9000000L -> Some(5.0)))
+    val b = seriesL(Seq(0L -> Some(1.0), 1000000L -> Some(27.0),
+      5000000L -> Some(8.0), 9000000L -> Some(125.0)))
+    val r = Correlation.twSpearman(a, b).collect().head
+    assert(r.getDouble(3) == 1.0)
+    assert(Correlation.twPearson(a, b).collect().head.getDouble(3) < 1.0)
+    val inv = seriesL(Seq(0L -> Some(9.0), 1000000L -> Some(2.0),
+      5000000L -> Some(5.0), 9000000L -> Some(1.0)))
+    assert(Correlation.twSpearman(a, inv).collect().head.getDouble(3) == -1.0)
+  }
+
+  test("twSpearman: constant side gives null; ties midrank correctly") {
+    import graft.events.Correlation
+    val a = seriesL(Seq(0L -> Some(1.0), 2000000L -> Some(2.0),
+      4000000L -> Some(3.0), 6000000L -> Some(3.0)))
+    val const = seriesL(Seq(0L -> Some(7.0), 6000000L -> Some(7.0)))
+    assert(Correlation.twSpearman(a, const).collect().head.isNullAt(3))
+    // hand midrank check: a segments (1,2,3) x 2s each vs b (1,1,9):
+    // b's two tied seconds-blocks share the midrank of their span
+    val b = seriesL(Seq(0L -> Some(1.0), 2000000L -> Some(1.0),
+      4000000L -> Some(9.0), 6000000L -> Some(9.0)))
+    // per-second ranks: a = 1.5,3.5,5.5 ; b = 2.5,2.5,5.5 (2s blocks)
+    // weighted Pearson of those ranks = sqrt(3)/2
+    val rho = Correlation.twSpearman(a, b).collect().head.getDouble(3)
+    assert(math.abs(rho - math.sqrt(3.0) / 2) < 1e-6, s"got $rho")
+  }
+
+  test("twSpearman: equals rank-expanded Pearson on random data") {
+    import graft.events.Correlation
+    val rnd = new scala.util.Random(41)
+    def mk() = seriesL((0 until 60).map(i =>
+      i * 1000000L -> Some(rnd.nextInt(12).toDouble)))
+    for (_ <- 0 until 3) {
+      val (a, b) = (mk(), mk())
+      val got = Correlation.twSpearman(a, b).collect().head
+      // brute force: expand to per-second observations, midrank, Pearson
+      def vals(df: org.apache.spark.sql.DataFrame) = df
+        .orderBy("t").collect().map(_.getDouble(2)).toSeq
+      val (va, vb) = (vals(a), vals(b))
+      val secs = (0 until 59).flatMap(i => Seq.fill(1)(i)) // 1s segments
+      val xa = secs.map(va(_)); val xb = secs.map(vb(_))
+      def midranks(xs: Seq[Double]) = {
+        val sorted = xs.sorted
+        xs.map(x => (sorted.indexOf(x) + 1 + sorted.lastIndexOf(x) + 1) / 2.0)
+      }
+      val (ra, rb) = (midranks(xa), midranks(xb))
+      val n = ra.size.toDouble
+      val (sx, sy) = (ra.sum, rb.sum)
+      val sxx = ra.map(x => x * x).sum; val syy = rb.map(x => x * x).sum
+      val sxy = ra.zip(rb).map { case (x, y) => x * y }.sum
+      val va2 = n * sxx - sx * sx; val vb2 = n * syy - sy * sy
+      val expect =
+        if (va2 <= 0 || vb2 <= 0) None
+        else Some((n * sxy - sx * sy) / math.sqrt(va2 * vb2))
+      val gotRho = if (got.isNullAt(3)) None else Some(got.getDouble(3))
+      (expect, gotRho) match {
+        case (Some(e), Some(g)) => assert(math.abs(e - g) < 1e-5, s"$e vs $g")
+        case (e, g) => assert(e.isEmpty == g.isEmpty, s"$e vs $g")
+      }
+    }
+  }
+
+  test("eventTriggeredAverage: hand-checked stimulus-locked profile") {
+    val s = spark
+    import s.implicits._
+    // series 0->10, 10->20, 20->30; triggers at 10 and 25, offsets ±5, 0
+    val pts = seriesL(Seq(0L -> Some(10.0), 10L -> Some(20.0),
+      20L -> Some(30.0)))
+    val trig = Seq(("s", 10L), ("s", 25L)).toDF("key", "t")
+    val out = EventOps.eventTriggeredAverage(pts, trig, Seq(-5L, 0L, 5L))
+      .collect().map(r => r.getLong(1) -> r).toMap
+    // off -5: samples at 5 (->10) and 20 (exact hit ->30) => 20.0
+    assert(out(-5L).getDouble(4) == 20.0)
+    // off 0: samples at 10 (exact ->20) and 25 (->30) => 25.0
+    assert(out(0L).getDouble(4) == 25.0)
+    // off +5: samples at 15 (->20) and 30 (->30) => 25.0
+    assert(out(5L).getDouble(4) == 25.0)
+    assert(out(0L).getLong(2) == 2 && out(0L).getLong(3) == 2)
+  }
+
+  test("eventTriggeredAverage: pre-first probes go null, not default") {
+    val s = spark
+    import s.implicits._
+    val pts = seriesL(Seq(10L -> Some(7.0)))
+    val trig = Seq(("s", 12L)).toDF("key", "t")
+    val out = EventOps.eventTriggeredAverage(pts, trig, Seq(-5L, 0L))
+      .collect().map(r => r.getLong(1) -> r).toMap
+    assert(out(-5L).getLong(2) == 1 && out(-5L).getLong(3) == 0)
+    assert(out(-5L).isNullAt(4)) // probe at 7 precedes the first point
+    assert(out(0L).getDouble(4) == 7.0)
+  }
+
+  test("eventTriggeredAverage: equals brute-force per-trigger sampling") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(23)
+    val pts = (0 until 300).map(_ =>
+      (rnd.nextLong(2000), Some(rnd.nextInt(1000) / 10.0))).distinct
+    val trigTs = (0 until 40).map(_ => rnd.nextLong(2200)).distinct
+    val df = seriesL(pts)
+    val trig = trigTs.map(("s", _)).toDF("key", "t")
+    val offsets = Seq(-97L, -13L, 0L, 13L, 97L)
+    val got = EventOps.eventTriggeredAverage(df, trig, offsets)
+      .collect()
+      .map(r => r.getLong(1) -> (r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4)))).toMap
+    val sorted = pts.groupBy(_._1).map { case (t, g) =>
+      t -> g.map(_._2.get).max }.toSeq.sortBy(_._1) // loader max-dedup
+    for (off <- offsets) {
+      val samples = trigTs.map { te =>
+        sorted.takeWhile(_._1 <= te + off).lastOption.map(_._2)
+      }
+      val hit = samples.flatten
+      val mean =
+        if (hit.isEmpty) None
+        else Some(BigDecimal(
+          hit.map(v => math.floor(v * 1000 + 0.5).toLong).sum / 1000.0
+            / hit.size)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      assert(got(off)._1 == trigTs.size && got(off)._2 == hit.size,
+        s"counts at off $off")
+      assert(got(off)._3 == mean, s"mean at off $off")
+    }
+  }
+
+  test("burnRate: equals the naive RANGE-frame window counts") {
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(31)
+    val pts = (0 until 500).map(_ =>
+      (rnd.nextLong(1500), Some(rnd.nextInt(100).toDouble)))
+    val df = seriesL(pts)
+    val (ws, wl) = (7L, 23L)
+    val got = EventOps.burnRate(df, col("v") >= 50, budget = 0.5,
+      shortUs = ws, longUs = wl, burnThreshold = 1.2)
+      .collect()
+      .map(r => r.getLong(1) -> (r.getLong(2), r.getLong(3),
+        r.getLong(5), r.getLong(6), r.getLong(8))).toMap
+    val byT = df.groupBy(col("key"), col("t"))
+      .agg(count(lit(1)).as("n"),
+        sum((col("v") >= 50).cast("long")).as("b"))
+    def fr(w: Long) = Window.partitionBy(col("key")).orderBy(col("t"))
+      .rangeBetween(-(w - 1), 0)
+    val naive = byT
+      .withColumn("ts", sum(col("n")).over(fr(ws)))
+      .withColumn("bs", sum(col("b")).over(fr(ws)))
+      .withColumn("tl", sum(col("n")).over(fr(wl)))
+      .withColumn("bl", sum(col("b")).over(fr(wl)))
+      .withColumn("al",
+        (round(col("bs").cast("double") / col("ts") / 0.5, 6) >= 1.2 &&
+          round(col("bl").cast("double") / col("tl") / 0.5, 6) >= 1.2)
+          .cast("long"))
+      .collect()
+      .map(r => r.getLong(1) -> (r.getLong(4), r.getLong(5),
+        r.getLong(6), r.getLong(7), r.getLong(8))).toMap
+    assert(got == naive)
+  }
+
+  test("burnRate: strict left boundary — an event exactly W back drops") {
+    val df = seriesL(Seq(0L -> Some(90.0), 10L -> Some(90.0)))
+    val out = EventOps.burnRate(df, col("v") >= 50, budget = 1.0,
+      shortUs = 10L, longUs = 20L, burnThreshold = 9.9)
+      .collect().map(r => r.getLong(1) -> r).toMap
+    // short window at t=10 is (0, 10]: the t=0 event is excluded
+    assert(out(10L).getLong(2) == 1 && out(10L).getLong(3) == 1)
+    // long window (−10, 10] still sees both
+    assert(out(10L).getLong(5) == 2 && out(10L).getLong(6) == 2)
+  }
 }
