@@ -5504,6 +5504,57 @@ object GraftQueries {
       |   AS BIGINT) AS alert
       |FROM w""".stripMargin
 
+  /** Kleinberg 2-state burst marking over each USER's activity gaps
+    * (γ = 1, s = 2, week buckets): the integer min-plus Viterbi — the
+    * one scan-family member exact enough for a DuckDB oracle, which
+    * replays both DP directions as recursive CTEs (keyed by user so the
+    * oracle recursion depth is the per-user chain, not the corpus). */
+  def qBursts(spark: SparkSession, dir: String): DataFrame =
+    graft.events.Burst.kleinbergBursts(
+      spark.read.parquet(s"$dir/events.parquet")
+        .select(col("user_id").as("key"), tsUs.as("t")),
+      gamma = 1.0, bucketMicros = WEEK)
+
+  val sqlBursts: String =
+    """WITH RECURSIVE pts AS (
+      |  SELECT DISTINCT user_id AS key, epoch_us(ts) AS t FROM events),
+      |st AS (SELECT key, count(*) - 1 AS m, max(t) - min(t) AS span
+      |       FROM pts GROUP BY 1
+      |       HAVING count(*) - 1 >= 1 AND max(t) - min(t) > 0),
+      |g0 AS (SELECT key, t,
+      |         lag(t) OVER (PARTITION BY key ORDER BY t) AS t0
+      |       FROM pts),
+      |g AS (SELECT g0.key,
+      |        row_number() OVER (PARTITION BY g0.key ORDER BY g0.t) AS i,
+      |        g0.t0, g0.t AS t1, g0.t - g0.t0 AS x,
+      |        CAST((CAST(1048576 AS HUGEINT) * (g0.t - g0.t0) * st.m)
+      |             // st.span AS BIGINT) - 726817 AS r,
+      |        CAST(floor(ln(CAST(st.m AS DOUBLE)) * 1048576 + 0.5)
+      |             AS BIGINT) AS up,
+      |        st.m
+      |      FROM g0 JOIN st ON g0.key = st.key WHERE g0.t0 IS NOT NULL),
+      |f AS (
+      |  SELECT key, CAST(0 AS BIGINT) AS i, CAST(0 AS BIGINT) AS f0,
+      |         CAST(2305843009213693951 AS BIGINT) AS f1
+      |  FROM st
+      |  UNION ALL
+      |  SELECT g.key, g.i, least(f.f0, f.f1),
+      |         least(g.up + g.r + f.f0, g.r + f.f1)
+      |  FROM f JOIN g ON g.key = f.key AND g.i = f.i + 1),
+      |h AS (
+      |  SELECT key, m + 1 AS i, CAST(0 AS BIGINT) AS h0,
+      |         CAST(0 AS BIGINT) AS h1
+      |  FROM st
+      |  UNION ALL
+      |  SELECT g.key, g.i, least(h.h0, g.up + g.r + h.h1),
+      |         least(h.h0, g.r + h.h1)
+      |  FROM h JOIN g ON g.key = h.key AND g.i = h.i - 1)
+      |SELECT g.key, g.t0, g.t1, g.x AS gap_us,
+      |  CAST(f.f1 + h.h1 < f.f0 + h.h0 AS BIGINT) AS burst
+      |FROM g
+      |JOIN f ON f.key = g.key AND f.i = g.i
+      |JOIN h ON h.key = g.key AND h.i = g.i + 1""".stripMargin
+
   // classic relational smoke (lineitem)
   def qLineitemAgg(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/lineitem.parquet")
