@@ -81,7 +81,11 @@ object Bench {
     // flap suppression / rarity score / bounded interpolation (q161-q163)
     "q161_flap_suppress", "q162_rarity", "q163_bounded_sample",
     // interval-set difference sweep (q164)
-    "q164_interval_diff")
+    "q164_interval_diff",
+    // event-study / burn-rate / rank-correlation / tropical-Viterbi
+    // wave (q165-q168)
+    "q165_event_avg", "q166_burn_rate", "q167_tw_spearman",
+    "q168_bursts")
 
   def session(cpus: String): SparkSession = {
     // 4 waves of tasks per core: on a shared VM with CPU steal, a stage is
