@@ -348,4 +348,71 @@ object StreamingRollup {
           }
         })
   }
+
+  case class ReqEvent(key: String, t: Long, bad: Boolean)
+  case class BurnRow(key: String, t: Long, tot_s: Long, bad_s: Long,
+      burn_s: Double, tot_l: Long, bad_l: Long, burn_l: Double, alert: Long)
+  case class BurnState(recent: Seq[(Long, Long, Long)], maxT: Long)
+
+  /** Streaming face of [[graft.events.EventOps.burnRate]]: per key, the
+    * SRE multi-window burn-rate alert evaluated at every distinct event
+    * time over the trailing (t − W, t] request/bad counts for W ∈
+    * {shortUs, longUs}. State is the per-(key, t) count ring inside the
+    * LONG window — O(distinct event times per longUs) — pruned as time
+    * advances; the short window reads from the same ring. Within a
+    * batch, events group per t and replay in time order exactly like
+    * the batch operator; ACROSS batches the contract is STRICTLY
+    * increasing event time per key ([[deadbandStream]]'s rule — a
+    * same-t re-delivery is a count CORRECTION the already-emitted row
+    * cannot honor) and stale input fails loudly. Burn rounding matches
+    * the batch face bit-for-bit (two fixed-order IEEE divisions,
+    * HALF_UP at 6 dp). */
+  def burnRateStream(
+      events: Dataset[ReqEvent], budget: Double,
+      shortUs: Long, longUs: Long, burnThreshold: Double): Dataset[BurnRow] = {
+    require(budget > 0 && budget <= 1, s"budget $budget must be in (0, 1]")
+    require(shortUs > 0 && longUs > shortUs,
+      s"windows must satisfy 0 < short ($shortUs) < long ($longUs)")
+    import events.sparkSession.implicits._
+    def r6(x: Double): Double = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    events
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        (key: String, rows: Iterator[ReqEvent], state: GroupState[BurnState]) => {
+          val s0 = state.getOption.getOrElse(BurnState(Nil, Long.MinValue))
+          val byT = rows.toArray.groupBy(_.t)
+            .map { case (t, es) =>
+              (t, es.length.toLong, es.count(_.bad).toLong)
+            }
+            .toArray.sortBy(_._1)
+          if (byT.isEmpty) Iterator.empty
+          else {
+            if (s0.maxT != Long.MinValue && byT.head._1 <= s0.maxT)
+              throw new IllegalStateException(
+                s"burnRateStream: event at t=${byT.head._1} for key=$key is " +
+                  s"not after the max seen time ${s0.maxT} — emitted rows " +
+                  "are final and a same-t re-delivery is a count " +
+                  "correction; feed per-key strictly-time-ordered batches")
+            val ring = scala.collection.mutable.ArrayDeque
+              .from(s0.recent)
+            val out = byT.map { case (t, n, b) =>
+              ring.append((t, n, b))
+              while (ring.head._1 <= t - longUs) ring.removeHead()
+              var totL = 0L; var badL = 0L; var totS = 0L; var badS = 0L
+              ring.foreach { case (rt, rn, rb) =>
+                totL += rn; badL += rb
+                if (rt > t - shortUs) { totS += rn; badS += rb }
+              }
+              val burnS = r6(badS.toDouble / totS / budget)
+              val burnL = r6(badL.toDouble / totL / budget)
+              BurnRow(key, t, totS, badS, burnS, totL, badL, burnL,
+                if (burnS >= burnThreshold && burnL >= burnThreshold) 1L
+                else 0L)
+            }
+            state.update(BurnState(ring.toSeq, byT.last._1))
+            out.iterator
+          }
+        })
+  }
 }

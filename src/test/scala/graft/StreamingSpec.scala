@@ -391,6 +391,60 @@ class StreamingSpec extends SparkSpec {
     q2.stop()
   }
 
+  test("streaming burn rate equals batch across batch splits; stale input fails") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rnd = new scala.util.Random(53)
+    // strictly increasing per-key times with duplicate-t multiplicities
+    val evs = Seq("a", "b").flatMap { k =>
+      var t = 0L
+      (0 until 80).flatMap { _ =>
+        t += 1 + rnd.nextInt(20)
+        Seq.fill(1 + rnd.nextInt(3))(
+          StreamingRollup.ReqEvent(k, t, rnd.nextInt(3) == 0))
+      }
+    }
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[StreamingRollup.ReqEvent]
+    val q = StreamingRollup.burnRateStream(mem.toDS(), budget = 0.5,
+      shortUs = 13L, longUs = 47L, burnThreshold = 0.4)
+      .writeStream.format("memory").queryName("burn_out")
+      .outputMode("append").start()
+    // split into per-key time-ordered batches at an arbitrary cut
+    val (b1, b2) = (evs.filter(_.t <= 400), evs.filter(_.t > 400))
+    mem.addData(b1: _*); q.processAllAvailable()
+    mem.addData(b2: _*); q.processAllAvailable(); q.stop()
+    val got = spark.table("burn_out").collect()
+      .map(r => ((r.getString(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getDouble(4), r.getLong(5),
+          r.getLong(6), r.getDouble(7), r.getLong(8)))).toMap
+    val all = evs.map(e => (e.key, e.t, if (e.bad) 60.0 else 10.0))
+      .toDF("key", "t", "v")
+    val exp = graft.events.EventOps.burnRate(all, col("v") >= 50,
+      budget = 0.5, shortUs = 13L, longUs = 47L, burnThreshold = 0.4)
+      .collect()
+      .map(r => ((r.getString(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getDouble(4), r.getLong(5),
+          r.getLong(6), r.getDouble(7), r.getLong(8)))).toMap
+    assert(got == exp)
+
+    val mem2 = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[StreamingRollup.ReqEvent]
+    val q2 = StreamingRollup.burnRateStream(mem2.toDS(), budget = 0.5,
+      shortUs = 13L, longUs = 47L, burnThreshold = 0.4)
+      .writeStream.format("memory").queryName("burn_fail")
+      .outputMode("append").start()
+    mem2.addData(StreamingRollup.ReqEvent("a", 100L, bad = false))
+    q2.processAllAvailable()
+    mem2.addData(StreamingRollup.ReqEvent("a", 100L, bad = true)) // same-t
+    val ex2 = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q2.processAllAvailable()
+    }
+    assert(ex2.getMessage.contains("burnRateStream") ||
+      Option(ex2.getCause).exists(_.getMessage.contains("burnRateStream")))
+    q2.stop()
+  }
+
   test("streaming deadband equals batch across batch splits; same-t re-delivery fails") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
