@@ -5383,6 +5383,43 @@ object GraftQueries {
          |ASOF LEFT JOIN pts p ON g.key = p.key AND g.gt >= p.t
          |ASOF LEFT JOIN pts n ON g.key = n.key AND g.gt < n.t""".stripMargin
 
+  /** Hourly gap-fill with the audit trail: exact hit → 4h-bounded
+    * linear → hour-of-day seasonal mean → null, each row labeled with
+    * the tier that answered. */
+  def qImputeSeasonal(spark: SparkSession, dir: String): DataFrame = {
+    val pts = points(spark, dir)
+    val (tmin, tmax) = bounds(pts)
+    Regularize.imputeSeasonal(
+      pts, Regularize.gridSeq(pts, tmin, tmax, HOUR), maxGapUs = 4 * HOUR)
+  }
+
+  val sqlImputeSeasonal: String =
+    sqlPrefix() +
+      s""", grid AS (
+         |  SELECT key, gt FROM (SELECT DISTINCT key FROM pts),
+         |    unnest(generate_series((SELECT tmin FROM b), (SELECT tmax FROM b), $HOUR)) g(gt)),
+         |lin AS (
+         |  SELECT g.key AS key, g.gt AS t, p.t AS pt,
+         |    round(CASE WHEN p.t IS NULL THEN NULL
+         |               WHEN n.t IS NULL THEN p.v
+         |               WHEN g.gt <> p.t AND n.t - p.t > ${4 * HOUR} THEN NULL
+         |               ELSE p.v + (g.gt - p.t) / (n.t - p.t) * (n.v - p.v)
+         |          END, 6) AS lv
+         |  FROM grid g
+         |  ASOF LEFT JOIN pts p ON g.key = p.key AND g.gt >= p.t
+         |  ASOF LEFT JOIN pts n ON g.key = n.key AND g.gt < n.t),
+         |seas AS (
+         |  SELECT key, (t % $DAY) // $HOUR AS sbin,
+         |    round(sum(CAST(floor(v * 1000 + 0.5) AS BIGINT))
+         |            / 1000.0 / count(*), 6) AS sv
+         |  FROM pts WHERE v IS NOT NULL GROUP BY 1, 2)
+         |SELECT lin.key, lin.t, coalesce(lin.lv, seas.sv) AS v,
+         |  CASE WHEN lin.lv IS NOT NULL AND lin.t = lin.pt THEN 'exact'
+         |       WHEN lin.lv IS NOT NULL THEN 'linear'
+         |       WHEN seas.sv IS NOT NULL THEN 'seasonal' END AS src
+         |FROM lin LEFT JOIN seas ON lin.key = seas.key
+         |  AND (lin.t % $DAY) // $HOUR = seas.sbin""".stripMargin
+
   /** Net user-activity intervals: 30-min session coverage MINUS 2-hour
     * incident blackouts (events with value ≥ 180) — the interval-set
     * difference sweep over the two coalesced unions. */

@@ -220,4 +220,45 @@ class RegularizeSpec extends SparkSpec {
     val got = collectTVL(graft.regularize.Regularize.sampleMasked(pts, mask, 10L, lit(null)))
     assert(got == Seq(0L, 10L, 20L, 30L).map(_ -> Some(1.0)), got.toString)
   }
+
+  test("imputeSeasonal: tier hierarchy exact > linear > seasonal > null") {
+    val s2 = spark
+    import s2.implicits._
+    import graft.regularize.Regularize
+    // period 10, bin 2 -> bins 0..4. Points at t=0 (v=10), t=2 (v=20),
+    // t=50 (v=40): the 2..50 gap is wider than maxGap=10.
+    val pts = seriesL(Seq(0L -> Some(10.0), 2L -> Some(20.0),
+      50L -> Some(40.0)))
+    val probes = Seq(0L, 1L, 2L, 13L, 30L, 51L)
+      .map(("s", _)).toDF("key", "t")
+    val out = Regularize.imputeSeasonal(pts, probes, maxGapUs = 10L,
+      periodUs = 10L, binUs = 2L)
+      .collect()
+      .map(r => r.getLong(1) -> (Option(r.get(2)).map(_.asInstanceOf[Double]),
+        Option(r.getString(3)))).toMap
+    assert(out(0L) == (Some(10.0), Some("exact")))
+    // t=1: inside the 0..2 gap (width 2 <= 10) -> linear midpoint
+    assert(out(1L) == (Some(15.0), Some("linear")))
+    assert(out(2L) == (Some(20.0), Some("exact")))
+    // t=13: inside the over-wide 2..50 gap; bin (13%10)//2 = 1 has no
+    // points (points fall in bins 0, 1? 0->0, 2->1, 50->0) -> bin 1 has
+    // the t=2 point (v=20) -> seasonal 20.0
+    assert(out(13L) == (Some(20.0), Some("seasonal")))
+    // t=30: bin (30%10)//2 = 0 holds t=0 (10) and t=50 (40) -> mean 25
+    assert(out(30L) == (Some(25.0), Some("seasonal")))
+    // t=51: after last -> hold last value, classed linear
+    assert(out(51L) == (Some(40.0), Some("linear")))
+  }
+
+  test("imputeSeasonal: a bin with no observations yields null src") {
+    val s2 = spark
+    import s2.implicits._
+    import graft.regularize.Regularize
+    // single point at t=0; probe t=5 in an empty bin far past maxGap
+    val pts = seriesL(Seq(0L -> Some(1.0), 100L -> Some(2.0)))
+    val probes = Seq(("s", 5L)).toDF("key", "t")
+    val out = Regularize.imputeSeasonal(pts, probes, maxGapUs = 10L,
+      periodUs = 10L, binUs = 5L).collect().head
+    assert(out.isNullAt(2) && out.isNullAt(3))
+  }
 }
