@@ -5420,6 +5420,37 @@ object GraftQueries {
          |FROM lin LEFT JOIN seas ON lin.key = seas.key
          |  AND (lin.t % $DAY) // $HOUR = seas.sbin""".stripMargin
 
+  /** Quantile-map every event type's values onto the 'view' series'
+    * distribution (exact integer midrank CDF matching; 'view' itself
+    * maps to identity). */
+  def qQuantileMap(spark: SparkSession, dir: String): DataFrame =
+    graft.stats.StatsOps.quantileMap(points(spark, dir), refKey = "view")
+
+  val sqlQuantileMap: String =
+    """WITH pts AS (
+      |  SELECT event_type AS key, epoch_us(ts) AS t, max(value) AS v
+      |  FROM events GROUP BY 1, 2),
+      |px AS (SELECT key, t, v,
+      |         CAST(floor(v * 1000 + 0.5) AS BIGINT) AS x FROM pts),
+      |h AS (SELECT key, x, count(*) AS w FROM px GROUP BY 1, 2),
+      |c AS (SELECT key, x, w,
+      |        sum(w) OVER (PARTITION BY key ORDER BY x
+      |          ROWS UNBOUNDED PRECEDING) AS c
+      |      FROM h),
+      |n AS (SELECT key, count(*) AS n FROM px GROUP BY 1),
+      |r AS (SELECT x AS rx, c AS rc FROM c WHERE key = 'view'),
+      |rn AS (SELECT n AS nref FROM n WHERE key = 'view'),
+      |sp AS (SELECT c.key, c.x,
+      |         -((2 * c.c - c.w + 1) * rn.nref) AS nppos
+      |       FROM c JOIN n ON c.key = n.key CROSS JOIN rn),
+      |rd AS (SELECT n.key, r.rx, -(2 * r.rc * n.n) AS ndpos
+      |       FROM n CROSS JOIN r),
+      |m AS (SELECT sp.key, sp.x, rd.rx
+      |      FROM sp ASOF JOIN rd
+      |        ON sp.key = rd.key AND sp.nppos >= rd.ndpos)
+      |SELECT px.key, px.t, px.v, m.rx / 1000.0 AS v_norm
+      |FROM px JOIN m ON px.key = m.key AND px.x = m.x""".stripMargin
+
   /** Net user-activity intervals: 30-min session coverage MINUS 2-hour
     * incident blackouts (events with value ≥ 180) — the interval-set
     * difference sweep over the two coalesced unions. */

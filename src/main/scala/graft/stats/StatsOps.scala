@@ -1,5 +1,6 @@
 package graft.stats
 
+import graft.core.SeriesOps.{K, T, V}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -10,6 +11,65 @@ import org.apache.spark.sql.functions._
   * screens). No reference counterpart; standard published estimators.
   */
 object StatsOps {
+
+  /** Quantile-mapping normalization (empirical CDF matching — the
+    * public bias-correction / quantile-normalization classic): map each
+    * point's value to the REFERENCE key's value at the same quantile,
+    * v' = F_ref⁻¹(F_key(v)), so every key's marginal distribution is
+    * calibrated onto `refKey`'s. Quantiles are exact midranks on the
+    * 1e-3 value grid: the source fraction (2·W(<x) + w(x) + 1)/(2n) and
+    * the reference inverse CDF (smallest ref value whose cumulative
+    * count reaches that fraction) compare as CROSS-MULTIPLIED LONGS —
+    * probe position R·n_ref vs data position 2·C_ref·n_src — so the
+    * whole mapping is integer-exact in any engine, and the reference
+    * key maps to ITSELF (w ≥ 1 makes its own bin the first to qualify —
+    * the identity invariant the spec pins). Output (key, t, v, v_norm).
+    *
+    * Scale: two histogram-sized aggregates + one union-then-window
+    * as-of per key over (source bins + replicated ref bins) — the ref
+    * histogram broadcasts; nothing row-sized crosses a shuffle twice.
+    * Positions bound by 2·C·n: move to DECIMAL(38) past ~10⁹ points
+    * per key (documented, not hit at any test SF). */
+  def quantileMap(df: DataFrame, refKey: String): DataFrame = {
+    val pts = df.filter(col(V).isNotNull)
+      .withColumn("_x", floor(col(V) * 1000 + 0.5).cast("long"))
+    val wCum = Window.partitionBy(col(K)).orderBy(col("_x").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val hist = pts.groupBy(col(K), col("_x")).agg(count(lit(1)).as("_w"))
+      .withColumn("_c", sum(col("_w")).over(wCum))
+    val tot = pts.groupBy(col(K).as("_tk")).agg(count(lit(1)).as("_n"))
+    val ref = hist.filter(col(K) === refKey)
+      .select(col("_x").as("_rx"), col("_c").as("_rc"))
+    val refN = tot.filter(col("_tk") === refKey)
+      .select(col("_n").as("_nref"))
+    // probes: one per distinct (key, bin) at position R·n_ref
+    val probes = hist
+      .join(tot, col(K) <=> col("_tk")).drop("_tk")
+      .crossJoin(broadcast(refN))
+      .select(col(K), col("_x"),
+        ((lit(2) * col("_c") - col("_w") + 1) * col("_nref")).as("_pos"),
+        lit(null).cast("long").as("_mx"), lit(1).as("_g"))
+    // data: the ref histogram replicated per source key at 2·C_ref·n_src
+    val data = tot
+      .crossJoin(broadcast(ref))
+      .select(col("_tk").as(K), lit(null).cast("long").as("_x"),
+        (lit(2) * col("_rc") * col("_n")).as("_pos"),
+        col("_rx").as("_mx"), lit(0).as("_g"))
+    // first data row at-or-after the probe: probes sort BEFORE data at
+    // equal position so the ≥ boundary includes the tie
+    val wNext = Window.partitionBy(col(K))
+      .orderBy(col("_pos").asc, col("_g").desc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val mapped = probes.unionByName(data)
+      .withColumn("_m",
+        first(when(col("_g") === 0, col("_mx")), ignoreNulls = true)
+          .over(wNext))
+      .filter(col("_g") === 1)
+      .select(col(K).as("_mk"), col("_x").as("_mxx"), col("_m"))
+    pts
+      .join(mapped, col(K) <=> col("_mk") && col("_x") === col("_mxx"))
+      .select(col(K), col(T), col(V), (col("_m") / 1000.0).as("v_norm"))
+  }
 
   /** Gini concentration coefficient per key over non-negative integer
     * weights x (one row per (key, unit), `x` pre-aggregated by the

@@ -244,6 +244,52 @@ class StatsOpsSpec extends SparkSpec {
     assert(out("one").getDouble(4) == 1.0)
   }
 
+  test("quantileMap: hand-checked CDF matching; reference maps to itself") {
+    val s = spark
+    import s.implicits._
+    // src (1,1,2,3) onto ref (10,20,30,40): midrank fractions 3/8, 5/8,
+    // 7/8 -> smallest ref value at cum fraction >= those: 20, 30, 40
+    val src = Seq(0L -> Some(1.0), 1L -> Some(1.0), 2L -> Some(2.0),
+      3L -> Some(3.0)).map { case (t, v) => ("src", t, v.get) }
+    val ref = Seq(0L -> Some(10.0), 1L -> Some(20.0), 2L -> Some(30.0),
+      3L -> Some(40.0)).map { case (t, v) => ("ref", t, v.get) }
+    val df = (src ++ ref).toDF("key", "t", "v")
+    val out = StatsOps.quantileMap(df, "ref").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    assert(out(("src", 0L)) == 20.0 && out(("src", 1L)) == 20.0)
+    assert(out(("src", 2L)) == 30.0 && out(("src", 3L)) == 40.0)
+    // the reference key is a fixed point of its own mapping
+    ref.foreach { case (_, t, v) => assert(out(("ref", t)) == v) }
+  }
+
+  test("quantileMap: equals the brute-force inverse-CDF on random data") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(59)
+    val keys = Seq("a", "b", "ref")
+    val rows = keys.flatMap { k =>
+      val n = 20 + rnd.nextInt(60)
+      (0 until n).map(i => (k, i.toLong, rnd.nextInt(25).toDouble))
+    }
+    val out = StatsOps.quantileMap(rows.toDF("key", "t", "v"), "ref")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    val refVals = rows.filter(_._1 == "ref").map(_._3).sorted
+    val nref = refVals.size
+    for (k <- keys) {
+      val vs = rows.filter(_._1 == k).map(_._3)
+      val n = vs.size
+      for ((_, t, v) <- rows.filter(_._1 == k)) {
+        val below = vs.count(_ < v); val w = vs.count(_ == v)
+        val rHalf = 2L * below + w + 1 // midrank in half-units
+        // smallest ref value whose 2·cum·n >= rHalf·nref
+        val expect = refVals.distinct.find(rv =>
+          2L * refVals.count(_ <= rv) * n >= rHalf * nref).get
+        assert(out((k, t)) == expect, s"key $k t $t v $v")
+      }
+    }
+  }
+
   test("twSpearman: monotone but nonlinear co-movement gives rho = 1") {
     import graft.events.Correlation
     // b = a^3 at the same times: Pearson < 1, Spearman exactly 1
