@@ -5451,6 +5451,67 @@ object GraftQueries {
       |SELECT px.key, px.t, px.v, m.rx / 1000.0 AS v_norm
       |FROM px JOIN m ON px.key = m.key AND px.x = m.x""".stripMargin
 
+  /** Single-breakpoint segmented regression per event type: the split
+    * minimizing left+right OLS residual sums, evaluated at every
+    * candidate from HUGEINT prefix sums (minSeg = 5). */
+  def qSegmentedTrend(spark: SparkSession, dir: String): DataFrame =
+    graft.events.Correlation.segmentedTrend(points(spark, dir), minSeg = 5)
+
+  private def rssSqlOf(n: String, sx: String, sy: String, sxx: String,
+      syy: String, sxy: String): String = {
+    val a = s"($n * ($sxx) - ($sx) * ($sx))"
+    val b = s"($n * ($sxy) - ($sx) * ($sy))"
+    val c = s"($n * ($syy) - ($sy) * ($sy))"
+    s"""CASE WHEN $a > 0
+       | THEN (CAST($c AS DOUBLE)
+       |        - CAST($b AS DOUBLE) * CAST($b AS DOUBLE)
+       |          / CAST($a AS DOUBLE)) / CAST($n AS DOUBLE)
+       | ELSE CAST($c AS DOUBLE) / CAST($n AS DOUBLE) END""".stripMargin
+  }
+
+  val sqlSegmentedTrend: String = {
+    val h = "CAST(i AS HUGEINT)"
+    val hr = "CAST(n - i AS HUGEINT)"
+    val hn = "CAST(n AS HUGEINT)"
+    s"""WITH pts AS (
+       |  SELECT event_type AS key, epoch_us(ts) AS t, max(value) AS v
+       |  FROM events GROUP BY 1, 2),
+       |b AS (SELECT key, t,
+       |        (t - min(t) OVER (PARTITION BY key)) // 1000000 AS x,
+       |        CAST(floor(v * 1000 + 0.5) AS BIGINT) AS y,
+       |        row_number() OVER (PARTITION BY key ORDER BY t) AS i,
+       |        count(*) OVER (PARTITION BY key) AS n
+       |      FROM pts),
+       |p AS (SELECT key, t, i, n,
+       |        sum(CAST(x AS HUGEINT)) OVER w AS px,
+       |        sum(CAST(y AS HUGEINT)) OVER w AS py,
+       |        sum(CAST(x AS HUGEINT) * x) OVER w AS pxx,
+       |        sum(CAST(y AS HUGEINT) * y) OVER w AS pyy,
+       |        sum(CAST(x AS HUGEINT) * y) OVER w AS pxy,
+       |        sum(CAST(x AS HUGEINT)) OVER a AS tx,
+       |        sum(CAST(y AS HUGEINT)) OVER a AS ty,
+       |        sum(CAST(x AS HUGEINT) * x) OVER a AS txx,
+       |        sum(CAST(y AS HUGEINT) * y) OVER a AS tyy,
+       |        sum(CAST(x AS HUGEINT) * y) OVER a AS txy
+       |      FROM b
+       |      WINDOW w AS (PARTITION BY key ORDER BY t
+       |        ROWS UNBOUNDED PRECEDING), a AS (PARTITION BY key)),
+       |s AS (SELECT key, t, n,
+       |        ${rssSqlOf(h, "px", "py", "pxx", "pyy", "pxy")} AS rl,
+       |        ${rssSqlOf(hr, "tx - px", "ty - py", "txx - pxx",
+                  "tyy - pyy", "txy - pxy")} AS rr,
+       |        ${rssSqlOf(hn, "tx", "ty", "txx", "tyy", "txy")} AS r0
+       |      FROM p WHERE i >= 5 AND n - i >= 5)
+       |SELECT key, n, t AS break_t,
+       |  CAST(floor(r0) AS BIGINT) AS rss_full,
+       |  CAST(floor(rl + rr) AS BIGINT) AS rss_split,
+       |  CAST(floor(r0) AS BIGINT) - CAST(floor(rl + rr) AS BIGINT)
+       |    AS gain
+       |FROM s
+       |QUALIFY row_number() OVER (PARTITION BY key
+       |  ORDER BY rl + rr, t) = 1""".stripMargin
+  }
+
   /** Net user-activity intervals: 30-min session coverage MINUS 2-hour
     * incident blackouts (events with value ≥ 180) — the interval-set
     * difference sweep over the two coalesced unions. */

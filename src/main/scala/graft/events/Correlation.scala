@@ -470,6 +470,95 @@ object Correlation {
         round(num / sqrt(va * vb), 6)).as("rho"))
   }
 
+  /** Exact single-breakpoint segmented regression (structural-break /
+    * "broken-stick" detection, the Chow-test shape): per key, the split
+    * point that minimizes total residual sum of squares when an OLS
+    * line is fit separately to the left and right of it — found
+    * EXACTLY, in one pass, by evaluating every candidate split from
+    * prefix sums. With the six running sufficient statistics (n, Σx,
+    * Σy, Σx², Σy², Σxy — x = whole seconds since the key's first
+    * point, y the 1e-3-quantized value) every prefix OLS is O(1):
+    * RSS = (C − B²/A)/n with A = n·Σx²−(Σx)², B = n·Σxy−Σx·Σy,
+    * C = n·Σy²−(Σy)²; suffix statistics are totals minus prefixes.
+    * Unlike a changepoint scan that tests means ([[graft.events
+    * .EventOps.levelShift]]) this detects SLOPE breaks (a ramp that
+    * steepens), the regression companion to [[theilSen]]/olsTrend.
+    *
+    * Engine-exactness: prefixes are exact decimal(38,0) sums (x² sums
+    * overflow int64 at month-long spans; the oracle mirrors in
+    * HUGEINT); A, B, C are exact 128-bit values cast once to double,
+    * and the RSS combination is the same fixed IEEE expression in both
+    * engines, so the argmin (tie → earliest split) agrees bit-for-bit.
+    * A degenerate side (all-equal x, A = 0) scores its variance C/n —
+    * the best constant fit. Splits leave ≥ `minSeg` points per side.
+    * Output (key, n, break_t, rss_full, rss_split, gain): break_t =
+    * last point of the left segment; keys with < 2·minSeg points drop.
+    *
+    * Scale: one per-key sort carrying six running sums + one per-key
+    * total frame + one argmin aggregate — the cumulative-window tier
+    * shape; a pathological single-key corpus would bucket the prefix
+    * sums through [[graft.core.BucketedOps]] handoffs. */
+  def segmentedTrend(df: DataFrame, minSeg: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(minSeg >= 2, s"minSeg $minSeg must be >= 2")
+    val dec = "decimal(38,0)"
+    val pts = df.filter(col(V).isNotNull)
+      .groupBy(col(K), col(T)).agg(max(col(V)).as(V))
+    val wkAll = Window.partitionBy(col(K))
+    val wk = wkAll.orderBy(col(T).asc)
+    val run = wk.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val base = pts
+      .withColumn("_x",
+        expr("(t - min(t) OVER (PARTITION BY key)) div 1000000")
+          .cast(dec))
+      .withColumn("_y", floor(col(V) * 1000 + 0.5).cast("long").cast(dec))
+      .withColumn("_i", row_number().over(wk))
+      .withColumn("_n", count(lit(1)).over(wkAll))
+    def sums(c: org.apache.spark.sql.Column, p: String) = Seq(
+      sum(c).over(run).as(s"_p$p"), sum(c).over(wkAll).as(s"_t$p"))
+    val pref = base.select(
+      (Seq(col(K), col(T), col("_i"), col("_n")) ++
+        sums(col("_x"), "x") ++ sums(col("_y"), "y") ++
+        sums(col("_x") * col("_x"), "xx") ++
+        sums(col("_y") * col("_y"), "yy") ++
+        sums(col("_x") * col("_y"), "xy")): _*)
+    // RSS of the OLS fit on a segment given its exact decimal stats
+    def rss(n: org.apache.spark.sql.Column, sx: org.apache.spark.sql.Column,
+        sy: org.apache.spark.sql.Column, sxx: org.apache.spark.sql.Column,
+        syy: org.apache.spark.sql.Column, sxy: org.apache.spark.sql.Column) = {
+      val nd = n.cast(dec)
+      val a = (nd * sxx - sx * sx).cast("double")
+      val b = (nd * sxy - sx * sy).cast("double")
+      val c = (nd * syy - sy * sy).cast("double")
+      when(a > 0, (c - b * b / a) / n.cast("double"))
+        .otherwise(c / n.cast("double"))
+    }
+    val nl = col("_i"); val nr = col("_n") - col("_i")
+    val scored = pref
+      .filter(col("_i") >= minSeg && col("_n") - col("_i") >= minSeg)
+      .withColumn("_rl", rss(nl, col("_px"), col("_py"), col("_pxx"),
+        col("_pyy"), col("_pxy")))
+      .withColumn("_rr", rss(nr, col("_tx") - col("_px"),
+        col("_ty") - col("_py"), col("_txx") - col("_pxx"),
+        col("_tyy") - col("_pyy"), col("_txy") - col("_pxy")))
+      .withColumn("_rs", col("_rl") + col("_rr"))
+      .withColumn("_r0", rss(col("_n"), col("_tx"), col("_ty"),
+        col("_txx"), col("_tyy"), col("_txy")))
+    scored
+      .groupBy(col(K))
+      .agg(first(col("_n")).as("n"), first(col("_r0")).as("_f0"),
+        min(struct(col("_rs"), col(T))).as("_m"))
+      .select(col(K), col("n"), col("_m").getField(T).as("break_t"),
+        // rss magnitudes reach 1e13 (milli-value² units): round(x, 6)
+        // diverges between engines there (decimal-string vs numeric
+        // rounding), but floor of IDENTICAL IEEE doubles cannot — so
+        // the report quantizes to whole milli-value² units
+        floor(col("_f0")).cast("long").as("rss_full"),
+        floor(col("_m").getField("_rs")).cast("long").as("rss_split"),
+        (floor(col("_f0")).cast("long") -
+          floor(col("_m").getField("_rs")).cast("long")).as("gain"))
+  }
+
   private[graft] def dtwBanded(
       x: Array[Long], y: Array[Long], band: Int): Option[Long] = {
     val n = x.length

@@ -164,4 +164,64 @@ class CorrelationSpec extends SparkSpec {
     assert(EventOps.topGaps(seriesL(Seq((5L, Some(1.0))))
       .select(col("key"), col("t"))).count() == 0)
   }
+
+  test("segmentedTrend: a perfect two-slope series splits at the knee with zero residual") {
+    import graft.events.Correlation
+    val s = 1000000L // 1 second in µs -> x = t/1e6 exactly
+    // v = t for t in 0..10, then v = 10 + 5(t-10): knee at t=10
+    val pts = seriesL((0L to 10L).map(i => i * s -> Some(i.toDouble)) ++
+      (11L to 20L).map(i => i * s -> Some(10.0 + 5 * (i - 10))))
+    val r = Correlation.segmentedTrend(pts, minSeg = 3).collect().head
+    // the knee point v(10)=10 lies on BOTH lines, so splitting after
+    // t=9 or after t=10 is equally perfect; ties break to the EARLIEST
+    assert(r.getLong(2) == 9 * s, s"break at ${r.getLong(2)}")
+    assert(r.getLong(4) == 0L) // rss_split
+    assert(r.getLong(3) > 0 && r.getLong(5) == r.getLong(3))
+  }
+
+  test("segmentedTrend: a perfectly linear series gains nothing") {
+    import graft.events.Correlation
+    val s = 1000000L
+    val pts = seriesL((0L to 15L).map(i => i * s -> Some(2.0 * i + 3)))
+    val r = Correlation.segmentedTrend(pts, minSeg = 3).collect().head
+    assert(r.getLong(3) == 0L && r.getLong(4) == 0L && r.getLong(5) == 0L)
+  }
+
+  test("segmentedTrend: equals the brute-force O(n^2) split search") {
+    import graft.events.Correlation
+    val rnd = new scala.util.Random(61)
+    for (trial <- 0 until 3) {
+      val n = 30 + rnd.nextInt(40)
+      val pts = (0 until n).map(i =>
+        (i * 1000000L + rnd.nextInt(1000) * 1000L,
+          Some(rnd.nextInt(2000) / 10.0)))
+      val df = seriesL(pts)
+      val got = Correlation.segmentedTrend(df, minSeg = 4).collect().head
+      // brute force on the same integer grid
+      val sorted = pts.sortBy(_._1)
+      val t0 = sorted.head._1
+      val xs = sorted.map(p => (p._1 - t0) / 1000000L)
+      val ys = sorted.map(p => math.floor(p._2.get * 1000 + 0.5).toLong)
+      def rss(idx: Range): Double = {
+        val m = idx.size.toDouble
+        val sx = idx.map(xs(_)).map(BigInt(_)).sum
+        val sy = idx.map(ys(_)).map(BigInt(_)).sum
+        val sxx = idx.map(i => BigInt(xs(i)) * xs(i)).sum
+        val syy = idx.map(i => BigInt(ys(i)) * ys(i)).sum
+        val sxy = idx.map(i => BigInt(xs(i)) * ys(i)).sum
+        val a = (BigInt(idx.size) * sxx - sx * sx).toDouble
+        val b = (BigInt(idx.size) * sxy - sx * sy).toDouble
+        val c = (BigInt(idx.size) * syy - sy * sy).toDouble
+        if (a > 0) (c - b * b / a) / m else c / m
+      }
+      val full = rss(0 until n)
+      val (bestRss, bestI) = (4 to n - 4).map(i =>
+        (rss(0 until i) + rss(i until n), i)).minBy(x => (x._1, x._2))
+      assert(got.getLong(2) == sorted(bestI - 1)._1,
+        s"trial $trial break_t")
+      assert(got.getLong(4) == math.floor(bestRss).toLong,
+        s"trial $trial rss_split")
+      assert(got.getLong(3) == math.floor(full).toLong)
+    }
+  }
 }
