@@ -5512,6 +5512,38 @@ object GraftQueries {
        |  ORDER BY rl + rr, t) = 1""".stripMargin
   }
 
+  /** Winsorize each event type's values at the exact p01/p99 empirical
+    * quantiles and robust-scale by median/IQR (type-1 inverse CDF on
+    * integer cross-multiplied tests). */
+  def qWinsorize(spark: SparkSession, dir: String): DataFrame =
+    graft.stats.StatsOps.winsorizeScale(points(spark, dir))
+
+  val sqlWinsorize: String =
+    """WITH pts AS (
+      |  SELECT event_type AS key, epoch_us(ts) AS t, max(value) AS v
+      |  FROM events GROUP BY 1, 2),
+      |px AS (SELECT key, t, v,
+      |         CAST(floor(v * 1000 + 0.5) AS BIGINT) AS x FROM pts),
+      |h AS (SELECT key, x, count(*) AS w FROM px GROUP BY 1, 2),
+      |c AS (SELECT key, x,
+      |        sum(w) OVER (PARTITION BY key ORDER BY x
+      |          ROWS UNBOUNDED PRECEDING) AS c,
+      |        sum(w) OVER (PARTITION BY key) AS n
+      |      FROM h),
+      |thr AS (SELECT key,
+      |          min(CASE WHEN c * 100 >= 1 * n THEN x END) AS lo,
+      |          min(CASE WHEN c * 100 >= 99 * n THEN x END) AS hi,
+      |          min(CASE WHEN c * 2 >= n THEN x END) AS med,
+      |          min(CASE WHEN c * 4 >= n THEN x END) AS q1,
+      |          min(CASE WHEN c * 4 >= 3 * n THEN x END) AS q3
+      |        FROM c GROUP BY 1)
+      |SELECT px.key, px.t, px.v,
+      |  least(greatest(px.x, thr.lo), thr.hi) / 1000.0 AS v_clip,
+      |  CASE WHEN thr.q3 > thr.q1 THEN
+      |    round(CAST(least(greatest(px.x, thr.lo), thr.hi) - thr.med
+      |            AS DOUBLE) / (thr.q3 - thr.q1), 6) END AS v_robust
+      |FROM px JOIN thr ON px.key = thr.key""".stripMargin
+
   /** Net user-activity intervals: 30-min session coverage MINUS 2-hour
     * incident blackouts (events with value ≥ 180) — the interval-set
     * difference sweep over the two coalesced unions. */

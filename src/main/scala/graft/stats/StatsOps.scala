@@ -71,6 +71,49 @@ object StatsOps {
       .select(col(K), col(T), col(V), (col("_m") / 1000.0).as("v_norm"))
   }
 
+  /** Winsorize + robust-scale normalization: per key, clip values to
+    * the [pLo, pHi] empirical quantiles and center/scale by
+    * median/IQR — the outlier-immune feature prep every training
+    * pipeline runs before z-scores would explode. Quantiles are the
+    * classic type-1 inverse CDF (smallest value whose cumulative count
+    * reaches p·n) evaluated on the exact 1e-3 grid with p as a RATIONAL
+    * (num/den): the test C·den ≥ num·n is pure long arithmetic, so the
+    * thresholds (and the clip) are integer-exact in any engine; only
+    * the final (x − median)/IQR is IEEE (one subtraction, one division,
+    * 6-dp round; IQR = 0 → null). Output (key, t, v, v_clip,
+    * v_robust).
+    *
+    * Scale: one histogram aggregate + one per-key threshold aggregate
+    * (4 conditional mins over histogram-sized frames) joined back to
+    * the points — the quantileMap plan without the as-of. */
+  def winsorizeScale(df: DataFrame,
+      pLoNum: Long = 1, pLoDen: Long = 100,
+      pHiNum: Long = 99, pHiDen: Long = 100): DataFrame = {
+    require(pLoNum >= 0 && pLoNum <= pLoDen && pLoDen > 0 &&
+      pHiNum >= 0 && pHiNum <= pHiDen && pHiDen > 0 &&
+      pLoNum * pHiDen <= pHiNum * pLoDen, "need 0 <= pLo <= pHi <= 1")
+    val pts = df.filter(col(V).isNotNull)
+      .withColumn("_x", floor(col(V) * 1000 + 0.5).cast("long"))
+    val wCum = Window.partitionBy(col(K)).orderBy(col("_x").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val hist = pts.groupBy(col(K), col("_x")).agg(count(lit(1)).as("_w"))
+      .withColumn("_c", sum(col("_w")).over(wCum))
+      .withColumn("_n", sum(col("_w")).over(Window.partitionBy(col(K))))
+    def qAt(num: Long, den: Long) =
+      min(when(col("_c") * den >= col("_n") * num, col("_x")))
+    val thr = hist.groupBy(col(K).as("_qk")).agg(
+      qAt(pLoNum, pLoDen).as("_lo"), qAt(pHiNum, pHiDen).as("_hi"),
+      qAt(1, 2).as("_med"), qAt(1, 4).as("_q1"), qAt(3, 4).as("_q3"))
+    pts
+      .join(thr, col(K) <=> col("_qk"))
+      .withColumn("_cl", least(greatest(col("_x"), col("_lo")), col("_hi")))
+      .select(col(K), col(T), col(V),
+        (col("_cl") / 1000.0).as("v_clip"),
+        when(col("_q3") > col("_q1"),
+          round((col("_cl") - col("_med")).cast("double")
+            / (col("_q3") - col("_q1")), 6)).as("v_robust"))
+  }
+
   /** Gini concentration coefficient per key over non-negative integer
     * weights x (one row per (key, unit), `x` pre-aggregated by the
     * caller): with units sorted ascending by x,

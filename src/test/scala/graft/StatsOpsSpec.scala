@@ -290,6 +290,33 @@ class StatsOpsSpec extends SparkSpec {
     }
   }
 
+  test("winsorizeScale: hand-checked thresholds, clip and robust scale") {
+    val s = spark
+    import s.implicits._
+    // 1..10: p01->1 (c*100>=n at first), p99->10, median: c*2>=10 at 5,
+    // q1: c*4>=10 at 3, q3: c*4>=30 at 8 -> IQR 5
+    val df = (1 to 10).map(i => ("k", i.toLong, i.toDouble))
+      .toDF("key", "t", "v")
+    val out = StatsOps.winsorizeScale(df).collect()
+      .map(r => r.getLong(1) -> (r.getDouble(3), r.getDouble(4))).toMap
+    assert(out(1L) == ((1.0, (1000.0 - 5000.0) / 5000.0)))
+    assert(out(5L)._2 == 0.0) // the median scales to zero
+    assert(out(10L) == ((10.0, 1.0))) // (10-5)/5
+    // aggressive clip: p25/p75 pins the tails to q1/q3
+    val clip = StatsOps.winsorizeScale(df, 1, 4, 3, 4).collect()
+      .map(r => r.getLong(1) -> r.getDouble(3)).toMap
+    assert(clip(1L) == 3.0 && clip(2L) == 3.0 && clip(3L) == 3.0)
+    assert(clip(10L) == 8.0 && clip(9L) == 8.0 && clip(8L) == 8.0)
+  }
+
+  test("winsorizeScale: constant series has zero IQR -> null robust scale") {
+    val s = spark
+    import s.implicits._
+    val df = (1 to 5).map(i => ("k", i.toLong, 7.0)).toDF("key", "t", "v")
+    val out = StatsOps.winsorizeScale(df).collect()
+    assert(out.forall(r => r.getDouble(3) == 7.0 && r.isNullAt(4)))
+  }
+
   test("twSpearman: monotone but nonlinear co-movement gives rho = 1") {
     import graft.events.Correlation
     // b = a^3 at the same times: Pearson < 1, Spearman exactly 1
