@@ -470,6 +470,69 @@ object Correlation {
         round(num / sqrt(va * vb), 6)).as("rho"))
   }
 
+  /** Mann–Kendall trend test on the bin grid (Mann 1945 / Kendall's τ —
+    * the standard nonparametric "is this metric drifting" screen, used
+    * where [[theilSen]] gives the magnitude and this gives the
+    * SIGNIFICANCE): per key, over the hourly bin means,
+    *
+    *   S = Σ_{i<j} sign(x_j − x_i),
+    *   Var(S) = [n(n−1)(2n+5) − Σ_g t_g(t_g−1)(2t_g+5)] / 18
+    *
+    * (t_g = tied-group sizes), Z = (S∓1)/√Var with the continuity
+    * correction, trend called at |Z| > 1.96. S, both variance
+    * numerators and the tie table are EXACT LONGS: bin means are the
+    * INTEGER floor-division mean of per-point 1e-3-quantized values
+    * (not floor(avg(·)) — a float avg can land a hair either side of
+    * the grid boundary between engines, and one flipped bin moves S
+    * and the tie table); the single √/division is one fixed IEEE
+    * expression. Output (key, n_bins, s, n_tied_groups, z, trend ∈
+    * increasing/decreasing/no_trend).
+    *
+    * Scale: the pairwise join is BIN×BIN per key — bounded by the grid
+    * (span/bin), never the corpus, exactly like [[autocorr]]'s lag
+    * join; the tie table is histogram-sized. Keys with < `minBins`
+    * bins or zero variance report null z. */
+  def mannKendall(
+      df: DataFrame,
+      binUs: Long = 3600000000L,
+      minBins: Int = 8): DataFrame = {
+    require(binUs > 0, s"bin width $binUs must be positive")
+    val g = df.filter(col(V).isNotNull)
+      .groupBy(col(K), floor(col(T) / binUs).cast("long").as("_b"))
+      .agg(sum(floor(col(V) * 1000 + 0.5).cast("long")).as("_q"),
+        count(lit(1)).as("_c"))
+      .select(col(K), col("_b"), expr("_q div _c").as("_x"))
+    val pairs = g.join(
+      g.select(col(K).as("_rk"), col("_b").as("_rb"), col("_x").as("_y")),
+      g(K) <=> col("_rk") && g("_b") < col("_rb"))
+    val sTab = pairs.groupBy(col(K)).agg(
+      sum(signum(col("_y") - col("_x")).cast("long")).as("s"))
+    val nTab = g.groupBy(col(K).as("_nk")).agg(count(lit(1)).as("n_bins"))
+    // tied-group correction: Σ t(t−1)(2t+5) over per-value counts
+    val ties = g.groupBy(col(K), col("_x")).agg(count(lit(1)).as("_t"))
+      .groupBy(col(K).as("_tk")).agg(
+        sum(col("_t") * (col("_t") - 1) * (lit(2) * col("_t") + 5))
+          .as("_tc"),
+        sum(when(col("_t") > 1, 1L).otherwise(0L)).as("n_tied_groups"))
+    val n = col("n_bins")
+    val varNum = n * (n - 1) * (lit(2) * n + 5) - col("_tc")
+    val varS = varNum.cast("double") / 18.0
+    val zRaw = when(col("s") > 0, (col("s") - 1).cast("double") / sqrt(varS))
+      .when(col("s") < 0, (col("s") + 1).cast("double") / sqrt(varS))
+      .otherwise(lit(0.0))
+    sTab
+      .join(nTab, col(K) <=> col("_nk"))
+      .join(ties, col(K) <=> col("_tk"))
+      .withColumn("z",
+        when(n >= minBins && varNum > 0, round(zRaw, 6)))
+      .select(col(K), col("n_bins"), col("s"), col("n_tied_groups"),
+        col("z"),
+        when(col("z").isNull, lit(null).cast("string"))
+          .when(col("z") > 1.96, lit("increasing"))
+          .when(col("z") < -1.96, lit("decreasing"))
+          .otherwise(lit("no_trend")).as("trend"))
+  }
+
   /** Exact single-breakpoint segmented regression (structural-break /
     * "broken-stick" detection, the Chow-test shape): per key, the split
     * point that minimizes total residual sum of squares when an OLS

@@ -165,6 +165,51 @@ class CorrelationSpec extends SparkSpec {
       .select(col("key"), col("t"))).count() == 0)
   }
 
+  test("mannKendall: monotone rise flags increasing; constants go null") {
+    import graft.events.Correlation
+    // one point per hourly bin, strictly rising -> S = n(n-1)/2
+    val h = 3600000000L
+    val up = seriesL((0 until 12).map(i => i * h -> Some(i.toDouble)))
+    val r = Correlation.mannKendall(up).collect().head
+    assert(r.getLong(2) == 66 && r.getString(5) == "increasing")
+    val const = seriesL((0 until 12).map(i => i * h -> Some(5.0)))
+    val rc = Correlation.mannKendall(const).collect().head
+    assert(rc.getLong(2) == 0 && rc.isNullAt(4) && rc.isNullAt(5))
+    val down = seriesL((0 until 12).map(i => i * h -> Some(-i.toDouble)))
+    assert(Correlation.mannKendall(down).collect().head
+      .getString(5) == "decreasing")
+  }
+
+  test("mannKendall: equals the brute-force statistic with ties") {
+    import graft.events.Correlation
+    val h = 3600000000L
+    val rnd = new scala.util.Random(67)
+    for (trial <- 0 until 3) {
+      val xs = (0 until 40).map(_ => rnd.nextInt(6).toLong) // heavy ties
+      val pts = seriesL(xs.zipWithIndex.map { case (x, i) =>
+        i * h -> Some(x.toDouble) })
+      val r = Correlation.mannKendall(pts).collect().head
+      val s = (for (i <- xs.indices; j <- i + 1 until xs.size)
+        yield math.signum(xs(j) - xs(i))).sum
+      val n = xs.size.toLong
+      val tc = xs.groupBy(identity).values.map(_.size.toLong)
+        .map(t => t * (t - 1) * (2 * t + 5)).sum
+      val vnum = n * (n - 1) * (2 * n + 5) - tc
+      assert(r.getLong(2) == s, s"trial $trial S")
+      val zExp =
+        if (vnum <= 0) None
+        else {
+          val v = vnum.toDouble / 18.0
+          val raw = if (s > 0) (s - 1).toDouble / math.sqrt(v)
+            else if (s < 0) (s + 1).toDouble / math.sqrt(v) else 0.0
+          Some(BigDecimal(java.math.BigDecimal.valueOf(raw))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        }
+      val zGot = if (r.isNullAt(4)) None else Some(r.getDouble(4))
+      assert(zGot == zExp, s"trial $trial z")
+    }
+  }
+
   test("segmentedTrend: a perfect two-slope series splits at the knee with zero residual") {
     import graft.events.Correlation
     val s = 1000000L // 1 second in µs -> x = t/1e6 exactly
