@@ -5591,6 +5591,50 @@ object GraftQueries {
       |       ELSE 'no_trend' END AS trend
       |FROM z""".stripMargin
 
+  /** Permutation entropy (order-3 Bandt–Pompe) per event type over the
+    * hourly bin-mean sequence: fixed-order six-term entropy on exact
+    * pattern counts. */
+  def qPermEntropy(spark: SparkSession, dir: String): DataFrame =
+    graft.events.Correlation.permutationEntropy(points(spark, dir))
+
+  val sqlPermEntropy: String = {
+    def t(c0: Int) =
+      s"""CASE WHEN n$c0 > 0 THEN -(CAST(n$c0 AS DOUBLE) / n_triples
+         |  * log2(CAST(n$c0 AS DOUBLE) / n_triples)) ELSE 0.0 END"""
+        .stripMargin.replace("\n", " ")
+    def nC(c0: Int) =
+      s"coalesce(sum(CASE WHEN code = $c0 THEN n END), 0) AS n$c0"
+    s"""WITH pts AS (
+       |  SELECT event_type AS key, epoch_us(ts) AS t, max(value) AS v
+       |  FROM events GROUP BY 1, 2),
+       |bm AS (SELECT key, t // 3600000000 AS b,
+       |         sum(CAST(floor(v * 1000 + 0.5) AS BIGINT)) // count(*)
+       |           AS x
+       |       FROM pts GROUP BY 1, 2),
+       |tri AS (SELECT key, x, lead(x, 1) OVER wb AS y,
+       |          lead(x, 2) OVER wb AS z
+       |        FROM bm WINDOW wb AS (PARTITION BY key ORDER BY b)),
+       |p AS (SELECT key,
+       |        9 * (CAST(y < x AS INT) + CAST(z < x AS INT))
+       |        + 3 * (CAST(x <= y AS INT) + CAST(z < y AS INT))
+       |        + CAST(x <= z AS INT) + CAST(y <= z AS INT) AS code
+       |      FROM tri WHERE z IS NOT NULL),
+       |c AS (SELECT key, code, count(*) AS n FROM p GROUP BY 1, 2),
+       |a AS (SELECT key, sum(n) AS n_triples, count(*) AS n_patterns,
+       |        ${nC(5)}, ${nC(7)}, ${nC(11)}, ${nC(15)}, ${nC(19)},
+       |        ${nC(21)}
+       |      FROM c GROUP BY 1),
+       |tc AS (SELECT key, code AS top_code FROM c
+       |       QUALIFY row_number() OVER (PARTITION BY key
+       |         ORDER BY n DESC, code) = 1)
+       |SELECT a.key, a.n_triples, a.n_patterns, tc.top_code,
+       |  CASE WHEN a.n_triples >= 10 THEN
+       |    round((((((${t(5)} + ${t(7)}) + ${t(11)}) + ${t(15)})
+       |      + ${t(19)}) + ${t(21)}) / 2.584962500721156, 6)
+       |  END AS h_norm
+       |FROM a JOIN tc ON a.key = tc.key""".stripMargin
+  }
+
   /** Net user-activity intervals: 30-min session coverage MINUS 2-hour
     * incident blackouts (events with value ≥ 180) — the interval-set
     * difference sweep over the two coalesced unions. */

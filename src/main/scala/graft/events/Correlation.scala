@@ -533,6 +533,72 @@ object Correlation {
           .otherwise(lit("no_trend")).as("trend"))
   }
 
+  /** Permutation entropy (Bandt & Pompe 2002, order-3) on the bin
+    * grid: the complexity/irregularity score of each key's bin-mean
+    * sequence — the Shannon entropy of the distribution of ORDER
+    * PATTERNS of consecutive value triples, normalized by log₂6
+    * (0 = perfectly monotone/regular, 1 = pattern-uniform noise).
+    * Ties break by position (the Bandt–Pompe convention), so each
+    * triple's pattern is a pure integer expression: element ranks
+    * r_a = [b<a]+[c<a], r_b = [a≤b]+[c<b], r_c = [a≤c]+[b≤c], code =
+    * 9r_a+3r_b+r_c (six valid codes 5,7,11,15,19,21). Pattern counts
+    * are exact longs; the entropy is an EXPLICIT fixed-order six-term
+    * sum (never an engine-ordered float aggregate), bin means are the
+    * integer floor-division means of [[mannKendall]]. Output (key,
+    * n_triples, n_patterns, top_code, h_norm); keys with <
+    * `minTriples` triples report null entropy. Top pattern ties break
+    * to the smallest code.
+    *
+    * Scale: one bin aggregate + one two-lead window over the grid-
+    * bounded bin sequence + one 6-row-per-key aggregate. */
+  def permutationEntropy(
+      df: DataFrame,
+      binUs: Long = 3600000000L,
+      minTriples: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(binUs > 0, s"bin width $binUs must be positive")
+    val g = df.filter(col(V).isNotNull)
+      .groupBy(col(K), floor(col(T) / binUs).cast("long").as("_b"))
+      .agg(sum(floor(col(V) * 1000 + 0.5).cast("long")).as("_q"),
+        count(lit(1)).as("_c"))
+      .select(col(K), col("_b"), expr("_q div _c").as("_x"))
+    val w = Window.partitionBy(col(K)).orderBy(col("_b").asc)
+    val tri = g
+      .withColumn("_y", lead(col("_x"), 1).over(w))
+      .withColumn("_z", lead(col("_x"), 2).over(w))
+      .filter(col("_z").isNotNull)
+    val ra = (col("_y") < col("_x")).cast("int") +
+      (col("_z") < col("_x")).cast("int")
+    val rb = (col("_x") <= col("_y")).cast("int") +
+      (col("_z") < col("_y")).cast("int")
+    val rc = (col("_x") <= col("_z")).cast("int") +
+      (col("_y") <= col("_z")).cast("int")
+    val counted = tri
+      .withColumn("_p", ra * 9 + rb * 3 + rc)
+      .groupBy(col(K), col("_p")).agg(count(lit(1)).as("_n"))
+    val codes = Seq(5, 7, 11, 15, 19, 21)
+    val aggCols = codes.map(c0 =>
+      coalesce(sum(when(col("_p") === c0, col("_n"))), lit(0L))
+        .as(s"_n$c0")) ++ Seq(
+      count(lit(1)).as("n_patterns"),
+      max(struct(col("_n"), (-col("_p")).as("_np"))).as("_top"))
+    val agg = counted.groupBy(col(K))
+      .agg(sum(col("_n")).as("n_triples"), aggCols: _*)
+    val nD = col("n_triples").cast("double")
+    def term(c0: Int) = {
+      val p = col(s"_n$c0").cast("double") / nD
+      when(col(s"_n$c0") > 0, -(p * log2(p))).otherwise(lit(0.0))
+    }
+    // fixed-order six-term sum: never an engine-ordered float aggregate
+    val h = codes.map(term).reduce(_ + _)
+    agg.select(col(K), col("n_triples"), col("n_patterns"),
+      (-col("_top").getField("_np")).as("top_code"),
+      when(col("n_triples") >= minTriples,
+        // log₂6 hardcoded as its correctly-rounded double (the LN2S
+        // philosophy: no runtime transcendental on a constant)
+        round(h / 2.584962500721156, 6)).as("h_norm"))
+  }
+
   /** Exact single-breakpoint segmented regression (structural-break /
     * "broken-stick" detection, the Chow-test shape): per key, the split
     * point that minimizes total residual sum of squares when an OLS

@@ -210,6 +210,57 @@ class CorrelationSpec extends SparkSpec {
     }
   }
 
+  test("permutationEntropy: monotone is zero, alternating is one pattern pair") {
+    import graft.events.Correlation
+    val h = 3600000000L
+    // strictly rising: every triple is pattern (0,1,2) -> H = 0
+    val up = seriesL((0 until 14).map(i => i * h -> Some(i.toDouble)))
+    val r = Correlation.permutationEntropy(up).collect().head
+    assert(r.getLong(1) == 12 && r.getLong(2) == 1)
+    assert(r.getInt(3) == 5 && r.getDouble(4) == 0.0)
+    // alternating 0,9,0,9,...: two patterns in equal shares ->
+    // H = 1 bit, normalized 1/log2(6)
+    val alt = seriesL((0 until 14).map(i =>
+      i * h -> Some(if (i % 2 == 0) 0.0 else 9.0)))
+    val ra = Correlation.permutationEntropy(alt).collect().head
+    assert(ra.getLong(2) == 2)
+    val expect = BigDecimal(java.math.BigDecimal.valueOf(
+      1.0 / 2.584962500721156))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(ra.getDouble(4) == expect, s"got ${ra.getDouble(4)}")
+    // below the triple floor -> null entropy
+    val short = seriesL((0 until 5).map(i => i * h -> Some(i.toDouble)))
+    assert(Correlation.permutationEntropy(short).collect().head.isNullAt(4))
+  }
+
+  test("permutationEntropy: equals brute-force Bandt-Pompe with ties") {
+    import graft.events.Correlation
+    val hUs = 3600000000L
+    val rnd = new scala.util.Random(71)
+    val xs = (0 until 60).map(_ => rnd.nextInt(4).toLong)
+    val pts = seriesL(xs.zipWithIndex.map { case (x, i) =>
+      i * hUs -> Some(x.toDouble) })
+    val r = Correlation.permutationEntropy(pts).collect().head
+    val codes = xs.sliding(3).map { w =>
+      val (a, b, c) = (w(0), w(1), w(2))
+      def i(cond: Boolean) = if (cond) 1 else 0
+      9 * (i(b < a) + i(c < a)) + 3 * (i(a <= b) + i(c < b)) +
+        (i(a <= c) + i(b <= c))
+    }.toSeq
+    val n = codes.size.toDouble
+    val byCode = codes.groupBy(identity).view.mapValues(_.size).toMap
+    val hExp = Seq(5, 7, 11, 15, 19, 21).map { c0 =>
+      byCode.get(c0).map { k =>
+        -(k / n * (math.log(k / n) / math.log(2)))
+      }.getOrElse(0.0)
+    }.reduce(_ + _) / 2.584962500721156
+    assert(r.getLong(1) == codes.size)
+    assert(r.getLong(2) == byCode.size)
+    val hExp6 = BigDecimal(java.math.BigDecimal.valueOf(hExp))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getDouble(4) == hExp6, s"${r.getDouble(4)} vs $hExp6")
+  }
+
   test("segmentedTrend: a perfect two-slope series splits at the knee with zero residual") {
     import graft.events.Correlation
     val s = 1000000L // 1 second in µs -> x = t/1e6 exactly
