@@ -5635,6 +5635,41 @@ object GraftQueries {
        |FROM a JOIN tc ON a.key = tc.key""".stripMargin
   }
 
+  /** Haar scale-energy fingerprint per event type: detail energy at
+    * 2/4/8/16-hour block scales over the hourly bin totals, exact long
+    * squares, one share division. */
+  def qHaarEnergy(spark: SparkSession, dir: String): DataFrame =
+    graft.events.Correlation.haarEnergy(points(spark, dir))
+
+  val sqlHaarEnergy: String = {
+    def lvl(k: Int): String = {
+      val b = 1L << k
+      s"""SELECT key, CAST($k AS INT) AS level,
+         |  max(spn) // $b AS n_blocks, sum(d * d) AS energy
+         |FROM (SELECT key, i // $b AS blk,
+         |        sum(CASE WHEN i % $b < ${b / 2} THEN s ELSE -s END) AS d,
+         |        max(span) AS spn
+         |      FROM base WHERE i < (span // $b) * $b GROUP BY 1, 2)
+         |GROUP BY 1""".stripMargin
+    }
+    s"""WITH pts AS (
+       |  SELECT event_type AS key, epoch_us(ts) AS t, max(value) AS v
+       |  FROM events GROUP BY 1, 2),
+       |bm AS (SELECT key, t // 3600000000 AS b,
+       |         sum(CAST(floor(v * 1000 + 0.5) AS BIGINT)) AS s
+       |       FROM pts GROUP BY 1, 2),
+       |base AS (SELECT key, b - min(b) OVER (PARTITION BY key) AS i, s,
+       |           max(b) OVER (PARTITION BY key)
+       |             - min(b) OVER (PARTITION BY key) + 1 AS span
+       |         FROM bm),
+       |u AS (${(1 to 4).map(lvl).mkString("\n| UNION ALL\n|")}),
+       |tot AS (SELECT key AS tk, sum(energy) AS te FROM u GROUP BY 1)
+       |SELECT u.key, u.level, u.n_blocks, u.energy,
+       |  CASE WHEN te > 0
+       |    THEN round(CAST(u.energy AS DOUBLE) / te, 6) END AS share
+       |FROM u JOIN tot ON u.key = tot.tk""".stripMargin
+  }
+
   /** Net user-activity intervals: 30-min session coverage MINUS 2-hour
     * incident blackouts (events with value ≥ 180) — the interval-set
     * difference sweep over the two coalesced unions. */

@@ -2,6 +2,7 @@ package graft.events
 
 import graft.core.SeriesOps.{K, T, V}
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Correlation-family analytics over unevenly-spaced series: lagged
@@ -531,6 +532,63 @@ object Correlation {
           .when(col("z") > 1.96, lit("increasing"))
           .when(col("z") < -1.96, lit("decreasing"))
           .otherwise(lit("no_trend")).as("trend"))
+  }
+
+  /** Haar wavelet scale-energy fingerprint on the bin grid: at each
+    * dyadic scale 2^k bins (k = 1..`levels`), the energy of the Haar
+    * detail coefficients — Σ over aligned blocks of (S_left − S_right)²
+    * where S are the block-half sums of the hourly bin totals. The
+    * energy-by-scale profile says WHERE a key's variability lives
+    * (hour-to-hour jitter vs day-scale swings) — the multi-resolution
+    * companion to [[autocorr]]. All integer: bin totals are exact
+    * 1e-3-grid long sums over EMPTY-AS-ZERO dyadic positions (absent
+    * bins contribute 0, so blocks never silently shrink), energies are
+    * exact long squares; only the per-key share normalization divides.
+    * Ragged tails (incomplete trailing blocks) drop, per scale. Output
+    * (key, level, n_blocks, energy, share); share is null when the key
+    * has zero total energy across the levels.
+    *
+    * Scale: `levels` grid-bounded aggregates (each one groupBy over
+    * bins >> k — bin-sized frames, never row-sized) + one per-key
+    * total join. */
+  def haarEnergy(
+      df: DataFrame,
+      binUs: Long = 3600000000L,
+      levels: Int = 4): DataFrame = {
+    require(binUs > 0, s"bin width $binUs must be positive")
+    require(levels >= 1 && levels <= 20, s"levels $levels out of range")
+    val bins = df.filter(col(V).isNotNull)
+      .groupBy(col(K), floor(col(T) / binUs).cast("long").as("_b"))
+      .agg(sum(floor(col(V) * 1000 + 0.5).cast("long")).as("_s"))
+    // rebase bins per key so dyadic blocks align at the key's first bin
+    val based = bins
+      .withColumn("_b0", min(col("_b")).over(Window.partitionBy(col(K))))
+      .withColumn("_i", col("_b") - col("_b0"))
+      .withColumn("_span",
+        max(col("_b")).over(Window.partitionBy(col(K))) - col("_b0") + 1)
+    val perLevel = (1 to levels).map { k =>
+      val block = 1L << k // 2^k bins per block
+      val nBlocks = floor(col("_span") / block)
+      based
+        .filter(col("_i") < nBlocks * block) // drop the ragged tail
+        .withColumn("_blk", floor(col("_i") / block).cast("long"))
+        .withColumn("_half",
+          when(col("_i") % block < (block / 2), 1L).otherwise(-1L))
+        .groupBy(col(K), col("_blk"))
+        .agg(sum(col("_half") * col("_s")).as("_d"),
+          first(nBlocks).as("_nb"))
+        .groupBy(col(K))
+        .agg(sum(col("_d") * col("_d")).as("energy"),
+          first(col("_nb")).cast("long").as("n_blocks"))
+        .select(col(K), lit(k).as("level"), col("n_blocks"), col("energy"))
+    }
+    val all = perLevel.reduce(_ unionByName _)
+    val tot = all.groupBy(col(K).as("_tk"))
+      .agg(sum(col("energy")).as("_te"))
+    all.join(tot, col(K) <=> col("_tk"))
+      .select(col(K), col("level"), col("n_blocks"), col("energy"),
+        when(col("_te") > 0,
+          round(col("energy").cast("double") / col("_te"), 6)).as("share"))
   }
 
   /** Permutation entropy (Bandt & Pompe 2002, order-3) on the bin

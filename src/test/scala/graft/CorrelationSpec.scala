@@ -261,6 +261,53 @@ class CorrelationSpec extends SparkSpec {
     assert(r.getDouble(4) == hExp6, s"${r.getDouble(4)} vs $hExp6")
   }
 
+  test("haarEnergy: constant series has zero energy; a step puts energy at the crossing scale") {
+    import graft.events.Correlation
+    val h = 3600000000L
+    val const = seriesL((0 until 16).map(i => i * h -> Some(3.0)))
+    val rc = Correlation.haarEnergy(const).collect()
+    assert(rc.forall(r => r.getLong(3) == 0L && r.isNullAt(4)))
+    // step 0,0,...,0,8,8,...,8 at the midpoint of 16 bins: only the
+    // level-4 block (one 16-bin block, halves 0s vs 8s) sees a detail;
+    // levels 1-3 blocks are internally constant
+    val step = seriesL((0 until 16).map(i =>
+      i * h -> Some(if (i < 8) 0.0 else 8.0)))
+    val rs = Correlation.haarEnergy(step).collect()
+      .map(r => r.getInt(1) -> (r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4)))).toMap
+    assert(rs(1)._1 == 0 && rs(2)._1 == 0 && rs(3)._1 == 0)
+    // d = sum(0..7)*1000*(+1) + sum(8x8)*1000*(-1) = -64000 -> d^2
+    assert(rs(4)._1 == 64000L * 64000L && rs(4)._2 == Some(1.0))
+  }
+
+  test("haarEnergy: equals brute-force dyadic analysis with gaps") {
+    import graft.events.Correlation
+    val h = 3600000000L
+    val rnd = new scala.util.Random(73)
+    // sparse bins: ~60% occupancy, values on the 0.1 grid
+    val occupied = (0 until 64).filter(_ => rnd.nextInt(10) < 6)
+    val vals = occupied.map(i => i -> (rnd.nextInt(100) / 10.0)).toMap
+    val pts = seriesL(occupied.map(i => i * h -> Some(vals(i))))
+    val got = Correlation.haarEnergy(pts).collect()
+      .map(r => r.getInt(1) -> (r.getLong(2), r.getLong(3))).toMap
+    val i0 = occupied.min
+    val span = occupied.max - i0 + 1
+    for (k <- 1 to 4) {
+      val b = 1 << k
+      val nb = span / b
+      val energy = (0 until nb).map { blk =>
+        val d = (0 until b).map { j =>
+          val i = blk * b + j
+          val s = vals.get(i + i0)
+            .map(v => math.floor(v * 1000 + 0.5).toLong).getOrElse(0L)
+          if (j < b / 2) s else -s
+        }.sum
+        d * d
+      }.sum
+      assert(got(k) == ((nb.toLong, energy)), s"level $k")
+    }
+  }
+
   test("segmentedTrend: a perfect two-slope series splits at the knee with zero residual") {
     import graft.events.Correlation
     val s = 1000000L // 1 second in µs -> x = t/1e6 exactly
