@@ -86,7 +86,8 @@ object Bench {
     // wave (q165-q168)
     "q165_event_avg", "q166_burn_rate", "q167_tw_spearman",
     "q168_bursts", "q169_impute_seasonal", "q170_quantile_map",
-    "q171_segmented_trend", "q172_winsorize", "q173_mann_kendall", "q174_perm_entropy", "q175_haar_energy")
+    "q171_segmented_trend", "q172_winsorize", "q173_mann_kendall", "q174_perm_entropy", "q175_haar_energy",
+    "q176_corr_matrix", "q177_dominant_period")
 
   def session(cpus: String): SparkSession = {
     // 4 waves of tasks per core: on a shared VM with CPU steal, a stage is

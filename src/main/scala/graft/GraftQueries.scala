@@ -5670,6 +5670,74 @@ object GraftQueries {
        |FROM u JOIN tot ON u.key = tot.tk""".stripMargin
   }
 
+  /** Contemporaneous Pearson matrix across all event-type pairs on the
+    * hourly grid (exact integer bin means, lexicographic pair order). */
+  def qCorrMatrix(spark: SparkSession, dir: String): DataFrame =
+    graft.events.Correlation.corrMatrix(points(spark, dir))
+
+  val sqlCorrMatrix: String =
+    """WITH pts AS (
+      |  SELECT event_type AS key, epoch_us(ts) AS t, max(value) AS v
+      |  FROM events GROUP BY 1, 2),
+      |bm AS (SELECT key, t // 3600000000 AS b,
+      |         sum(CAST(floor(v * 1000 + 0.5) AS BIGINT)) // count(*)
+      |           AS x
+      |       FROM pts GROUP BY 1, 2),
+      |s AS (SELECT a.key AS key_a, bb.key AS key_b, count(*) AS n_bins,
+      |        sum(a.x) AS sx, sum(bb.x) AS sy, sum(a.x * a.x) AS sxx,
+      |        sum(bb.x * bb.x) AS syy, sum(a.x * bb.x) AS sxy
+      |      FROM bm a JOIN bm bb ON a.b = bb.b AND a.key < bb.key
+      |      GROUP BY 1, 2)
+      |SELECT key_a, key_b, n_bins,
+      |  CASE WHEN n_bins >= 8
+      |    AND CAST(n_bins AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx > 0
+      |    AND CAST(n_bins AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy > 0
+      |  THEN round((CAST(n_bins AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+      |    / sqrt((CAST(n_bins AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+      |         * (CAST(n_bins AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6)
+      |  END AS r
+      |FROM s""".stripMargin
+
+  /** Dominant activity cycle per user: argmax of the hourly-bin ACF
+    * over lags 1..24 with the 1.96/√n white-noise gate. */
+  def qDominantPeriod(spark: SparkSession, dir: String): DataFrame =
+    graft.events.Correlation.dominantPeriod(
+      spark.read.parquet(s"$dir/events.parquet")
+        .select(col("user_id").as("key"), tsUs.as("t"),
+          col("value").as("v")),
+      maxLag = 24)
+
+  val sqlDominantPeriod: String =
+    """WITH e AS (SELECT user_id, epoch_us(ts) // 3600000000 AS b, value
+      |           FROM events WHERE value IS NOT NULL),
+      |g AS (SELECT user_id, b,
+      |        CAST(floor(avg(value) * 1000 + 0.5) AS BIGINT) AS x
+      |      FROM e GROUP BY 1, 2),
+      |p AS (SELECT g.user_id, l.lag_h, g.x, h.x AS y
+      |      FROM g CROSS JOIN (SELECT CAST(unnest(generate_series(1, 24))
+      |        AS INT) AS lag_h) l
+      |      JOIN g h ON g.user_id IS NOT DISTINCT FROM h.user_id
+      |        AND g.b + l.lag_h = h.b),
+      |s AS (SELECT user_id, lag_h, count(*) AS n_pairs,
+      |        sum(x) AS sx, sum(y) AS sy, sum(x * x) AS sxx,
+      |        sum(y * y) AS syy, sum(x * y) AS sxy
+      |      FROM p GROUP BY 1, 2),
+      |rr AS (SELECT user_id, lag_h, n_pairs,
+      |  CASE WHEN n_pairs >= 8
+      |    AND CAST(n_pairs AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx > 0
+      |    AND CAST(n_pairs AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy > 0
+      |  THEN round((CAST(n_pairs AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+      |    / sqrt((CAST(n_pairs AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+      |         * (CAST(n_pairs AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6)
+      |  END AS r
+      |  FROM s)
+      |SELECT user_id AS key, lag_h AS best_lag, n_pairs, r,
+      |  CAST(abs(r) * sqrt(CAST(n_pairs AS DOUBLE)) > 1.96 AS BIGINT)
+      |    AS significant
+      |FROM rr WHERE r IS NOT NULL
+      |QUALIFY row_number() OVER (PARTITION BY user_id
+      |  ORDER BY r DESC, lag_h) = 1""".stripMargin
+
   /** Net user-activity intervals: 30-min session coverage MINUS 2-hour
     * incident blackouts (events with value ≥ 180) — the interval-set
     * difference sweep over the two coalesced unions. */

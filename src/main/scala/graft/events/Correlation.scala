@@ -534,6 +534,77 @@ object Correlation {
           .otherwise(lit("no_trend")).as("trend"))
   }
 
+  /** Cross-sectional correlation MATRIX on the bin grid: the
+    * contemporaneous Pearson r for EVERY unordered key pair over bins
+    * where both keys have data — "which fleet metrics co-move",
+    * generalizing [[crossCorr]]'s single designated pair at lag 0 to
+    * the whole key universe in one self-join. Bin means are the exact
+    * integer floor-division means of [[mannKendall]]; all six
+    * sufficient statistics are exact longs per pair; key order in a
+    * pair is lexicographic (key_a < key_b). Pairs with < `minBins`
+    * common bins or a constant side report null r. Output (key_a,
+    * key_b, n_bins, r).
+    *
+    * Scale: the self-join is bins×keys against itself ON THE BIN ID —
+    * output is pairs×common-bins, bounded by (#keys choose 2)·grid,
+    * never raw rows; a fleet too wide for that materializes the
+    * per-bin vector instead (map form), the documented next gear. */
+  def corrMatrix(
+      df: DataFrame,
+      binUs: Long = 3600000000L,
+      minBins: Int = 8): DataFrame = {
+    require(binUs > 0, s"bin width $binUs must be positive")
+    val g = df.filter(col(V).isNotNull)
+      .groupBy(col(K), floor(col(T) / binUs).cast("long").as("_b"))
+      .agg(sum(floor(col(V) * 1000 + 0.5).cast("long")).as("_q"),
+        count(lit(1)).as("_c"))
+      .select(col(K), col("_b"), expr("_q div _c").as("_x"))
+    val r = g.select(col(K).as("_rk"), col("_b").as("_rb"),
+      col("_x").as("_y"))
+    val pairs = g.join(r, col("_b") === col("_rb") && col(K) < col("_rk"))
+    val s = pairs.groupBy(col(K).as("key_a"), col("_rk").as("key_b")).agg(
+      count(lit(1)).as("n_bins"),
+      sum(col("_x")).as("_sx"), sum(col("_y")).as("_sy"),
+      sum(col("_x") * col("_x")).as("_sxx"),
+      sum(col("_y") * col("_y")).as("_syy"),
+      sum(col("_x") * col("_y")).as("_sxy"))
+    val nD = col("n_bins").cast("double")
+    val num = nD * col("_sxy").cast("double") -
+      col("_sx").cast("double") * col("_sy").cast("double")
+    val varX = nD * col("_sxx").cast("double") -
+      col("_sx").cast("double") * col("_sx").cast("double")
+    val varY = nD * col("_syy").cast("double") -
+      col("_sy").cast("double") * col("_sy").cast("double")
+    s.select(col("key_a"), col("key_b"), col("n_bins"),
+      when(col("n_bins") >= minBins && varX > 0 && varY > 0,
+        round(num / sqrt(varX * varY), 6)).as("r"))
+  }
+
+  /** Dominant-cycle detection: the lag (in bins) whose autocorrelation
+    * is largest, with the white-noise significance gate |r| >
+    * 1.96/√n_pairs — "does this metric have a daily/weekly rhythm, and
+    * at what period", composed directly on [[autocorr]]'s exact lag
+    * table. Ties break to the SMALLEST lag (the fundamental, not its
+    * harmonics, when equal). Output (key, best_lag, n_pairs, r,
+    * significant 0/1); keys where no lag yields a defined r drop. */
+  def dominantPeriod(
+      df: DataFrame,
+      maxLag: Int = 48,
+      binUs: Long = 3600000000L,
+      minPairs: Int = 8): DataFrame = {
+    require(maxLag >= 1, s"maxLag $maxLag must be >= 1")
+    val acf = autocorr(df, 1 to maxLag, binUs, minPairs)
+      .filter(col("r").isNotNull)
+    acf.groupBy(col(K)).agg(
+      max(struct(col("r"), (-col("lag")).as("_nl"),
+        col("n_pairs").as("_np"))).as("_m"))
+      .select(col(K), (-col("_m").getField("_nl")).as("best_lag"),
+        col("_m").getField("_np").as("n_pairs"),
+        col("_m").getField("r").as("r"),
+        (abs(col("_m").getField("r")) * sqrt(col("_m").getField("_np")
+          .cast("double")) > 1.96).cast("long").as("significant"))
+  }
+
   /** Haar wavelet scale-energy fingerprint on the bin grid: at each
     * dyadic scale 2^k bins (k = 1..`levels`), the energy of the Haar
     * detail coefficients — Σ over aligned blocks of (S_left − S_right)²

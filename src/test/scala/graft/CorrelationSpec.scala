@@ -308,6 +308,36 @@ class CorrelationSpec extends SparkSpec {
     }
   }
 
+  test("corrMatrix: co-moving pair reads 1, inverse pair -1, constant null") {
+    import graft.events.Correlation
+    val s2 = spark
+    import s2.implicits._
+    val h = 3600000000L
+    val rows = (0 until 12).flatMap { i =>
+      Seq(("a", i * h, i.toDouble), ("b", i * h, 2.0 * i + 1),
+        ("c", i * h, 100.0 - i), ("d", i * h, 5.0))
+    }.toDF("key", "t", "v")
+    val out = Correlation.corrMatrix(rows).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(out(("a", "b")) == Some(1.0))
+    assert(out(("a", "c")) == Some(-1.0))
+    assert(out(("a", "d")).isEmpty && out(("b", "d")).isEmpty)
+    assert(out.size == 6) // 4 choose 2, lexicographic order
+  }
+
+  test("dominantPeriod: a planted 6-bin cycle wins the argmax and is significant") {
+    import graft.events.Correlation
+    val s2 = spark
+    import s2.implicits._
+    val h = 3600000000L
+    val rows = (0 until 120).map(i =>
+      ("u", i * h, (i % 6).toDouble * 10)).toDF("key", "t", "v")
+    val r = Correlation.dominantPeriod(rows, maxLag = 24).collect().head
+    assert(r.getInt(1) % 6 == 0, s"best lag ${r.getInt(1)}")
+    assert(r.getDouble(3) == 1.0 && r.getLong(4) == 1L)
+  }
+
   test("segmentedTrend: a perfect two-slope series splits at the knee with zero residual") {
     import graft.events.Correlation
     val s = 1000000L // 1 second in µs -> x = t/1e6 exactly
