@@ -133,4 +133,25 @@ class PlanAuditSpec extends SparkSpec {
     assert(spark.sharedState.cacheManager.isEmpty,
       "operators left entries in the cache manager")
   }
+
+  test("tropical-Viterbi bursts: every join is an equi join, no cartesian") {
+    val plan = planOf(GraftQueries.qBursts(spark, "/root/testdata/sf0.001"))
+    assert(!plan.contains("CartesianProduct"), s"cartesian in bursts:\n$plan")
+  }
+
+  test("quantile map: the only non-equi joins are broadcast-tiny expansions") {
+    // the ref histogram and its 1-row total broadcast; the per-key as-of
+    // and the final bin join are equi joins — a CartesianProduct (a
+    // NON-broadcast cross) would mean the ref table stopped broadcasting
+    val plan = planOf(GraftQueries.qQuantileMap(spark, "/root/testdata/sf0.001"))
+    assert(!plan.contains("CartesianProduct"), s"cartesian in quantileMap:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"ref histogram no longer broadcasts:\n$plan")
+  }
+
+  test("correlation matrix joins bins on the bin id, never all-pairs rows") {
+    val plan = planOf(GraftQueries.qCorrMatrix(spark, "/root/testdata/sf0.001"))
+    assert(!plan.contains("CartesianProduct"), s"cartesian in corrMatrix:\n$plan")
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"), plan)
+  }
 }
