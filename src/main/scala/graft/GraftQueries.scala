@@ -5738,6 +5738,44 @@ object GraftQueries {
       |QUALIFY row_number() OVER (PARTITION BY user_id
       |  ORDER BY r DESC, lag_h) = 1""".stripMargin
 
+  /** Goh–Barabási burstiness + memory per user over whole-second
+    * activity gaps — exact decimal/HUGEINT moments, two fixed IEEE
+    * expressions. */
+  def qBurstiness(spark: SparkSession, dir: String): DataFrame =
+    graft.events.Correlation.burstiness(
+      spark.read.parquet(s"$dir/events.parquet")
+        .select(col("user_id").as("key"), tsUs.as("t")))
+
+  val sqlBurstiness: String =
+    """WITH pts AS (
+      |  SELECT DISTINCT user_id AS key, epoch_us(ts) AS t FROM events),
+      |g0 AS (SELECT key, t, lag(t) OVER (PARTITION BY key ORDER BY t)
+      |         AS pt FROM pts),
+      |g AS (SELECT key, CAST((t - pt) // 1000000 AS HUGEINT) AS g,
+      |        CAST(lead((t - pt) // 1000000)
+      |          OVER (PARTITION BY key ORDER BY t) AS HUGEINT) AS ng
+      |      FROM g0 WHERE pt IS NOT NULL),
+      |a AS (SELECT key, count(*) AS n_gaps, sum(g) AS sx,
+      |        sum(g * g) AS sxx, count(ng) AS np,
+      |        sum(CASE WHEN ng IS NOT NULL THEN g END) AS px,
+      |        sum(ng) AS py,
+      |        sum(CASE WHEN ng IS NOT NULL THEN g * g END) AS pxx,
+      |        sum(ng * ng) AS pyy, sum(g * ng) AS pxy
+      |      FROM g GROUP BY 1)
+      |SELECT key, n_gaps,
+      |  round(CAST(sx AS DOUBLE) / n_gaps, 6) AS mean_gap_s,
+      |  CASE WHEN sx > 0 THEN
+      |    round((sqrt(CAST(n_gaps * sxx - sx * sx AS DOUBLE))
+      |             - CAST(sx AS DOUBLE))
+      |          / (sqrt(CAST(n_gaps * sxx - sx * sx AS DOUBLE))
+      |             + CAST(sx AS DOUBLE)), 6) END AS burstiness,
+      |  CASE WHEN np >= 8 AND np * pxx - px * px > 0
+      |    AND np * pyy - py * py > 0 THEN
+      |    round(CAST(np * pxy - px * py AS DOUBLE)
+      |      / sqrt(CAST(np * pxx - px * px AS DOUBLE)
+      |           * CAST(np * pyy - py * py AS DOUBLE)), 6) END AS memory
+      |FROM a""".stripMargin
+
   /** Net user-activity intervals: 30-min session coverage MINUS 2-hour
     * incident blackouts (events with value ≥ 180) — the interval-set
     * difference sweep over the two coalesced unions. */

@@ -534,6 +534,59 @@ object Correlation {
           .otherwise(lit("no_trend")).as("trend"))
   }
 
+  /** Burstiness and memory of the inter-event process (Goh & Barabási,
+    * EPL 2008 — the standard two-number characterization of an event
+    * stream): over each key's whole-second gaps,
+    *
+    *   B = (σ − μ)/(σ + μ)   — −1 regular, 0 Poisson, →1 bursty
+    *   M = Pearson(gap_i, gap_{i+1})   — do long gaps follow long gaps
+    *
+    * B reduces to the EXACT form (√A − Σx)/(√A + Σx) with A = n·Σx² −
+    * (Σx)² (σ/μ = √A/Σx, the n's cancel), so both numbers are fixed
+    * IEEE expressions over decimal(38,0)-exact sufficient statistics
+    * (gap squares overflow int64 at month-long spans; the oracle
+    * mirrors in HUGEINT). Keys report null B on zero mean gap (all
+    * simultaneous) and null M with < `minPairs` consecutive pairs or a
+    * constant side. Output (key, n_gaps, mean_gap_s, burstiness,
+    * memory).
+    *
+    * Scale: one per-key lag window + two aggregates — the
+    * interEventTimes shape. */
+  def burstiness(
+      df: DataFrame,
+      minPairs: Int = 8): DataFrame = {
+    val dec = "decimal(38,0)"
+    val pts = df.select(col(K), col(T)).distinct()
+    val wk = Window.partitionBy(col(K)).orderBy(col(T).asc)
+    val gaps = pts
+      .withColumn("_pt", lag(col(T), 1).over(wk))
+      .filter(col("_pt").isNotNull)
+      .withColumn("_g", expr("(t - _pt) div 1000000").cast(dec))
+      .withColumn("_ng", lead(col("_g"), 1).over(wk))
+    val agg = gaps.groupBy(col(K)).agg(
+      count(lit(1)).as("n_gaps"),
+      sum(col("_g")).as("_sx"), sum(col("_g") * col("_g")).as("_sxx"),
+      count(col("_ng")).as("_np"),
+      sum(when(col("_ng").isNotNull, col("_g"))).as("_px"),
+      sum(col("_ng")).as("_py"),
+      sum(when(col("_ng").isNotNull, col("_g") * col("_g"))).as("_pxx"),
+      sum(col("_ng") * col("_ng")).as("_pyy"),
+      sum(col("_g") * col("_ng")).as("_pxy"))
+    val n = col("n_gaps").cast(dec)
+    val a = (n * col("_sxx") - col("_sx") * col("_sx")).cast("double")
+    val sx = col("_sx").cast("double")
+    val np = col("_np").cast(dec)
+    val mva = (np * col("_pxx") - col("_px") * col("_px")).cast("double")
+    val mvb = (np * col("_pyy") - col("_py") * col("_py")).cast("double")
+    val mnum = (np * col("_pxy") - col("_px") * col("_py")).cast("double")
+    agg.select(col(K), col("n_gaps"),
+      round(sx / col("n_gaps"), 6).as("mean_gap_s"),
+      when(col("_sx") > 0,
+        round((sqrt(a) - sx) / (sqrt(a) + sx), 6)).as("burstiness"),
+      when(col("_np") >= minPairs && mva > 0 && mvb > 0,
+        round(mnum / sqrt(mva * mvb), 6)).as("memory"))
+  }
+
   /** Cross-sectional correlation MATRIX on the bin grid: the
     * contemporaneous Pearson r for EVERY unordered key pair over bins
     * where both keys have data — "which fleet metrics co-move",

@@ -338,6 +338,49 @@ class CorrelationSpec extends SparkSpec {
     assert(r.getDouble(3) == 1.0 && r.getLong(4) == 1L)
   }
 
+  test("burstiness: regular is -1-ish, alternating gaps follow the closed form") {
+    import graft.events.Correlation
+    val s2 = spark
+    import s2.implicits._
+    val S = 1000000L
+    // perfectly regular 10s gaps: sigma = 0 -> B = -1, memory null (var 0)
+    val reg = (0 until 20).map(i => ("r", i * 10 * S))
+    // alternating 2s/8s gaps: mu = 5, sigma = 3 -> B = (3-5)/(3+5) = -0.25
+    var t = 0L
+    val alt = ("a", 0L) +: (0 until 20).map { i =>
+      t += (if (i % 2 == 0) 2 else 8) * S; ("a", t)
+    }
+    val out = Correlation.burstiness((reg ++ alt).toDF("key", "t"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("r").getDouble(3) == -1.0 && out("r").isNullAt(4))
+    assert(out("a").getDouble(3) == -0.25)
+    // memory of a strict alternation is -1
+    assert(out("a").getDouble(4) == -1.0)
+  }
+
+  test("burstiness: equals the brute-force moments on random gaps") {
+    import graft.events.Correlation
+    val s2 = spark
+    import s2.implicits._
+    val rnd = new scala.util.Random(79)
+    var t = 0L
+    val ts = (0 until 60).map { _ =>
+      t += (1 + rnd.nextInt(30)) * 1000000L; t
+    }
+    val out = Correlation.burstiness(ts.map(("k", _)).toDF("key", "t"))
+      .collect().head
+    val gaps = ts.sliding(2).map(p => (p(1) - p(0)) / 1000000L).toSeq
+    val n = gaps.size.toDouble
+    val sx = gaps.sum.toDouble
+    val sxx = gaps.map(g => g.toDouble * g).sum
+    val a = n * sxx - sx * sx
+    val b = (math.sqrt(a) - sx) / (math.sqrt(a) + sx)
+    def r6(x: Double) = BigDecimal(java.math.BigDecimal.valueOf(x))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out.getLong(1) == gaps.size)
+    assert(out.getDouble(3) == r6(b), s"${out.getDouble(3)} vs ${r6(b)}")
+  }
+
   test("segmentedTrend: a perfect two-slope series splits at the knee with zero residual") {
     import graft.events.Correlation
     val s = 1000000L // 1 second in µs -> x = t/1e6 exactly
