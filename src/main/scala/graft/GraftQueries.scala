@@ -1775,6 +1775,29 @@ object GraftQueries {
         |SELECT from_state, to_state, count(*) AS n
         |FROM pr WHERE to_state IS NOT NULL GROUP BY 1, 2""".stripMargin
 
+  /** Markov next-state baseline over the user state sequences: modal
+    * next state per current state with its hit rate (the q?? state
+    * transitions rolled into the zero-parameter predictor). */
+  def qMarkovBaseline(spark: SparkSession, dir: String): DataFrame =
+    graft.categorical.CategoricalOps.markovBaseline(statePoints(spark, dir))
+
+  val sqlMarkovBaseline: String =
+    sqlStatePts +
+      """,
+        |pr AS (
+        |  SELECT sv AS from_state,
+        |    lead(sv) OVER (PARTITION BY key ORDER BY t) AS to_state
+        |  FROM spts),
+        |c AS (SELECT from_state, to_state, count(*) AS n
+        |      FROM pr WHERE to_state IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT from_state, sum(n) AS n_total FROM c GROUP BY 1),
+        |top AS (SELECT from_state, to_state AS top_next, n AS n_top
+        |        FROM c QUALIFY row_number() OVER (PARTITION BY from_state
+        |          ORDER BY n DESC, to_state) = 1)
+        |SELECT top.from_state, top.top_next, top.n_top, tot.n_total,
+        |  round(CAST(top.n_top AS DOUBLE) / tot.n_total, 6) AS hit_rate
+        |FROM top JOIN tot ON top.from_state = tot.from_state""".stripMargin
+
   /** String-valued sample() (traces/timeseries.py:1409): each user's
     * previous-interpolated state on a global 6-hour grid; grid times
     * before a user's first event carry the default (null), like get()

@@ -61,6 +61,24 @@ object CategoricalOps {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** Markov next-state baseline: for each current state, the modal next
+    * state and its hit rate — the zero-parameter sequence predictor
+    * every fancier model must beat, read straight off [[transitions]].
+    * Ties break to the lexicographically smallest next state. All
+    * counts exact; one division per row. Output (from_state, top_next,
+    * n_top, n_total, hit_rate). */
+  def markovBaseline(points: DataFrame, valueCol: String = "sv"): DataFrame = {
+    val tr = transitions(points, valueCol)
+    tr.groupBy(col("from_state"))
+      .agg(sum(col("n")).as("n_total"),
+        min(struct((-col("n")).as("_nn"), col("to_state").as("_ts")))
+          .as("_m"))
+      .select(col("from_state"), col("_m").getField("_ts").as("top_next"),
+        (-col("_m").getField("_nn")).as("n_top"), col("n_total"),
+        round((-col("_m").getField("_nn")).cast("double")
+          / col("n_total"), 6).as("hit_rate"))
+  }
+
   /** Dwell (run-length) statistics per (key, state): how LONG the series
     * stays in a state each time it enters it — the run-length complement
     * of [[stateDistribution]] (which only sums total time-in-state) and

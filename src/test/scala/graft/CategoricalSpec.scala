@@ -63,4 +63,28 @@ class CategoricalSpec extends SparkSpec {
     assert(segs == Seq((0L, 10L, "idle"), (10L, 15L, "busy"),
       (15L, 40L, "error"), (40L, 60L, "idle")), segs.toString)
   }
+
+  test("markovBaseline: modal next state with smallest-state tie-break") {
+    val s = spark
+    import s.implicits._
+    // key k1: a->b, b->a, a->b ; key k2: a->c, c->a
+    // from a: b twice, c once -> top b, 2/3; from b: a once -> 1.0;
+    // from c: a once -> 1.0
+    val pts = Seq(
+      ("k1", 0L, "a"), ("k1", 1L, "b"), ("k1", 2L, "a"), ("k1", 3L, "b"),
+      ("k2", 0L, "a"), ("k2", 1L, "c"), ("k2", 2L, "a"))
+      .toDF("key", "t", "sv")
+    val out = CategoricalOps.markovBaseline(pts).collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))).toMap
+    assert(out("a") == (("b", 2L, 3L, 0.666667)))
+    assert(out("b") == (("a", 1L, 1L, 1.0)))
+    assert(out("c") == (("a", 1L, 1L, 1.0)))
+    // tie: from a, equal counts to b and c -> smallest state b wins
+    val tie = Seq(("k", 0L, "a"), ("k", 1L, "c"), ("k", 2L, "a"),
+      ("k", 3L, "b")).toDF("key", "t", "sv")
+    val rt = CategoricalOps.markovBaseline(tie).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(rt("a") == "b")
+  }
 }
