@@ -159,6 +159,14 @@ object Burst {
       asc = true, seed0 = 0L, seed1 = INF)
     val revCarries = fold(netOf(col("_v"), lit(1)),
       asc = false, seed0 = 0L, seed1 = 0L)
+    // fuse the two TINY carry frames first so the row-sized frame joins
+    // exactly once (two big-side shuffles would double the exchange cost)
+    val carries = fwdCarries
+      .withColumnRenamed("_c0", "_u0").withColumnRenamed("_c1", "_u1")
+      .join(revCarries
+          .withColumnRenamed("_nk", "_rk").withColumnRenamed("_cb", "_rb"),
+        col("_nk") <=> col("_rk") && col("_cb") === col("_rb"))
+      .drop("_rk", "_rb")
     arrs
       .select(col(K), col("_bkt"),
         explode(arrays_zip(col("_arr"), col("_f"), col("_v"))).as("_z"))
@@ -169,11 +177,7 @@ object Burst {
         col("_z._f._8").as("_p10"), col("_z._f._9").as("_p11"),
         col("_z._v._2").as("_q00"), col("_z._v._3").as("_q01"),
         col("_z._v._4").as("_q10"), col("_z._v._5").as("_q11"))
-      .join(fwdCarries,
-        col(K) <=> col("_nk") && col("_bkt") === col("_cb"))
-      .withColumnRenamed("_c0", "_u0").withColumnRenamed("_c1", "_u1")
-      .drop("_nk", "_cb")
-      .join(revCarries,
+      .join(carries,
         col(K) <=> col("_nk") && col("_bkt") === col("_cb"))
       .withColumn("_f0", least(col("_p00") + col("_u0"), col("_p01") + col("_u1")))
       .withColumn("_f1", least(col("_p10") + col("_u0"), col("_p11") + col("_u1")))
