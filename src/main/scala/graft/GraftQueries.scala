@@ -5799,6 +5799,32 @@ object GraftQueries {
       |           * CAST(np * pyy - py * py AS DOUBLE)), 6) END AS memory
       |FROM a""".stripMargin
 
+  /** p95 Value-at-Risk + expected shortfall per event type: exact
+    * rational-quantile threshold and the tail-conditional mean. */
+  def qTailRisk(spark: SparkSession, dir: String): DataFrame =
+    graft.stats.StatsOps.tailRisk(points(spark, dir))
+
+  val sqlTailRisk: String =
+    """WITH pts AS (
+      |  SELECT event_type AS key, epoch_us(ts) AS t, max(value) AS v
+      |  FROM events GROUP BY 1, 2),
+      |px AS (SELECT key, CAST(floor(v * 1000 + 0.5) AS BIGINT) AS x
+      |       FROM pts),
+      |c AS (SELECT key, x,
+      |        sum(w) OVER (PARTITION BY key ORDER BY x
+      |          ROWS UNBOUNDED PRECEDING) AS c,
+      |        sum(w) OVER (PARTITION BY key) AS n
+      |      FROM (SELECT key, x, count(*) AS w FROM px GROUP BY 1, 2)),
+      |thr AS (SELECT key,
+      |          min(CASE WHEN c * 20 >= n * 19 THEN x END) AS vp,
+      |          CAST(max(n) AS BIGINT) AS n
+      |        FROM c GROUP BY 1)
+      |SELECT px.key, thr.n, thr.vp / 1000.0 AS var_p,
+      |  count(*) AS n_tail,
+      |  round(sum(px.x) / 1000.0 / count(*), 6) AS es
+      |FROM px JOIN thr ON px.key = thr.key AND px.x >= thr.vp
+      |GROUP BY 1, 2, 3""".stripMargin
+
   /** Net user-activity intervals: 30-min session coverage MINUS 2-hour
     * incident blackouts (events with value ≥ 180) — the interval-set
     * difference sweep over the two coalesced unions. */

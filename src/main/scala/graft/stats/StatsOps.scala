@@ -114,6 +114,39 @@ object StatsOps {
             / (col("_q3") - col("_q1")), 6)).as("v_robust"))
   }
 
+  /** Value-at-Risk + expected shortfall (CVaR) per key: the exact
+    * empirical p-quantile (type-1 inverse CDF at the RATIONAL p =
+    * num/den, the [[winsorizeScale]] threshold machinery) and the mean
+    * of everything AT OR ABOVE it — "how bad is the bad tail", the
+    * risk pair every SLO/latency review reads together. Integer-exact:
+    * the threshold is a long grid value, tail membership is a long
+    * compare, and the tail mean is one division of exact long sums.
+    * Output (key, n, var_p, n_tail, es). */
+  def tailRisk(df: DataFrame,
+      pNum: Long = 19, pDen: Long = 20): DataFrame = {
+    require(pNum > 0 && pNum <= pDen && pDen > 0,
+      s"need 0 < p = $pNum/$pDen <= 1")
+    val pts = df.filter(col(V).isNotNull)
+      .withColumn("_x", floor(col(V) * 1000 + 0.5).cast("long"))
+    val wCum = Window.partitionBy(col(K)).orderBy(col("_x").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val thr = pts.groupBy(col(K), col("_x")).agg(count(lit(1)).as("_w"))
+      .withColumn("_c", sum(col("_w")).over(wCum))
+      .withColumn("_n", sum(col("_w")).over(Window.partitionBy(col(K))))
+      .groupBy(col(K).as("_qk"))
+      .agg(min(when(col("_c") * pDen >= col("_n") * pNum, col("_x")))
+        .as("_vp"), first(col("_n")).as("n"))
+    pts
+      .join(thr, col(K) <=> col("_qk"))
+      .filter(col("_x") >= col("_vp"))
+      .groupBy(col(K))
+      .agg(first(col("n")).as("n"), first(col("_vp")).as("_vpx"),
+        count(lit(1)).as("n_tail"), sum(col("_x")).as("_ts"))
+      .select(col(K), col("n"), (col("_vpx") / 1000.0).as("var_p"),
+        col("n_tail"),
+        round(col("_ts") / 1000.0 / col("n_tail"), 6).as("es"))
+  }
+
   /** Gini concentration coefficient per key over non-negative integer
     * weights x (one row per (key, unit), `x` pre-aggregated by the
     * caller): with units sorted ascending by x,

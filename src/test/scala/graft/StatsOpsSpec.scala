@@ -317,6 +317,23 @@ class StatsOpsSpec extends SparkSpec {
     assert(out.forall(r => r.getDouble(3) == 7.0 && r.isNullAt(4)))
   }
 
+  test("tailRisk: exact p95 threshold and tail-conditional mean") {
+    val s = spark
+    import s.implicits._
+    // 1..100: p95 = min x with c*20 >= n*19 -> c >= 95 -> x = 95;
+    // tail 95..100 (6 values), es = mean = 97.5
+    val df = (1 to 100).map(i => ("k", i.toLong, i.toDouble))
+      .toDF("key", "t", "v")
+    val r = StatsOps.tailRisk(df).collect().head
+    assert(r.getLong(1) == 100 && r.getDouble(2) == 95.0)
+    assert(r.getLong(3) == 6 && r.getDouble(4) == 97.5)
+    // p = 1/2 on 1..4: threshold 2, tail {2,3,4}, es = 3
+    val r2 = StatsOps.tailRisk((1 to 4).map(i => ("k", i.toLong, i.toDouble))
+      .toDF("key", "t", "v"), pNum = 1, pDen = 2).collect().head
+    assert(r2.getDouble(2) == 2.0 && r2.getLong(3) == 3 &&
+      r2.getDouble(4) == 3.0)
+  }
+
   test("twSpearman: monotone but nonlinear co-movement gives rho = 1") {
     import graft.events.Correlation
     // b = a^3 at the same times: Pearson < 1, Spearman exactly 1
