@@ -685,11 +685,18 @@ object SeriesOps {
       struct(col(K).as("k"), lit(s).as("s")).as(K), col("t0"), col("t1"))
     val u = intervalUnion(tag(a, 0).unionByName(tag(b, 1)), bucketBy)
     val sideA = col(K).getField("s") === 0
-    def deltas(t: Column, sign: Long) =
-      u.select(col(K).getField("k").as(K), t.as(T),
-        when(sideA, lit(sign)).otherwise(lit(0L)).as("_da"),
-        when(sideA, lit(0L)).otherwise(lit(sign)).as("_db"))
-    val bounds = deltas(col("u0"), 1L).unionByName(deltas(col("u1"), -1L))
+    // one narrow explode emits both boundary rows per merged interval —
+    // the union-of-two-selects form re-evaluated the whole union pipeline
+    // above its reused exchange twice (one subtree per boundary side)
+    def delta(t: Column, sign: Long) = struct(
+      t.as(T),
+      when(sideA, lit(sign)).otherwise(lit(0L)).as("_da"),
+      when(sideA, lit(0L)).otherwise(lit(sign)).as("_db"))
+    val bounds = u
+      .select(col(K).getField("k").as(K),
+        explode(array(delta(col("u0"), 1L), delta(col("u1"), -1L))).as("_e"))
+      .select(col(K), col("_e")(T).as(T),
+        col("_e")("_da").as("_da"), col("_e")("_db").as("_db"))
       .groupBy(col(K), col(T))
       .agg(sum(col("_da")).as("_da"), sum(col("_db")).as("_db"))
     val w = Window.partitionBy(K).orderBy(col(T).asc)
