@@ -124,49 +124,43 @@ object Burst {
     // cross-bucket folds over per-bucket NET products (tiny frames):
     // forward seeds the start-in-state-0 vector (0, ∞) and applies nets
     // ascending; backward seeds the free-finish (0, 0) and applies nets
-    // descending. Both emit each bucket's carry-in vector.
-    def fold(net: org.apache.spark.sql.Column, asc: Boolean,
-        seed0: Long, seed1: Long) = {
-      val nets = arrs.select(col(K).as("_nk"), col("_bkt").as("_nb"),
-        net.as("_n"))
-      val sorted =
-        if (asc) sort_array(collect_list(struct(col("_nb"), col("_n"))))
-        else reverse(sort_array(collect_list(struct(col("_nb"), col("_n")))))
-      nets.groupBy(col("_nk"))
-        .agg(sorted.as("_ns"))
-        .select(col("_nk"), explode(expr(
-          s"""aggregate(
-                _ns,
-                struct(cast($seed0 as bigint) as u0,
-                       cast($seed1 as bigint) as u1,
-                       cast(array() as array<struct<b:bigint,
-                         c0:bigint, c1:bigint>>) as out),
-                (acc, e) -> struct(
-                  least(e._n.m00 + acc.u0, e._n.m01 + acc.u1) as u0,
-                  least(e._n.m10 + acc.u0, e._n.m11 + acc.u1) as u1,
-                  array_append(acc.out,
-                    struct(e._nb as b, acc.u0 as c0, acc.u1 as c1)) as out),
-                acc -> acc.out)""")).as("_c"))
-        .select(col("_nk"), col("_c.b").as("_cb"),
-          col("_c.c0").as("_c0"), col("_c.c1").as("_c1"))
-    }
+    // descending. BOTH folds run off ONE nets frame and ONE groupBy —
+    // two separate fold pipelines would re-evaluate the scan aggregate
+    // above its reused exchange a second time and then need a
+    // carry-vs-carry join; here the forward out-array (ascending) and
+    // the reversed backward out-array align positionally by bucket, so
+    // arrays_zip IS the join.
+    def foldSql(arrExpr: String, fld: String, seed0: Long, seed1: Long) =
+      s"""aggregate(
+            $arrExpr,
+            struct(cast($seed0 as bigint) as u0,
+                   cast($seed1 as bigint) as u1,
+                   cast(array() as array<struct<b:bigint,
+                     c0:bigint, c1:bigint>>) as out),
+            (acc, e) -> struct(
+              least(e.$fld.m00 + acc.u0, e.$fld.m01 + acc.u1) as u0,
+              least(e.$fld.m10 + acc.u0, e.$fld.m11 + acc.u1) as u1,
+              array_append(acc.out,
+                struct(e._nb as b, acc.u0 as c0, acc.u1 as c1)) as out),
+            acc -> acc.out)"""
     def netOf(arr: org.apache.spark.sql.Column, idx: org.apache.spark.sql.Column) = {
       val e = element_at(arr, idx)
       struct(e.getField("_6").as("m00"), e.getField("_7").as("m01"),
         e.getField("_8").as("m10"), e.getField("_9").as("m11"))
     }
-    val fwdCarries = fold(netOf(col("_f"), size(col("_f"))),
-      asc = true, seed0 = 0L, seed1 = INF)
-    val revCarries = fold(netOf(col("_v"), lit(1)),
-      asc = false, seed0 = 0L, seed1 = 0L)
-    // fuse the two TINY carry frames first so the row-sized frame joins
-    // exactly once (two big-side shuffles would double the exchange cost)
-    val carries = fwdCarries
-      .withColumnRenamed("_c0", "_u0").withColumnRenamed("_c1", "_u1")
-      .join(revCarries
-          .withColumnRenamed("_nk", "_rk").withColumnRenamed("_cb", "_rb"),
-        col("_nk") <=> col("_rk") && col("_cb") === col("_rb"))
-      .drop("_rk", "_rb")
+    val carries = arrs
+      .select(col(K).as("_nk"), col("_bkt").as("_nb"),
+        netOf(col("_f"), size(col("_f"))).as("_nf"),
+        netOf(col("_v"), lit(1)).as("_nr"))
+      .groupBy(col("_nk"))
+      .agg(sort_array(collect_list(
+        struct(col("_nb"), col("_nf"), col("_nr")))).as("_ns"))
+      .select(col("_nk"), explode(arrays_zip(
+        expr(foldSql("_ns", "_nf", 0L, INF)),
+        reverse(expr(foldSql("reverse(_ns)", "_nr", 0L, 0L))))).as("_c"))
+      .select(col("_nk"), col("_c")("0")("b").as("_cb"),
+        col("_c")("0")("c0").as("_u0"), col("_c")("0")("c1").as("_u1"),
+        col("_c")("1")("c0").as("_c0"), col("_c")("1")("c1").as("_c1"))
     arrs
       .select(col(K), col("_bkt"),
         explode(arrays_zip(col("_arr"), col("_f"), col("_v"))).as("_z"))
