@@ -3017,14 +3017,16 @@ object GraftQueries {
       |FROM r""".stripMargin
 
   /** Gap-based sessionization over the events table (gap = 12h), on the
-    * skew-safe bucketed path — the plain-path equivalence is spec-tested
-    * (SessionizeSpec). */
+    * plain many-key plan — user keys scale WITH the data (per-key rows
+    * stay bounded), so one window pass per key is the shape that holds
+    * at 10^12 rows; the skew-safe bucketed path is spec-equivalent
+    * (SessionizeSpec) and head-to-head benched in the skew section. */
   def qSessionize(spark: SparkSession, dir: String): DataFrame =
     graft.events.EventOps.sessionize(
       spark.read.parquet(s"$dir/events.parquet")
         .select(col("user_id").as("key"), tsUs.as("t"), col("value").as("v")),
       gap = 12L * 3600 * 1000000,
-      bucketBy = dayBucket)
+      bucketBy = None)
       .select(col("key").as("user_id"), col("session_idx"),
         col("t_start"), col("t_end"), col("n_events"),
         round(col("v_sum"), 6).as("v_sum"))
@@ -3577,14 +3579,16 @@ object GraftQueries {
 
   /** Interval union / activity coverage per user: each event opens a
     * 30-minute activity window; overlapping-or-touching windows merge
-    * into maximal islands (BUCKETED two-handoff path, weekly buckets).
-    * The oracle is the classic gaps-and-islands running-max SQL. */
+    * into maximal islands (plain many-key plan — keys scale with the
+    * data; the bucketed two-handoff path is spec-equivalent and benched
+    * in the skew section). The oracle is the classic gaps-and-islands
+    * running-max SQL. */
   def qIntervalUnion(spark: SparkSession, dir: String): DataFrame =
     graft.core.SeriesOps.intervalUnion(
       spark.read.parquet(s"$dir/events.parquet")
         .select(col("user_id").as("key"), tsUs.as("t0"),
           (tsUs + 30L * 60L * 1000000L).as("t1")),
-      bucketBy = Some(floor(col("t0") / WEEK)))
+      bucketBy = None)
       .select(col("key").as("user_id"), col("u0"), col("u1"), col("n_merged"))
 
   val sqlIntervalUnion: String =
@@ -4731,7 +4735,7 @@ object GraftQueries {
         .select(col("user_id").as("key"), tsUs.as("t"),
           col("value").as("v")),
       gap = 12L * 3600 * 1000000,
-      bucketBy = dayBucket)
+      bucketBy = None)
     sessions
       .withColumn("week", floor(col("t_start") / WEEK).cast("long"))
       .groupBy(col("key"), col("week"))
@@ -5222,23 +5226,28 @@ object GraftQueries {
     * more often two types share a session than independence predicts —
     * integer counts end to end, one division. */
   def qSessionLift(spark: SparkSession, dir: String): DataFrame = {
-    val assigned = EventOps.sessionAssign(
+    // one groupBy replaces distinct + self-join + two rescans: each
+    // session collapses to its sorted distinct type set, so the session
+    // count, the per-type counts, and the a<b pair counts all derive
+    // from ONE exchange via HOF explosions (type sets are tiny — the
+    // pair expansion is |set|², never |rows|²)
+    val sess = EventOps.sessionAssign(
       spark.read.parquet(s"$dir/events.parquet")
         .select(col("user_id").as("key"), tsUs.as("t"),
           col("value").as("v"), col("event_type")),
-      gap = 12L * HOUR, bucketBy = dayBucket)
-      .select(col("key"), col("session_idx"), col("event_type"))
-      .distinct()
-    val nTotal = assigned.select(col("key"), col("session_idx")).distinct()
-      .agg(count(lit(1)).as("_n"))
-    val singles = assigned.groupBy(col("event_type"))
-      .agg(count(lit(1)).as("_na"))
-    val r = assigned.select(col("key").as("_k2"),
-      col("session_idx").as("_s2"), col("event_type").as("type_b"))
-    val pairs = assigned
-      .join(r, col("key") <=> col("_k2") && col("session_idx") === col("_s2")
-        && col("event_type") < col("type_b"))
-      .groupBy(col("event_type").as("type_a"), col("type_b"))
+      gap = 12L * HOUR, bucketBy = None)
+      .groupBy(col("key"), col("session_idx"))
+      .agg(sort_array(collect_set(col("event_type"))).as("_types"))
+    val nTotal = sess.agg(count(lit(1)).as("_n"))
+    val singles = sess.select(explode(col("_types")).as("event_type"))
+      .groupBy(col("event_type")).agg(count(lit(1)).as("_na"))
+    val pairs = sess
+      .select(explode(expr(
+        """flatten(transform(_types, (a, i) ->
+             transform(slice(_types, i + 2, size(_types)), b ->
+               struct(a AS type_a, b AS type_b))))""")).as("_p"))
+      .groupBy(col("_p")("type_a").as("type_a"),
+        col("_p")("type_b").as("type_b"))
       .agg(count(lit(1)).as("n_ab"))
     pairs
       .join(broadcast(singles.select(col("event_type").as("type_a"),
