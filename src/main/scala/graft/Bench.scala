@@ -346,29 +346,46 @@ object Bench {
     // heaps scale). The north-rule criterion is the ROLLUP pipeline's
     // scaling; set SPARK_GRAFT_SCALING_MERGE_ROWS to include merge anyway.
     val scalingMergeRows = sys.env.getOrElse("SPARK_GRAFT_SCALING_MERGE_ROWS", "0").toLong
+    // Interleaved passes (N,4N,N,4N,...), min time per leg across passes.
+    // Round-4 sample-X lesson: two SEQUENTIAL min-of-2 legs protect each
+    // leg's time but not the RATIO — a steal burst during one leg's whole
+    // ~1-min window skews efficiency even though both legs individually
+    // took their min. Interleaving spreads each leg's samples across the
+    // same ~6-min window; steal hits wide parallelism disproportionately
+    // (8 runnable threads contend with stealers more than 2), so the wide
+    // leg gets one extra timed rep per pass.
+    val scalingPasses = sys.env.getOrElse("SPARK_GRAFT_SCALING_REPS", "3").toInt
     val scalingJson =
       if (!scalingOn) ""
       else {
         spark.stop()
         org.apache.spark.sql.SparkSession.clearActiveSession()
         org.apache.spark.sql.SparkSession.clearDefaultSession()
-        def level(c: Int): (Double, Double) = {
+        // One (rollupSec, mergeSec) reading per (pass, level): fresh
+        // session, untimed warmup run, cache cleared, timed run(s).
+        def leg(c: Int, timedReps: Int): (Double, Double) = {
           val s = session(c.toString)
           try {
-            val r = minOfReps(s, reps)(() => rollupJob(s, scalingRollupRows))._2
+            val r = minOfReps(s, timedReps)(() => rollupJob(s, scalingRollupRows))._2
             val m =
               if (scalingMergeRows <= 0) 0.0
-              else scalingMergeRows /
-                minOfReps(s, reps)(() => mergeJob(s, scalingMergeRows))._2
-            (scalingRollupRows / r, m)
+              else minOfReps(s, timedReps)(() => mergeJob(s, scalingMergeRows))._2
+            (r, m)
           } finally {
             s.stop()
             org.apache.spark.sql.SparkSession.clearActiveSession()
             org.apache.spark.sql.SparkSession.clearDefaultSession()
           }
         }
-        val (rollupN, mergeN) = level(scalingN)
-        val (rollup4N, merge4N) = level(scalingN * 4)
+        val passes = (1 to scalingPasses).map { _ =>
+          (leg(scalingN, 1), leg(scalingN * 4, 2))
+        }
+        val rollupN = scalingRollupRows / passes.map(_._1._1).min
+        val rollup4N = scalingRollupRows / passes.map(_._2._1).min
+        val mergeN =
+          if (scalingMergeRows <= 0) 0.0 else scalingMergeRows / passes.map(_._1._2).min
+        val merge4N =
+          if (scalingMergeRows <= 0) 0.0 else scalingMergeRows / passes.map(_._2._2).min
         val effR = rollup4N / (4 * rollupN)
         val mergeJson =
           if (scalingMergeRows <= 0) ""
