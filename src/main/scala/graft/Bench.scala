@@ -88,7 +88,9 @@ object Bench {
     "q168_bursts", "q169_impute_seasonal", "q170_quantile_map",
     "q171_segmented_trend", "q172_winsorize", "q173_mann_kendall", "q174_perm_entropy", "q175_haar_energy",
     "q176_corr_matrix", "q177_dominant_period", "q178_burstiness",
-    "q179_markov_baseline", "q180_tail_risk")
+    "q179_markov_baseline", "q180_tail_risk",
+    // rolling-median despike / RAG chunker (q181-q182)
+    "q181_rolling_median", "q182_chunk_overlap")
 
   def session(cpus: String): SparkSession = {
     // 4 waves of tasks per core: on a shared VM with CPU steal, a stage is

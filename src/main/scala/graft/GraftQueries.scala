@@ -6008,6 +6008,56 @@ object GraftQueries {
       |JOIN f ON f.key = g.key AND f.i = g.i
       |JOIN h ON h.key = g.key AND h.i = g.i + 1""".stripMargin
 
+  /** Centered 5-point rolling-median despike per event-type series
+    * ([[graft.events.EventOps.rollingMedian]]): Tukey's median filter
+    * on the 1e-3 integer grid with a lower-median pick, plus a
+    * |v − med| > 50 spike flag — both integer-exact, so the oracle is
+    * the same sorted-window element pick in DuckDB. */
+  def qRollingMedian(spark: SparkSession, dir: String): DataFrame =
+    EventOps.rollingMedian(points(spark, dir), halfWidth = 2,
+      spikeThreshold = 50.0)
+      .select(col("key").as("event_type"), col("t"), col("v"),
+        col("med_v"), col("is_spike"))
+
+  val sqlRollingMedian: String =
+    """WITH pts AS (
+      |  SELECT event_type, epoch_us(ts) AS t, max(value) AS v
+      |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+      |q AS (SELECT event_type, t, v,
+      |        CAST(floor(v * 1000 + 0.5) AS BIGINT) AS xq
+      |      FROM pts),
+      |w AS (SELECT event_type, t, v, xq,
+      |        list_sort(list(xq) OVER (
+      |          PARTITION BY event_type ORDER BY t
+      |          ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)) AS arr
+      |      FROM q)
+      |SELECT event_type, t, v,
+      |  arr[CAST((len(arr) + 1) // 2 AS INT)] / 1000.0 AS med_v,
+      |  CAST(abs(xq - arr[CAST((len(arr) + 1) // 2 AS INT)]) > 50000
+      |    AS BIGINT) AS is_spike
+      |FROM w""".stripMargin
+
+  /** Overlapping 64-token / stride-48 chunker over documents
+    * ([[graft.text.TextOps.chunkOverlap]]): every chunk verified by its
+    * md5 digest — the oracle re-slices the same \S+ token list in
+    * DuckDB and re-hashes. */
+  def qChunkOverlap(spark: SparkSession, dir: String): DataFrame =
+    TextOps.chunkOverlap(docs(spark, dir), window = 64, stride = 48)
+
+  val sqlChunkOverlap: String =
+    """WITH d AS (
+      |  SELECT doc_id, regexp_extract_all(text, '\S+') AS toks
+      |  FROM documents),
+      |n AS (SELECT doc_id, toks, len(toks) AS n FROM d WHERE len(toks) > 0),
+      |c AS (SELECT doc_id, toks,
+      |        unnest(range(0, ((n - 1) // 48) + 1)) AS chunk_idx
+      |      FROM n)
+      |SELECT doc_id, chunk_idx,
+      |  len(toks[chunk_idx * 48 + 1 : chunk_idx * 48 + 64]) AS n_tokens,
+      |  md5(array_to_string(toks[chunk_idx * 48 + 1 : chunk_idx * 48 + 64],
+      |    ' ')) AS chunk_md5
+      |FROM c""".stripMargin
+
   // classic relational smoke (lineitem)
   def qLineitemAgg(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/lineitem.parquet")

@@ -1574,4 +1574,35 @@ object EventOps {
         (col("burn_s") >= burnThreshold && col("burn_l") >= burnThreshold)
           .cast("long").as("alert"))
   }
+
+  /** Centered rolling-median despike filter (the classic robust
+    * smoother — Tukey's median filter): per key, the lower median of
+    * the ±`halfWidth`-ROW window around each point, plus a spike flag
+    * when the point deviates from its local median by more than
+    * `spikeThreshold`. Median on the 1e-3 integer grid — the window is
+    * sorted as quantized longs and the LOWER median (1-based index
+    * ⌊(n+1)/2⌋, n = 3..2·halfWidth+1 near series edges) is picked, so
+    * the result is integer-exact in any engine. Input dedupes to max v
+    * per (key, t) (the loader convention).
+    *
+    * Scale: one bounded ROWS frame per point (2·halfWidth+1 elements of
+    * O(1) state — never a RANGE rescan), one exchange on key; the spike
+    * test compares quantized longs, no float drift. Output
+    * (key, t, v, med_v, is_spike 0/1).
+    */
+  def rollingMedian(df: DataFrame, halfWidth: Int,
+      spikeThreshold: Double): DataFrame = {
+    require(halfWidth > 0, s"halfWidth $halfWidth must be positive")
+    val threshQ = math.floor(spikeThreshold * 1000 + 0.5).toLong
+    val w = Window.partitionBy(col(K)).orderBy(col(T).asc)
+      .rowsBetween(-halfWidth, halfWidth)
+    df.filter(col(V).isNotNull)
+      .groupBy(col(K), col(T)).agg(max(col(V)).as(V))
+      .withColumn("_x", floor(col(V) * 1000 + 0.5).cast("long"))
+      .withColumn("_arr", sort_array(collect_list(col("_x")).over(w)))
+      .withColumn("_med",
+        element_at(col("_arr"), ((size(col("_arr")) + 1) / 2).cast("int")))
+      .select(col(K), col(T), col(V), (col("_med") / 1000.0).as("med_v"),
+        (abs(col("_x") - col("_med")) > threshQ).cast("long").as("is_spike"))
+  }
 }

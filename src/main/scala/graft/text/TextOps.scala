@@ -390,4 +390,39 @@ object TextOps {
     df.withColumn("q_rank", round(percent_rank().over(w), 6))
       .withColumn("keep", (col("q_rank") <= frac).cast("int"))
   }
+
+  /** Overlapping fixed-window chunker (the RAG / long-context
+    * pre-processing classic): split each document into whitespace-token
+    * windows of `window` tokens starting every `stride` tokens
+    * (overlap = window − stride), so every token is covered and chunk
+    * boundaries never orphan context. Chunk starts are 0, stride,
+    * 2·stride, … up to the last start < n_tokens; the final chunk may
+    * be shorter. Output (doc_id, chunk_idx, n_tokens, chunk_md5) — the
+    * digest of the space-rejoined window, so verification ships 16
+    * bytes per chunk, never text.
+    *
+    * Scale: a pure scan projection — tokenize, explode a
+    * ⌈n/stride⌉-element index sequence, slice — with NO shuffle at all;
+    * chunk text lives and dies inside its input partition and only
+    * digests + counts leave the scan.
+    */
+  def chunkOverlap(df: DataFrame, window: Int, stride: Int): DataFrame = {
+    require(window > 0, s"window $window must be positive")
+    require(stride > 0 && stride <= window,
+      s"stride $stride must be in 1..$window")
+    df
+      .select(col("doc_id"),
+        regexp_extract_all(col("text"), lit("\\S+"), lit(0)).as("_toks"))
+      .withColumn("_n", size(col("_toks")))
+      .filter(col("_n") > 0)
+      .select(col("doc_id"), col("_toks"),
+        explode(sequence(lit(0L),
+          floor((col("_n") - 1) / stride).cast("long"))).as("chunk_idx"))
+      .withColumn("_chunk",
+        slice(col("_toks"), (col("chunk_idx") * stride + 1).cast("int"),
+          lit(window)))
+      .select(col("doc_id"), col("chunk_idx"),
+        size(col("_chunk")).as("n_tokens"),
+        md5(concat_ws(" ", col("_chunk"))).as("chunk_md5"))
+  }
 }

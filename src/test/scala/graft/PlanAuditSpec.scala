@@ -154,4 +154,29 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), s"cartesian in corrMatrix:\n$plan")
     assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"), plan)
   }
+
+  test("chunker is a pure scan projection: no exchange, no join") {
+    val plan = planOf(GraftQueries.qChunkOverlap(spark, "/root/testdata/sf0.001"))
+    assert(!plan.contains("Exchange"), s"chunker shuffles:\n$plan")
+    assert(!plan.contains("Join"), s"chunker joins:\n$plan")
+  }
+
+  test("rolling median rides ONE keyed exchange: bounded ROWS frame, no RANGE") {
+    // audit the optimized logical plan — the physical tree is wrapped in
+    // AdaptiveSparkPlanExec here (the query has an exchange), whose
+    // children are hidden from collect
+    val qe = GraftQueries.qRollingMedian(spark, "/root/testdata/sf0.001")
+      .queryExecution
+    val windows = qe.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w }
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
+      qe.optimizedPlan.toString)
+    val plan = qe.executedPlan.toString
+    assert(!plan.contains("RANGE BETWEEN"), s"RANGE frame crept in:\n$plan")
+    // exactly two exchanges: the shared loader dedup on (key, t) and the
+    // key-only repartition the window needs; the operator's own defensive
+    // (key, t) max-dedupe reuses the loader partitioning (no third)
+    assert(plan.linesIterator.count(_.contains("Exchange")) == 2,
+      s"expected exactly two exchanges:\n$plan")
+  }
 }

@@ -505,4 +505,27 @@ class StatsOpsSpec extends SparkSpec {
     // long window (−10, 10] still sees both
     assert(out(10L).getLong(5) == 2 && out(10L).getLong(6) == 2)
   }
+
+  test("rollingMedian: despikes the interior, lower median at edges") {
+    // 1,1,100,1,1 -> med 1 everywhere; the 100 flags as a spike
+    val df = seriesL(Seq(0L -> Some(1.0), 1L -> Some(1.0),
+      2L -> Some(100.0), 3L -> Some(1.0), 4L -> Some(1.0)))
+    val out = EventOps.rollingMedian(df, halfWidth = 2, spikeThreshold = 50.0)
+      .collect().map(r => r.getLong(1) -> (r.getDouble(3), r.getLong(4))).toMap
+    assert(out.values.forall(_._1 == 1.0))
+    assert(out(2L)._2 == 1L && out.filterKeys(_ != 2L).values.forall(_._2 == 0L))
+  }
+
+  test("rollingMedian: edge windows shrink; even windows pick the LOWER median") {
+    val df = seriesL(Seq(0L -> Some(3.0), 1L -> Some(8.0),
+      2L -> Some(5.0), 3L -> Some(9.0)))
+    val out = EventOps.rollingMedian(df, halfWidth = 2, spikeThreshold = 50.0)
+      .collect().map(r => r.getLong(1) -> r.getDouble(3)).toMap
+    // t=0 frame {3,8,5} (n=3, odd): median 5
+    assert(out(0L) == 5.0)
+    // t=1 frame {3,8,5,9} (n=4, even): LOWER median of {3,5,8,9} = 5, not 6.5
+    assert(out(1L) == 5.0)
+    // t=3 frame {8,5,9} (n=3): median 8
+    assert(out(3L) == 8.0)
+  }
 }

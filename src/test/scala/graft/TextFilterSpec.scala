@@ -281,4 +281,33 @@ class TextFilterSpec extends SparkSpec {
     assert(digest == "d41d8cd98f00b204e9800998ecf8427e") // md5("")
     assert(c4Of("   \n\n  \n")._1 == 0L) // trimmed-empty lines don't count
   }
+
+  test("chunkOverlap: starts every stride, full coverage, short tail") {
+    // 10 tokens, window 4, stride 3 -> starts 0,3,6,9: sizes 4,4,4,1
+    val df = one((1 to 10).map(i => s"w$i").mkString(" "))
+    val out = TextOps.chunkOverlap(df, window = 4, stride = 3)
+      .orderBy("chunk_idx").collect()
+      .map(r => (r.getLong(1), r.getInt(2))).toSeq
+    assert(out == Seq((0L, 4), (1L, 4), (2L, 4), (3L, 1)))
+  }
+
+  test("chunkOverlap: consecutive chunks overlap by window - stride") {
+    val s = spark; import s.implicits._
+    val df = one((1 to 9).map(i => s"w$i").mkString("  ")) // messy spacing
+    val chunks = TextOps.chunkOverlap(df, window = 4, stride = 3)
+    // re-derive the windows to check the digests are of the right text
+    val exp = Seq("w1 w2 w3 w4", "w4 w5 w6 w7", "w7 w8 w9")
+    val expMd5 = exp.map(t => java.security.MessageDigest.getInstance("MD5")
+      .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString)
+    assert(chunks.orderBy("chunk_idx").collect().map(_.getString(3)).toSeq
+      == expMd5)
+  }
+
+  test("chunkOverlap: one short doc = one chunk; empty doc drops") {
+    val s = spark; import s.implicits._
+    val df = Seq((1L, "only two"), (2L, "   ")).toDF("doc_id", "text")
+    val out = TextOps.chunkOverlap(df, window = 64, stride = 48).collect()
+    assert(out.length == 1 && out.head.getLong(0) == 1L
+      && out.head.getInt(2) == 2)
+  }
 }
