@@ -52,12 +52,15 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("no driver query plans an unpartitioned window (single-partition trap)") {
-    // a WindowExec with an empty partition spec moves ALL rows to one task —
-    // the round-1 scale-killer this guards (inspected on the plan tree;
-    // AQE is off in the test session so executedPlan is the real tree)
+    // a Window with an empty partition spec moves ALL rows to one task —
+    // the round-1 scale-killer this guards. Audited on the OPTIMIZED
+    // logical plan: AQE wraps any physical tree that has an exchange in
+    // AdaptiveSparkPlanExec, whose children are hidden from collect, so a
+    // WindowExec match over executedPlan would be vacuous for exactly the
+    // queries that matter
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
-      fn(spark, "/root/testdata/sf0.001").queryExecution.executedPlan.collect {
-        case w: org.apache.spark.sql.execution.window.WindowExec if w.partitionSpec.isEmpty =>
+      fn(spark, "/root/testdata/sf0.001").queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window if w.partitionSpec.isEmpty =>
           s"$name: ${w.simpleString(120)}"
       }
     }
