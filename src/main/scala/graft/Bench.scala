@@ -122,7 +122,22 @@ object Bench {
     * diamonds (BucketedOps) would otherwise be served the warmup's
     * InMemoryRelation via CacheManager plan-matching, and the "timed" run
     * would skip the very computation it claims to measure. */
+  /** Reclaim cross-job session residue before a measured job starts.
+    * Broadcast HashedRelations acquire UNIFIED EXECUTION memory that is
+    * only released when a GC collects their weak refs and ContextCleaner
+    * reaps them — with a 12g mostly-idle heap, full GCs are rare enough
+    * that a 119-query headline accumulates the whole execution pool and
+    * the next window-sort job dies with UNABLE_TO_ACQUIRE_MEMORY "got 0"
+    * (reproduced twice at rollup task 111; headline-off run was clean).
+    * The GC runs BEFORE the warmup, so timed reps are unaffected. */
+  def reclaim(spark: SparkSession): Unit = {
+    spark.catalog.clearCache()
+    System.gc()
+    Thread.sleep(200) // let ContextCleaner drain its reference queue
+  }
+
   def minOfReps[A](spark: SparkSession, reps: Int)(job: () => A): (A, Double) = {
+    reclaim(spark)
     job() // warmup: JIT, codegen cache, parquet footer/page cache
     val timed = (1 to reps).map { _ =>
       spark.catalog.clearCache()
@@ -272,6 +287,10 @@ object Bench {
         val sec =
           try minOfReps(spark, reps)(() => fn(spark, sfDir).count())._2
           catch { case e: Throwable => System.err.println(s"[bench] $name: $e"); -1.0 }
+        // stderr progress marker (stdout stays one JSON line): when a fatal
+        // task error kills the local context mid-run, the log shows WHICH
+        // query was in flight instead of an anonymous stage id
+        System.err.println(f"[bench] $name $sec%.3f")
         name -> sec
       }
     }

@@ -32,6 +32,11 @@ object Verify {
       // them between queries so a 47-query pass doesn't accumulate
       // dataset-sized cache entries
       spark.catalog.clearCache()
+      // broadcast HashedRelations hold unified EXECUTION memory until a GC
+      // lets ContextCleaner reap them — on a mostly-idle heap a 182-query
+      // pass can exhaust the pool without one (seen in Bench as
+      // UNABLE_TO_ACQUIRE_MEMORY "got 0" after the headline)
+      System.gc()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
