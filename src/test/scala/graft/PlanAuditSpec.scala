@@ -158,6 +158,27 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"), plan)
   }
 
+  test("every conditionless join in every driver query is a deliberate tiny-side broadcast") {
+    // blanket cartesian guard over ALL queries (the per-family checks below
+    // cover a handful): a join with no condition is only scale-safe as a
+    // broadcast-tiny expansion (grid axes, global bounds, k-row model
+    // state). Deliberate ones always carry an explicit broadcast() hint or
+    // have a sub-8KB planner estimate at sf0.001; an ACCIDENTAL cartesian
+    // — the thing this guards against — has neither
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, HintInfo}
+    def broadcastHinted(h: Option[HintInfo]) =
+      h.exists(_.strategy.exists(_.toString.contains("broadcast")))
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      fn(spark, "/root/testdata/sf0.001").queryExecution.optimizedPlan.collect {
+        case j: Join if j.condition.isEmpty
+            && !broadcastHinted(j.hint.leftHint) && !broadcastHinted(j.hint.rightHint)
+            && j.left.stats.sizeInBytes.min(j.right.stats.sizeInBytes) > 8192 =>
+          s"$name: ${j.joinType} l=${j.left.stats.sizeInBytes} r=${j.right.stats.sizeInBytes}"
+      }
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+
   test("chunker is a pure scan projection: no exchange, no join") {
     val plan = planOf(GraftQueries.qChunkOverlap(spark, "/root/testdata/sf0.001"))
     assert(!plan.contains("Exchange"), s"chunker shuffles:\n$plan")
