@@ -90,7 +90,10 @@ object Bench {
     "q176_corr_matrix", "q177_dominant_period", "q178_burstiness",
     "q179_markov_baseline", "q180_tail_risk",
     // rolling-median despike / RAG chunker (q181-q182)
-    "q181_rolling_median", "q182_chunk_overlap")
+    "q181_rolling_median", "q182_chunk_overlap",
+    // state-codec storage tier + ranking/tier wave (q183-q186)
+    "q183_rle_roundtrip", "q184_codec_manifest",
+    "q185_percentile_rank", "q186_monthly_tier")
 
   def session(cpus: String): SparkSession = {
     // 4 waves of tasks per core: on a shared VM with CPU steal, a stage is

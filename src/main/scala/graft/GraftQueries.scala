@@ -6058,6 +6058,171 @@ object GraftQueries {
       |    ' ')) AS chunk_md5
       |FROM c""".stripMargin
 
+  /** Dictionary+RLE state-codec round-trip ([[graft.chunk.StateRle]] via
+    * [[ChunkOps.writeStateChunks]]/[[readStateChunks]]): the low-cardinality
+    * companion of the Gorilla tier (q13), on the UNcompacted floored state
+    * series — exactly the shape where runs pay. Oracle = the input itself. */
+  def qRleRoundtrip(spark: SparkSession, dir: String): DataFrame =
+    ChunkOps.readStateChunks(
+      ChunkOps.writeStateChunks(
+        points(spark, dir)
+          .withColumn("v", (floor(col("v") / 50) + lit(0.0)).cast("double")),
+        DAY))
+
+  val sqlRleRoundtrip: String =
+    """WITH pts AS (
+      |  SELECT event_type AS key, epoch_us(ts) AS t,
+      |         CAST(floor(max(value) / 50) AS DOUBLE) AS v
+      |  FROM events GROUP BY 1, 2)
+      |SELECT key, t, v FROM pts""".stripMargin
+
+  /** Per-chunk storage manifest of the state codec: point/run/dictionary
+    * counts and the EXACT encoded byte length. The Spark side is the
+    * codec's own output (blob length + header self-report); the oracle
+    * recomputes every column from the format spec — LEB128 varint widths
+    * over zigzag timestamps and run records — so a hash match proves the
+    * blob format itself, not merely that decode inverts encode. */
+  def qCodecManifest(spark: SparkSession, dir: String): DataFrame =
+    ChunkOps.writeStateChunks(
+      points(spark, dir)
+        .withColumn("v", (floor(col("v") / 50) + lit(0.0)).cast("double")),
+      DAY)
+      .select(col("key"), col("bucket"), col("n_points"), col("n_runs"),
+        col("dict_size"),
+        (col("n_points") * 16).as("raw_bytes"),
+        length(col("blob")).cast("long").as("rle_bytes"))
+
+  /** LEB128 byte width of an unsigned varint as a SQL CASE — mirrors
+    * [[graft.chunk.StateRle.varintLen]]; all quantities here are < 2^56
+    * so the 9-byte arm is the closed tail. */
+  private def vlenSql(e: String): String =
+    s"(CASE WHEN ($e) < 128 THEN 1 WHEN ($e) < 16384 THEN 2" +
+      s" WHEN ($e) < 2097152 THEN 3 WHEN ($e) < 268435456 THEN 4" +
+      s" WHEN ($e) < 34359738368 THEN 5 WHEN ($e) < 4398046511104 THEN 6" +
+      s" WHEN ($e) < 562949953421312 THEN 7" +
+      s" WHEN ($e) < 72057594037927936 THEN 8 ELSE 9 END)"
+
+  /** zigzag of a signed BIGINT expression. */
+  private def zzSql(e: String): String =
+    s"(CASE WHEN ($e) >= 0 THEN 2 * ($e) ELSE -2 * ($e) - 1 END)"
+
+  val sqlCodecManifest: String =
+    s"""WITH pts AS (
+       |  SELECT event_type AS key, epoch_us(ts) AS t,
+       |         CAST(floor(max(value) / 50) AS DOUBLE) AS v
+       |  FROM events GROUP BY 1, 2),
+       |ord AS (
+       |  SELECT key, t // $DAY AS bucket, t, v,
+       |         row_number() OVER w AS rn,
+       |         lag(t) OVER w AS pt, lag(t, 2) OVER w AS ppt,
+       |         (lag(t) OVER w IS NULL
+       |          OR v IS DISTINCT FROM lag(v) OVER w) AS brk
+       |  FROM pts WINDOW w AS (PARTITION BY key, t // $DAY ORDER BY t)),
+       |marked AS (
+       |  SELECT key, bucket, t, v,
+       |         sum(CASE WHEN brk THEN 1 ELSE 0 END)
+       |           OVER (PARTITION BY key, bucket ORDER BY t) AS run_id
+       |  FROM ord),
+       |runs AS (
+       |  SELECT key, bucket, run_id, min(t) AS rt, count(*) AS run_len,
+       |         any_value(v) AS v
+       |  FROM marked GROUP BY 1, 2, 3),
+       |dict AS (
+       |  SELECT key, bucket, v, min(rt) AS ft
+       |  FROM runs WHERE v IS NOT NULL GROUP BY 1, 2, 3),
+       |didx AS (
+       |  SELECT key, bucket, v,
+       |         rank() OVER (PARTITION BY key, bucket ORDER BY ft) AS idx
+       |  FROM dict),
+       |rb AS (
+       |  SELECT r.key, r.bucket, count(*) AS n_runs,
+       |         sum(${vlenSql("coalesce(d.idx, 0)")}
+       |             + ${vlenSql("r.run_len")}) AS bytes
+       |  FROM runs r LEFT JOIN didx d
+       |    ON d.key = r.key AND d.bucket = r.bucket AND d.v = r.v
+       |  GROUP BY 1, 2),
+       |dods AS (
+       |  SELECT key, bucket, t,
+       |         CASE WHEN rn = 2 THEN t - pt
+       |              ELSE (t - pt) - (pt - ppt) END AS dod
+       |  FROM ord WHERE rn >= 2),
+       |dbrk AS (
+       |  SELECT key, bucket, t, dod,
+       |         (dod IS DISTINCT FROM lag(dod)
+       |            OVER (PARTITION BY key, bucket ORDER BY t)) AS brk
+       |  FROM dods),
+       |druns AS (
+       |  SELECT key, bucket, any_value(dod) AS dod, count(*) AS run_len
+       |  FROM (SELECT key, bucket, dod,
+       |          sum(CASE WHEN brk THEN 1 ELSE 0 END)
+       |            OVER (PARTITION BY key, bucket ORDER BY t) AS drun_id
+       |        FROM dbrk)
+       |  GROUP BY key, bucket, drun_id),
+       |dtb AS (
+       |  SELECT key, bucket,
+       |         sum(${vlenSql(zzSql("dod"))} + ${vlenSql("run_len")}) AS bytes
+       |  FROM druns GROUP BY 1, 2),
+       |tb AS (
+       |  SELECT key, bucket, count(*) AS n,
+       |         ${vlenSql(zzSql("min(t)"))} AS t0_bytes
+       |  FROM ord GROUP BY 1, 2),
+       |ds AS (SELECT key, bucket, count(*) AS dict_size FROM dict GROUP BY 1, 2)
+       |SELECT tb.key, tb.bucket, tb.n AS n_points, rb.n_runs,
+       |  CAST(coalesce(ds.dict_size, 0) AS BIGINT) AS dict_size,
+       |  16 * tb.n AS raw_bytes,
+       |  CAST(${vlenSql("tb.n")} + tb.t0_bytes + coalesce(dtb.bytes, 0)
+       |    + ${vlenSql("coalesce(ds.dict_size, 0)")}
+       |    + 8 * coalesce(ds.dict_size, 0) + rb.bytes AS BIGINT) AS rle_bytes
+       |FROM tb
+       |JOIN rb ON rb.key = tb.key AND rb.bucket = tb.bucket
+       |LEFT JOIN ds ON ds.key = tb.key AND ds.bucket = tb.bucket
+       |LEFT JOIN dtb ON dtb.key = tb.key AND dtb.bucket = tb.bucket""".stripMargin
+
+  /** Trailing percentile rank per sample — each value's rank among its
+    * key's last 100 samples as an exact rational (num = trailing values
+    * ≤ current, den = window size): the streaming-friendly "how unusual
+    * is this reading vs its own recent history" score. One bounded ROWS
+    * window; the oracle replays the same frame with a list filter. */
+  def qPercentileRank(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("key").orderBy("t").rowsBetween(-99, 0)
+    points(spark, dir)
+      .withColumn("_win", collect_list(col("v")).over(w))
+      .select(col("key"), col("t"),
+        size(filter(col("_win"), x => x <= col("v"))).cast("long").as("rank_num"),
+        size(col("_win")).cast("long").as("rank_den"))
+  }
+
+  val sqlPercentileRank: String =
+    """WITH pts AS (
+      |  SELECT event_type AS key, epoch_us(ts) AS t, max(value) AS v
+      |  FROM events GROUP BY 1, 2),
+      |w AS (
+      |  SELECT key, t, v,
+      |         list(v) OVER (PARTITION BY key ORDER BY t
+      |           ROWS BETWEEN 99 PRECEDING AND CURRENT ROW) AS l
+      |  FROM pts)
+      |SELECT key, t,
+      |  CAST(len(list_filter(l, x -> x <= v)) AS BIGINT) AS rank_num,
+      |  CAST(len(l) AS BIGINT) AS rank_den
+      |FROM w""".stripMargin
+
+  /** Monthly retention tier: the daily histogram tier rebinned to
+    * calendar months ([[Rollup.rebin]] + [[Rollup.floorMonth]]). Months
+    * are irregular (28-31 days), so unlike the fixed-step daily/weekly
+    * cascade this exercises the calendar floor; weights stay exact longs
+    * so the cascade is still lossless. */
+  def qRollupMonthly(spark: SparkSession, dir: String): DataFrame =
+    qRollupDaily(spark, dir)
+      .groupBy(col("key"), Rollup.floorMonth(col("bin_start")).as("bin_start"),
+        col("state"))
+      .agg(sum("weight_us").cast("long").as("weight_us"))
+
+  val sqlRollupMonthly: String =
+    s"""SELECT key,
+       |  epoch_us(date_trunc('month', make_timestamp(bin_start))) AS bin_start,
+       |  state, CAST(sum(weight_us) AS BIGINT) AS weight_us
+       |FROM ($sqlRollupDaily) GROUP BY 1, 2, 3""".stripMargin
+
   // classic relational smoke (lineitem)
   def qLineitemAgg(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/lineitem.parquet")

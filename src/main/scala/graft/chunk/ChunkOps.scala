@@ -59,6 +59,51 @@ object ChunkOps {
         enc.as("blob"))
   }
 
+  private[graft] val encodeStateUdf = udf { (rows: Seq[Row]) =>
+    val sorted = rows.sortBy(_.getLong(0))
+    val ts = sorted.map(_.getLong(0)).toArray
+    val vs = sorted
+      .map(r => if (r.isNullAt(1)) null else java.lang.Double.valueOf(r.getDouble(1)))
+      .toArray
+    StateRle.encode(ts, vs)
+  }
+
+  private[graft] val decodeStateUdf = udf { (blob: Array[Byte]) =>
+    val (ts, vs) = StateRle.decode(blob)
+    ts.indices.map(i => (ts(i), Option(vs(i)).map(_.doubleValue())))
+  }
+
+  /** points -> state chunks (key, bucket, n_points, n_runs, dict_size,
+    * blob) under the dictionary+RLE codec ([[StateRle]]) — the storage
+    * tier for low-cardinality state series, where Gorilla's per-point XOR
+    * stream loses to one (code, run-length) varint pair per VALUE CHANGE.
+    * Same single-shuffle shape as [[writeChunks]]; n_runs / dict_size are
+    * the codec's own structural self-report, which the q184 oracle
+    * recomputes (together with the exact blob byte length) from the format
+    * spec in SQL — validating the format itself, not just the round-trip. */
+  def writeStateChunks(points: DataFrame, chunkSpanMicros: Long): DataFrame =
+    points
+      .where(col(T).isNotNull)
+      .groupBy(col(K), floor(col(T) / chunkSpanMicros).cast("long").as("bucket"))
+      .agg(
+        count(lit(1)).as("n_points"),
+        encodeStateUdf(collect_list(struct(col(T), col(V)))).as("blob"))
+      .withColumn("_hdr", stateHeaderUdf(col("blob")))
+      .select(col(K), col("bucket"), col("n_points"),
+        col("_hdr._1").as("n_runs"), col("_hdr._2").as("dict_size"), col("blob"))
+
+  /** (n_runs, dict_size) straight off a [[StateRle]] blob — a header scan,
+    * no point materialization. */
+  private[graft] val stateHeaderUdf = udf { (blob: Array[Byte]) =>
+    StateRle.runStats(blob)
+  }
+
+  /** state chunks -> points; exact inverse of [[writeStateChunks]]. */
+  def readStateChunks(chunks: DataFrame): DataFrame =
+    chunks
+      .select(col(K), explode(decodeStateUdf(col("blob"))).as("p"))
+      .select(col(K), col("p._1").as(T), col("p._2").as(V))
+
   /** chunks -> points; exact inverse of [[writeChunks]] (round-trip
     * property-tested). Native generator when the extension is registered
     * (rows straight off the codec's primitive arrays), UDF+explode

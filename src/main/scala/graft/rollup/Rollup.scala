@@ -65,6 +65,13 @@ object Rollup {
     c => (floor((c - shift) / lit(CalendarFloor.WEEK)) * CalendarFloor.WEEK + shift).cast("long")
   }
 
+  /** Calendar-month floor in epoch µs (UTC session TZ) — months are
+    * irregular (28-31 days), so unlike the fixed-step tiers this floor
+    * goes through the builtin calendar truncation rather than integer
+    * division; still per-row and codegen'd. */
+  def floorMonth: Column => Column =
+    c => unix_micros(date_trunc("month", timestamp_micros(c)))
+
   /** Rolled-up point statistics per bin — the tier table schema of the
     * north rule: per (key, bin): n points, time-weighted mean, min, max,
     * coverage µs. Derived from the same split-segment pass as [[bin]].
