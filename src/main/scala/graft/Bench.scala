@@ -93,7 +93,9 @@ object Bench {
     "q181_rolling_median", "q182_chunk_overlap",
     // state-codec storage tier + ranking/tier wave (q183-q186)
     "q183_rle_roundtrip", "q184_codec_manifest",
-    "q185_percentile_rank", "q186_monthly_tier")
+    "q185_percentile_rank", "q186_monthly_tier",
+    // retention sweep / business-hours mask / monthly SLO (q187-q189)
+    "q187_retention_sweep", "q188_business_hours", "q189_uptime_slo")
 
   def session(cpus: String): SparkSession = {
     // 4 waves of tasks per core: on a shared VM with CPU steal, a stage is

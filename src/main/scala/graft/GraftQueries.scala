@@ -6223,6 +6223,137 @@ object GraftQueries {
        |  state, CAST(sum(weight_us) AS BIGINT) AS weight_us
        |FROM ($sqlRollupDaily) GROUP BY 1, 2, 3""".stripMargin
 
+  /** The retention policy as a driver-gated query ([[Rollup.applyRetention]]
+    * — the north rule's "retention" leg): raw kept 7 days, hourly 30,
+    * daily 90, weekly forever, all relative to the stream's own tmax;
+    * output is the per-tier storage manifest (rows kept + kept range).
+    * The oracle rebuilds every tier and replays the horizon filters. */
+  def qRetentionSweep(spark: SparkSession, dir: String): DataFrame = {
+    val pts = points(spark, dir)
+    val (_, tmax) = bounds(pts)
+    val (r, h, d, w) = Rollup.applyRetention(
+      pts, hourlyHist(spark, dir), qRollupDaily(spark, dir),
+      qRollupWeekly(spark, dir), nowUs = tmax,
+      rawKeepUs = 7 * DAY, hourlyKeepUs = 30 * DAY, dailyKeepUs = 90 * DAY)
+    def manifest(df: DataFrame, tier: String, tc: String): DataFrame =
+      df.agg(count(lit(1)).as("n_rows"),
+          min(col(tc)).as("lo_us"), max(col(tc)).as("hi_us"))
+        .select(lit(tier).as("tier"), col("n_rows"), col("lo_us"), col("hi_us"))
+    manifest(r, "raw", "t")
+      .unionByName(manifest(h, "hourly", "bin_start"))
+      .unionByName(manifest(d, "daily", "bin_start"))
+      .unionByName(manifest(w, "weekly", "bin_start"))
+  }
+
+  private val sqlHourlyHistFull: String =
+    sqlHist(s"cell * $HOUR").replace("__STEP__", HOUR.toString).replace("__SHIFT__", "0")
+
+  val sqlRetentionSweep: String =
+    s"""WITH raw AS (
+       |  SELECT event_type AS key, epoch_us(ts) AS t, max(value) AS v
+       |  FROM events GROUP BY 1, 2),
+       |b AS (SELECT max(t) AS tmax FROM raw)
+       |SELECT 'raw' AS tier, count(*) AS n_rows,
+       |  min(t) AS lo_us, max(t) AS hi_us
+       |FROM raw WHERE t >= (SELECT tmax FROM b) - ${7 * DAY}
+       |UNION ALL
+       |SELECT 'hourly', count(*), min(bin_start), max(bin_start)
+       |FROM ($sqlHourlyHistFull)
+       |WHERE bin_start >= (SELECT tmax FROM b) - ${30 * DAY}
+       |UNION ALL
+       |SELECT 'daily', count(*), min(bin_start), max(bin_start)
+       |FROM ($sqlRollupDaily)
+       |WHERE bin_start >= (SELECT tmax FROM b) - ${90 * DAY}
+       |UNION ALL
+       |SELECT 'weekly', count(*), min(bin_start), max(bin_start)
+       |FROM ($sqlRollupWeekly)""".stripMargin
+
+  /** Time-weighted mean under a business-hours calendar mask (Mon-Fri
+    * 09:00-17:00 UTC): segments split at hour cells, only business cells
+    * kept — the SLA-report composition of the hour-of-day/day-of-week
+    * machinery. Exact long coverage; the value sum rides the 1e-3 grid
+    * in decimal(38,0)/HUGEINT so partial-aggregation order can't move a
+    * bit; ONE final division rounded to 6 dp. */
+  def qBusinessHours(spark: SparkSession, dir: String): DataFrame = {
+    val pts = points(spark, dir)
+    val (tmin, tmax) = bounds(pts)
+    val segs = SeriesOps.segmentsInRange(pts, lit(tmin), lit(tmax), nullD)
+    val cells = Regularize.splitAtCells(segs, lit(0L), lit(HOUR))
+    val wk = pmod(floor(col("cell_start") / DAY) + 3, lit(7))
+    val hr = pmod(floor(col("cell_start") / HOUR), lit(24))
+    val dur = col("t1") - col("t0")
+    val vq = floor(col("v") * 1000 + 0.5).cast("long")
+    cells
+      .filter(col("v").isNotNull && wk <= 4 && hr >= 9 && hr < 17)
+      .groupBy("key")
+      .agg(
+        sum(dur).as("covered_us"),
+        sum((vq * dur).cast("decimal(38,0)")).as("_s"))
+      .select(col("key"), col("covered_us"),
+        round(col("_s").cast("double") / col("covered_us") / 1000.0, 6)
+          .as("bh_mean"))
+  }
+
+  val sqlBusinessHours: String =
+    sqlPrefix() +
+      s""", cells AS (
+         |  SELECT key, v,
+         |         greatest(t0, cell * $HOUR) AS c0,
+         |         least(t1, (cell + 1) * $HOUR) AS c1, cell
+         |  FROM segs, unnest(generate_series(t0 // $HOUR, t1 // $HOUR)) c(cell)
+         |  WHERE t1 > t0)
+         |SELECT key, CAST(sum(c1 - c0) AS BIGINT) AS covered_us,
+         |  round(CAST(sum(CAST(floor(v * 1000 + 0.5) AS HUGEINT) * (c1 - c0))
+         |          AS DOUBLE) / sum(c1 - c0) / 1000.0, 6) AS bh_mean
+         |FROM cells
+         |WHERE c1 > c0 AND v IS NOT NULL
+         |  AND ((cell // 24) + 3) % 7 <= 4 AND cell % 24 BETWEEN 9 AND 16
+         |GROUP BY 1""".stripMargin
+
+  /** Monthly availability SLO: per (key, calendar month) the share of
+    * clipped wall time spent at value ≥ 100 — the threshold-based
+    * availability complement of q111's gap-based downtime, on the
+    * irregular month floor. Exact long durations, one division. */
+  def qUptimeSlo(spark: SparkSession, dir: String): DataFrame = {
+    val pts = points(spark, dir)
+    val (h0, h1) = dayBounds(pts)
+    val segs = SeriesOps.segmentsInRange(pts, lit(h0), lit(h1), nullD)
+    val dur = col("t1") - col("t0")
+    Regularize.splitAtCells(segs, lit(0L), lit(DAY))
+      .groupBy(col("key"),
+        Rollup.floorMonth(col("cell_start")).as("month_start"))
+      .agg(
+        sum(when(col("v") >= 100, dur).otherwise(0L)).as("up_us"),
+        sum(dur).as("span_us"))
+      .select(col("key"), col("month_start"), col("up_us"), col("span_us"),
+        round(col("up_us").cast("double") / col("span_us"), 6).as("uptime"))
+  }
+
+  val sqlUptimeSlo: String =
+    sqlPrefix() +
+      s""", bb AS (SELECT (tmin // $DAY) * $DAY AS h0,
+         |            ((tmax // $DAY) + 1) * $DAY AS h1 FROM b),
+         |clipped AS (
+         |  SELECT key,
+         |         CASE WHEN ot IS NULL THEN (SELECT h0 FROM bb) ELSE t0 END AS t0,
+         |         CASE WHEN lst THEN (SELECT h1 FROM bb) ELSE t1 END AS t1,
+         |         v
+         |  FROM segs),
+         |cells AS (
+         |  SELECT key, v,
+         |         greatest(t0, cell * $DAY) AS c0,
+         |         least(t1, (cell + 1) * $DAY) AS c1,
+         |         cell * $DAY AS cs
+         |  FROM clipped, unnest(generate_series(t0 // $DAY, t1 // $DAY)) c(cell)
+         |  WHERE t1 > t0)
+         |SELECT key,
+         |  epoch_us(date_trunc('month', make_timestamp(cs))) AS month_start,
+         |  CAST(sum(CASE WHEN v >= 100 THEN c1 - c0 ELSE 0 END) AS BIGINT) AS up_us,
+         |  CAST(sum(c1 - c0) AS BIGINT) AS span_us,
+         |  round(CAST(sum(CASE WHEN v >= 100 THEN c1 - c0 ELSE 0 END) AS DOUBLE)
+         |        / sum(c1 - c0), 6) AS uptime
+         |FROM cells WHERE c1 > c0 GROUP BY 1, 2""".stripMargin
+
   // classic relational smoke (lineitem)
   def qLineitemAgg(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/lineitem.parquet")
