@@ -6354,6 +6354,96 @@ object GraftQueries {
          |        / sum(c1 - c0), 6) AS uptime
          |FROM cells WHERE c1 > c0 GROUP BY 1, 2""".stripMargin
 
+  /** Week-over-week comparison on the SPARSE hourly bin grid: each
+    * (key, hour) bin's event count and 1e-3-grid value sum joined with
+    * the bin exactly 7 days earlier (an equi join on (key, bin−1w), NOT
+    * a lag window — a lag would silently compare against whatever bin
+    * happens to precede on a sparse grid). Exact integers throughout. */
+  def qWeekOverWeek(spark: SparkSession, dir: String): DataFrame = {
+    val bins = points(spark, dir)
+      .groupBy(col("key"),
+        (floor(col("t") / HOUR) * HOUR).cast("long").as("bin_start"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("v") * 1000 + 0.5).cast("long")).as("sq"))
+    val prev = bins.select(col("key").as("_pk"),
+      (col("bin_start") + WEEK).as("_pb"),
+      col("n").as("n_prev"), col("sq").as("sq_prev"))
+    bins
+      .join(prev, col("key") === col("_pk") && col("bin_start") === col("_pb"))
+      .select(col("key"), col("bin_start"), col("n"), col("sq"),
+        col("n_prev"), col("sq_prev"),
+        (col("n") - col("n_prev")).as("dn"),
+        (col("sq") - col("sq_prev")).as("dsq"))
+  }
+
+  val sqlWeekOverWeek: String =
+    s"""WITH pts AS (
+       |  SELECT event_type AS key, epoch_us(ts) AS t, max(value) AS v
+       |  FROM events GROUP BY 1, 2),
+       |bins AS (
+       |  SELECT key, (t // $HOUR) * $HOUR AS bin_start,
+       |         count(*) AS n,
+       |         sum(CAST(floor(v * 1000 + 0.5) AS BIGINT)) AS sq
+       |  FROM pts GROUP BY 1, 2)
+       |SELECT b.key, b.bin_start, b.n, b.sq,
+       |  p.n AS n_prev, p.sq AS sq_prev,
+       |  b.n - p.n AS dn, b.sq - p.sq AS dsq
+       |FROM bins b
+       |JOIN bins p ON p.key = b.key AND p.bin_start = b.bin_start - $WEEK""".stripMargin
+
+  /** Real-time continuous aggregate (the TimescaleDB serving pattern):
+    * the MATERIALIZED hourly tier answers bins before the watermark, the
+    * raw tail is aggregated on the fly for bins at/after it, and the
+    * union is the query result. The watermark tail re-aggregation rides
+    * [[SeriesOps.segmentsInRange]] from the watermark, which carries
+    * each key's as-of value across the boundary (zero-order hold), so
+    * the stitch is seamless; the oracle is the DIRECTLY-computed full
+    * hourly tier — a hash match proves stitched ≡ recomputed. */
+  def qTierStitch(spark: SparkSession, dir: String): DataFrame = {
+    val pts = points(spark, dir)
+    val (_, h1) = dayBounds(pts)
+    val wm = h1 - 14 * DAY // materialization watermark (hour-aligned)
+    val materialized = hourlyHist(spark, dir).filter(col("bin_start") < wm)
+    val tailSegs = SeriesOps.segmentsInRange(
+      pts.withColumn("v", floor(col("v") / 50).cast("double")),
+      lit(wm), lit(h1), nullD)
+    val tail = Regularize
+      .splitAtCells(tailSegs, lit(0L), lit(HOUR))
+      .groupBy(col("key"), col("cell_start").as("bin_start"),
+        col("v").as("state"))
+      .agg(sum(col("t1") - col("t0")).as("weight_us"))
+    materialized.unionByName(tail)
+  }
+
+  val sqlTierStitch: String = sqlHourlyHistFull
+
+  /** PromQL-style `resets()`: per (key, UTC day) the number of strict
+    * value DECREASES between consecutive samples (counter wrap/restart
+    * marks), attributed to the later sample's day, plus the day's sample
+    * count. One keyed window, exact integers. */
+  def qCounterResets(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("key").orderBy("t")
+    points(spark, dir)
+      .withColumn("_pv", lag("v", 1).over(w))
+      .groupBy(col("key"),
+        (floor(col("t") / DAY) * DAY).cast("long").as("day_start"))
+      .agg(
+        count(lit(1)).as("n_samples"),
+        count(when(col("_pv") > col("v"), 1)).as("n_resets"))
+  }
+
+  val sqlCounterResets: String =
+    s"""WITH pts AS (
+       |  SELECT event_type AS key, epoch_us(ts) AS t, max(value) AS v
+       |  FROM events GROUP BY 1, 2),
+       |l AS (SELECT key, t, v,
+       |        lag(v) OVER (PARTITION BY key ORDER BY t) AS pv
+       |      FROM pts)
+       |SELECT key, (t // $DAY) * $DAY AS day_start,
+       |  count(*) AS n_samples,
+       |  count(CASE WHEN pv > v THEN 1 END) AS n_resets
+       |FROM l GROUP BY 1, 2""".stripMargin
+
   // classic relational smoke (lineitem)
   def qLineitemAgg(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/lineitem.parquet")
