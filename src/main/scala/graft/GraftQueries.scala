@@ -335,11 +335,9 @@ object GraftQueries {
   private def hourlyHist(spark: SparkSession, dir: String): DataFrame = {
     val pts = points(spark, dir).withColumn("v", floor(col("v") / 50).cast("double"))
     val (h0, h1) = dayBounds(pts)
-    val segs = SeriesOps.segmentsInRange(pts, lit(h0), lit(h1), nullD)
-    Regularize
-      .splitAtCells(segs, lit(0L), lit(HOUR))
-      .groupBy(col("key"), col("cell_start").as("bin_start"), col("v").as("state"))
-      .agg(sum(col("t1") - col("t0")).as("weight_us"))
+    Rollup.histTier(pts, h0, h1, HOUR)
+      .select(col("key"), col("bin_start"), col("v").as("state"),
+        col("weight").as("weight_us"))
   }
 
   def qRollupDaily(spark: SparkSession, dir: String): DataFrame =
@@ -6404,14 +6402,11 @@ object GraftQueries {
     val (_, h1) = dayBounds(pts)
     val wm = h1 - 14 * DAY // materialization watermark (hour-aligned)
     val materialized = hourlyHist(spark, dir).filter(col("bin_start") < wm)
-    val tailSegs = SeriesOps.segmentsInRange(
-      pts.withColumn("v", floor(col("v") / 50).cast("double")),
-      lit(wm), lit(h1), nullD)
-    val tail = Regularize
-      .splitAtCells(tailSegs, lit(0L), lit(HOUR))
-      .groupBy(col("key"), col("cell_start").as("bin_start"),
-        col("v").as("state"))
-      .agg(sum(col("t1") - col("t0")).as("weight_us"))
+    val tail = Rollup
+      .histTier(pts.withColumn("v", floor(col("v") / 50).cast("double")),
+        wm, h1, HOUR)
+      .select(col("key"), col("bin_start"), col("v").as("state"),
+        col("weight").as("weight_us"))
     materialized.unionByName(tail)
   }
 

@@ -43,6 +43,29 @@ object Rollup {
       .select(col(K), col("bin_start"), col(V), col("weight"))
   }
 
+  /** Duration-weighted value histogram per fixed-step bin over
+    * [startUs, endUs): range segments (zero-order hold carried from the
+    * range start) split at step cells, grouped to (key, bin_start, v,
+    * weight). The building block of the hist tier cascade AND the
+    * real-time continuous-aggregate stitch: for any cell-aligned
+    * watermark m, histTier(a, m) ∪ histTier(m, b) ≡ histTier(a, b) —
+    * [[graft.core.SeriesOps.segmentsInRange]] carries each key's as-of
+    * value across m, so the materialized-tier + raw-tail union is
+    * seamless (ServingSpec asserts the identity on random series; the
+    * q191 oracle proves it against DuckDB). */
+  def histTier(
+      df: DataFrame,
+      startUs: Long,
+      endUs: Long,
+      stepUs: Long,
+      default: Column = lit(null).cast("double")): DataFrame = {
+    val segs = SeriesOps.segmentsInRange(df, lit(startUs), lit(endUs), default)
+    Regularize
+      .splitAtCells(segs, lit(0L), lit(stepUs))
+      .groupBy(col(K), col("cell_start").as("bin_start"), col(V))
+      .agg(sum(col("t1") - col("t0")).as("weight"))
+  }
+
   /** Re-aggregate finer bins into coarser ones by summing unnormalized
     * histogram weights (reference `rebin`, traces/timeseries.py:819-829)
     * — the lossless tier cascade. `floorBin` maps a fine bin_start to its
