@@ -97,7 +97,9 @@ object Bench {
     // retention sweep / business-hours mask / monthly SLO (q187-q189)
     "q187_retention_sweep", "q188_business_hours", "q189_uptime_slo",
     // week-over-week / real-time tier stitch / counter resets (q190-q192)
-    "q190_week_over_week", "q191_tier_stitch", "q192_counter_resets")
+    "q190_week_over_week", "q191_tier_stitch", "q192_counter_resets",
+    // Lomb–Scargle periodogram + harmonic fit (q193-q194)
+    "q193_lomb_scargle", "q194_harmonic_fit")
 
   def session(cpus: String): SparkSession = {
     // 4 waves of tasks per core: on a shared VM with CPU steal, a stage is

@@ -6439,6 +6439,106 @@ object GraftQueries {
        |  count(CASE WHEN pv > v THEN 1 END) AS n_resets
        |FROM l GROUP BY 1, 2""".stripMargin
 
+  /** Lomb–Scargle periodogram over each user's raw irregular event
+    * values at five trial periods (6h/12h/24h/3d/7d): the variance
+    * fraction explained by the best-fit sinusoid + intercept at each
+    * period, computed AT THE SAMPLE TIMES (no binning). See
+    * [[graft.stats.Spectral]] for the engine-exactness argument (all
+    * trig is per-row and integer-quantized; the aggregate-side math is
+    * pure rational). */
+  def qLombScargle(spark: SparkSession, dir: String): DataFrame =
+    graft.stats.Spectral.periodogram(
+      spark.read.parquet(s"$dir/events.parquet")
+        .select(col("user_id").as("key"), tsUs.as("t"), col("value").as("v")),
+      periodsUs = Seq(6 * HOUR, 12 * HOUR, DAY, 3 * DAY, 7 * DAY),
+      minPoints = 16)
+      .select(col("key").as("user_id"), col("period_us"), col("n"),
+        col("power"))
+
+  val sqlLombScargle: String =
+    s"""WITH e AS (SELECT user_id, epoch_us(ts) AS t, value
+       |           FROM events WHERE value IS NOT NULL AND epoch_us(ts) >= 0),
+       |per AS (SELECT unnest([${6 * HOUR}, ${12 * HOUR}, $DAY, ${3 * DAY},
+       |                      ${7 * DAY}]) AS period_us),
+       |q AS (SELECT user_id, period_us,
+       |        CAST(floor(value * 1000 + 0.5) AS BIGINT) AS x,
+       |        CAST(floor(cos((6.283185307179586 * CAST(t % period_us AS DOUBLE))
+       |          / CAST(period_us AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS c,
+       |        CAST(floor(sin((6.283185307179586 * CAST(t % period_us AS DOUBLE))
+       |          / CAST(period_us AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS s
+       |      FROM e CROSS JOIN per),
+       |sm AS (SELECT user_id, period_us, count(*) AS n,
+       |        sum(x) AS sx, sum(x * x) AS sxx, sum(c) AS sc, sum(s) AS ss,
+       |        sum(c * c) AS scc, sum(s * s) AS sss, sum(c * s) AS scs,
+       |        sum(x * c) AS sxc, sum(x * s) AS sxs
+       |      FROM q GROUP BY 1, 2),
+       |m AS (SELECT user_id, period_us, n,
+       |        CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS vxx,
+       |        CAST(scc AS DOUBLE) - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE) / CAST(n AS DOUBLE) AS vcc,
+       |        CAST(sss AS DOUBLE) - CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE) / CAST(n AS DOUBLE) AS vss,
+       |        CAST(scs AS DOUBLE) - CAST(sc AS DOUBLE) * CAST(ss AS DOUBLE) / CAST(n AS DOUBLE) AS vcs,
+       |        CAST(sxc AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sc AS DOUBLE) / CAST(n AS DOUBLE) AS vxc,
+       |        CAST(sxs AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(ss AS DOUBLE) / CAST(n AS DOUBLE) AS vxs
+       |      FROM sm),
+       |f AS (SELECT *, vcc * vss - vcs * vcs AS det FROM m)
+       |SELECT user_id, period_us, n,
+       |  CASE WHEN n >= 16 AND det > 0 AND vxx > 0 THEN
+       |    round((((vss * vxc - vcs * vxs) / det) * vxc
+       |         + ((vcc * vxs - vcs * vxc) / det) * vxs) / vxx, 6)
+       |  END AS power
+       |FROM f""".stripMargin
+
+  /** Harmonic fit at the 24h period: least-squares μ + a·cos + b·sin
+    * coefficients in original value units, amplitude, and fit R² per
+    * user — "how big is the daily swing". Phase stays as (a, b): atan2
+    * is not correctly-rounded, so it would break oracle bit-parity. */
+  def qHarmonicFit(spark: SparkSession, dir: String): DataFrame =
+    graft.stats.Spectral.harmonicFit(
+      spark.read.parquet(s"$dir/events.parquet")
+        .select(col("user_id").as("key"), tsUs.as("t"), col("value").as("v")),
+      periodUs = DAY, minPoints = 16)
+      .select(col("key").as("user_id"), col("n"), col("a"), col("b"),
+        col("amp"), col("r2"))
+
+  val sqlHarmonicFit: String =
+    s"""WITH e AS (SELECT user_id, epoch_us(ts) AS t, value
+       |           FROM events WHERE value IS NOT NULL AND epoch_us(ts) >= 0),
+       |q AS (SELECT user_id,
+       |        CAST(floor(value * 1000 + 0.5) AS BIGINT) AS x,
+       |        CAST(floor(cos((6.283185307179586 * CAST(t % $DAY AS DOUBLE))
+       |          / CAST($DAY AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS c,
+       |        CAST(floor(sin((6.283185307179586 * CAST(t % $DAY AS DOUBLE))
+       |          / CAST($DAY AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS s
+       |      FROM e),
+       |sm AS (SELECT user_id, count(*) AS n,
+       |        sum(x) AS sx, sum(x * x) AS sxx, sum(c) AS sc, sum(s) AS ss,
+       |        sum(c * c) AS scc, sum(s * s) AS sss, sum(c * s) AS scs,
+       |        sum(x * c) AS sxc, sum(x * s) AS sxs
+       |      FROM q GROUP BY 1),
+       |m AS (SELECT user_id, n,
+       |        CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS vxx,
+       |        CAST(scc AS DOUBLE) - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE) / CAST(n AS DOUBLE) AS vcc,
+       |        CAST(sss AS DOUBLE) - CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE) / CAST(n AS DOUBLE) AS vss,
+       |        CAST(scs AS DOUBLE) - CAST(sc AS DOUBLE) * CAST(ss AS DOUBLE) / CAST(n AS DOUBLE) AS vcs,
+       |        CAST(sxc AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sc AS DOUBLE) / CAST(n AS DOUBLE) AS vxc,
+       |        CAST(sxs AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(ss AS DOUBLE) / CAST(n AS DOUBLE) AS vxs
+       |      FROM sm),
+       |f AS (SELECT *, vcc * vss - vcs * vcs AS det FROM m),
+       |ab AS (SELECT user_id, n, vxx, det, vxc, vxs,
+       |         (vss * vxc - vcs * vxs) / det AS aq,
+       |         (vcc * vxs - vcs * vxc) / det AS bq
+       |       FROM f)
+       |SELECT user_id, n,
+       |  CASE WHEN n >= 16 AND det > 0 AND vxx > 0
+       |    THEN round(aq * 1000, 6) END AS a,
+       |  CASE WHEN n >= 16 AND det > 0 AND vxx > 0
+       |    THEN round(bq * 1000, 6) END AS b,
+       |  CASE WHEN n >= 16 AND det > 0 AND vxx > 0
+       |    THEN round(sqrt(aq * aq + bq * bq) * 1000, 6) END AS amp,
+       |  CASE WHEN n >= 16 AND det > 0 AND vxx > 0
+       |    THEN round((aq * vxc + bq * vxs) / vxx, 6) END AS r2
+       |FROM ab""".stripMargin
+
   // classic relational smoke (lineitem)
   def qLineitemAgg(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/lineitem.parquet")
