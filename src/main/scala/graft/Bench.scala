@@ -99,7 +99,10 @@ object Bench {
     // week-over-week / real-time tier stitch / counter resets (q190-q192)
     "q190_week_over_week", "q191_tier_stitch", "q192_counter_resets",
     // Lomb–Scargle periodogram + harmonic fit (q193-q194)
-    "q193_lomb_scargle", "q194_harmonic_fit")
+    "q193_lomb_scargle", "q194_harmonic_fit",
+    // two-sample drift tests / seasonal strength / turning points (q195-q198)
+    "q195_ks_drift", "q196_mwu_drift", "q197_seasonal_strength",
+    "q198_turning_points")
 
   def session(cpus: String): SparkSession = {
     // 4 waves of tasks per core: on a shared VM with CPU steal, a stage is

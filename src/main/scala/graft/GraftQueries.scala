@@ -10,6 +10,7 @@ import graft.merge.MergeOps
 import graft.multimodal.Multimodal
 import graft.regularize.Regularize
 import graft.rollup.Rollup
+import graft.stats.StatsOps
 import graft.text.TextOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -6538,6 +6539,148 @@ object GraftQueries {
        |  CASE WHEN n >= 16 AND det > 0 AND vxx > 0
        |    THEN round((aq * vxc + bq * vxs) / vxx, 6) END AS r2
        |FROM ab""".stripMargin
+
+  /** Exact two-sample Kolmogorov–Smirnov drift per key between the two
+    * halves of the observed time range (split at the integer midpoint of
+    * [tmin, tmax]). See [[graft.stats.TwoSample]]: the gap is maximized
+    * as the cross-multiplied integer |cA·nB − cB·nA|, one division at
+    * the end. */
+  def qKsDrift(spark: SparkSession, dir: String): DataFrame = {
+    val pts = points(spark, dir)
+    val (tmin, tmax) = bounds(pts)
+    graft.stats.TwoSample.ks(pts, lit((tmin + tmax) / 2))
+      .select(col("key"), col("n_a"), col("n_b"), col("d_num"), col("d"))
+  }
+
+  /** The shared two-window histogram CTE for q195/q196: per-(key, 1e-3
+    * value bin) counts in window A (t below the global midpoint) and B,
+    * cumulative in value order, with per-key totals. */
+  private val sqlHistAB: String =
+    """WITH pts AS (
+      |  SELECT event_type AS key, epoch_us(ts) AS t, max(value) AS v
+      |  FROM events GROUP BY 1, 2),
+      |b AS (SELECT (min(t) + max(t)) // 2 AS tm FROM pts),
+      |q AS (SELECT key, CAST(floor(v * 1000 + 0.5) AS BIGINT) AS x,
+      |        CASE WHEN t < (SELECT tm FROM b) THEN 1 ELSE 0 END AS a
+      |      FROM pts WHERE v IS NOT NULL),
+      |cnt AS (SELECT key, x, sum(a) AS ca, sum(1 - a) AS cb
+      |        FROM q GROUP BY 1, 2),
+      |cum AS (SELECT key, x, ca, cb,
+      |        sum(ca) OVER (PARTITION BY key ORDER BY x) AS cca,
+      |        sum(cb) OVER (PARTITION BY key ORDER BY x) AS ccb,
+      |        sum(ca) OVER (PARTITION BY key) AS na,
+      |        sum(cb) OVER (PARTITION BY key) AS nb
+      |        FROM cnt)""".stripMargin
+
+  val sqlKsDrift: String =
+    s"""$sqlHistAB
+       |SELECT key, max(na) AS n_a, max(nb) AS n_b,
+       |  max(abs(cca * nb - ccb * na)) AS d_num,
+       |  CASE WHEN max(na) > 0 AND max(nb) > 0 THEN
+       |    round(CAST(max(abs(cca * nb - ccb * na)) AS DOUBLE)
+       |          / CAST(max(na) * max(nb) AS DOUBLE), 6) END AS d
+       |FROM cum GROUP BY 1""".stripMargin
+
+  /** Mann–Whitney U with midrank ties between the same two halves —
+    * u2 = 2·U_A exact long, auc = U_A/(nA·nB) the probability-of-
+    * superiority effect size. */
+  def qMwuDrift(spark: SparkSession, dir: String): DataFrame = {
+    val pts = points(spark, dir)
+    val (tmin, tmax) = bounds(pts)
+    graft.stats.TwoSample.mannWhitney(pts, lit((tmin + tmax) / 2))
+      .select(col("key"), col("n_a"), col("n_b"), col("u2"), col("auc"))
+  }
+
+  val sqlMwuDrift: String =
+    s"""$sqlHistAB,
+       |dr AS (SELECT key, ca, na, nb,
+       |        2 * (cca + ccb - (ca + cb)) + (ca + cb) + 1 AS d2
+       |       FROM cum),
+       |a AS (SELECT key, max(na) AS n_a, max(nb) AS n_b,
+       |        sum(ca * d2) - max(na) * (max(na) + 1) AS u2
+       |      FROM dr GROUP BY 1)
+       |SELECT key, n_a, n_b, u2,
+       |  CASE WHEN n_a > 0 AND n_b > 0 THEN
+       |    round(CAST(u2 AS DOUBLE) / (2.0 * CAST(n_a * n_b AS DOUBLE)), 6)
+       |  END AS auc
+       |FROM a""".stripMargin
+
+  /** Seasonal strength: one-way-ANOVA η² of the value against
+    * hour-of-day and against day-of-week (Monday = 0), per key — the
+    * variance fraction the calendar explains. See
+    * [[graft.stats.StatsOps.seasonalStrength]] for the exact-integer
+    * floored-division discipline. */
+  def qSeasonalStrength(spark: SparkSession, dir: String): DataFrame = {
+    val pts = points(spark, dir)
+    val hour = expr(s"(t % $DAY) div $HOUR")
+    val dow = expr(s"(t div $DAY + 3) % 7")
+    StatsOps.seasonalStrength(pts, hour)
+      .withColumn("cycle", lit("hour_of_day"))
+      .unionByName(StatsOps.seasonalStrength(pts, dow)
+        .withColumn("cycle", lit("day_of_week")))
+      .select(col("key"), col("cycle"), col("n"), col("n_bins"),
+        col("eta2"))
+  }
+
+  val sqlSeasonalStrength: String =
+    s"""WITH pts AS (
+       |  SELECT event_type AS key, epoch_us(ts) AS t, max(value) AS v
+       |  FROM events GROUP BY 1, 2),
+       |q AS (
+       |  SELECT 'hour_of_day' AS cycle, key, (t % $DAY) // $HOUR AS b,
+       |         CAST(floor(v * 1000 + 0.5) AS BIGINT) AS x
+       |  FROM pts WHERE v IS NOT NULL
+       |  UNION ALL
+       |  SELECT 'day_of_week', key, (t // $DAY + 3) % 7,
+       |         CAST(floor(v * 1000 + 0.5) AS BIGINT)
+       |  FROM pts WHERE v IS NOT NULL),
+       |bins AS (SELECT cycle, key, b, count(*) AS nh, sum(x) AS sh,
+       |           sum(x * x) AS sxxh
+       |         FROM q GROUP BY 1, 2, 3),
+       |bt AS (SELECT *, (CAST(abs(sh) AS HUGEINT) * abs(sh)) // nh AS bh
+       |       FROM bins),
+       |agg AS (SELECT cycle, key, sum(nh) AS n, count(*) AS n_bins,
+       |          sum(sh) AS s, sum(sxxh) AS sxx, sum(bh) AS bsum
+       |        FROM bt GROUP BY 1, 2)
+       |SELECT key, cycle, n, n_bins,
+       |  CASE WHEN n_bins >= 2
+       |        AND CAST(CAST(n AS HUGEINT) * sxx - s * s AS DOUBLE) > 0
+       |    THEN round(CAST(CAST(n AS HUGEINT) * bsum - s * s AS DOUBLE)
+       |             / CAST(CAST(n AS HUGEINT) * sxx - s * s AS DOUBLE), 6)
+       |  END AS eta2
+       |FROM agg""".stripMargin
+
+  /** Turning-points randomness test per key: count of strict local
+    * extrema of the quantized value sequence, with the i.i.d.-null
+    * expectation 2(n−2)/3 and z-score. See
+    * [[graft.stats.StatsOps.turningPoints]]. */
+  def qTurningPoints(spark: SparkSession, dir: String): DataFrame =
+    StatsOps.turningPoints(points(spark, dir))
+      .select(col("key"), col("n"), col("n_tp"), col("e_tp"), col("z"))
+
+  val sqlTurningPoints: String =
+    """WITH pts AS (
+      |  SELECT event_type AS key, epoch_us(ts) AS t, max(value) AS v
+      |  FROM events GROUP BY 1, 2),
+      |q AS (SELECT key, t, CAST(floor(v * 1000 + 0.5) AS BIGINT) AS x
+      |      FROM pts WHERE v IS NOT NULL),
+      |l AS (SELECT key, x,
+      |        lag(x) OVER (PARTITION BY key ORDER BY t) AS p,
+      |        lead(x) OVER (PARTITION BY key ORDER BY t) AS f
+      |      FROM q),
+      |a AS (SELECT key, count(*) AS n,
+      |        count(CASE WHEN (p < x AND f < x) OR (p > x AND f > x)
+      |              THEN 1 END) AS n_tp
+      |      FROM l GROUP BY 1)
+      |SELECT key, n, n_tp,
+      |  CASE WHEN n >= 3
+      |    THEN round(2.0 * (CAST(n AS DOUBLE) - 2.0) / 3.0, 6) END AS e_tp,
+      |  CASE WHEN n >= 3
+      |    THEN round((CAST(n_tp AS DOUBLE)
+      |                - 2.0 * (CAST(n AS DOUBLE) - 2.0) / 3.0)
+      |              / sqrt((16.0 * CAST(n AS DOUBLE) - 29.0) / 90.0), 6)
+      |  END AS z
+      |FROM a""".stripMargin
 
   // classic relational smoke (lineitem)
   def qLineitemAgg(spark: SparkSession, dir: String): DataFrame =

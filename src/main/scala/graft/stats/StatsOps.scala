@@ -265,4 +265,86 @@ object StatsOps {
     1 -> 0.301029995663981, 2 -> 0.176091259055681, 3 -> 0.124938736608300,
     4 -> 0.096910013008056, 5 -> 0.079181246047625, 6 -> 0.066946789630613,
     7 -> 0.057991946977687, 8 -> 0.051152522447381, 9 -> 0.045757490560675)
+
+  /** Seasonal strength as the one-way-ANOVA effect size η² of the value
+    * against a calendar bin (hour-of-day, day-of-week, …): the fraction
+    * of the series' variance explained by the bin means,
+    * η² = SSB/SST ∈ [0, 1]. A flat daily profile scores ~0; a pure
+    * daily cycle sampled densely scores ~1 — the "does this signal
+    * breathe with the clock" screen run before picking a rollup tier.
+    *
+    * Exactness: values on the 1e-3 grid; per-bin n_h, S_h = Σx and
+    * SXX_h = Σx² are exact longs. The between-group sum uses the
+    * FLOORED integer division S_h² div n_h per bin (documented
+    * quantization — it biases η² by < bins/SST, i.e. ~1e-14 here, and
+    * both engines floor identically), accumulated in DECIMAL(38,0) /
+    * HUGEINT, so η² = (n·B − S²)/(n·SXX − S²) is a ratio of EXACT
+    * integers; the only float ops are the two final integer→double
+    * conversions and one division (error ~1e-16, far under the 1e-6
+    * rounding grid). S_h² needs n_h·|x|max ≤ 3·10⁹ grid units to fit
+    * the pre-decimal long product — past that, quantize coarser or lift
+    * the product itself to decimal (documented, not hit at any SF).
+    *
+    * Scale: one (key, bin) aggregate with map-side partials, then one
+    * fleet-sized (key) aggregate — bins never exceed the calendar
+    * period, so the second stage is tiny. Output (key, n, n_bins,
+    * eta2); eta2 null for degenerate keys (zero variance or < 2 bins). */
+  def seasonalStrength(df: DataFrame, bin: Column): DataFrame = {
+    val q = df.filter(col(V).isNotNull)
+      .withColumn("_x", floor(col(V) * 1000 + 0.5).cast("long"))
+      .withColumn("_h", bin.cast("long"))
+    val byBin = q.groupBy(col(K), col("_h")).agg(
+      count(lit(1)).as("_nh"),
+      sum(col("_x")).as("_sh"),
+      sum(col("_x") * col("_x")).as("_sxxh"))
+      // exact floored per-bin between-group term S_h² div n_h; the
+      // product is lifted to decimal so ~9e8-unit bin sums can't wrap,
+      // and |S_h| keeps the non-negative product's div = floor in every
+      // engine (Spark div truncates, DuckDB // floors — equal on ≥ 0)
+      .withColumn("_bh",
+        expr("CAST(abs(_sh) AS DECIMAL(38,0)) * abs(_sh) div _nh"))
+    val agg = byBin.groupBy(col(K)).agg(
+      sum(col("_nh")).as("n"),
+      count(lit(1)).as("n_bins"),
+      sum(col("_sh").cast("decimal(38,0)")).as("_s"),
+      sum(col("_sxxh").cast("decimal(38,0)")).as("_sxx"),
+      sum(col("_bh").cast("decimal(38,0)")).as("_b"))
+    val nD = col("n").cast("decimal(38,0)")
+    val num = (nD * col("_b") - col("_s") * col("_s")).cast("double")
+    val den = (nD * col("_sxx") - col("_s") * col("_s")).cast("double")
+    agg.select(col(K), col("n"), col("n_bins"),
+      when(col("n_bins") >= 2 && den > 0, round(num / den, 6)).as("eta2"))
+  }
+
+  /** Turning-points randomness test (Kendall 1976): a point is a turning
+    * point when it is a strict local max or min of the quantized value
+    * sequence in time order (plateau members are NOT turning points —
+    * strict comparisons, documented). For an i.i.d. series the count is
+    * asymptotically normal with mean 2(n−2)/3 and variance (16n−29)/90,
+    * so z far from 0 flags trend/oscillation. The count is an exact
+    * integer; e_tp and z are fixed IEEE sequences on integer-derived
+    * doubles (sqrt is correctly rounded), so the oracle replay is
+    * bit-exact. Output (key, n, n_tp, e_tp, z); null stats for n < 3.
+    *
+    * Scale: one per-key ordered lag/lead window + one count — the same
+    * shape as counterResets; run per retention window at 100 TB. */
+  def turningPoints(df: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col(K)).orderBy(col(T).asc)
+    val q = df.filter(col(V).isNotNull)
+      .withColumn("_x", floor(col(V) * 1000 + 0.5).cast("long"))
+      .withColumn("_p", lag(col("_x"), 1).over(w))
+      .withColumn("_f", lead(col("_x"), 1).over(w))
+    val tp = (col("_p") < col("_x") && col("_f") < col("_x")) ||
+      (col("_p") > col("_x") && col("_f") > col("_x"))
+    val agg = q.groupBy(col(K)).agg(
+      count(lit(1)).as("n"),
+      count(when(tp, 1)).as("n_tp"))
+    val nD = col("n").cast("double")
+    val eTp = lit(2.0) * (nD - 2.0) / 3.0
+    val vTp = (lit(16.0) * nD - 29.0) / 90.0
+    agg.select(col(K), col("n"), col("n_tp"),
+      when(col("n") >= 3, round(eTp, 6)).as("e_tp"),
+      when(col("n") >= 3,
+        round((col("n_tp").cast("double") - eTp) / sqrt(vTp), 6)).as("z"))
+  }
 }
