@@ -102,7 +102,9 @@ object Bench {
     "q193_lomb_scargle", "q194_harmonic_fit",
     // two-sample drift tests / seasonal strength / turning points (q195-q198)
     "q195_ks_drift", "q196_mwu_drift", "q197_seasonal_strength",
-    "q198_turning_points")
+    "q198_turning_points",
+    // CvM / Wasserstein drift + Pettitt changepoint (q199-q201)
+    "q199_cvm_drift", "q200_wasserstein_drift", "q201_pettitt")
 
   def session(cpus: String): SparkSession = {
     // 4 waves of tasks per core: on a shared VM with CPU steal, a stage is

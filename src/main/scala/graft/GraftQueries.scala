@@ -6682,6 +6682,100 @@ object GraftQueries {
       |  END AS z
       |FROM a""".stripMargin
 
+  /** Cramér–von Mises drift between the two halves — the integral
+    * counterpart of q195's KS supremum (sensitive to broad CDF
+    * differences, not the single worst point). */
+  def qCvmDrift(spark: SparkSession, dir: String): DataFrame = {
+    val pts = points(spark, dir)
+    val (tmin, tmax) = bounds(pts)
+    graft.stats.TwoSample.cvm(pts, lit((tmin + tmax) / 2))
+      .select(col("key"), col("n_a"), col("n_b"), col("t_stat"))
+  }
+
+  val sqlCvmDrift: String =
+    s"""$sqlHistAB,
+       |st AS (SELECT key, na, nb,
+       |        CAST(ca + cb AS HUGEINT)
+       |          * ((cca * nb - ccb * na) * (cca * nb - ccb * na)) AS sterm
+       |       FROM cum),
+       |a AS (SELECT key, max(na) AS n_a, max(nb) AS n_b, sum(sterm) AS s
+       |      FROM st GROUP BY 1)
+       |SELECT key, n_a, n_b,
+       |  CASE WHEN n_a > 0 AND n_b > 0 THEN
+       |    round(CAST(s AS DOUBLE)
+       |          / (CAST(n_a * n_b AS DOUBLE)
+       |             * (CAST(n_a + n_b AS DOUBLE)
+       |                * CAST(n_a + n_b AS DOUBLE))), 6)
+       |  END AS t_stat
+       |FROM a""".stripMargin
+
+  /** Wasserstein-1 (earth-mover) drift between the two halves, in
+    * original value units — "how far did the distribution move". */
+  def qWassersteinDrift(spark: SparkSession, dir: String): DataFrame = {
+    val pts = points(spark, dir)
+    val (tmin, tmax) = bounds(pts)
+    graft.stats.TwoSample.wasserstein1(pts, lit((tmin + tmax) / 2))
+      .select(col("key"), col("n_a"), col("n_b"), col("w1"))
+  }
+
+  val sqlWassersteinDrift: String =
+    s"""$sqlHistAB,
+       |g AS (SELECT key, na, nb, cca, ccb,
+       |        lead(x) OVER (PARTITION BY key ORDER BY x) - x AS gap
+       |      FROM cum),
+       |st AS (SELECT key, na, nb,
+       |        CASE WHEN gap IS NOT NULL
+       |          THEN CAST(abs(cca * nb - ccb * na) AS HUGEINT) * gap
+       |          ELSE 0 END AS wterm
+       |       FROM g),
+       |a AS (SELECT key, max(na) AS n_a, max(nb) AS n_b, sum(wterm) AS s
+       |      FROM st GROUP BY 1)
+       |SELECT key, n_a, n_b,
+       |  CASE WHEN n_a > 0 AND n_b > 0 THEN
+       |    round(CAST(s AS DOUBLE) / (CAST(n_a * n_b AS DOUBLE) * 1000.0), 6)
+       |  END AS w1
+       |FROM a""".stripMargin
+
+  /** Pettitt changepoint test per key: the Mann–Whitney statistic
+    * maximized over every time split (exact doubled-midrank integers),
+    * with the earliest argmax time and the significance exponent. See
+    * [[graft.stats.TwoSample.pettitt]]. */
+  def qPettitt(spark: SparkSession, dir: String): DataFrame =
+    graft.stats.TwoSample.pettitt(points(spark, dir))
+      .select(col("key"), col("n"), col("k_stat"), col("cp_t"),
+        col("p_exponent"))
+
+  val sqlPettitt: String =
+    """WITH pts AS (
+      |  SELECT event_type AS key, epoch_us(ts) AS t, max(value) AS v
+      |  FROM events GROUP BY 1, 2),
+      |q AS (SELECT key, t, CAST(floor(v * 1000 + 0.5) AS BIGINT) AS x
+      |      FROM pts WHERE v IS NOT NULL),
+      |r AS (SELECT key, t, x,
+      |        2 * (rank() OVER (PARTITION BY key ORDER BY x) - 1)
+      |          + count(*) OVER (PARTITION BY key, x) + 1 AS dr,
+      |        count(*) OVER (PARTITION BY key) AS n,
+      |        row_number() OVER (PARTITION BY key ORDER BY t) AS i
+      |      FROM q),
+      |u AS (SELECT key, t, n, i,
+      |        sum(dr) OVER (PARTITION BY key ORDER BY t
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |          - i * (n + 1) AS uu
+      |      FROM r),
+      |a AS (SELECT key, max(n) AS n, max(abs(uu)) AS k_stat
+      |      FROM u WHERE i < n GROUP BY 1),
+      |c AS (SELECT u.key, min(u.t) AS cp_t
+      |      FROM u JOIN a ON u.key = a.key AND abs(u.uu) = a.k_stat
+      |      WHERE u.i < u.n GROUP BY 1)
+      |SELECT a.key, a.n, a.k_stat, c.cp_t,
+      |  CASE WHEN a.n >= 2 THEN
+      |    round(-6.0 * (CAST(a.k_stat AS DOUBLE) * CAST(a.k_stat AS DOUBLE))
+      |          / (CAST(a.n AS DOUBLE) * CAST(a.n AS DOUBLE)
+      |               * CAST(a.n AS DOUBLE)
+      |             + CAST(a.n AS DOUBLE) * CAST(a.n AS DOUBLE)), 6)
+      |  END AS p_exponent
+      |FROM a JOIN c ON a.key = c.key""".stripMargin
+
   // classic relational smoke (lineitem)
   def qLineitemAgg(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/lineitem.parquet")

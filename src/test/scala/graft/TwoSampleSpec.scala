@@ -71,6 +71,42 @@ class TwoSampleSpec extends SparkSpec {
       oneM.getDouble(4) == manyM.getDouble(4))
   }
 
+  test("cvm: zero on identical windows; 0.375 on the disjoint hand case") {
+    val same = TwoSample.cvm(abSeries(Seq(1, 2, 3), Seq(1, 2, 3)), lit(50L))
+      .collect().head
+    assert(same.getDouble(3) == 0.0)
+    // pooled bins 1,2,5,6; d = 2,4,2,0; S = Σ t·d² = 24; T = 24/(4·16)
+    val disj = TwoSample.cvm(abSeries(Seq(1, 2), Seq(5, 6)), lit(50L))
+      .collect().head
+    assert(disj.getDouble(3) == 0.375, s"T ${disj.getDouble(3)}")
+  }
+
+  test("wasserstein1: a pure shift by 2 measures exactly 2.0") {
+    val r = TwoSample.wasserstein1(abSeries(Seq(0, 1), Seq(2, 3)), lit(50L))
+      .collect().head
+    assert(r.getDouble(3) == 2.0, s"W1 ${r.getDouble(3)}")
+    val same = TwoSample.wasserstein1(
+      abSeries(Seq(1, 2, 3), Seq(1, 2, 3)), lit(50L)).collect().head
+    assert(same.getDouble(3) == 0.0)
+  }
+
+  test("pettitt: level shift found at the step, earliest-t tie-break") {
+    // 1,1,1,5,5,5 at t=0..5: U = -3,-6,-9,-6,-3 -> K=9 after t=2
+    val step = seriesL(Seq(1.0, 1.0, 1.0, 5.0, 5.0, 5.0).zipWithIndex
+      .map { case (v, i) => (i.toLong, Some(v)) })
+    val r = TwoSample.pettitt(step).collect().head
+    assert(r.getLong(1) == 6 && r.getLong(2) == 9L && r.getLong(3) == 2L,
+      s"k=${r.getLong(2)} cp=${r.getLong(3)}")
+    // -6*81/(216+36) = -1.928571...
+    assert(r.getDouble(4) == -1.928571, s"pexp ${r.getDouble(4)}")
+    // symmetric 1,5,1: both splits score |U| = 1 -> earliest t wins
+    val sym = seriesL(Seq(1.0, 5.0, 1.0).zipWithIndex
+      .map { case (v, i) => (i.toLong, Some(v)) })
+    val s = TwoSample.pettitt(sym).collect().head
+    assert(s.getLong(2) == 1L && s.getLong(3) == 0L,
+      s"k=${s.getLong(2)} cp=${s.getLong(3)}")
+  }
+
   test("seasonalStrength: bin-determined values give eta2 = 1, " +
     "bin-independent give 0, constant gives null") {
     // t % 2 bins; values fully determined by the bin
