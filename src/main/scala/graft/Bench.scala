@@ -104,7 +104,9 @@ object Bench {
     "q195_ks_drift", "q196_mwu_drift", "q197_seasonal_strength",
     "q198_turning_points",
     // CvM / Wasserstein drift + Pettitt changepoint (q199-q201)
-    "q199_cvm_drift", "q200_wasserstein_drift", "q201_pettitt")
+    "q199_cvm_drift", "q200_wasserstein_drift", "q201_pettitt",
+    // product-quantization ADC vector search (q202)
+    "q202_pq_recall")
 
   def session(cpus: String): SparkSession = {
     // 4 waves of tasks per core: on a shared VM with CPU steal, a stage is

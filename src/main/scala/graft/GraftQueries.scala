@@ -6776,6 +6776,124 @@ object GraftQueries {
       |  END AS p_exponent
       |FROM a JOIN c ON a.key = c.key""".stripMargin
 
+  /** Product-quantization vector search (Jégou et al. 2011): train 8
+    * subspace codebooks (32 codes, 3 Lloyd iterations) on the 1e-4
+    * integer grid, encode the corpus to 8 codes/vector, answer the 5
+    * lowest-id queries by exact-integer ADC, and report recall@10 both
+    * for the raw code scan (recall_adc) and for the production serving
+    * shape — ADC top-200 shortlist (10% of the sf0.1 corpus) + exact re-rank (recall_rr) — against
+    * the exact L2 ground truth on the same grid. Every assignment/
+    * distance/rank is an exact long (see [[graft.ann.Pq]]), so the
+    * DuckDB replay retrains the identical codebooks. */
+  def qPqRecall(spark: SparkSession, dir: String): DataFrame = {
+    val emb = embeddings(spark, dir)
+    val books = graft.ann.Pq.train(emb, m = 8, subDim = 8, k = 32,
+      iters = 3)
+    val codes = graft.ann.Pq.encode(emb, books, m = 8, subDim = 8)
+    val queries = emb.filter(col("vec_id") < 5)
+    val adc = graft.ann.Pq.adcTopK(codes, books, queries, k = 10, m = 8,
+      subDim = 8)
+    val rr = graft.ann.Pq.adcRerankTopK(codes, books, queries, emb,
+      k = 10, shortlist = 200, m = 8, subDim = 8)
+    val exact = graft.ann.Pq.bruteForceL2TopK(emb, queries, 10)
+    Ann.recallAtK(adc, exact)
+      .select(col("q_id"), round(col("recall"), 6).as("recall_adc"))
+      .join(Ann.recallAtK(rr, exact)
+        .select(col("q_id"), round(col("recall"), 6).as("recall_rr")),
+        Seq("q_id"))
+  }
+
+  /** DuckDB replay of [[qPqRecall]]: quantize to the 1e-4 grid, seed
+    * each subspace's 32 codes with the 32 lowest-id subvectors, run the
+    * same 3 Lloyd iterations (exact long distances, floor(avg+0.5)
+    * means, empty codes keep their centroid), encode, ADC, and compare
+    * with brute-force L2 on the same grid — all integer-exact, so this
+    * is a bit-identical retrain, not an approximation. Iteration CTEs
+    * are generated so the count lives in one place. */
+  val sqlPqRecall: String = {
+    val (iters, m, sd, k, dim) = (3, 8, 8, 32, 64)
+    require(m * sd == dim)
+    val iterCtes = (0 until iters).map { n =>
+      s"""d$n AS (
+         |  SELECT q.vec_id, q.sub, c.code,
+         |         sum((q.xq - c.cq) * (q.xq - c.cq)) AS d
+         |  FROM qv q JOIN c$n c ON q.sub = c.sub AND q.pos = c.pos
+         |  GROUP BY 1, 2, 3),
+         |asg$n AS (
+         |  SELECT vec_id, sub, code FROM d$n
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id, sub
+         |    ORDER BY d ASC, code ASC) = 1),
+         |mv$n AS (
+         |  SELECT a.sub, a.code, q.pos,
+         |         CAST(floor(avg(q.xq) + 0.5) AS BIGINT) AS cq
+         |  FROM asg$n a JOIN qv q ON q.vec_id = a.vec_id AND q.sub = a.sub
+         |  GROUP BY 1, 2, 3),
+         |c${n + 1} AS (
+         |  SELECT p.sub, p.code, p.pos, coalesce(v.cq, p.cq) AS cq
+         |  FROM c$n p LEFT JOIN mv$n v
+         |    ON p.sub = v.sub AND p.code = v.code AND p.pos = v.pos)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH qv AS (
+       |  SELECT vec_id, (d.i - 1) // $sd AS sub, (d.i - 1) % $sd AS pos,
+       |    CAST(floor(embedding[d.i]::DOUBLE * 10000 + 0.5) AS BIGINT) AS xq
+       |  FROM embeddings, unnest(generate_series(1, $dim)) d(i)),
+       |c0 AS (
+       |  SELECT sub, r - 1 AS code, pos, xq AS cq FROM (
+       |    SELECT sub, pos, xq,
+       |      row_number() OVER (PARTITION BY sub, pos ORDER BY vec_id) AS r
+       |    FROM qv)
+       |  WHERE r <= $k),
+       |$iterCtes,
+       |dF AS (
+       |  SELECT q.vec_id, q.sub, c.code,
+       |         sum((q.xq - c.cq) * (q.xq - c.cq)) AS d
+       |  FROM qv q JOIN c$iters c ON q.sub = c.sub AND q.pos = c.pos
+       |  GROUP BY 1, 2, 3),
+       |asgF AS (
+       |  SELECT vec_id, sub, code FROM dF
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id, sub
+       |    ORDER BY d ASC, code ASC) = 1),
+       |lut AS (
+       |  SELECT vec_id AS q_id, sub, code, d AS dq FROM dF
+       |  WHERE vec_id < 5),
+       |cand AS (
+       |  SELECT l.q_id, a.vec_id AS n_id,
+       |    row_number() OVER (PARTITION BY l.q_id
+       |      ORDER BY sum(l.dq) ASC, a.vec_id ASC) AS r
+       |  FROM asgF a JOIN lut l ON a.sub = l.sub AND a.code = l.code
+       |  WHERE a.vec_id <> l.q_id
+       |  GROUP BY 1, 2
+       |  QUALIFY r <= 200),
+       |adc AS (SELECT q_id, n_id FROM cand WHERE r <= 10),
+       |rr AS (
+       |  SELECT c.q_id, c.n_id
+       |  FROM cand c
+       |  JOIN qv q ON q.vec_id = c.q_id
+       |  JOIN qv n ON n.vec_id = c.n_id AND n.sub = q.sub AND n.pos = q.pos
+       |  GROUP BY 1, 2
+       |  QUALIFY row_number() OVER (PARTITION BY c.q_id
+       |    ORDER BY sum((q.xq - n.xq) * (q.xq - n.xq)) ASC,
+       |             c.n_id ASC) <= 10),
+       |bf AS (
+       |  SELECT q.vec_id AS q_id, n.vec_id AS n_id
+       |  FROM qv q JOIN qv n ON q.sub = n.sub AND q.pos = n.pos
+       |  WHERE q.vec_id < 5 AND q.vec_id <> n.vec_id
+       |  GROUP BY 1, 2
+       |  QUALIFY row_number() OVER (PARTITION BY q.vec_id
+       |    ORDER BY sum((q.xq - n.xq) * (q.xq - n.xq)) ASC,
+       |             n.vec_id ASC) <= 10)
+       |SELECT bf.q_id,
+       |  round(CAST(sum(CASE WHEN a.n_id IS NOT NULL THEN 1 ELSE 0 END)
+       |          AS DOUBLE) / count(*), 6) AS recall_adc,
+       |  round(CAST(sum(CASE WHEN r.n_id IS NOT NULL THEN 1 ELSE 0 END)
+       |          AS DOUBLE) / count(*), 6) AS recall_rr
+       |FROM bf
+       |LEFT JOIN adc a ON bf.q_id = a.q_id AND bf.n_id = a.n_id
+       |LEFT JOIN rr r ON bf.q_id = r.q_id AND bf.n_id = r.n_id
+       |GROUP BY 1""".stripMargin
+  }
+
   // classic relational smoke (lineitem)
   def qLineitemAgg(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/lineitem.parquet")
