@@ -105,8 +105,9 @@ object Bench {
     "q198_turning_points",
     // CvM / Wasserstein drift + Pettitt changepoint (q199-q201)
     "q199_cvm_drift", "q200_wasserstein_drift", "q201_pettitt",
-    // product-quantization ADC vector search (q202)
-    "q202_pq_recall")
+    // product-quantization ADC vector search (q202), Granger-lite
+    // lead-lag attribution (q203)
+    "q202_pq_recall", "q203_granger")
 
   def session(cpus: String): SparkSession = {
     // 4 waves of tasks per core: on a shared VM with CPU steal, a stage is

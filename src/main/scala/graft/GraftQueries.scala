@@ -6894,6 +6894,58 @@ object GraftQueries {
        |GROUP BY 1""".stripMargin
   }
 
+  /** Granger-lite lead-lag attribution click -> view on the hourly
+    * count grid: ΔR² of adding click's previous hour to the view-rate
+    * AR(1) — the directional information gain on top of q134's phase
+    * alignment. */
+  def qGrangerLite(spark: SparkSession, dir: String): DataFrame =
+    graft.events.Correlation.grangerLite(
+      spark.read.parquet(s"$dir/events.parquet")
+        .select(col("event_type").as("key"), tsUs.as("t")),
+      keyA = "click", keyB = "view", binUs = HOUR, minBins = 8)
+
+  val sqlGrangerLite: String =
+    """WITH e AS (SELECT event_type, epoch_us(ts) // 3600000000 AS b
+      |           FROM events WHERE event_type IN ('click', 'view')),
+      |c AS (SELECT event_type, b, CAST(count(*) AS HUGEINT) AS c
+      |      FROM e GROUP BY 1, 2),
+      |tri AS (
+      |  SELECT y.c AS y, y1.c AS x1, a.c AS x2
+      |  FROM (SELECT b, c FROM c WHERE event_type = 'view') y
+      |  JOIN (SELECT b + 1 AS b1, c FROM c WHERE event_type = 'view') y1
+      |    ON y.b = y1.b1
+      |  JOIN (SELECT b + 1 AS b2, c FROM c WHERE event_type = 'click') a
+      |    ON y.b = a.b2),
+      |s AS (SELECT count(*) AS n_bins, sum(y) AS sy, sum(x1) AS s1,
+      |        sum(x2) AS s2, sum(y * y) AS syy, sum(x1 * x1) AS s11,
+      |        sum(x2 * x2) AS s22, sum(y * x1) AS sy1, sum(y * x2) AS sy2,
+      |        sum(x1 * x2) AS s12
+      |      FROM tri),
+      |v AS (SELECT n_bins,
+      |        CAST(n_bins * syy - sy * sy AS DOUBLE) AS vy,
+      |        CAST(n_bins * s11 - s1 * s1 AS DOUBLE) AS v1,
+      |        CAST(n_bins * s22 - s2 * s2 AS DOUBLE) AS v2,
+      |        CAST(n_bins * sy1 - sy * s1 AS DOUBLE) AS c01,
+      |        CAST(n_bins * sy2 - sy * s2 AS DOUBLE) AS c02,
+      |        CAST(n_bins * s12 - s1 * s2 AS DOUBLE) AS c12
+      |      FROM s),
+      |r AS (SELECT n_bins, vy, v1, v2,
+      |        c01 / sqrt(vy * v1) AS ra,
+      |        c02 / sqrt(vy * v2) AS rl,
+      |        c12 / sqrt(v1 * v2) AS rc
+      |      FROM v)
+      |SELECT n_bins,
+      |  CASE WHEN ok THEN round(ra, 6) END AS r_auto,
+      |  CASE WHEN ok THEN round(rl, 6) END AS r_lead,
+      |  CASE WHEN ok THEN round(rc, 6) END AS r_collin,
+      |  CASE WHEN ok THEN round(ra * ra, 6) END AS r2_restricted,
+      |  CASE WHEN ok THEN round((ra * ra + rl * rl - 2 * ra * rl * rc)
+      |    / (1 - rc * rc), 6) END AS r2_full,
+      |  CASE WHEN ok THEN round((ra * ra + rl * rl - 2 * ra * rl * rc)
+      |    / (1 - rc * rc) - ra * ra, 6) END AS delta_r2
+      |FROM (SELECT *, n_bins >= 8 AND vy > 0 AND v1 > 0 AND v2 > 0
+      |        AND (1 - rc * rc) > 0 AS ok FROM r)""".stripMargin
+
   // classic relational smoke (lineitem)
   def qLineitemAgg(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/lineitem.parquet")

@@ -198,6 +198,85 @@ object Correlation {
       .filter(col("lag").isNotNull)
   }
 
+  /** Granger-lite lead-lag attribution between two keys' bin-count
+    * series: does A's PREVIOUS bin improve the prediction of B's next
+    * bin beyond B's own previous bin — the ΔR² of adding a(b−1) to the
+    * one-lag autoregression y(b) ~ y(b−1)? This is the directional
+    * complement of [[bestLag]]: bestLag says the phases align,
+    * grangerLite says the alignment carries information persistence
+    * alone does not (the classic Granger 1969 screen, restricted to
+    * one lag so the two-regressor OLS has a closed form).
+    *
+    * Over bins b where cnt_B(b), cnt_B(b−1) and cnt_A(b−1) all exist
+    * (the sparse convention of [[crossCorr]] — no gap-fill), with
+    * y = cnt_B(b), x₁ = cnt_B(b−1), x₂ = cnt_A(b−1):
+    *
+    *   R²_restricted = r(y,x₁)²
+    *   R²_full = (r₀₁² + r₀₂² − 2·r₀₁·r₀₂·r₁₂) / (1 − r₁₂²)
+    *   ΔR² = R²_full − R²_restricted
+    *
+    * Engine-exactness: counts are integers, so all ten sufficient
+    * statistics are exact (decimal(38,0) — count squares overflow
+    * int64 for billion-event hot bins; the oracle mirrors in HUGEINT);
+    * the three correlations and the R² combination are one fixed IEEE
+    * expression each on identical operands. Output is ONE row
+    * (n_bins, r_auto, r_lead, r_collin, r2_restricted, r2_full,
+    * delta_r2); everything after n_bins is null when n_bins <
+    * `minBins`, any variance is zero, or x₁ and x₂ are collinear
+    * (1 − r₁₂² ≤ 0, where the full OLS is singular).
+    *
+    * Scale: two key-filtered bin aggregates (grid-bounded), two
+    * shifted-bin equi-joins, one global aggregate with map-side
+    * partials — [[crossCorr]]'s plan plus one join. */
+  def grangerLite(
+      df: DataFrame,
+      keyA: String,
+      keyB: String,
+      binUs: Long = 3600000000L,
+      minBins: Int = 12): DataFrame = {
+    require(binUs > 0, s"bin width $binUs must be positive")
+    val dec = "decimal(38,0)"
+    def counts(k: String) = df.filter(col(K) === k)
+      .groupBy(floor(col(T) / binUs).cast("long").as("_b"))
+      .agg(count(lit(1)).as("_c"))
+    val b = counts(keyB)
+    val a = counts(keyA)
+    val rows = b.select(col("_b"), col("_c").cast(dec).as("_y"))
+      .join(b.select((col("_b") + 1).as("_b1"), col("_c").cast(dec).as("_x1")),
+        col("_b") === col("_b1"))
+      .join(a.select((col("_b") + 1).as("_b2"), col("_c").cast(dec).as("_x2")),
+        col("_b") === col("_b2"))
+    val s = rows.agg(
+      count(lit(1)).as("n_bins"),
+      sum(col("_y")).as("_sy"), sum(col("_x1")).as("_s1"),
+      sum(col("_x2")).as("_s2"),
+      sum(col("_y") * col("_y")).as("_syy"),
+      sum(col("_x1") * col("_x1")).as("_s11"),
+      sum(col("_x2") * col("_x2")).as("_s22"),
+      sum(col("_y") * col("_x1")).as("_sy1"),
+      sum(col("_y") * col("_x2")).as("_sy2"),
+      sum(col("_x1") * col("_x2")).as("_s12"))
+    val n = col("n_bins").cast(dec)
+    def cd(x: org.apache.spark.sql.Column) = x.cast("double")
+    val vy = cd(n * col("_syy") - col("_sy") * col("_sy"))
+    val v1 = cd(n * col("_s11") - col("_s1") * col("_s1"))
+    val v2 = cd(n * col("_s22") - col("_s2") * col("_s2"))
+    val ra = cd(n * col("_sy1") - col("_sy") * col("_s1")) / sqrt(vy * v1)
+    val rl = cd(n * col("_sy2") - col("_sy") * col("_s2")) / sqrt(vy * v2)
+    val rc = cd(n * col("_s12") - col("_s1") * col("_s2")) / sqrt(v1 * v2)
+    val full = (ra * ra + rl * rl - lit(2.0) * ra * rl * rc) /
+      (lit(1.0) - rc * rc)
+    val ok = col("n_bins") >= minBins && vy > 0 && v1 > 0 && v2 > 0 &&
+      (lit(1.0) - rc * rc) > 0
+    s.select(col("n_bins"),
+      when(ok, round(ra, 6)).as("r_auto"),
+      when(ok, round(rl, 6)).as("r_lead"),
+      when(ok, round(rc, 6)).as("r_collin"),
+      when(ok, round(ra * ra, 6)).as("r2_restricted"),
+      when(ok, round(full, 6)).as("r2_full"),
+      when(ok, round(full - ra * ra, 6)).as("delta_r2"))
+  }
+
   /** Theil–Sen robust trend per (key, bucket): the MEDIAN of all
     * pairwise slopes (v₂−v₁)/(t₂−t₁) over point pairs with t₁ < t₂
     * inside the bucket — the classic outlier-resistant alternative to

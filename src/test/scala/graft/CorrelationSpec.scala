@@ -440,4 +440,86 @@ class CorrelationSpec extends SparkSpec {
       assert(got.getLong(3) == math.floor(full).toLong)
     }
   }
+
+  test("grangerLite: perfect one-bin lead -> r_lead = 1, r2_full = 1") {
+    val s = spark
+    import s.implicits._
+    // B's count at bin b+1 equals A's count at bin b exactly: A's lag
+    // predicts B perfectly, so the full model is exact and the gain is
+    // everything persistence misses (delta = 1 - r_auto^2, since here
+    // r_auto = r_collin = A's own lag-1 autocorrelation)
+    val aCounts = Seq(1, 3, 2, 5, 1, 4, 2, 6, 3, 7, 2, 5, 4, 1, 6, 2)
+    val rows =
+      aCounts.zipWithIndex.flatMap { case (c, b) =>
+        Seq.fill(c)(("a", b * 10L + 5)) } ++
+      aCounts.zipWithIndex.flatMap { case (c, b) =>
+        Seq.fill(c)(("b", (b + 1) * 10L + 5)) }
+    val r = Correlation.grangerLite(rows.toDF("key", "t"), "a", "b",
+      binUs = 10L, minBins = 4).head()
+    assert(r.getLong(0) == 15L) // b = 2..16: y, y_lag, a_lag all present
+    assert(r.getDouble(2) == 1.0, "r_lead")
+    assert(r.getDouble(5) == 1.0, "r2_full")
+    val ra = r.getDouble(1)
+    assert(math.abs(r.getDouble(6) - (1.0 - ra * ra)) < 1e-5, "delta_r2")
+    assert(math.abs(r.getDouble(3) - ra) < 1e-9, "r_collin = r_auto here")
+  }
+
+  test("grangerLite: collinear regressors and minBins gate -> null stats") {
+    val s = spark
+    import s.implicits._
+    val aCounts = Seq(1, 3, 2, 5, 1, 4, 2, 6)
+    // identical event streams for both keys: x1 = x2 bin-for-bin, the
+    // two-regressor OLS is singular -> everything after n_bins is null
+    val rows = Seq("a", "b").flatMap(k =>
+      aCounts.zipWithIndex.flatMap { case (c, b) =>
+        Seq.fill(c)((k, b * 10L + 5)) })
+    val r = Correlation.grangerLite(rows.toDF("key", "t"), "a", "b",
+      binUs = 10L, minBins = 2).head()
+    assert(r.getLong(0) == 7L && (1 to 6).forall(r.isNullAt))
+    // minBins gate: same construction as the perfect-lead test but the
+    // bar is above the 15 available rows
+    val lead = aCounts.zipWithIndex.flatMap { case (c, b) =>
+      Seq.fill(c)(("a", b * 10L + 5)) } ++
+      aCounts.zipWithIndex.flatMap { case (c, b) =>
+        Seq.fill(c)(("b", (b + 1) * 10L + 5)) }
+    val g = Correlation.grangerLite(lead.toDF("key", "t"), "a", "b",
+      binUs = 10L, minBins = 100).head()
+    assert(g.getLong(0) == 7L && (1 to 6).forall(g.isNullAt))
+  }
+
+  test("grangerLite matches a sequential two-regressor reference") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(20260820)
+    // independent-ish jittery counts for both keys over 48 bins
+    val ac = (0 until 48).map(_ => 1 + rnd.nextInt(9))
+    val bc = (0 until 48).map(i => 1 + rnd.nextInt(5) + (if (i % 7 < 3) 4 else 0))
+    val rows =
+      ac.zipWithIndex.flatMap { case (c, b) => Seq.fill(c)(("a", b * 10L + 3)) } ++
+      bc.zipWithIndex.flatMap { case (c, b) => Seq.fill(c)(("b", b * 10L + 3)) }
+    val got = Correlation.grangerLite(rows.toDF("key", "t"), "a", "b",
+      binUs = 10L, minBins = 8).head()
+    // sequential reference over b = 1..47
+    val trip = (1 until 48).map(b => (bc(b).toDouble, bc(b - 1).toDouble,
+      ac(b - 1).toDouble))
+    val n = trip.size.toDouble
+    def corr(p: Seq[(Double, Double)]): Double = {
+      val sx = p.map(_._1).sum; val sy = p.map(_._2).sum
+      val sxx = p.map(q => q._1 * q._1).sum
+      val syy = p.map(q => q._2 * q._2).sum
+      val sxy = p.map(q => q._1 * q._2).sum
+      (n * sxy - sx * sy) / math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    }
+    val ra = corr(trip.map(t => (t._1, t._2)))
+    val rl = corr(trip.map(t => (t._1, t._3)))
+    val rc = corr(trip.map(t => (t._2, t._3)))
+    val full = (ra * ra + rl * rl - 2 * ra * rl * rc) / (1 - rc * rc)
+    assert(got.getLong(0) == 47L)
+    assert(math.abs(got.getDouble(1) - ra) < 1e-6)
+    assert(math.abs(got.getDouble(2) - rl) < 1e-6)
+    assert(math.abs(got.getDouble(3) - rc) < 1e-6)
+    assert(math.abs(got.getDouble(4) - ra * ra) < 1e-6)
+    assert(math.abs(got.getDouble(5) - full) < 1e-6)
+    assert(math.abs(got.getDouble(6) - (full - ra * ra)) < 1e-6)
+  }
 }
