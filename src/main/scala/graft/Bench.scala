@@ -106,8 +106,10 @@ object Bench {
     // CvM / Wasserstein drift + Pettitt changepoint (q199-q201)
     "q199_cvm_drift", "q200_wasserstein_drift", "q201_pettitt",
     // product-quantization ADC vector search (q202), Granger-lite
-    // lead-lag attribution (q203)
-    "q202_pq_recall", "q203_granger")
+    // lead-lag attribution (q203), HyperLogLog register tier (q204),
+    // sequence entropy rate (q205), Allan-variance ladder (q206)
+    "q202_pq_recall", "q203_granger", "q204_hll_tier",
+    "q205_entropy_rate", "q206_allan_variance")
 
   def session(cpus: String): SparkSession = {
     // 4 waves of tasks per core: on a shared VM with CPU steal, a stage is

@@ -6946,6 +6946,127 @@ object GraftQueries {
       |FROM (SELECT *, n_bins >= 8 AND vy > 0 AND v1 > 0 AND v2 > 0
       |        AND (1 - rc * rc) > 0 AS ok FROM r)""".stripMargin
 
+  /** HyperLogLog distinct-user tier per (event_type, day): HOURLY
+    * registers max-merged to daily (the lossless continuous-aggregate
+    * path — the oracle builds daily registers straight from raw, so a
+    * hash match proves merge(hourly) ≡ raw-daily), then the corrected
+    * HLL estimate next to the exact distinct count and the relative
+    * error the 512-register sketch actually achieved. */
+  def qHllTier(spark: SparkSession, dir: String): DataFrame = {
+    val e = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("event_type"), tsUs.as("t"), col("user_id"))
+      .withColumn("hour", floor(col("t") / HOUR))
+    val hourly = graft.sketch.Hll.registers(
+      e, Seq("event_type", "hour"), "user_id")
+    val daily = graft.sketch.Hll.merge(
+      hourly.withColumn("day", floor(col("hour") / lit(24L))),
+      Seq("event_type", "day"))
+    val est = graft.sketch.Hll.estimate(daily, Seq("event_type", "day"))
+    val exact = e.withColumn("day", floor(col("t") / DAY))
+      .groupBy(col("event_type"), col("day"))
+      .agg(countDistinct(col("user_id")).as("exact_distinct"))
+    est.join(exact, Seq("event_type", "day"))
+      .select(col("event_type"), col("day"), col("n_regs"),
+        col("est_distinct"), col("exact_distinct"),
+        round((col("est_distinct") - col("exact_distinct").cast("double")) /
+          col("exact_distinct").cast("double"), 6).as("rel_err"))
+  }
+
+  val sqlHllTier: String =
+    s"""WITH h AS (
+       |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+       |    ('0x' || substr(md5('hll' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+       |      AS h
+       |  FROM events),
+       |r AS (
+       |  SELECT event_type, day, h >> 51 AS idx,
+       |    CASE WHEN (h & 2251799813685247) = 0 THEN 52
+       |         ELSE 52 - length(bin(h & 2251799813685247)) END AS rho
+       |  FROM h),
+       |g AS (SELECT event_type, day, idx, max(rho) AS rho
+       |      FROM r GROUP BY 1, 2, 3),
+       |s AS (SELECT event_type, day, CAST(count(*) AS INT) AS n_regs,
+       |        sum(1::BIGINT << (52 - rho)) AS hit
+       |      FROM g GROUP BY 1, 2),
+       |x AS (SELECT event_type, day, n_regs,
+       |        CAST(hit + (512 - n_regs) * (1::BIGINT << 52) AS DOUBLE) AS n,
+       |        512 - n_regs AS v
+       |      FROM s),
+       |e AS (SELECT event_type, day, n_regs,
+       |        round(CASE WHEN ${graft.sketch.Hll.EstConst} / n <= 1280
+       |                    AND v > 0
+       |                   THEN 512 * ln(512 / CAST(v AS DOUBLE))
+       |                   ELSE ${graft.sketch.Hll.EstConst} / n END, 6)
+       |          AS est_distinct
+       |      FROM x),
+       |d AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+       |        count(DISTINCT user_id) AS exact_distinct
+       |      FROM events GROUP BY 1, 2)
+       |SELECT e.event_type, e.day, e.n_regs, e.est_distinct,
+       |  d.exact_distinct,
+       |  round((e.est_distinct - CAST(d.exact_distinct AS DOUBLE))
+       |    / CAST(d.exact_distinct AS DOUBLE), 6) AS rel_err
+       |FROM e JOIN d ON e.event_type = d.event_type AND e.day = d.day""".stripMargin
+
+  /** Conditional entropy rate H(X_t|X_{t-1}) of each user's event-type
+    * sequence — the information-theoretic summary of the q179 Markov
+    * transition table, exact via the quantized-ln (2^20 grid) long
+    * algebra the Kleinberg Viterbi (q168) established. */
+  def qEntropyRate(spark: SparkSession, dir: String): DataFrame =
+    graft.categorical.CategoricalOps.entropyRate(statePoints(spark, dir))
+
+  val sqlEntropyRate: String =
+    sqlStatePts +
+      """,
+        |pr AS (SELECT key, sv AS a,
+        |         lead(sv) OVER (PARTITION BY key ORDER BY t) AS b
+        |       FROM spts),
+        |c AS (SELECT key, a, b, count(*) AS nab
+        |      FROM pr WHERE b IS NOT NULL GROUP BY 1, 2, 3),
+        |na AS (SELECT key, a, sum(nab) AS na FROM c GROUP BY 1, 2),
+        |q AS (SELECT c.key, c.nab, c.nab *
+        |        (CAST(floor(ln(CAST(na.na AS DOUBLE)) * 1048576 + 0.5) AS BIGINT)
+        |       - CAST(floor(ln(CAST(c.nab AS DOUBLE)) * 1048576 + 0.5) AS BIGINT))
+        |          AS qt
+        |      FROM c JOIN na ON c.key = na.key AND c.a = na.a),
+        |s AS (SELECT key, sum(nab) AS n_transitions, count(*) AS n_bigrams,
+        |        sum(qt) AS qsum
+        |      FROM q GROUP BY 1)
+        |SELECT key, n_transitions, n_bigrams,
+        |  round(CAST(qsum AS DOUBLE) / 1048576.0 / CAST(n_transitions AS DOUBLE)
+        |    / 0.6931471805599453, 6) AS entropy_bits
+        |FROM s""".stripMargin
+
+  /** Allan-variance ladder (τ = 1h, 2h, 4h, 8h) of each event type's
+    * per-bin count — the stability-vs-averaging-time fingerprint; the
+    * oracle replays the dense-grid pair differences exactly. */
+  def qAllanVariance(spark: SparkSession, dir: String): DataFrame =
+    graft.events.EventOps.allanVariance(
+      spark.read.parquet(s"$dir/events.parquet")
+        .select(col("event_type").as("key"), tsUs.as("t")),
+      taus = Seq(HOUR, 2 * HOUR, 4 * HOUR, 8 * HOUR))
+
+  val sqlAllanVariance: String =
+    """WITH e AS (SELECT event_type AS key, epoch_us(ts) AS t FROM events),
+      |tt AS (SELECT unnest([3600000000, 7200000000, 14400000000,
+      |                      28800000000]) AS tau),
+      |c AS (SELECT e.key, tt.tau, e.t // tt.tau AS b, count(*) AS c
+      |      FROM e CROSS JOIN tt GROUP BY 1, 2, 3),
+      |bd AS (SELECT key, tau, min(b) AS b0, max(b) AS b1 FROM c GROUP BY 1, 2),
+      |g AS (SELECT key, tau, unnest(generate_series(b0, b1)) AS b FROM bd),
+      |d AS (SELECT g.key, g.tau, g.b, coalesce(c.c, 0) AS c
+      |      FROM g LEFT JOIN c ON g.key = c.key AND g.tau = c.tau AND g.b = c.b),
+      |p AS (SELECT key, tau, c,
+      |        lead(c) OVER (PARTITION BY key, tau ORDER BY b) AS cn
+      |      FROM d),
+      |s AS (SELECT key, tau, count(*) AS n_pairs,
+      |        sum((cn - c) * (cn - c)) AS sd2
+      |      FROM p WHERE cn IS NOT NULL GROUP BY 1, 2)
+      |SELECT key, tau AS tau_us, n_pairs,
+      |  round(CAST(sd2 AS DOUBLE) / (2 * n_pairs), 6) AS avar,
+      |  round(sqrt(CAST(sd2 AS DOUBLE) / (2 * n_pairs)), 6) AS adev
+      |FROM s""".stripMargin
+
   // classic relational smoke (lineitem)
   def qLineitemAgg(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/lineitem.parquet")

@@ -125,6 +125,57 @@ object CategoricalOps {
           .as("mean_run_us"))
   }
 
+  /** Conditional entropy rate of the state sequence per key:
+    * H(X_t | X_{t-1}) in bits — how unpredictable the NEXT state is
+    * given the current one. The information-theoretic summary of the
+    * transition table: 0 for a deterministic cycle, log2(#states) for
+    * an i.i.d. uniform sequence; [[markovBaseline]]'s hit rate is the
+    * argmax view of the same conditional distribution, this is its
+    * entropy view.
+    *
+    *   H = −Σ_{a,b} p(a,b)·log2 p(b|a)
+    *     = (1/N)·Σ_{a,b} n_ab·(ln n_a − ln n_ab) / ln 2
+    *
+    * Engine-exactness: bigram counts are exact integers; each ln is
+    * quantized to the 2^20 grid (the [[graft.events.Burst]] Viterbi
+    * convention — `floor(ln(x)·2^20 + 0.5)` as a long), so the sum of
+    * per-bigram terms is EXACT long arithmetic, order-independent
+    * under parallel aggregation; only the final divide chain touches
+    * floats. Quantization error is < |pairs|·2^-20 nats before the
+    * divide — invisible at the 1e-6 output grid for real tables.
+    *
+    * Output (key, n_transitions, n_bigrams, entropy_bits); keys with
+    * no transition (a single measurement) emit nothing, like the
+    * unterminated final run in [[dwellStats]].
+    *
+    * Scale: one lead window per key (single hash(key) exchange), a
+    * (key, a, b) count whose groups collapse map-side, one
+    * per-(key, a) window over the POST-aggregation bigram frame
+    * (bounded by states², not data), and a final per-key aggregate. */
+  def entropyRate(points: DataFrame, valueCol: String = "sv"): DataFrame = {
+    val w = Window.partitionBy("key").orderBy("t")
+    def qln(c: Column): Column =
+      floor(log(c.cast("double")) * lit(1048576L) + lit(0.5)).cast("long")
+    val bigrams = points
+      .select(col("key"), col(valueCol).as("_a"),
+        lead(col(valueCol), 1).over(w).as("_b"))
+      .filter(col("_b").isNotNull)
+      .groupBy(col("key"), col("_a"), col("_b"))
+      .agg(count(lit(1)).as("_nab"))
+    val terms = bigrams
+      .withColumn("_na", sum(col("_nab")).over(Window.partitionBy("key", "_a")))
+      .select(col("key"), col("_nab"),
+        (col("_nab") * (qln(col("_na")) - qln(col("_nab")))).as("_q"))
+    terms.groupBy(col("key"))
+      .agg(sum(col("_nab")).as("n_transitions"),
+        count(lit(1)).as("n_bigrams"),
+        sum(col("_q")).as("_qsum"))
+      .select(col("key"), col("n_transitions"), col("n_bigrams"),
+        round(col("_qsum").cast("double") / lit(1048576.0)
+          / col("n_transitions").cast("double")
+          / lit(0.6931471805599453), 6).as("entropy_bits"))
+  }
+
   /** Previous-interpolated state at regular grid times — `sample()`
     * (traces/timeseries.py:1409) for a string-valued series. Grid times
     * before a key's first measurement carry the default (null), like

@@ -1605,4 +1605,60 @@ object EventOps {
       .select(col(K), col(T), col(V), (col("_med") / 1000.0).as("med_v"),
         (abs(col("_x") - col("_med")) > threshQ).cast("long").as("is_spike"))
   }
+
+  /** Allan variance ladder of the per-bin event count: for each
+    * averaging time τ, AVAR(τ) = Σᵢ(cᵢ₊₁ − cᵢ)² / (2(M−1)) over the
+    * DENSE bin grid [min bin, max bin] (empty bins count 0 — skipping
+    * them would splice non-adjacent bins into fake pairs). The
+    * two-sample (Allan) variance is the classic stability-vs-averaging
+    * -time fingerprint for counting processes: white (uncorrelated)
+    * event noise falls as 1/τ on the ladder, rate drift flattens or
+    * rises it — reading the ladder's slope separates the two where a
+    * single variance number cannot.
+    *
+    * Engine-exactness: bin counts and squared differences are exact
+    * integers summed exactly; AVAR and ADEV are one division and one
+    * sqrt each on identical operands. Output (key, tau_us, n_pairs,
+    * avar, adev); a (key, τ) whose grid holds a single bin has no pair
+    * and emits nothing.
+    *
+    * Scale: one scan builds all τ levels (explode over the τ ladder),
+    * counts collapse map-side; the dense grid is bounded by
+    * time-span/τ — a TIME-grid object like the sample() grids, not a
+    * data-sized one — chunked so no explode row exceeds 4096 entries;
+    * one lead window per (key, τ) over grid-sized rows. */
+  def allanVariance(df: DataFrame, taus: Seq[Long]): DataFrame = {
+    require(taus.nonEmpty && taus.forall(_ > 0), "taus must be positive")
+    val chunk = 4096L
+    val binned = df
+      .select(col(K), col(T), explode(array(taus.map(lit): _*)).as("tau"))
+      .select(col(K), col("tau"),
+        floor(col(T) / col("tau")).cast("long").as("_b"))
+      .groupBy(col(K), col("tau"), col("_b"))
+      .agg(count(lit(1)).as("_c"))
+    val grid = binned
+      .groupBy(col(K), col("tau"))
+      .agg(min(col("_b")).as("_b0"), max(col("_b")).as("_b1"))
+      .select(col(K), col("tau"), col("_b1"),
+        explode(sequence(col("_b0"), col("_b1"), lit(chunk))).as("_c0"))
+      .select(col(K), col("tau"),
+        explode(sequence(col("_c0"),
+          least(col("_c0") + (chunk - 1), col("_b1")))).as("_b"))
+    val dense = grid
+      .join(binned, Seq(K, "tau", "_b"), "left")
+      .select(col(K), col("tau"), col("_b"),
+        coalesce(col("_c"), lit(0L)).as("_c"))
+    val w = Window.partitionBy(col(K), col("tau")).orderBy(col("_b"))
+    dense
+      .withColumn("_d", lead(col("_c"), 1).over(w) - col("_c"))
+      .filter(col("_d").isNotNull)
+      .groupBy(col(K), col("tau"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("_d") * col("_d")).as("_sd2"))
+      .select(col(K), col("tau").as("tau_us"), col("n_pairs"),
+        round(col("_sd2").cast("double") / (lit(2.0) * col("n_pairs")), 6)
+          .as("avar"),
+        round(sqrt(col("_sd2").cast("double") / (lit(2.0) * col("n_pairs"))), 6)
+          .as("adev"))
+  }
 }

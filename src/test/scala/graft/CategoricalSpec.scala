@@ -87,4 +87,43 @@ class CategoricalSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getString(1)).toMap
     assert(rt("a") == "b")
   }
+
+  test("entropyRate: deterministic cycle is 0 bits; fair coin is 1 bit") {
+    val s = spark
+    import s.implicits._
+    val cycle = (0 until 20).map(i => ("k", i.toLong, if (i % 2 == 0) "a" else "b"))
+      .toDF("key", "t", "sv")
+    val r = CategoricalOps.entropyRate(cycle).head()
+    assert(r.getLong(1) == 19L && r.getDouble(3) == 0.0)
+    // aabb repeated: from a the next is a,b equally (aa=2, ab=2), from b
+    // equally (bb=2, ba=2) -> exactly 1 bit
+    val coin = Seq("a", "a", "b", "b", "a", "a", "b", "b", "a").zipWithIndex
+      .map { case (v, i) => ("k", i.toLong, v) }.toDF("key", "t", "sv")
+    val c = CategoricalOps.entropyRate(coin).head()
+    assert(c.getLong(1) == 8L)
+    assert(math.abs(c.getDouble(3) - 1.0) < 2e-6) // 2^20-grid quantization
+  }
+
+  test("entropyRate equals the sequential brute-force on a jittery chain") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(42)
+    val states = Iterator.iterate("a")(st => (st, rnd.nextInt(10)) match {
+      case ("a", r) => if (r < 7) "b" else if (r < 9) "a" else "c"
+      case ("b", r) => if (r < 5) "a" else "c"
+      case (_, r)   => if (r < 8) "a" else "b"
+    }).take(400).toSeq
+    val df = states.zipWithIndex.map { case (v, i) => ("k", i.toLong, v) }
+      .toDF("key", "t", "sv")
+    val got = CategoricalOps.entropyRate(df).head()
+    val bigrams = states.sliding(2).map(p => (p(0), p(1))).toSeq
+    val nab = bigrams.groupBy(identity).view.mapValues(_.size).toMap
+    val na = bigrams.groupBy(_._1).view.mapValues(_.size).toMap
+    val n = bigrams.size.toDouble
+    val h = nab.map { case ((a, _), c) =>
+      c * (math.log(na(a)) - math.log(c)) }.sum / n / math.log(2.0)
+    assert(got.getLong(1) == bigrams.size.toLong)
+    assert(got.getLong(2) == nab.size.toLong)
+    assert(math.abs(got.getDouble(3) - h) < 1e-4) // quantized-ln grid
+  }
 }

@@ -190,4 +190,73 @@ class SketchSpec extends SparkSpec {
       .collect().map(r => (r.getLong(1), r.getInt(2), r.getLong(3), r.getLong(4))).toSet
     assert(a == b)
   }
+
+  // ---- HLL ----
+
+  /** Sequential register reference on the same md5 grid as Hll. */
+  private def refRegisters(values: Seq[String]): Map[Long, Int] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    values.foldLeft(Map.empty[Long, Int]) { (regs, v) =>
+      val hex = md.digest(("hll" + v).getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 15)
+      val h = java.lang.Long.parseLong(hex, 16)
+      val idx = h >> graft.sketch.Hll.W
+      val rest = h & graft.sketch.Hll.RestMask
+      val rho = if (rest == 0L) graft.sketch.Hll.W + 1
+        else graft.sketch.Hll.W + 1 - (64 - java.lang.Long.numberOfLeadingZeros(rest))
+      regs.updated(idx, math.max(regs.getOrElse(idx, 0), rho))
+    }
+  }
+
+  test("hll: register algebra equals the sequential md5 reference") {
+    val s = spark
+    import s.implicits._
+    val users = (0 until 300).map(i => s"user${i % 73}")
+    val df = users.map(u => ("et", 0L, u)).toDF("k", "day", "u")
+    val got = graft.sketch.Hll.registers(df, Seq("k", "day"), "u")
+      .collect().map(r => r.getLong(2) -> r.getInt(3)).toMap
+    assert(got == refRegisters(users))
+  }
+
+  test("hll: hourly→daily max-merge equals registers built from raw") {
+    val rows = mkRows(2000, 311)
+    val hourly = graft.sketch.Hll.registers(rows, Seq("k", "hour"), "u")
+    val daily = graft.sketch.Hll.merge(
+      hourly.withColumn("day", lit(0L)), Seq("k", "day"))
+    val direct = graft.sketch.Hll.registers(
+      rows.withColumn("day", lit(0L)), Seq("k", "day"), "u")
+    val m = daily.select("idx", "rho").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toSet
+    val d = direct.select("idx", "rho").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toSet
+    assert(m == d && m.nonEmpty)
+  }
+
+  test("hll: estimate lands inside the 512-register error band") {
+    val s = spark
+    import s.implicits._
+    for (distinct <- Seq(100, 5000)) {
+      val df = (0 until distinct).map(i => ("et", 0L, s"v$i-$distinct"))
+        .toDF("k", "day", "u")
+      val regs = graft.sketch.Hll.registers(df, Seq("k", "day"), "u")
+      val est = graft.sketch.Hll.estimate(regs, Seq("k", "day"))
+        .select("est_distinct").head().getDouble(0)
+      // 1.04/sqrt(512) ~ 4.6% standard error; linear counting is tighter
+      // below ~1280 — 15% is > 3 sigma for both regimes
+      assert(math.abs(est - distinct) / distinct < 0.15,
+        s"distinct=$distinct est=$est")
+    }
+  }
+
+  test("hll: small-range branch reports the linear-counting closed form") {
+    val s = spark
+    import s.implicits._
+    val df = (0 until 20).map(i => ("et", 0L, s"u$i")).toDF("k", "day", "u")
+    val regs = graft.sketch.Hll.registers(df, Seq("k", "day"), "u")
+    val row = graft.sketch.Hll.estimate(regs, Seq("k", "day")).head()
+    val nHit = row.getInt(2)
+    val expected = 512.0 * math.log(512.0 / (512 - nHit))
+    assert(math.abs(row.getDouble(3) - expected) < 1e-6)
+    assert(nHit <= 20 && nHit >= 18) // <= 2 collisions among 512 registers
+  }
 }

@@ -528,4 +528,46 @@ class StatsOpsSpec extends SparkSpec {
     // t=3 frame {8,5,9} (n=3): median 8
     assert(out(3L) == 8.0)
   }
+
+  test("allanVariance: perfectly periodic events read zero at every tau") {
+    val s = spark
+    import s.implicits._
+    // one event per 10us bin -> every bin count is 1 at tau=10, 2 at tau=20
+    val df = (0 until 40).map(i => ("k", i * 10L + 3)).toDF("key", "t")
+    val out = graft.events.EventOps.allanVariance(df, Seq(10L, 20L))
+      .collect().map(r => r.getLong(1) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(out(10L) == ((39L, 0.0)) && out(20L) == ((19L, 0.0)))
+  }
+
+  test("allanVariance: empty bins count zero (no fake adjacent pairs)") {
+    val s = spark
+    import s.implicits._
+    // bins 0,1,2,...: counts 3,0,0,2 at tau=10 -> dense diffs -3,0,2
+    val df = (Seq.fill(3)(1L) ++ Seq.fill(2)(31L)).map(t => ("k", t))
+      .toDF("key", "t")
+    val r = graft.events.EventOps.allanVariance(df, Seq(10L)).head()
+    // sum d^2 = 9 + 0 + 4 = 13 over 3 pairs -> 13/6
+    assert(r.getLong(2) == 3L)
+    assert(math.abs(r.getDouble(3) - 13.0 / 6.0) < 1e-6)
+    assert(math.abs(r.getDouble(4) - math.sqrt(13.0 / 6.0)) < 1e-6)
+  }
+
+  test("allanVariance equals the sequential reference on jittery counts") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(7)
+    val times = (0 until 500).map(_ => rnd.nextInt(1000).toLong).sorted
+    val df = times.map(t => ("k", t)).toDF("key", "t")
+    for (tau <- Seq(7L, 25L)) {
+      val got = graft.events.EventOps.allanVariance(df, Seq(tau)).head()
+      val counts = times.groupBy(_ / tau).view.mapValues(_.size.toLong).toMap
+      val (b0, b1) = (counts.keys.min, counts.keys.max)
+      val dense = (b0 to b1).map(b => counts.getOrElse(b, 0L))
+      val d2 = dense.sliding(2).map(p => (p(1) - p(0)) * (p(1) - p(0))).sum
+      val pairs = dense.size - 1
+      assert(got.getLong(2) == pairs.toLong, s"tau=$tau pairs")
+      assert(math.abs(got.getDouble(3) - d2.toDouble / (2.0 * pairs)) < 1e-6,
+        s"tau=$tau avar")
+    }
+  }
 }
