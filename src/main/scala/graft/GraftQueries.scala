@@ -6400,8 +6400,12 @@ object GraftQueries {
     * hourly tier — a hash match proves stitched ≡ recomputed. */
   def qTierStitch(spark: SparkSession, dir: String): DataFrame = {
     val pts = points(spark, dir)
-    val (_, h1) = dayBounds(pts)
-    val wm = h1 - 14 * DAY // materialization watermark (hour-aligned)
+    val (h0, h1) = dayBounds(pts)
+    // materialization watermark (hour-aligned), clamped to the tier
+    // start: on a table spanning under 14 days an unclamped watermark
+    // would make the raw tail re-aggregate [wm, h0) and emit
+    // null-state bins the materialized tier never held
+    val wm = math.max(h0, h1 - 14 * DAY)
     val materialized = hourlyHist(spark, dir).filter(col("bin_start") < wm)
     val tail = Rollup
       .histTier(pts.withColumn("v", floor(col("v") / 50).cast("double")),
@@ -6791,10 +6795,14 @@ object GraftQueries {
       iters = 3)
     val codes = graft.ann.Pq.encode(emb, books, m = 8, subDim = 8)
     val queries = emb.filter(col("vec_id") < 5)
-    val adc = graft.ann.Pq.adcTopK(codes, books, queries, k = 10, m = 8,
-      subDim = 8)
-    val rr = graft.ann.Pq.adcRerankTopK(codes, books, queries, emb,
-      k = 10, shortlist = 200, m = 8, subDim = 8)
+    // ONE corpus code scan serves both answers: the plain-ADC top-10 is
+    // the rank <= 10 prefix of the 200-candidate shortlist (same
+    // ordering), and the re-rank runs on the shortlist's (q_id, n_id)
+    val short = graft.ann.Pq.adcTopK(codes, books, queries, k = 200,
+      m = 8, subDim = 8)
+    val adc = short.filter(col("rank") <= 10)
+    val rr = graft.ann.Pq.rerankTopK(short.select(col("q_id"), col("n_id")),
+      queries, emb, k = 10)
     val exact = graft.ann.Pq.bruteForceL2TopK(emb, queries, 10)
     Ann.recallAtK(adc, exact)
       .select(col("q_id"), round(col("recall"), 6).as("recall_adc"))
@@ -6977,7 +6985,7 @@ object GraftQueries {
        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
        |    ('0x' || substr(md5('hll' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
        |      AS h
-       |  FROM events),
+       |  FROM events WHERE user_id IS NOT NULL),
        |r AS (
        |  SELECT event_type, day, h >> 51 AS idx,
        |    CASE WHEN (h & 2251799813685247) = 0 THEN 52

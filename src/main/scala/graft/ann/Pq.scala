@@ -80,7 +80,12 @@ object Pq {
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
+    // lifecycle-managed training cache: the quantize+explode of the full
+    // corpus feeds the seed collect AND every Lloyd iteration's mean
+    // collect — without it each of those is a fresh corpus scan
     val subs = subVectors(corpus, m, subDim, idCol, vecCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
     val wSeed = Window.partitionBy(col("sub")).orderBy(col(idCol).asc)
     var books: Seq[(Int, Int, Seq[Long])] = subs
       .withColumn("_r", row_number().over(wSeed))
@@ -110,6 +115,7 @@ object Pq {
       }
     }
     books.toDF("sub", "code", "cvec")
+    } finally subs.unpersist(blocking = false)
   }
 
   /** Encode the corpus: (idCol, sub, code) — m codes per vector. */
@@ -152,10 +158,21 @@ object Pq {
       corpus: DataFrame, k: Int, shortlist: Int, m: Int, subDim: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     require(shortlist >= k, s"shortlist $shortlist must be >= k $k")
-    def qz(c: Column): Column =
-      transform(c, x => floor(x.cast("double") * 10000 + 0.5).cast("long"))
     val cand = adcTopK(codes, books, queries, shortlist, m, subDim,
       idCol, vecCol).select(col("q_id"), col("n_id"))
+    rerankTopK(cand, queries, corpus, k, idCol, vecCol)
+  }
+
+  /** Exact-grid L2 re-rank of a precomputed candidate frame
+    * (q_id, n_id) — split out of [[adcRerankTopK]] so a caller that
+    * already holds the ADC shortlist (e.g. one that also reads its
+    * rank ≤ k prefix as the plain-ADC answer) re-ranks WITHOUT a second
+    * corpus code scan. Output (q_id, n_id, dist, rank). */
+  def rerankTopK(cand: DataFrame, queries: DataFrame, corpus: DataFrame,
+      k: Int, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    def qz(c: Column): Column =
+      transform(c, x => floor(x.cast("double") * 10000 + 0.5).cast("long"))
     val qv = broadcast(queries.select(col(idCol).as("q_id"),
       qz(col(vecCol)).as("q_vec")))
     val cv = corpus.select(col(idCol).as("n_id"), qz(col(vecCol)).as("n_vec"))

@@ -57,7 +57,11 @@ object Hll {
   def registers(df: DataFrame, groupCols: Seq[String], valueCol: String,
       salt: String = "hll"): DataFrame = {
     val h = Kmv.hash60(col(valueCol), salt)
-    df.select(groupCols.map(col) :+ shiftright(h, W).as("idx") :+
+    // nulls don't count as a distinct value (count-distinct semantics);
+    // unfiltered they'd hash to a phantom (idx=null) register that
+    // inflates n_regs and biases the zero-register correction
+    df.filter(col(valueCol).isNotNull)
+      .select(groupCols.map(col) :+ shiftright(h, W).as("idx") :+
         rho(h).as("rho"): _*)
       .groupBy(groupCols.map(col) :+ col("idx"): _*)
       .agg(max(col("rho")).as("rho"))
