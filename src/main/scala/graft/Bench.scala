@@ -109,7 +109,9 @@ object Bench {
     // lead-lag attribution (q203), HyperLogLog register tier (q204),
     // sequence entropy rate (q205), Allan-variance ladder (q206)
     "q202_pq_recall", "q203_granger", "q204_hll_tier",
-    "q205_entropy_rate", "q206_allan_variance")
+    "q205_entropy_rate", "q206_allan_variance",
+    // Hill tail index (q207), daily KL mix drift (q208)
+    "q207_hill_tail", "q208_kl_mix")
 
   def session(cpus: String): SparkSession = {
     // 4 waves of tasks per core: on a shared VM with CPU steal, a stage is

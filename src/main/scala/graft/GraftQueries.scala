@@ -7075,6 +7075,78 @@ object GraftQueries {
       |  round(sqrt(CAST(sd2 AS DOUBLE) / (2 * n_pairs)), 6) AS adev
       |FROM s""".stripMargin
 
+  /** Hill tail-index of each event type's inter-event gap distribution
+    * (top-50 order statistics) — is the gap tail heavy enough that
+    * mean-based SLA math breaks? Exact via the quantized-ln long
+    * algebra. */
+  def qHillTail(spark: SparkSession, dir: String): DataFrame =
+    graft.events.EventOps.hillTailIndex(
+      spark.read.parquet(s"$dir/events.parquet")
+        .select(col("event_type").as("key"), tsUs.as("t")),
+      k = 50)
+
+  val sqlHillTail: String =
+    """WITH e AS (SELECT event_type AS key, epoch_us(ts) AS t FROM events),
+      |g0 AS (SELECT key, t,
+      |         t - lag(t) OVER (PARTITION BY key ORDER BY t) AS gap
+      |       FROM e),
+      |g AS (SELECT key, t, gap FROM g0 WHERE gap > 0),
+      |r AS (SELECT key, t, gap,
+      |        row_number() OVER (PARTITION BY key
+      |          ORDER BY gap DESC, t ASC) AS r,
+      |        count(*) OVER (PARTITION BY key) AS n
+      |      FROM g),
+      |x AS (SELECT key, gap, r, n, least(50, n - 1) AS k
+      |      FROM r WHERE n >= 2 AND r <= least(50, n - 1) + 1),
+      |thr AS (SELECT key,
+      |          CAST(floor(ln(CAST(gap AS DOUBLE)) * 1048576 + 0.5) AS BIGINT)
+      |            AS qthr,
+      |          k AS ku, n AS nu
+      |        FROM x WHERE r = k + 1),
+      |s AS (SELECT key,
+      |        sum(CAST(floor(ln(CAST(gap AS DOUBLE)) * 1048576 + 0.5)
+      |            AS BIGINT)) AS qsum
+      |      FROM x WHERE r <= k GROUP BY 1)
+      |SELECT s.key, thr.nu AS n_gaps, thr.ku AS k_used,
+      |  round(CAST(qsum - ku * qthr AS DOUBLE) / 1048576.0
+      |    / CAST(ku AS DOUBLE), 6) AS hill_mean_log,
+      |  CASE WHEN qsum - ku * qthr > 0
+      |       THEN round(CAST(ku AS DOUBLE) * 1048576.0
+      |         / CAST(qsum - ku * qthr AS DOUBLE), 6) END AS tail_index
+      |FROM s JOIN thr ON s.key = thr.key""".stripMargin
+
+  /** Daily KL divergence of the event-type mix vs the global mix — the
+    * categorical drift complement of q104's value-bin PSI; exact via
+    * the quantized-ln long algebra. */
+  def qKlMix(spark: SparkSession, dir: String): DataFrame =
+    graft.events.EventOps.klMixDrift(
+      spark.read.parquet(s"$dir/events.parquet")
+        .select(col("event_type").as("key"), tsUs.as("t")),
+      binUs = DAY)
+
+  val sqlKlMix: String =
+    """WITH e AS (SELECT event_type AS key,
+      |             epoch_us(ts) // 86400000000 AS bin
+      |           FROM events),
+      |c AS (SELECT bin, key, count(*) AS n FROM e GROUP BY 1, 2),
+      |nd AS (SELECT bin, sum(n) AS nd FROM c GROUP BY 1),
+      |g AS (SELECT key, sum(n) AS g FROM c GROUP BY 1),
+      |gt AS (SELECT sum(n) AS gt FROM c),
+      |q AS (SELECT c.bin, nd.nd, c.n *
+      |        (CAST(floor(ln(CAST(c.n AS DOUBLE)) * 1048576 + 0.5) AS BIGINT)
+      |       + CAST(floor(ln(CAST(gt.gt AS DOUBLE)) * 1048576 + 0.5) AS BIGINT)
+      |       - CAST(floor(ln(CAST(nd.nd AS DOUBLE)) * 1048576 + 0.5) AS BIGINT)
+      |       - CAST(floor(ln(CAST(g.g AS DOUBLE)) * 1048576 + 0.5) AS BIGINT))
+      |          AS term
+      |      FROM c JOIN nd USING (bin) JOIN g USING (key) CROSS JOIN gt),
+      |s AS (SELECT bin, max(nd) AS n_events, count(*) AS n_cats,
+      |        sum(term) AS qsum
+      |      FROM q GROUP BY 1)
+      |SELECT bin, n_events, n_cats,
+      |  round(CAST(qsum AS DOUBLE) / 1048576.0 / CAST(n_events AS DOUBLE)
+      |    / 0.6931471805599453, 6) AS kl_bits
+      |FROM s""".stripMargin
+
   // classic relational smoke (lineitem)
   def qLineitemAgg(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/lineitem.parquet")

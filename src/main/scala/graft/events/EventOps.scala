@@ -1606,6 +1606,102 @@ object EventOps {
         (abs(col("_x") - col("_med")) > threshQ).cast("long").as("is_spike"))
   }
 
+  /** Hill tail-index estimator on the inter-event gap distribution per
+    * key: over the k largest positive gaps x₍₁₎ ≥ … ≥ x₍ₖ₎ and the
+    * threshold x₍ₖ₊₁₎,
+    *
+    *   H = (1/k)·Σᵢ ln(x₍ᵢ₎ / x₍ₖ₊₁₎),   tail index α = 1/H
+    *
+    * — the classic heavy-tail screen (Hill 1975): α < 2 means gap
+    * variance is effectively infinite and mean-based SLA math on this
+    * key is meaningless; the burstiness coefficient says gaps VARY,
+    * Hill says whether the variance even exists. k shrinks to
+    * n_gaps − 1 on short keys; keys with fewer than 2 positive gaps
+    * emit nothing.
+    *
+    * Engine-exactness: gaps are exact long µs; each ln is quantized to
+    * the 2^20 grid (the Kleinberg/entropy-rate convention) so the log
+    * sum is exact long algebra; H and α are one fixed float expression
+    * each. Ties at the boundary cannot move the result: rank
+    * membership only selects VALUES, and tied values contribute equal
+    * terms. α is null when every top-k gap equals the threshold (H=0).
+    *
+    * Scale: one lag window + one row_number top-(k+1) window per key
+    * (single hash(key) exchange, shared sort), then a k-row-per-key
+    * aggregate and a tiny threshold join — per-key state is O(k). */
+  def hillTailIndex(df: DataFrame, k: Int = 50): DataFrame = {
+    require(k >= 1, s"k=$k must be >= 1")
+    def qln(c: Column): Column =
+      floor(log(c.cast("double")) * lit(1048576L) + lit(0.5)).cast("long")
+    val gaps = interEventTimes(df).filter(col("gap") > 0)
+    val w = Window.partitionBy(col(K)).orderBy(col("gap").desc, col(T).asc)
+    val ranked = gaps
+      .withColumn("_r", row_number().over(w))
+      .withColumn("_n", count(lit(1)).over(Window.partitionBy(col(K))))
+      .withColumn("_k", least(lit(k.toLong), col("_n") - 1))
+      .filter(col("_n") >= 2 && col("_r") <= col("_k") + 1)
+    val thr = ranked.filter(col("_r") === col("_k") + 1)
+      .select(col(K).as("_tk"), qln(col("gap")).as("_qthr"),
+        col("_k").as("_ku"), col("_n").as("_nu"))
+    val diff = col("_qsum") - col("_ku") * col("_qthr")
+    ranked.filter(col("_r") <= col("_k"))
+      .groupBy(col(K))
+      .agg(sum(qln(col("gap"))).as("_qsum"))
+      .join(thr, col(K) <=> col("_tk"))
+      .select(col(K), col("_nu").as("n_gaps"), col("_ku").as("k_used"),
+        round(diff.cast("double") / lit(1048576.0)
+          / col("_ku").cast("double"), 6).as("hill_mean_log"),
+        when(diff > 0, round(col("_ku").cast("double") * lit(1048576.0)
+          / diff.cast("double"), 6)).as("tail_index"))
+  }
+
+  /** Daily KL divergence of the category mix vs the whole table's mix:
+    * for each time bin d, KL(P_d ‖ P_global) in bits over the key
+    * (category) distribution — the categorical drift screen
+    * complementing [[psiDrift]] (which bins VALUES of one series; this
+    * compares each day's MIX of categories against the global mix,
+    * the "did today's traffic composition shift" question).
+    *
+    *   KL_d = Σ_e (n_ed/N_d)·log2( (n_ed/N_d) / (g_e/G) )
+    *
+    * Engine-exactness: all four factors are exact counts; each term is
+    * n_ed·(qln(n_ed) + qln(G) − qln(N_d) − qln(g_e)) on the 2^20
+    * quantized-ln grid — exact long algebra, order-independent — and
+    * the bits conversion is one fixed float chain. Categories absent
+    * from a day simply contribute no term (the day's mix assigns them
+    * zero mass); every present category has g_e > 0 by construction,
+    * so no term is infinite.
+    *
+    * Scale: one (bin, key) count whose groups collapse map-side, a
+    * per-bin window over the GRID-sized frame (bins × categories), a
+    * broadcast join of the per-category global totals, and a broadcast
+    * 1-row grand total — no data-sized shuffle after the first
+    * aggregate. Output (bin, n_events, n_cats, kl_bits). */
+  def klMixDrift(df: DataFrame, binUs: Long = 86400000000L): DataFrame = {
+    require(binUs > 0, s"binUs $binUs must be positive")
+    def qln(c: Column): Column =
+      floor(log(c.cast("double")) * lit(1048576L) + lit(0.5)).cast("long")
+    val cnt = df
+      .groupBy(floor(col(T) / binUs).cast("long").as("bin"), col(K))
+      .agg(count(lit(1)).as("_n"))
+    val gk = cnt.groupBy(col(K)).agg(sum(col("_n")).as("_g"))
+    val gt = gk.agg(sum(col("_g")).as("_gt")) // one row
+    cnt
+      .withColumn("_nd", sum(col("_n")).over(Window.partitionBy(col("bin"))))
+      .join(broadcast(gk.withColumnRenamed(K, "_gk")), col(K) <=> col("_gk"))
+      .crossJoin(broadcast(gt))
+      .withColumn("_term", col("_n") *
+        (qln(col("_n")) + qln(col("_gt")) - qln(col("_nd")) - qln(col("_g"))))
+      .groupBy(col("bin"))
+      .agg(first(col("_nd")).as("n_events"),
+        count(lit(1)).as("n_cats"),
+        sum(col("_term")).as("_qsum"))
+      .select(col("bin"), col("n_events"), col("n_cats"),
+        round(col("_qsum").cast("double") / lit(1048576.0)
+          / col("n_events").cast("double")
+          / lit(0.6931471805599453), 6).as("kl_bits"))
+  }
+
   /** Allan variance ladder of the per-bin event count: for each
     * averaging time τ, AVAR(τ) = Σᵢ(cᵢ₊₁ − cᵢ)² / (2(M−1)) over the
     * DENSE bin grid [min bin, max bin] (empty bins count 0 — skipping

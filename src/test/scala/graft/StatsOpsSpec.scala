@@ -570,4 +570,88 @@ class StatsOpsSpec extends SparkSpec {
         s"tau=$tau avar")
     }
   }
+
+  test("hillTailIndex: dyadic gaps give H = 2·ln2; equal gaps go null") {
+    val s = spark
+    import s.implicits._
+    // gaps 16, 8, 4, 2 (k_used = 3, threshold 2):
+    // H = (ln8 + ln4 + ln2)/3 = 2·ln2
+    val times = Seq(0L, 16L, 24L, 28L, 30L).map(t => ("k", t))
+    val r = EventOps.hillTailIndex(times.toDF("key", "t"), k = 50).head()
+    assert(r.getLong(1) == 4L && r.getLong(2) == 3L)
+    assert(math.abs(r.getDouble(3) - 2 * math.log(2.0)) < 1e-5)
+    assert(math.abs(r.getDouble(4) - 1.0 / (2 * math.log(2.0))) < 1e-5)
+    // all gaps equal: every log excess is 0 -> H = 0, alpha null
+    val flat = (0 to 5).map(i => ("k", i * 10L))
+    val fr = EventOps.hillTailIndex(flat.toDF("key", "t"), k = 50).head()
+    assert(fr.getDouble(3) == 0.0 && fr.isNullAt(4))
+  }
+
+  test("hillTailIndex equals the sequential estimator on Pareto-ish gaps") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(11)
+    // alpha ~ 1.5 Pareto gaps on the integer grid
+    val gaps = (0 until 300).map(_ =>
+      math.max(1L, (math.pow(rnd.nextDouble(), -1.0 / 1.5) * 100).toLong))
+    val times = gaps.scanLeft(0L)(_ + _)
+    val df = times.map(t => ("k", t)).toDF("key", "t")
+    val got = EventOps.hillTailIndex(df, k = 50).head()
+    val pos = times.sliding(2).map(p => p(1) - p(0)).filter(_ > 0).toSeq
+    val top = pos.sorted(Ordering[Long].reverse).take(51)
+    val h = top.take(50).map(g => math.log(g.toDouble / top(50))).sum / 50
+    assert(got.getLong(1) == pos.size.toLong && got.getLong(2) == 50L)
+    assert(math.abs(got.getDouble(3) - h) < 1e-4)
+    assert(math.abs(got.getDouble(4) - 1.0 / h) < 1e-3)
+  }
+
+  test("klMixDrift: identical daily mixes read ~0; a flipped day reads big") {
+    val s = spark
+    import s.implicits._
+    val day = 100L
+    def mk(bin: Long, mix: Seq[(String, Int)]) = mix.flatMap { case (k, n) =>
+      (0 until n).map(i => (k, bin * day + i)) }
+    val same = (mk(0, Seq("a" -> 30, "b" -> 10)) ++
+      mk(1, Seq("a" -> 30, "b" -> 10))).toDF("key", "t")
+    val r0 = EventOps.klMixDrift(same, binUs = day)
+      .orderBy("bin").collect()
+    assert(r0.forall(r => math.abs(r.getDouble(3)) < 1e-5))
+    val flip = (mk(0, Seq("a" -> 30, "b" -> 10)) ++
+      mk(1, Seq("a" -> 10, "b" -> 30))).toDF("key", "t")
+    val r1 = EventOps.klMixDrift(flip, binUs = day).orderBy("bin").collect()
+    // symmetric flip around a 50/50 global: KL = 0.75·log2(1.5) +
+    // 0.25·log2(0.5) each day
+    val expect = 0.75 * math.log(1.5) / math.log(2.0) - 0.25
+    r1.foreach { r =>
+      assert(r.getLong(1) == 40L && r.getLong(2) == 2L)
+      assert(math.abs(r.getDouble(3) - expect) < 1e-4)
+    }
+  }
+
+  test("klMixDrift equals the sequential reference on a jittery mix") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(23)
+    val cats = Seq("a", "b", "c", "d")
+    val rows = for {
+      bin <- 0 until 6
+      k <- cats
+      n = 1 + rnd.nextInt(40)
+      i <- 0 until n
+    } yield (k, bin * 1000L + i)
+    val df = rows.toDF("key", "t")
+    val got = EventOps.klMixDrift(df, binUs = 1000L).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val byBin = rows.groupBy(_._2 / 1000L)
+    val gk = rows.groupBy(_._1).view.mapValues(_.size).toMap
+    val gt = rows.size.toDouble
+    byBin.foreach { case (bin, rs) =>
+      val nd = rs.size.toDouble
+      val kl = rs.groupBy(_._1).map { case (k, v) =>
+        val n = v.size.toDouble
+        n / nd * math.log((n / nd) / (gk(k) / gt))
+      }.sum / math.log(2.0)
+      assert(math.abs(got(bin) - kl) < 1e-4, s"bin $bin")
+    }
+  }
 }
