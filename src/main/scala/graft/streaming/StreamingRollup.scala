@@ -28,6 +28,30 @@ object StreamingRollup {
       .select(col(K), col("win.start").as("bin_start"), col("n_points"),
         col("mean"), col("min"), col("max"))
 
+  /** Streaming HLL distinct-count registers — the continuous face of
+    * [[graft.sketch.Hll.registers]]: per (key, hour, register) the max
+    * rho of the values seen, emitted once per closed hour (append mode,
+    * watermark-bounded state). Register rows are EXACTLY the batch
+    * sketch (max is order-insensitive), so downstream tiers max-merge
+    * them with [[graft.sketch.Hll.merge]] and estimate with
+    * [[graft.sketch.Hll.estimate]] unchanged — the streaming job only
+    * maintains ≤ 512 small ints of state per (key, open hour).
+    * Columns in: (key, ts: timestamp, `valueCol`); out:
+    * (key, bin_start: timestamp, idx, rho). */
+  def hllRegistersStream(points: DataFrame, valueCol: String,
+      watermarkDelay: String = "2 hours"): DataFrame = {
+    val h = graft.sketch.Kmv.hash60(col(valueCol), "hll")
+    points
+      .filter(col(valueCol).isNotNull)
+      .withWatermark("ts", watermarkDelay)
+      .select(col(K), col("ts"),
+        shiftright(h, graft.sketch.Hll.W).as("idx"),
+        graft.sketch.Hll.rho(h).as("rho"))
+      .groupBy(col(K), window(col("ts"), "1 hour").as("win"), col("idx"))
+      .agg(max(col("rho")).as("rho"))
+      .select(col(K), col("win.start").as("bin_start"), col("idx"), col("rho"))
+  }
+
   /** Streaming gap sessionization — the continuous face of
     * [[graft.events.EventOps.sessionize]], on Spark's native
     * `session_window` (state-store-merged windows, watermark-bounded

@@ -31,6 +31,40 @@ class StreamingSpec extends SparkSpec {
     assert(got.count() >= exp.count() - 5 * 2, s"${got.count()} vs ${exp.count()}")
   }
 
+  test("streaming HLL registers equal the batch sketch; estimate carries over") {
+    val batch = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .select(col("event_type").as("key"), col("ts").cast("timestamp").as("ts"),
+        col("user_id").cast("string").as("u"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_hll_stream").toString
+    batch.write.mode("overwrite").parquet(s"$dir/in")
+    val src = spark.readStream.schema(batch.schema).parquet(s"$dir/in")
+    val q = StreamingRollup.hllRegistersStream(src, "u", "0 seconds")
+      .writeStream.format("memory").queryName("hll_out").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("hll_out")
+      .select(col("key"), unix_micros(col("bin_start")).as("hour"),
+        col("idx"), col("rho"))
+    val exp = graft.sketch.Hll.registers(
+      batch.select(col("key"),
+        (unix_micros(col("ts")) - unix_micros(col("ts")) % 3600000000L).as("hour"),
+        col("u")),
+      Seq("key", "hour"), "u")
+    assert(got.count() > 0, "streaming emitted nothing")
+    // emitted register rows must be bit-identical to the batch sketch
+    // (max is order-insensitive); append mode may withhold the final
+    // unclosed hours, hence subset + coverage
+    assert(got.exceptAll(exp).isEmpty, "streaming registers disagree with batch")
+    assert(got.count() >= exp.count() - 512 * 5 * 2, s"${got.count()} vs ${exp.count()}")
+    // the emitted rows feed the batch estimator unchanged: estimates on
+    // any fully-emitted (key, hour) agree exactly
+    val est = graft.sketch.Hll.estimate(got, Seq("key", "hour"))
+      .withColumnRenamed("est_distinct", "e1").withColumnRenamed("n_regs", "n1")
+    val bst = graft.sketch.Hll.estimate(exp, Seq("key", "hour"))
+    val joined = est.join(bst, Seq("key", "hour"))
+      .filter(col("n1") =!= col("n_regs") || col("e1") =!= col("est_distinct"))
+    assert(joined.isEmpty, "estimates diverge on an emitted (key, hour)")
+  }
+
   test("watermark drops late events: closed hourly windows never re-emit") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
