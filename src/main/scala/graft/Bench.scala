@@ -110,8 +110,10 @@ object Bench {
     // sequence entropy rate (q205), Allan-variance ladder (q206)
     "q202_pq_recall", "q203_granger", "q204_hll_tier",
     "q205_entropy_rate", "q206_allan_variance",
-    // Hill tail index (q207), daily KL mix drift (q208)
-    "q207_hill_tail", "q208_kl_mix")
+    // Hill tail index (q207), daily KL mix drift (q208), embedding
+    // centroid drift (q209), label purity (q210)
+    "q207_hill_tail", "q208_kl_mix",
+    "q209_centroid_shift", "q210_label_purity")
 
   def session(cpus: String): SparkSession = {
     // 4 waves of tasks per core: on a shared VM with CPU steal, a stage is

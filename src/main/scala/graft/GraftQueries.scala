@@ -7147,6 +7147,67 @@ object GraftQueries {
       |    / 0.6931471805599453, 6) AS kl_bits
       |FROM s""".stripMargin
 
+  /** Embedding centroid drift across ingestion batches (vec_id/100):
+    * per batch the L2 step from the previous batch's centroid and the
+    * excursion from the global centroid — integer-exact on the Pq 1e-4
+    * grid. */
+  def qCentroidShift(spark: SparkSession, dir: String): DataFrame =
+    graft.ann.VectorDrift.centroidShift(
+      spark.read.parquet(s"$dir/embeddings.parquet"), batchSize = 100)
+
+  val sqlCentroidShift: String =
+    """WITH q AS (SELECT vec_id // 100 AS grp, d.i AS pos,
+      |    CAST(floor(CAST(embedding[d.i] AS DOUBLE) * 10000 + 0.5) AS BIGINT)
+      |      AS xq
+      |  FROM embeddings, unnest(generate_series(1, 64)) d(i)),
+      |c AS (SELECT grp, pos, count(*) AS n,
+      |        CAST(floor(avg(xq) + 0.5) AS BIGINT) AS m
+      |      FROM q GROUP BY 1, 2),
+      |nv AS (SELECT grp, max(n) AS n_vecs FROM c GROUP BY 1),
+      |g AS (SELECT pos, CAST(floor(avg(xq) + 0.5) AS BIGINT) AS gm
+      |      FROM q GROUP BY 1),
+      |dprev AS (SELECT a.grp, sum((a.m - b.m) * (a.m - b.m)) AS d2
+      |          FROM c a JOIN c b ON b.grp = a.grp - 1 AND b.pos = a.pos
+      |          GROUP BY 1),
+      |dglob AS (SELECT a.grp, sum((a.m - g.gm) * (a.m - g.gm)) AS d2
+      |          FROM c a JOIN g ON g.pos = a.pos GROUP BY 1)
+      |SELECT nv.grp AS batch, nv.n_vecs,
+      |  round(sqrt(CAST(dprev.d2 AS DOUBLE)) / 10000.0, 6) AS l2_prev,
+      |  round(sqrt(CAST(dglob.d2 AS DOUBLE)) / 10000.0, 6) AS l2_global
+      |FROM nv LEFT JOIN dprev ON nv.grp = dprev.grp
+      |JOIN dglob ON nv.grp = dglob.grp""".stripMargin
+
+  /** Label purity of the embedding space: per label the within-scatter
+    * (mean squared member→centroid distance), nearest other centroid
+    * and the between/within separation ratio — integer-exact on the
+    * 1e-4 grid. */
+  def qLabelPurity(spark: SparkSession, dir: String): DataFrame =
+    graft.ann.VectorDrift.labelPurity(
+      spark.read.parquet(s"$dir/embeddings.parquet"))
+
+  val sqlLabelPurity: String =
+    """WITH q AS (SELECT CAST(label AS BIGINT) AS l, vec_id, d.i AS pos,
+      |    CAST(floor(CAST(embedding[d.i] AS DOUBLE) * 10000 + 0.5) AS BIGINT)
+      |      AS xq
+      |  FROM embeddings, unnest(generate_series(1, 64)) d(i)),
+      |c AS (SELECT l, pos, CAST(floor(avg(xq) + 0.5) AS BIGINT) AS m
+      |      FROM q GROUP BY 1, 2),
+      |own AS (SELECT q.l, q.vec_id, sum((q.xq - c.m) * (q.xq - c.m)) AS d2
+      |        FROM q JOIN c ON q.l = c.l AND q.pos = c.pos GROUP BY 1, 2),
+      |w AS (SELECT l, count(*) AS n_vecs, sum(d2) AS w FROM own GROUP BY 1),
+      |p AS (SELECT a.l AS la, b.l AS lb, sum((a.m - b.m) * (a.m - b.m)) AS bd2
+      |      FROM c a JOIN c b ON a.pos = b.pos AND a.l <> b.l GROUP BY 1, 2),
+      |nr AS (SELECT la, lb, bd2 FROM p
+      |       QUALIFY row_number() OVER (PARTITION BY la
+      |         ORDER BY bd2 ASC, lb ASC) = 1)
+      |SELECT w.l AS label, w.n_vecs,
+      |  round(CAST(w.w AS DOUBLE) / w.n_vecs / 1e8, 6) AS mean_sq_within,
+      |  nr.lb AS nearest_label,
+      |  round(CAST(nr.bd2 AS DOUBLE) / 1e8, 6) AS between_sq,
+      |  CASE WHEN w.w > 0 THEN round(CAST(nr.bd2 AS DOUBLE)
+      |    / (CAST(w.w AS DOUBLE) / w.n_vecs), 6) END AS separation
+      |FROM w JOIN nr ON w.l = nr.la""".stripMargin
+
   // classic relational smoke (lineitem)
   def qLineitemAgg(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/lineitem.parquet")
