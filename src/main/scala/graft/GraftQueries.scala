@@ -7208,6 +7208,83 @@ object GraftQueries {
       |    / (CAST(w.w AS DOUBLE) / w.n_vecs), 6) END AS separation
       |FROM w JOIN nr ON w.l = nr.la""".stripMargin
 
+  /** Zipf rank-frequency head fit over the documents corpus — natural
+    * text reads slope ≈ −1; exact decimal OLS on the quantized-ln
+    * grid. */
+  def qZipf(spark: SparkSession, dir: String): DataFrame =
+    graft.text.LexStats.zipfFit(docs(spark, dir), topR = 1000)
+
+  val sqlZipf: String =
+    """WITH f AS (SELECT s AS term, count(*) AS n
+      |  FROM (SELECT unnest(regexp_extract_all(text, '\S+')) AS s
+      |        FROM documents)
+      |  GROUP BY 1),
+      |tot AS (SELECT sum(n) AS total_tokens, count(*) AS vocab FROM f),
+      |top AS (SELECT term, n FROM f ORDER BY n DESC, term ASC LIMIT 1000),
+      |r AS (SELECT row_number() OVER (ORDER BY n DESC, term ASC) AS r, n
+      |      FROM top),
+      |q AS (SELECT
+      |    CAST(CAST(floor(ln(CAST(r AS DOUBLE)) * 1048576 + 0.5) AS BIGINT)
+      |      AS HUGEINT) AS x,
+      |    CAST(CAST(floor(ln(CAST(n AS DOUBLE)) * 1048576 + 0.5) AS BIGINT)
+      |      AS HUGEINT) AS y
+      |  FROM r),
+      |s AS (SELECT CAST(count(*) AS HUGEINT) AS k, sum(x) AS sx, sum(y) AS sy,
+      |        sum(x * x) AS sxx, sum(x * y) AS sxy, sum(y * y) AS syy
+      |      FROM q),
+      |v AS (SELECT CAST(k AS BIGINT) AS n_fit,
+      |        CAST(k * sxy - sx * sy AS DOUBLE) AS num,
+      |        CAST(k * sxx - sx * sx AS DOUBLE) AS den,
+      |        CAST(k * syy - sy * sy AS DOUBLE) AS deny
+      |      FROM s)
+      |SELECT n_fit, tot.total_tokens, tot.vocab,
+      |  CASE WHEN den > 0 THEN round(num / den, 6) END AS zipf_slope,
+      |  CASE WHEN den > 0 AND deny > 0
+      |       THEN round(num * num / (den * deny), 6) END AS zipf_r2
+      |FROM v CROSS JOIN tot""".stripMargin
+
+  /** Heaps vocabulary-growth fit at 10 doc-id prefixes — the
+    * vocabulary-vs-corpus-size exponent (natural text β ≈ 0.4-0.6);
+    * exact decimal OLS on the quantized-ln grid. */
+  def qHeaps(spark: SparkSession, dir: String): DataFrame =
+    graft.text.LexStats.heapsFit(docs(spark, dir), nCk = 10)
+
+  val sqlHeaps: String =
+    """WITH nd AS (SELECT count(*) AS nd FROM documents),
+      |t AS (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS term
+      |      FROM documents),
+      |ck AS (SELECT least(9, (t.doc_id * 10) // nd.nd) AS ck, term
+      |       FROM t CROSS JOIN nd),
+      |tk AS (SELECT ck, count(*) AS tk FROM ck GROUP BY 1),
+      |ft AS (SELECT term, min(ck) AS ck FROM ck GROUP BY 1),
+      |ty AS (SELECT ck, count(*) AS ty FROM ft GROUP BY 1),
+      |g AS (SELECT coalesce(tk.ck, ty.ck) AS ck, coalesce(tk.tk, 0) AS tk,
+      |        coalesce(ty.ty, 0) AS ty
+      |      FROM tk FULL JOIN ty ON tk.ck = ty.ck),
+      |c AS (SELECT a.ck, sum(b.tk) AS ct, sum(b.ty) AS cy
+      |      FROM g a JOIN g b ON b.ck <= a.ck GROUP BY 1
+      |      HAVING sum(b.tk) > 0 AND sum(b.ty) > 0),
+      |q AS (SELECT
+      |    CAST(CAST(floor(ln(CAST(ct AS DOUBLE)) * 1048576 + 0.5) AS BIGINT)
+      |      AS HUGEINT) AS x,
+      |    CAST(CAST(floor(ln(CAST(cy AS DOUBLE)) * 1048576 + 0.5) AS BIGINT)
+      |      AS HUGEINT) AS y
+      |  FROM c),
+      |s AS (SELECT CAST(count(*) AS HUGEINT) AS k, sum(x) AS sx, sum(y) AS sy,
+      |        sum(x * x) AS sxx, sum(x * y) AS sxy, sum(y * y) AS syy
+      |      FROM q),
+      |v AS (SELECT CAST(k AS BIGINT) AS n_checkpoints,
+      |        CAST(k * sxy - sx * sy AS DOUBLE) AS num,
+      |        CAST(k * sxx - sx * sx AS DOUBLE) AS den,
+      |        CAST(k * syy - sy * sy AS DOUBLE) AS deny
+      |      FROM s),
+      |m AS (SELECT max(ct) AS total_tokens, max(cy) AS vocab FROM c)
+      |SELECT n_checkpoints, m.total_tokens, m.vocab,
+      |  CASE WHEN den > 0 THEN round(num / den, 6) END AS heaps_beta,
+      |  CASE WHEN den > 0 AND deny > 0
+      |       THEN round(num * num / (den * deny), 6) END AS heaps_r2
+      |FROM v CROSS JOIN m""".stripMargin
+
   // classic relational smoke (lineitem)
   def qLineitemAgg(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/lineitem.parquet")

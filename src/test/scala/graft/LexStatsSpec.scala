@@ -1,0 +1,90 @@
+package graft
+
+import graft.text.LexStats
+
+/** Zipf / Heaps lexical fits: closed-form degenerate cases plus an
+  * exact-replica sequential reference (quantized-ln OLS mirrored, so
+  * equality is exact up to the 1e-6 output rounding). */
+class LexStatsSpec extends SparkSpec {
+
+  private def qln(v: Long): Long =
+    math.floor(math.log(v.toDouble) * 1048576 + 0.5).toLong
+
+  /** (slope, r2) of the quantized OLS over (qln x, qln y) pairs. */
+  private def fit(pairs: Seq[(Long, Long)]): (Double, Double) = {
+    val q = pairs.map { case (x, y) => (BigInt(qln(x)), BigInt(qln(y))) }
+    val k = BigInt(q.size)
+    val sx = q.map(_._1).sum; val sy = q.map(_._2).sum
+    val sxx = q.map(p => p._1 * p._1).sum
+    val sxy = q.map(p => p._1 * p._2).sum
+    val syy = q.map(p => p._2 * p._2).sum
+    val num = (k * sxy - sx * sy).toDouble
+    val den = (k * sxx - sx * sx).toDouble
+    val deny = (k * syy - sy * sy).toDouble
+    (num / den, num * num / (den * deny))
+  }
+
+  private def r6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("zipfFit equals the sequential quantized OLS on a Zipfian corpus") {
+    val s = spark
+    import s.implicits._
+    // term w<i> appears ceil(2000 / i) times, scattered over 20 docs
+    val words = (1 to 120).flatMap(i => Seq.fill((2000 + i - 1) / i)(s"w$i"))
+    val docs = words.grouped(words.size / 20 + 1).zipWithIndex
+      .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }.toSeq
+      .toDF("doc_id", "text")
+    val got = LexStats.zipfFit(docs, topR = 100).head()
+    val counts = words.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val head = counts.toSeq.sortBy { case (t, n) => (-n, t) }.take(100)
+    val (slope, r2) = fit(head.zipWithIndex.map { case ((_, n), i) =>
+      ((i + 1).toLong, n) })
+    assert(got.getLong(0) == 100L)
+    assert(got.getLong(1) == words.size.toLong)
+    assert(got.getLong(2) == counts.size.toLong)
+    assert(got.getDouble(3) == r6(slope) && slope < -0.8 && slope > -1.2)
+    assert(got.getDouble(4) == r6(r2) && r2 > 0.95)
+  }
+
+  test("heapsFit: all-unique tokens give beta exactly 1; constant vocab nulls") {
+    val s = spark
+    import s.implicits._
+    val uniq = (0L until 40L).map(i =>
+      (i, (0 until 5).map(j => s"u${i}_$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val r = LexStats.heapsFit(uniq, nCk = 10).head()
+    // types == tokens at every prefix -> y = x -> slope 1, r2 1
+    assert(r.getLong(0) == 10L && r.getLong(1) == 200L && r.getLong(2) == 200L)
+    assert(r.getDouble(3) == 1.0 && r.getDouble(4) == 1.0)
+    // one global token: vocabulary is flat -> zero slope, r2 null (deny 0)
+    val const = (0L until 40L).map(i => (i, "same same same"))
+      .toDF("doc_id", "text")
+    val c = LexStats.heapsFit(const, nCk = 10).head()
+    assert(c.getLong(2) == 1L && c.getDouble(3) == 0.0 && c.isNullAt(4))
+  }
+
+  test("heapsFit equals the sequential quantized OLS on a mixed corpus") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(5)
+    val docs = (0L until 50L).map { i =>
+      val ws = (0 until 30).map(_ => s"t${rnd.nextInt(200)}")
+      (i, ws.mkString(" "))
+    }
+    val df = docs.toDF("doc_id", "text")
+    val got = LexStats.heapsFit(df, nCk = 10).head()
+    // sequential prefix replay at the same checkpoints
+    val ck = docs.map { case (id, text) =>
+      (math.min(9L, id * 10 / 50), text.split(" ").toSeq) }
+    val pairs = (0L to 9L).map { c =>
+      val pre = ck.filter(_._1 <= c).flatMap(_._2)
+      (pre.size.toLong, pre.distinct.size.toLong)
+    }
+    val (beta, r2) = fit(pairs)
+    assert(got.getLong(0) == 10L)
+    assert(got.getLong(1) == 1500L)
+    assert(got.getDouble(3) == r6(beta) && beta > 0.2 && beta < 1.0)
+    assert(got.getDouble(4) == r6(r2))
+  }
+}
