@@ -114,8 +114,9 @@ object Bench {
     // centroid drift (q209), label purity (q210)
     "q207_hill_tail", "q208_kl_mix",
     "q209_centroid_shift", "q210_label_purity",
-    // Zipf head fit (q211), Heaps vocabulary growth (q212)
-    "q211_zipf", "q212_heaps")
+    // Zipf head fit (q211), Heaps vocabulary growth (q212), binned
+    // mutual information (q213)
+    "q211_zipf", "q212_heaps", "q213_mutual_info")
 
   def session(cpus: String): SparkSession = {
     // 4 waves of tasks per core: on a shared VM with CPU steal, a stage is

@@ -7285,6 +7285,64 @@ object GraftQueries {
       |       THEN round(num * num / (den * deny), 6) END AS heaps_r2
       |FROM v CROSS JOIN m""".stripMargin
 
+  /** Binned mutual information click↔view on the hourly count grid —
+    * the nonlinear-dependence complement of q203's Granger screen;
+    * exact integer histograms + quantized-ln long algebra. */
+  def qMutualInfo(spark: SparkSession, dir: String): DataFrame =
+    graft.events.Correlation.mutualInfo(
+      spark.read.parquet(s"$dir/events.parquet")
+        .select(col("event_type").as("key"), tsUs.as("t")),
+      keyA = "click", keyB = "view", binUs = HOUR, valueBins = 8)
+
+  val sqlMutualInfo: String =
+    """WITH e AS (SELECT event_type, epoch_us(ts) // 3600000000 AS b
+      |           FROM events WHERE event_type IN ('click', 'view')),
+      |c AS (SELECT event_type, b, count(*) AS c FROM e GROUP BY 1, 2),
+      |p AS (SELECT a.c AS ca, v.c AS cb
+      |      FROM (SELECT b, c FROM c WHERE event_type = 'click') a
+      |      JOIN (SELECT b, c FROM c WHERE event_type = 'view') v USING (b)),
+      |bd AS (SELECT min(ca) AS a0, max(ca) AS a1,
+      |         min(cb) AS b0, max(cb) AS b1 FROM p),
+      |j AS (SELECT ((ca - a0) * 8) // (a1 - a0 + 1) AS x,
+      |             ((cb - b0) * 8) // (b1 - b0 + 1) AS y, count(*) AS n
+      |      FROM p CROSS JOIN bd GROUP BY 1, 2),
+      |mx AS (SELECT x, sum(n) AS m FROM j GROUP BY 1),
+      |my AS (SELECT y, sum(n) AS m FROM j GROUP BY 1),
+      |cells AS (SELECT j.x, j.y, j.n, mx.m AS nx, my.m AS ny
+      |          FROM j JOIN mx USING (x) JOIN my USING (y)),
+      |s AS (SELECT sum(n) AS nt, count(*) AS n_cells,
+      |        sum(n *
+      |          (CAST(floor(ln(CAST(n AS DOUBLE)) * 1048576 + 0.5) AS BIGINT)
+      |         - CAST(floor(ln(CAST(nx AS DOUBLE)) * 1048576 + 0.5) AS BIGINT)
+      |         - CAST(floor(ln(CAST(ny AS DOUBLE)) * 1048576 + 0.5) AS BIGINT)))
+      |          AS qmi0
+      |      FROM cells),
+      |qx AS (SELECT sum(m *
+      |         CAST(floor(ln(CAST(m AS DOUBLE)) * 1048576 + 0.5) AS BIGINT))
+      |         AS qx FROM mx),
+      |qy AS (SELECT sum(m *
+      |         CAST(floor(ln(CAST(m AS DOUBLE)) * 1048576 + 0.5) AS BIGINT))
+      |         AS qy FROM my),
+      |v AS (SELECT nt, n_cells,
+      |        CAST(qmi0 + nt *
+      |          CAST(floor(ln(CAST(nt AS DOUBLE)) * 1048576 + 0.5) AS BIGINT)
+      |          AS DOUBLE) / 1048576.0 / CAST(nt AS DOUBLE)
+      |          / 0.6931471805599453 AS mi,
+      |        CAST(nt *
+      |          CAST(floor(ln(CAST(nt AS DOUBLE)) * 1048576 + 0.5) AS BIGINT)
+      |          - qx AS DOUBLE) / 1048576.0 / CAST(nt AS DOUBLE)
+      |          / 0.6931471805599453 AS ha,
+      |        CAST(nt *
+      |          CAST(floor(ln(CAST(nt AS DOUBLE)) * 1048576 + 0.5) AS BIGINT)
+      |          - qy AS DOUBLE) / 1048576.0 / CAST(nt AS DOUBLE)
+      |          / 0.6931471805599453 AS hb
+      |      FROM s CROSS JOIN qx CROSS JOIN qy)
+      |SELECT nt AS n_bins, n_cells, round(mi, 6) AS mi_bits,
+      |  round(ha, 6) AS h_a, round(hb, 6) AS h_b,
+      |  CASE WHEN least(ha, hb) > 0
+      |       THEN round(mi / least(ha, hb), 6) END AS nmi
+      |FROM v""".stripMargin
+
   // classic relational smoke (lineitem)
   def qLineitemAgg(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/lineitem.parquet")

@@ -277,6 +277,80 @@ object Correlation {
       when(ok, round(full - ra * ra, 6)).as("delta_r2"))
   }
 
+  /** Binned mutual information between two keys' hourly count series —
+    * the NONLINEAR-dependence complement of [[grangerLite]] (a phase
+    * shift, a V-shaped response or a saturating coupling all read ~0
+    * correlation but positive MI). Over bins where BOTH keys have
+    * counts (the sparse [[crossCorr]] convention), each side's count is
+    * bucketed into `valueBins` equal-width classes of its own observed
+    * range, and
+    *
+    *   MI = Σ_xy p(x,y)·log2( p(x,y) / (p(x)p(y)) )
+    *   NMI = MI / min(H(X), H(Y))   (null when a side is constant)
+    *
+    * Engine-exactness: all histogram counts are exact integers; each
+    * term rides the quantized-ln (2^20) long algebra of
+    * [[graft.categorical.CategoricalOps.entropyRate]], so sums are
+    * order-independent; class assignment is exact integer arithmetic
+    * ((c − min)·B div (max − min + 1)); only the final bit conversions
+    * and the NMI ratio touch floats.
+    *
+    * Scale: two grid-bounded bin counts, one bin equi-join, a 1-row
+    * broadcast bounds frame, then aggregates over the ≤ B² cell grid.
+    * Output one row (n_bins, n_cells, mi_bits, h_a, h_b, nmi). */
+  def mutualInfo(
+      df: DataFrame,
+      keyA: String,
+      keyB: String,
+      binUs: Long = 3600000000L,
+      valueBins: Int = 8): DataFrame = {
+    require(binUs > 0 && valueBins >= 2, "need binUs > 0 and valueBins >= 2")
+    def qln(c: org.apache.spark.sql.Column) =
+      floor(log(c.cast("double")) * lit(1048576L) + lit(0.5)).cast("long")
+    def counts(k: String) = df.filter(col(K) === k)
+      .groupBy(floor(col(T) / binUs).cast("long").as("_b"))
+      .agg(count(lit(1)).as("_c"))
+    val paired = counts(keyA).select(col("_b"), col("_c").as("_ca"))
+      .join(counts(keyB).select(col("_b").as("_b2"), col("_c").as("_cb")),
+        col("_b") === col("_b2"))
+    val bounds = paired.agg(min(col("_ca")).as("_a0"), max(col("_ca")).as("_a1"),
+      min(col("_cb")).as("_b0"), max(col("_cb")).as("_b1"))
+    def cls(c: org.apache.spark.sql.Column, lo: org.apache.spark.sql.Column,
+        hi: org.apache.spark.sql.Column) =
+      floor(((c - lo) * valueBins).cast("double") / (hi - lo + 1)).cast("long")
+    val joint = paired.crossJoin(broadcast(bounds))
+      .select(cls(col("_ca"), col("_a0"), col("_a1")).as("_x"),
+        cls(col("_cb"), col("_b0"), col("_b1")).as("_y"))
+      .groupBy(col("_x"), col("_y")).agg(count(lit(1)).as("_n"))
+    val cells = joint
+      .withColumn("_nx", sum(col("_n")).over(Window.partitionBy(col("_x"))))
+      .withColumn("_ny", sum(col("_n")).over(Window.partitionBy(col("_y"))))
+    val s = cells.agg(
+      sum(col("_n")).as("_nt"), count(lit(1)).as("n_cells"),
+      sum(col("_n") * (qln(col("_n")) - qln(col("_nx")) - qln(col("_ny"))))
+        .as("_qmi0"))
+    // marginal entropies need per-class rows, not per-cell rows
+    val hx = joint.groupBy(col("_x")).agg(sum(col("_n")).as("_m"))
+      .agg(sum(col("_m") * qln(col("_m"))).as("_qx"))
+    val hy = joint.groupBy(col("_y")).agg(sum(col("_n")).as("_m"))
+      .agg(sum(col("_m") * qln(col("_m"))).as("_qy"))
+    val n = col("_nt").cast("double")
+    val ln2 = lit(0.6931471805599453)
+    val grid = lit(1048576.0)
+    // MI long sum: Σ n·(qln n − qln nx − qln ny) + N·qln N
+    val mi = (col("_qmi0") + col("_nt") * qln(col("_nt"))).cast("double") /
+      grid / n / ln2
+    def hOf(q: org.apache.spark.sql.Column) =
+      (col("_nt") * qln(col("_nt")) - q).cast("double") / grid / n / ln2
+    s.crossJoin(broadcast(hx)).crossJoin(broadcast(hy))
+      .select(col("_nt").as("n_bins"), col("n_cells"),
+        round(mi, 6).as("mi_bits"),
+        round(hOf(col("_qx")), 6).as("h_a"),
+        round(hOf(col("_qy")), 6).as("h_b"),
+        when(least(hOf(col("_qx")), hOf(col("_qy"))) > 0,
+          round(mi / least(hOf(col("_qx")), hOf(col("_qy"))), 6)).as("nmi"))
+  }
+
   /** Theil–Sen robust trend per (key, bucket): the MEDIAN of all
     * pairwise slopes (v₂−v₁)/(t₂−t₁) over point pairs with t₁ < t₂
     * inside the bucket — the classic outlier-resistant alternative to

@@ -487,6 +487,57 @@ class CorrelationSpec extends SparkSpec {
     assert(g.getLong(0) == 7L && (1 to 6).forall(g.isNullAt))
   }
 
+  test("mutualInfo: identical series give NMI = 1; independent-ish give near 0") {
+    val s = spark
+    import s.implicits._
+    // B's count mirrors A's bin-for-bin: joint histogram is diagonal,
+    // MI = H(A) = H(B), NMI = 1 exactly (same quantized sums)
+    val aCounts = Seq(1, 5, 2, 7, 1, 5, 2, 7, 3, 6, 3, 6, 1, 7, 2, 5)
+    val rows = aCounts.zipWithIndex.flatMap { case (c, b) =>
+      Seq.fill(c)(("a", b * 10L + 1)) ++ Seq.fill(c)(("b", b * 10L + 2)) }
+    val r = Correlation.mutualInfo(rows.toDF("key", "t"), "a", "b",
+      binUs = 10L, valueBins = 8).head()
+    assert(r.getLong(0) == 16L)
+    assert(r.getDouble(2) == r.getDouble(3) && r.getDouble(3) == r.getDouble(4))
+    assert(r.getDouble(5) == 1.0)
+    // constant B: H(B) = 0 -> MI = 0, NMI null
+    val flat = aCounts.zipWithIndex.flatMap { case (c, b) =>
+      Seq.fill(c)(("a", b * 10L + 1)) ++ Seq.fill(4)(("b", b * 10L + 2)) }
+    val f = Correlation.mutualInfo(flat.toDF("key", "t"), "a", "b",
+      binUs = 10L, valueBins = 8).head()
+    assert(f.getDouble(2) == 0.0 && f.getDouble(4) == 0.0 && f.isNullAt(5))
+  }
+
+  test("mutualInfo equals the sequential plug-in estimator on jittery counts") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(31)
+    val ac = (0 until 60).map(_ => 1 + rnd.nextInt(20))
+    val bc = (0 until 60).map(i => 1 + rnd.nextInt(10) + ac(i) / 2)
+    val rows = ac.zipWithIndex.flatMap { case (c, b) =>
+      Seq.fill(c)(("a", b * 10L + 1)) } ++
+      bc.zipWithIndex.flatMap { case (c, b) => Seq.fill(c)(("b", b * 10L + 2)) }
+    val got = Correlation.mutualInfo(rows.toDF("key", "t"), "a", "b",
+      binUs = 10L, valueBins = 8).head()
+    val (a0, a1) = (ac.min, ac.max); val (b0, b1) = (bc.min, bc.max)
+    def cls(c: Int, lo: Int, hi: Int) = (c - lo) * 8 / (hi - lo + 1)
+    val cellsSeq = ac.zip(bc).map { case (a, b) =>
+      (cls(a, a0, a1), cls(b, b0, b1)) }
+    val n = cellsSeq.size.toDouble
+    val joint = cellsSeq.groupBy(identity).view.mapValues(_.size).toMap
+    val mx = cellsSeq.groupBy(_._1).view.mapValues(_.size).toMap
+    val my = cellsSeq.groupBy(_._2).view.mapValues(_.size).toMap
+    val mi = joint.map { case ((x, y), c) =>
+      c / n * math.log(c * n / (mx(x) * my(y)).toDouble) }.sum / math.log(2)
+    def h(m: Map[Int, Int]) =
+      -m.values.map(c => c / n * math.log(c / n)).sum / math.log(2)
+    assert(got.getLong(0) == 60L && got.getLong(1) == joint.size.toLong)
+    assert(math.abs(got.getDouble(2) - mi) < 1e-4)
+    assert(math.abs(got.getDouble(3) - h(mx)) < 1e-4)
+    assert(math.abs(got.getDouble(4) - h(my)) < 1e-4)
+    assert(math.abs(got.getDouble(5) - mi / math.min(h(mx), h(my))) < 1e-3)
+  }
+
   test("grangerLite matches a sequential two-regressor reference") {
     val s = spark
     import s.implicits._
