@@ -40,12 +40,19 @@ object Pq {
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
       lit(0L), (acc, x) => acc + x)
 
+  /** The vector stack's ONE coordinate quantizer: the 1e-4 integer grid
+    * as longs, floor(x·10⁴ + 0.5). Every module whose oracle-exactness
+    * rests on integer vector algebra (PQ, VectorDrift, and the oracle
+    * SQL that hardcodes the same expression) must share this — a
+    * diverging private copy breaks cross-module bit-identity. */
+  def quantize1e4(c: Column): Column =
+    transform(c, x => floor(x.cast("double") * 10000 + 0.5).cast("long"))
+
   /** Quantize to the 1e-4 grid and explode into m subvectors:
     * (idCol, sub, subvec: array<long>). */
   def subVectors(corpus: DataFrame, m: Int, subDim: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val q = transform(col(vecCol),
-      x => floor(x.cast("double") * 10000 + 0.5).cast("long"))
+    val q = quantize1e4(col(vecCol))
     corpus
       .select(col(idCol), posexplode(transform(sequence(lit(0), lit(m - 1)),
         s => slice(q, s * subDim + 1, lit(subDim)))).as(Seq("sub", "subvec")))
@@ -171,8 +178,7 @@ object Pq {
   def rerankTopK(cand: DataFrame, queries: DataFrame, corpus: DataFrame,
       k: Int, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
-    def qz(c: Column): Column =
-      transform(c, x => floor(x.cast("double") * 10000 + 0.5).cast("long"))
+    def qz(c: Column): Column = quantize1e4(c)
     val qv = broadcast(queries.select(col(idCol).as("q_id"),
       qz(col(vecCol)).as("q_vec")))
     val cv = corpus.select(col(idCol).as("n_id"), qz(col(vecCol)).as("n_vec"))
@@ -189,8 +195,7 @@ object Pq {
     * distance per (query, candidate). Output (q_id, n_id, dist, rank). */
   def bruteForceL2TopK(corpus: DataFrame, queries: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    def qz(c: Column): Column =
-      transform(c, x => floor(x.cast("double") * 10000 + 0.5).cast("long"))
+    def qz(c: Column): Column = quantize1e4(c)
     val q = broadcast(queries.select(col(idCol).as("q_id"),
       qz(col(vecCol)).as("q_vec")))
     val c = corpus.select(col(idCol).as("n_id"), qz(col(vecCol)).as("n_vec"))

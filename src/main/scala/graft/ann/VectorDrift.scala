@@ -21,27 +21,34 @@ import org.apache.spark.sql.functions._
   */
 object VectorDrift {
 
-  private def qz(c: Column): Column =
-    transform(c, x => floor(x.cast("double") * 10000 + 0.5).cast("long"))
+  private def qz(c: Column): Column = Pq.quantize1e4(c)
 
-  /** (group, pos, xq) quantized coordinates keyed by an arbitrary
-    * grouping expression. */
-  private def coords(corpus: DataFrame, group: Column, vecCol: String) =
+  /** Exact per-(group, pos) coordinate sums — the mergeable form: a
+    * coarser centroid (e.g. the global one) derives from these sums
+    * WITHOUT rescanning the corpus, and floor(Σ/n + 0.5) on the exact
+    * long sum matches the oracle's avg-of-BIGINT at any magnitude
+    * (a double-accumulating avg() only matches below 2^53). */
+  private def coordSums(corpus: DataFrame, group: Column, vecCol: String) =
     corpus.select(group.as("_grp"), posexplode(qz(col(vecCol))))
-
-  /** Quantized centroid per group: (grp, n_vecs, cvec: array<long>).
-    * floor(avg + 0.5) per coordinate — the Pq Lloyd-mean convention. */
-  private def centroids(corpus: DataFrame, group: Column,
-      vecCol: String): DataFrame =
-    coords(corpus, group, vecCol)
       .groupBy(col("_grp"), col("pos"))
-      .agg(count(lit(1)).as("_n"),
-        floor(avg(col("col")) + 0.5).cast("long").as("_m"))
+      .agg(count(lit(1)).as("_n"), sum(col("col")).as("_s"))
+
+  /** Quantized centroid rows → (grp, n_vecs, cvec: array<long>):
+    * floor(mean + 0.5) per coordinate — the Pq Lloyd-mean convention. */
+  private def centroidOf(sums: DataFrame): DataFrame =
+    sums
+      .select(col("_grp"), col("pos"), col("_n"),
+        floor(col("_s").cast("double") / col("_n") + 0.5).cast("long")
+          .as("_m"))
       .groupBy(col("_grp"))
       .agg(max(col("_n")).as("n_vecs"),
         array_sort(collect_list(struct(col("pos"), col("_m")))).as("_pm"))
       .select(col("_grp"), col("n_vecs"),
         transform(col("_pm"), p => p.getField("_m")).as("cvec"))
+
+  private def centroids(corpus: DataFrame, group: Column,
+      vecCol: String): DataFrame =
+    centroidOf(coordSums(corpus, group, vecCol))
 
   /** Centroid drift across ingestion batches (batch = id / batchSize):
     * per batch, the L2 distance from the PREVIOUS batch's centroid (the
@@ -52,9 +59,14 @@ object VectorDrift {
   def centroidShift(corpus: DataFrame, batchSize: Long,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     require(batchSize > 0, s"batchSize $batchSize must be positive")
-    val cents = centroids(corpus,
+    val sums = coordSums(corpus,
       floor(col(idCol) / batchSize).cast("long"), vecCol)
-    val global = centroids(corpus, lit(0L), vecCol)
+    val cents = centroidOf(sums)
+    // global centroid DERIVED from the per-batch sums (exact long
+    // merge) — no second corpus scan
+    val global = centroidOf(sums.groupBy(col("pos"))
+        .agg(sum(col("_n")).as("_n"), sum(col("_s")).as("_s"))
+        .select(lit(0L).as("_grp"), col("pos"), col("_n"), col("_s")))
       .select(col("cvec").as("_gvec")) // one row
     val prev = cents.select((col("_grp") + 1).as("_pb"),
       col("cvec").as("_pvec"))

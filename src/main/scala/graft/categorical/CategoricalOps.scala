@@ -154,8 +154,7 @@ object CategoricalOps {
     * (bounded by states², not data), and a final per-key aggregate. */
   def entropyRate(points: DataFrame, valueCol: String = "sv"): DataFrame = {
     val w = Window.partitionBy("key").orderBy("t")
-    def qln(c: Column): Column =
-      floor(log(c.cast("double")) * lit(1048576L) + lit(0.5)).cast("long")
+    def qln(c: Column): Column = graft.core.Quant.qln20(c)
     val bigrams = points
       .select(col("key"), col(valueCol).as("_a"),
         lead(col(valueCol), 1).over(w).as("_b"))

@@ -42,7 +42,7 @@ import org.apache.spark.sql.functions._
   */
 object Burst {
 
-  final val SCALE = 1048576L // 2^20 cost quantum
+  final val SCALE = graft.core.Quant.Scale // 2^20 cost quantum
   final val LN2S = 726817L // round(SCALE * ln 2) — hardcoded, no libm
   final val INF = Long.MaxValue / 4
 

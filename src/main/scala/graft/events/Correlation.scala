@@ -291,9 +291,11 @@ object Correlation {
     * Engine-exactness: all histogram counts are exact integers; each
     * term rides the quantized-ln (2^20) long algebra of
     * [[graft.categorical.CategoricalOps.entropyRate]], so sums are
-    * order-independent; class assignment is exact integer arithmetic
-    * ((c − min)·B div (max − min + 1)); only the final bit conversions
-    * and the NMI ratio touch floats.
+    * order-independent; class assignment is (c − min)·B div
+    * (max − min + 1) — computed as a double floor-division whose
+    * products stay far under 2^53, so it equals the oracle's true
+    * integer division; only the final bit conversions and the NMI
+    * ratio touch floats.
     *
     * Scale: two grid-bounded bin counts, one bin equi-join, a 1-row
     * broadcast bounds frame, then aggregates over the ≤ B² cell grid.
@@ -305,8 +307,7 @@ object Correlation {
       binUs: Long = 3600000000L,
       valueBins: Int = 8): DataFrame = {
     require(binUs > 0 && valueBins >= 2, "need binUs > 0 and valueBins >= 2")
-    def qln(c: org.apache.spark.sql.Column) =
-      floor(log(c.cast("double")) * lit(1048576L) + lit(0.5)).cast("long")
+    def qln(c: org.apache.spark.sql.Column) = graft.core.Quant.qln20(c)
     def counts(k: String) = df.filter(col(K) === k)
       .groupBy(floor(col(T) / binUs).cast("long").as("_b"))
       .agg(count(lit(1)).as("_c"))

@@ -1631,8 +1631,7 @@ object EventOps {
     * aggregate and a tiny threshold join — per-key state is O(k). */
   def hillTailIndex(df: DataFrame, k: Int = 50): DataFrame = {
     require(k >= 1, s"k=$k must be >= 1")
-    def qln(c: Column): Column =
-      floor(log(c.cast("double")) * lit(1048576L) + lit(0.5)).cast("long")
+    def qln(c: Column): Column = graft.core.Quant.qln20(c)
     val gaps = interEventTimes(df).filter(col("gap") > 0)
     val w = Window.partitionBy(col(K)).orderBy(col("gap").desc, col(T).asc)
     val ranked = gaps
@@ -1679,8 +1678,7 @@ object EventOps {
     * aggregate. Output (bin, n_events, n_cats, kl_bits). */
   def klMixDrift(df: DataFrame, binUs: Long = 86400000000L): DataFrame = {
     require(binUs > 0, s"binUs $binUs must be positive")
-    def qln(c: Column): Column =
-      floor(log(c.cast("double")) * lit(1048576L) + lit(0.5)).cast("long")
+    def qln(c: Column): Column = graft.core.Quant.qln20(c)
     val cnt = df
       .groupBy(floor(col(T) / binUs).cast("long").as("bin"), col(K))
       .agg(count(lit(1)).as("_n"))

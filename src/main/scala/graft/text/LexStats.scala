@@ -26,8 +26,7 @@ import org.apache.spark.sql.functions._
   */
 object LexStats {
 
-  private def qln(c: Column): Column =
-    floor(log(c.cast("double")) * lit(1048576L) + lit(0.5)).cast("long")
+  private def qln(c: Column): Column = graft.core.Quant.qln20(c)
 
   private val Dec = "decimal(38,0)"
 
