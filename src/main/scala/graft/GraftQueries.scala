@@ -7343,6 +7343,91 @@ object GraftQueries {
       |       THEN round(mi / least(ha, hb), 6) END AS nmi
       |FROM v""".stripMargin
 
+  /** Top-20 trigram motifs by second-order lift over the Markov-1
+    * baseline — which state patterns carry structure the transition
+    * table can't see; exact counts, one division per row. */
+  def qMotifSurprise(spark: SparkSession, dir: String): DataFrame =
+    graft.categorical.CategoricalOps.motifSurprise(
+      statePoints(spark, dir), k = 20, minN = 5)
+
+  val sqlMotifSurprise: String =
+    sqlStatePts +
+      """,
+        |tri AS (SELECT a, b, c, count(*) AS n_abc
+        |        FROM (SELECT sv AS a,
+        |                lead(sv, 1) OVER (PARTITION BY key ORDER BY t) AS b,
+        |                lead(sv, 2) OVER (PARTITION BY key ORDER BY t) AS c
+        |              FROM spts)
+        |        WHERE b IS NOT NULL AND c IS NOT NULL GROUP BY 1, 2, 3),
+        |bi AS (SELECT from_state, to_state, count(*) AS n
+        |       FROM (SELECT sv AS from_state,
+        |               lead(sv) OVER (PARTITION BY key ORDER BY t) AS to_state
+        |             FROM spts)
+        |       WHERE to_state IS NOT NULL GROUP BY 1, 2),
+        |uni AS (SELECT from_state AS ub, sum(n) AS n_b FROM bi GROUP BY 1)
+        |SELECT tri.a, tri.b, tri.c, tri.n_abc, ab.n AS n_ab, bc.n AS n_bc,
+        |  uni.n_b,
+        |  round(CAST(tri.n_abc * uni.n_b AS DOUBLE)
+        |    / CAST(ab.n * bc.n AS DOUBLE), 6) AS lift
+        |FROM tri
+        |JOIN bi ab ON ab.from_state = tri.a AND ab.to_state = tri.b
+        |JOIN bi bc ON bc.from_state = tri.b AND bc.to_state = tri.c
+        |JOIN uni ON uni.ub = tri.b
+        |WHERE tri.n_abc >= 5
+        |ORDER BY lift DESC, tri.a, tri.b, tri.c LIMIT 20""".stripMargin
+
+  /** Weekly rolling click↔view correlation on the hourly count grid
+    * plus the deviation from the all-time r — does the coupling hold,
+    * decay or flip over the span; exact long statistics per bucket. */
+  def qRollingCorr(spark: SparkSession, dir: String): DataFrame =
+    graft.events.Correlation.rollingCorr(
+      spark.read.parquet(s"$dir/events.parquet")
+        .select(col("event_type").as("key"), tsUs.as("t")),
+      keyA = "click", keyB = "view", binUs = HOUR, bucketBins = 168L,
+      minBins = 8)
+
+  val sqlRollingCorr: String =
+    """WITH e AS (SELECT event_type, epoch_us(ts) // 3600000000 AS b
+      |           FROM events WHERE event_type IN ('click', 'view')),
+      |c AS (SELECT event_type, b, count(*) AS c FROM e GROUP BY 1, 2),
+      |p AS (SELECT a.b // 168 AS bucket, a.c AS x, v.c AS y
+      |      FROM (SELECT b, c FROM c WHERE event_type = 'click') a
+      |      JOIN (SELECT b, c FROM c WHERE event_type = 'view') v USING (b)),
+      |s AS (SELECT bucket, count(*) AS n_bins, sum(x) AS sx, sum(y) AS sy,
+      |        sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+      |      FROM p GROUP BY 1),
+      |g AS (SELECT count(*) AS n_bins, sum(x) AS sx, sum(y) AS sy,
+      |        sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+      |      FROM p),
+      |rb AS (SELECT bucket, n_bins,
+      |        CASE WHEN n_bins >= 8
+      |              AND CAST(n_bins AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+      |              AND CAST(n_bins AS DOUBLE) * CAST(syy AS DOUBLE)
+      |                - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
+      |             THEN (CAST(n_bins AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |                 - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |               / sqrt((CAST(n_bins AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |                * (CAST(n_bins AS DOUBLE) * CAST(syy AS DOUBLE)
+      |                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) END AS r
+      |       FROM s),
+      |rg AS (SELECT CASE WHEN n_bins >= 8
+      |              AND CAST(n_bins AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+      |              AND CAST(n_bins AS DOUBLE) * CAST(syy AS DOUBLE)
+      |                - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
+      |             THEN (CAST(n_bins AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |                 - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |               / sqrt((CAST(n_bins AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |                * (CAST(n_bins AS DOUBLE) * CAST(syy AS DOUBLE)
+      |                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) END AS rg
+      |       FROM g)
+      |SELECT bucket, n_bins, round(r, 6) AS r, round(rg, 6) AS r_overall,
+      |  round(r - rg, 6) AS dr
+      |FROM rb CROSS JOIN rg""".stripMargin
+
   // classic relational smoke (lineitem)
   def qLineitemAgg(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/lineitem.parquet")

@@ -175,6 +175,59 @@ object CategoricalOps {
           / lit(0.6931471805599453), 6).as("entropy_bits"))
   }
 
+  /** Trigram motif surprise — the sequence-mining face of the Markov
+    * family: for every state trigram (a,b,c) seen at least `minN`
+    * times across all keys' chains, the lift of its completion over
+    * the first-order baseline,
+    *
+    *   lift = P(c | a,b) / P(c | b) = n_abc·n_b / (n_ab·n_bc)
+    *
+    * with n_ab/n_bc the [[transitions]] counts and n_b = Σ_c n_bc
+    * (transitions out of b). lift ≫ 1 marks a second-order motif the
+    * Markov-1 model ([[markovBaseline]], [[entropyRate]]) cannot see;
+    * lift ≪ 1 an anti-pattern. Output the top-`k` by lift
+    * (ties → lexicographic (a,b,c)): (a, b, c, n_abc, n_ab, n_bc,
+    * n_b, lift).
+    *
+    * Engine-exactness: all four counts are exact; lift is ONE double
+    * division of two exact long products (each < 2^63 — counts are
+    * transition-table sized). Selection is a TakeOrdered top-k on the
+    * (lift, a, b, c) total order — no window, no global sort.
+    *
+    * Scale: two lead windows per key share one hash(key) exchange;
+    * trigram/bigram tables collapse map-side and are states³-bounded;
+    * the joins against bigram/unigram totals are broadcast
+    * (model-sized). */
+  def motifSurprise(points: DataFrame, k: Int = 20, minN: Long = 5,
+      valueCol: String = "sv"): DataFrame = {
+    val w = Window.partitionBy("key").orderBy("t")
+    val sv = col(valueCol)
+    val tri = points
+      .select(sv.as("a"), lead(sv, 1).over(w).as("b"),
+        lead(sv, 2).over(w).as("c"))
+      .filter(col("b").isNotNull && col("c").isNotNull)
+      .groupBy(col("a"), col("b"), col("c"))
+      .agg(count(lit(1)).as("n_abc"))
+    val bi = transitions(points, valueCol)
+    val uni = bi.groupBy(col("from_state").as("_ub"))
+      .agg(sum(col("n")).as("n_b"))
+    tri
+      .join(broadcast(bi.select(col("from_state").as("_a1"),
+        col("to_state").as("_b1"), col("n").as("n_ab"))),
+        col("a") <=> col("_a1") && col("b") <=> col("_b1"))
+      .join(broadcast(bi.select(col("from_state").as("_b2"),
+        col("to_state").as("_c2"), col("n").as("n_bc"))),
+        col("b") <=> col("_b2") && col("c") <=> col("_c2"))
+      .join(broadcast(uni), col("b") <=> col("_ub"))
+      .filter(col("n_abc") >= minN)
+      .select(col("a"), col("b"), col("c"), col("n_abc"), col("n_ab"),
+        col("n_bc"), col("n_b"),
+        round((col("n_abc") * col("n_b")).cast("double")
+          / (col("n_ab") * col("n_bc")).cast("double"), 6).as("lift"))
+      .orderBy(col("lift").desc, col("a").asc, col("b").asc, col("c").asc)
+      .limit(k)
+  }
+
   /** Previous-interpolated state at regular grid times — `sample()`
     * (traces/timeseries.py:1409) for a string-valued series. Grid times
     * before a key's first measurement carry the default (null), like

@@ -352,6 +352,65 @@ object Correlation {
           round(mi / least(hOf(col("_qx")), hOf(col("_qy"))), 6)).as("nmi"))
   }
 
+  /** Rolling (bucketed) cross-correlation between two keys' bin-count
+    * series — the correlation-STABILITY monitor: [[crossCorr]] gives
+    * one number for the whole span, this gives the same Pearson r per
+    * `bucketBins`-bin window (e.g. weekly over hourly bins) plus its
+    * deviation from the all-time r, so a coupling that silently decays
+    * or flips sign shows up as a drifting curve. Pairs only bins where
+    * BOTH keys have counts (the sparse convention); counts are
+    * integers, so every sufficient statistic is long-exact per bucket
+    * AND globally. Output (bucket, n_bins, r, r_overall, dr) with
+    * r/dr null under `minBins` pairs or zero variance; r_overall is
+    * null-gated the same way.
+    *
+    * Scale: two key-filtered bin aggregates, one bin equi-join, one
+    * (bucket) aggregate over the grid-sized paired frame, and a 1-row
+    * broadcast of the global statistics. */
+  def rollingCorr(
+      df: DataFrame,
+      keyA: String,
+      keyB: String,
+      binUs: Long = 3600000000L,
+      bucketBins: Long = 168L,
+      minBins: Int = 8): DataFrame = {
+    require(binUs > 0 && bucketBins > 0, "need binUs > 0 and bucketBins > 0")
+    def counts(k: String) = df.filter(col(K) === k)
+      .groupBy(floor(col(T) / binUs).cast("long").as("_b"))
+      .agg(count(lit(1)).as("_c"))
+    val paired = counts(keyA).select(col("_b"), col("_c").as("_x"))
+      .join(counts(keyB).select(col("_b").as("_b2"), col("_c").as("_y")),
+        col("_b") === col("_b2"))
+      .select(floor(col("_b").cast("double") / bucketBins).cast("long")
+        .as("bucket"), col("_x"), col("_y"))
+    def stats(g: org.apache.spark.sql.RelationalGroupedDataset) = g.agg(
+      count(lit(1)).as("n_bins"),
+      sum(col("_x")).as("_sx"), sum(col("_y")).as("_sy"),
+      sum(col("_x") * col("_x")).as("_sxx"),
+      sum(col("_y") * col("_y")).as("_syy"),
+      sum(col("_x") * col("_y")).as("_sxy"))
+    def rOf(pre: String = ""): org.apache.spark.sql.Column = {
+      def c(n: String) = col(pre + n)
+      val nD = c("n_bins").cast("double")
+      val num = nD * c("_sxy").cast("double") -
+        c("_sx").cast("double") * c("_sy").cast("double")
+      val vx = nD * c("_sxx").cast("double") -
+        c("_sx").cast("double") * c("_sx").cast("double")
+      val vy = nD * c("_syy").cast("double") -
+        c("_sy").cast("double") * c("_sy").cast("double")
+      when(c("n_bins") >= minBins && vx > 0 && vy > 0, num / sqrt(vx * vy))
+    }
+    val perBucket = stats(paired.groupBy(col("bucket")))
+    val statNames = Seq("n_bins", "_sx", "_sy", "_sxx", "_syy", "_sxy")
+    val overall = stats(paired.groupBy())
+      .select(statNames.map(n => col(n).as("g_" + n)): _*)
+    perBucket.crossJoin(broadcast(overall))
+      .select(col("bucket"), col("n_bins"),
+        round(rOf(), 6).as("r"),
+        round(rOf("g_"), 6).as("r_overall"),
+        round(rOf() - rOf("g_"), 6).as("dr"))
+  }
+
   /** Theil–Sen robust trend per (key, bucket): the MEDIAN of all
     * pairwise slopes (v₂−v₁)/(t₂−t₁) over point pairs with t₁ < t₂
     * inside the bucket — the classic outlier-resistant alternative to

@@ -88,6 +88,60 @@ class CategoricalSpec extends SparkSpec {
     assert(rt("a") == "b")
   }
 
+  test("motifSurprise: second-order pattern lifts 2x over the Markov-1 baseline") {
+    val s = spark
+    import s.implicits._
+    // ten keys chain a->b->c, ten chain d->b->e: P(c|ab)=1 but P(c|b)=1/2
+    val pts = (0 until 10).flatMap { i =>
+      Seq((s"k$i", 0L, "a"), (s"k$i", 1L, "b"), (s"k$i", 2L, "c"),
+        (s"m$i", 0L, "d"), (s"m$i", 1L, "b"), (s"m$i", 2L, "e"))
+    }.toDF("key", "t", "sv")
+    val out = CategoricalOps.motifSurprise(pts, k = 20, minN = 5).collect()
+    assert(out.length == 2)
+    out.foreach { r =>
+      assert(r.getLong(3) == 10L && r.getLong(4) == 10L &&
+        r.getLong(5) == 10L && r.getLong(6) == 20L)
+      assert(r.getDouble(7) == 2.0)
+    }
+    // minN: raising the floor above 10 empties the result
+    assert(CategoricalOps.motifSurprise(pts, k = 20, minN = 11).count() == 0)
+  }
+
+  test("motifSurprise equals the sequential lift computation on random chains") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(77)
+    val states = Seq("a", "b", "c", "d")
+    val chains = (0 until 8).map { k =>
+      s"k$k" -> (0 until 60).map(_ => states(rnd.nextInt(4)))
+    }
+    val pts = chains.flatMap { case (k, svs) =>
+      svs.zipWithIndex.map { case (v, i) => (k, i.toLong, v) } }
+      .toDF("key", "t", "sv")
+    val got = CategoricalOps.motifSurprise(pts, k = 10, minN = 3).collect()
+      .map(r => ((r.getString(0), r.getString(1), r.getString(2)),
+        r.getDouble(7))).toMap
+    val tris = chains.flatMap(_._2.sliding(3).filter(_.size == 3)
+      .map(w => (w(0), w(1), w(2))))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val bis = chains.flatMap(_._2.sliding(2).filter(_.size == 2)
+      .map(w => (w(0), w(1))))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val unis = bis.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    got.foreach { case ((a, b, c), lift) =>
+      val expect = r6(tris((a, b, c)).toDouble * unis(b) /
+        (bis((a, b)) * bis((b, c))).toDouble)
+      assert(lift == expect, s"($a,$b,$c)")
+    }
+    // the returned set IS the global top-10 by (lift desc, a, b, c)
+    val all = tris.filter(_._2 >= 3).map { case ((a, b, c), n) =>
+      ((a, b, c), r6(n.toDouble * unis(b) / (bis((a, b)) * bis((b, c))).toDouble))
+    }.toSeq.sortBy { case ((a, b, c), l) => (-l, a, b, c) }.take(10)
+    assert(got.keySet == all.map(_._1).toSet)
+  }
+
   test("entropyRate: deterministic cycle is 0 bits; fair coin is 1 bit") {
     val s = spark
     import s.implicits._

@@ -538,6 +538,71 @@ class CorrelationSpec extends SparkSpec {
     assert(math.abs(got.getDouble(5) - mi / math.min(h(mx), h(my))) < 1e-3)
   }
 
+  test("rollingCorr: co-moving bucket reads 1, inverted bucket reads -1") {
+    val s = spark
+    import s.implicits._
+    // bucket 0 (bins 0-9): b = 2a; bucket 1 (bins 10-19): b = 20 - a
+    val ac = Seq(1, 3, 2, 5, 1, 4, 2, 6, 3, 7)
+    val rows =
+      ac.zipWithIndex.flatMap { case (c, b) => Seq.fill(c)(("a", b * 10L)) } ++
+      ac.zipWithIndex.flatMap { case (c, b) => Seq.fill(2 * c)(("b", b * 10L)) } ++
+      ac.zipWithIndex.flatMap { case (c, b) =>
+        Seq.fill(c)(("a", (b + 10) * 10L)) } ++
+      ac.zipWithIndex.flatMap { case (c, b) =>
+        Seq.fill(20 - c)(("b", (b + 10) * 10L)) }
+    val out = Correlation.rollingCorr(rows.toDF("key", "t"), "a", "b",
+      binUs = 10L, bucketBins = 10L, minBins = 8)
+      .orderBy("bucket").collect()
+    assert(out.length == 2)
+    assert(out(0).getLong(1) == 10L && out(0).getDouble(2) == 1.0)
+    assert(out(1).getDouble(2) == -1.0)
+    assert(out(0).getDouble(3) == out(1).getDouble(3)) // shared overall r
+    // dr rounds the RAW difference; compare against the rounded overall
+    // with a grid of slack
+    assert(math.abs(out(0).getDouble(4) - (1.0 - out(0).getDouble(3))) < 2e-6)
+  }
+
+  test("rollingCorr equals the sequential per-bucket Pearson on random counts") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(13)
+    val ac = (0 until 40).map(_ => 1 + rnd.nextInt(15))
+    val bc = (0 until 40).map(i => 1 + rnd.nextInt(8) + ac(i) / 3)
+    val rows =
+      ac.zipWithIndex.flatMap { case (c, b) => Seq.fill(c)(("a", b * 10L)) } ++
+      bc.zipWithIndex.flatMap { case (c, b) => Seq.fill(c)(("b", b * 10L)) }
+    val got = Correlation.rollingCorr(rows.toDF("key", "t"), "a", "b",
+      binUs = 10L, bucketBins = 16L, minBins = 8).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    def pearson(p: Seq[(Int, Int)]): Option[Double] = {
+      val n = p.size.toDouble
+      val sx = p.map(_._1.toLong).sum.toDouble
+      val sy = p.map(_._2.toLong).sum.toDouble
+      val sxx = p.map(q => q._1.toLong * q._1).sum.toDouble
+      val syy = p.map(q => q._2.toLong * q._2).sum.toDouble
+      val sxy = p.map(q => q._1.toLong * q._2).sum.toDouble
+      val (vx, vy) = (n * sxx - sx * sx, n * syy - sy * sy)
+      if (p.size >= 8 && vx > 0 && vy > 0)
+        Some((n * sxy - sx * sy) / math.sqrt(vx * vy)) else None
+    }
+    val all = ac.zip(bc)
+    val rg = pearson(all).get
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    all.zipWithIndex.groupBy(_._2 / 16).foreach { case (bkt, rows2) =>
+      val r = pearson(rows2.map(_._1))
+      val row = got(bkt.toLong)
+      assert(row.getLong(1) == rows2.size.toLong)
+      r match {
+        case Some(v) =>
+          assert(math.abs(row.getDouble(2) - v) < 1e-6, s"bucket $bkt")
+          assert(math.abs(row.getDouble(4) - (v - rg)) < 1e-6)
+        case None => assert(row.isNullAt(2) && row.isNullAt(4))
+      }
+      assert(math.abs(row.getDouble(3) - rg) < 1e-6)
+    }
+  }
+
   test("grangerLite matches a sequential two-regressor reference") {
     val s = spark
     import s.implicits._
