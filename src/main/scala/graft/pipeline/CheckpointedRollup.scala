@@ -255,6 +255,29 @@ object CheckpointedRollup {
           .agg(sum("n_points").as("input_rows"), count(lit(1)).as("row_count")))
       }
 
+      // ---- tier: per-hour ACTIVE-SERIES cardinality registers — HLL
+      // over the key space ([[graft.sketch.Hll]]), the distinct-count
+      // continuous aggregate. Registers depend only on their own day's
+      // points (no carry-in/successor rows), so each partition is
+      // idempotent by construction; coarser reads (daily/weekly distinct
+      // series) are LOSSLESS max-merges of these rows via Hll.merge +
+      // Hll.estimate — verified in PipelineSpec.
+      runTier(spark, dir, "distinct", allBuckets) { buckets =>
+        val rs = contiguousRuns(buckets)
+        val in = pts.filter(inRuns(floor(col(T) / DAY).cast("long"), rs))
+        val out = graft.sketch.Hll.registers(
+          in.withColumn("hour", floor(col(T) / HOUR).cast("long")),
+          Seq("hour"), K)
+          .withColumn("partition", floor(col("hour") / lit(24L)).cast("long"))
+        val ticks = in
+          .groupBy(floor(col(T) / DAY).cast("long").as("partition"))
+          .agg(count(lit(1)).as("input_rows"))
+          .join(out.groupBy("partition").agg(count(lit(1)).as("row_count")),
+            Seq("partition"))
+          .select(col("partition"), col("input_rows"), col("row_count"))
+        (out, ticks)
+      }
+
       // ---- tier: daily rebinned FROM hourly (the exact cascade)
       val hourly = spark.read.parquet(s"$dir/hourly")
       runTier(spark, dir, "daily", allBuckets) { buckets =>

@@ -27,7 +27,8 @@ class PipelineSpec extends SparkSpec {
 
     val cp = CheckpointedRollup.readCheckpoint(spark, dir)
     val tiers = cp.select("tier").distinct().collect().map(_.getString(0)).toSet
-    assert(tiers == Set("chunks", "hourly", "daily", "weekly"), s"tiers: $tiers")
+    assert(tiers == Set("chunks", "hourly", "distinct", "daily", "weekly"),
+      s"tiers: $tiers")
     assert(cp.filter(col("status") =!= "done").count() == 0)
 
     val hourly1 = spark.read.parquet(s"$dir/hourly")
@@ -42,6 +43,23 @@ class PipelineSpec extends SparkSpec {
     val compacted = graft.core.SeriesOps.compact(series)
     assert(decoded.exceptAll(compacted).isEmpty && compacted.exceptAll(decoded).isEmpty,
       "chunk round-trip lost points")
+
+    // distinct tier: hourly active-series (key-cardinality) registers;
+    // the daily max-merge must equal registers built straight from raw —
+    // the lossless continuous-aggregate property, now under the
+    // checkpoint gate
+    val regs = spark.read.parquet(s"$dir/distinct")
+    assert(regs.count() > 0)
+    val mergedDaily = graft.sketch.Hll.merge(
+      regs.withColumn("day", floor(col("hour") / lit(24L)).cast("long")),
+      Seq("day")).select(col("day"), col("idx"), col("rho"))
+    val directDaily = graft.sketch.Hll.registers(
+      series.withColumn("day",
+        floor(col("t") / CheckpointedRollup.DAY).cast("long")),
+      Seq("day"), "key").select(col("day"), col("idx"), col("rho"))
+    assert(mergedDaily.exceptAll(directDaily).isEmpty &&
+      directDaily.exceptAll(mergedDaily).isEmpty,
+      "distinct tier merge diverged from raw-built registers")
 
     // resume: drop the checkpoint rows + outputs of one daily partition and rerun
     val victim = cp.filter(col("tier") === "daily").select("partition").head().getLong(0)
