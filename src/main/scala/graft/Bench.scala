@@ -117,8 +117,9 @@ object Bench {
     // Zipf head fit (q211), Heaps vocabulary growth (q212), binned
     // mutual information (q213)
     "q211_zipf", "q212_heaps", "q213_mutual_info",
-    // trigram motif lift (q214), rolling correlation (q215)
-    "q214_motif_surprise", "q215_rolling_corr")
+    // trigram motif lift (q214), rolling correlation (q215), spectral
+    // entropy (q216)
+    "q214_motif_surprise", "q215_rolling_corr", "q216_spectral_entropy")
 
   def session(cpus: String): SparkSession = {
     // 4 waves of tasks per core: on a shared VM with CPU steal, a stage is

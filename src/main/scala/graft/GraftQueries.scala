@@ -7428,6 +7428,53 @@ object GraftQueries {
       |  round(r - rg, 6) AS dr
       |FROM rb CROSS JOIN rg""".stripMargin
 
+  /** Normalized spectral entropy of each user's Lomb–Scargle ladder —
+    * is the rhythm concentrated in one period or spread flat; exact
+    * integer lift of the rounded powers + quantized-ln algebra. */
+  def qSpectralEntropy(spark: SparkSession, dir: String): DataFrame =
+    graft.stats.Spectral.spectralEntropy(
+      spark.read.parquet(s"$dir/events.parquet")
+        .select(col("user_id").as("key"), tsUs.as("t"), col("value").as("v")),
+      periodsUs = Seq(6 * HOUR, 12 * HOUR, DAY, 3 * DAY, 7 * DAY),
+      minPoints = 16)
+      .select(col("key").as("user_id"), col("n_periods"),
+        col("spectral_entropy_bits"), col("flatness"))
+
+  val sqlSpectralEntropy: String = {
+    // reuse the q193 periodogram chain verbatim, then the entropy tail
+    // the FINAL projection (lastIndexOf — the q CTE also starts with
+    // this prefix), leaving the full CTE chain up to f
+    val base = sqlLombScargle.substring(0,
+      sqlLombScargle.lastIndexOf("SELECT user_id, period_us"))
+    base.stripSuffix("\n") +
+      """,
+        |pw AS (SELECT user_id,
+        |    CASE WHEN n >= 16 AND det > 0 AND vxx > 0 THEN
+        |      round((((vss * vxc - vcs * vxs) / det) * vxc
+        |           + ((vcc * vxs - vcs * vxc) / det) * vxs) / vxx, 6)
+        |    END AS power
+        |  FROM f),
+        |pq AS (SELECT user_id,
+        |         CAST(floor(power * 1000000 + 0.5) AS BIGINT) AS pq
+        |       FROM pw WHERE power IS NOT NULL
+        |         AND CAST(floor(power * 1000000 + 0.5) AS BIGINT) > 0),
+        |g AS (SELECT user_id, count(*) AS n_periods, sum(pq) AS s,
+        |        sum(pq * CAST(floor(ln(CAST(pq AS DOUBLE)) * 1048576 + 0.5)
+        |            AS BIGINT)) AS sq
+        |      FROM pq GROUP BY 1),
+        |h AS (SELECT user_id, n_periods, s,
+        |        CAST(s * CAST(floor(ln(CAST(s AS DOUBLE)) * 1048576 + 0.5)
+        |            AS BIGINT) - sq AS DOUBLE) AS hnum
+        |      FROM g)
+        |SELECT user_id, n_periods,
+        |  round(hnum / 1048576.0 / CAST(s AS DOUBLE) / 0.6931471805599453, 6)
+        |    AS spectral_entropy_bits,
+        |  CASE WHEN n_periods >= 2 THEN round(hnum / CAST(s AS DOUBLE)
+        |    / CAST(CAST(floor(ln(CAST(n_periods AS DOUBLE)) * 1048576 + 0.5)
+        |        AS BIGINT) AS DOUBLE), 6) END AS flatness
+        |FROM h""".stripMargin
+  }
+
   // classic relational smoke (lineitem)
   def qLineitemAgg(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/lineitem.parquet")

@@ -114,6 +114,47 @@ object Spectral {
         round(explained / vxx, 6)).as("power"))
   }
 
+  /** Normalized spectral entropy of the periodogram ladder per key —
+    * the CONCENTRATION complement of the dominant-cycle argmax
+    * (q177): one sharp peak reads near 0, power spread evenly over
+    * the trial periods reads near 1. Powers (already rounded to the
+    * 1e-6 grid) are lifted to exact integers p_q, so with
+    * S = Σp_q and the shared quantized-ln algebra
+    * ([[graft.core.Quant]]),
+    *
+    *   H = ln S − (Σ p_q·ln p_q)/S   (nats, computed on the 2^20 grid)
+    *   flatness = H / ln(n_periods)  ∈ [0, 1]
+    *
+    * both reduce to exact long sums plus one fixed float chain.
+    * Periods with null or zero power contribute nothing; flatness is
+    * null when fewer than 2 periods carry power. Output (key,
+    * n_periods, spectral_entropy_bits, flatness).
+    *
+    * Scale: [[periodogram]]'s single aggregate plus a per-key
+    * |periods|-row reduction — nothing data-sized is added. */
+  def spectralEntropy(
+      df: DataFrame,
+      periodsUs: Seq[Long],
+      minPoints: Int = 16): DataFrame = {
+    import graft.core.Quant.qln20
+    val q = periodogram(df, periodsUs, minPoints)
+      .filter(col("power").isNotNull)
+      .select(col(K),
+        floor(col("power") * 1000000 + 0.5).cast("long").as("_pq"))
+      .filter(col("_pq") > 0)
+    val g = q.groupBy(col(K)).agg(count(lit(1)).as("n_periods"),
+      sum(col("_pq")).as("_s"),
+      sum(col("_pq") * qln20(col("_pq"))).as("_sq"))
+    val hNum = (col("_s") * qln20(col("_s")) - col("_sq")).cast("double")
+    val hBits = hNum / lit(1048576.0) / col("_s").cast("double") /
+      lit(0.6931471805599453)
+    val flat = hNum / col("_s").cast("double") /
+      qln20(col("n_periods")).cast("double")
+    g.select(col(K), col("n_periods"),
+      round(hBits, 6).as("spectral_entropy_bits"),
+      when(col("n_periods") >= 2, round(flat, 6)).as("flatness"))
+  }
+
   /** Harmonic fit at ONE period: the least-squares coefficients of
     * x ≈ μ + a·cos(2πt/P) + b·sin(2πt/P) in ORIGINAL value units, the
     * amplitude √(a²+b²) (sqrt is IEEE correctly-rounded, so it is

@@ -81,4 +81,42 @@ class SpectralSpec extends SparkSpec {
       .collect().map(r => (r.getLong(1), r.getDouble(3))).toMap
     assert(a == b, s"$a vs $b")
   }
+
+  test("spectralEntropy: one dominant cycle is near 0, flat ladder near 1") {
+    val ladder = Seq(6 * 3600000000L, 12 * 3600000000L, DAY, 3 * DAY, 7 * DAY)
+    val peaked = Spectral.spectralEntropy(
+      sinSeries(DAY, amp = 10.0, mean = 100.0), ladder).head()
+    assert(peaked.getDouble(3) < 0.45, s"peaked flatness ${peaked.getDouble(3)}")
+    // equal-amplitude sinusoid at EVERY ladder period: power spreads
+    // roughly evenly, so the normalized entropy approaches 1
+    val multi = seriesL(times(400).map { t =>
+      val v = ladder.map(p =>
+        5 * math.sin(2 * math.Pi * (t % p).toDouble / p)).sum
+      (t, Some(100.0 + v))
+    })
+    val flatR = Spectral.spectralEntropy(multi, ladder).head()
+    assert(flatR.getDouble(3) > 0.8, s"flat flatness ${flatR.getDouble(3)}")
+  }
+
+  test("spectralEntropy equals the sequential quantized computation") {
+    val ladder = Seq(6 * 3600000000L, 12 * 3600000000L, DAY, 3 * DAY, 7 * DAY)
+    val df = seriesL(times(350).map { t =>
+      val ang = 2 * math.Pi * (t % DAY).toDouble / DAY
+      (t, Some(50.0 + 4 * math.sin(ang) + (t % 131).toDouble / 9))
+    })
+    val got = Spectral.spectralEntropy(df, ladder).head()
+    val powers = Spectral.periodogram(df, ladder).collect()
+      .filter(!_.isNullAt(3)).map(_.getDouble(3))
+    val pq = powers.map(p => math.floor(p * 1000000 + 0.5).toLong).filter(_ > 0)
+    def qln(v: Long) = math.floor(math.log(v.toDouble) * 1048576 + 0.5).toLong
+    val s = pq.sum
+    val hnum = (s * qln(s) - pq.map(p => p * qln(p)).sum).toDouble
+    val bits = hnum / 1048576.0 / s / 0.6931471805599453
+    val flat = hnum / s / qln(pq.length).toDouble
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.getLong(1) == pq.length.toLong)
+    assert(got.getDouble(2) == r6(bits))
+    assert(got.getDouble(3) == r6(flat))
+  }
 }
