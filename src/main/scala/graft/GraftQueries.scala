@@ -7475,6 +7475,62 @@ object GraftQueries {
         |FROM h""".stripMargin
   }
 
+  /** Top-10 trending terms per ingestion day (doc_id/50) by burst lift
+    * over their trailing-7-day baseline; brand-new terms rank first. */
+  def qTrendingTerms(spark: SparkSession, dir: String): DataFrame =
+    graft.text.LexStats.trendingTerms(docs(spark, dir),
+      dayCol = floor(col("doc_id") / 50), k = 10, window = 7, minN = 5)
+
+  val sqlTrendingTerms: String =
+    """WITH c AS (SELECT doc_id // 50 AS day, s AS term, count(*) AS n
+      |  FROM (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS s
+      |        FROM documents)
+      |  GROUP BY 1, 2),
+      |b AS (SELECT c.term AS bt, c.day + o.off AS day, sum(c.n) AS n_base
+      |      FROM c CROSS JOIN
+      |        (SELECT unnest(generate_series(1, 7)) AS off) o
+      |      GROUP BY 1, 2),
+      |s AS (SELECT c.day, c.term, c.n AS n_today,
+      |        coalesce(b.n_base, 0) AS n_base,
+      |        CASE WHEN b.n_base IS NOT NULL
+      |             THEN round(CAST(c.n * 7 AS DOUBLE)
+      |               / CAST(b.n_base AS DOUBLE), 6) END AS lift
+      |      FROM c LEFT JOIN b ON b.bt = c.term AND b.day = c.day
+      |      WHERE c.n >= 5),
+      |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY day
+      |        ORDER BY lift DESC NULLS FIRST, term ASC) AS INT) AS term_rank
+      |      FROM s)
+      |SELECT day, term, n_today, n_base, lift, term_rank
+      |FROM r WHERE term_rank <= 10""".stripMargin
+
+  /** Typed profile of the events' JSON props.k attribute per event
+    * type — extraction + exact integer stats with missing-value
+    * accounting. */
+  def qJsonProfile(spark: SparkSession, dir: String): DataFrame =
+    graft.events.EventOps.jsonAttrProfile(
+      spark.read.parquet(s"$dir/events.parquet")
+        .select(col("event_type").as("key"), col("props")))
+      .withColumnRenamed("key", "event_type")
+
+  val sqlJsonProfile: String =
+    """WITH x AS (SELECT event_type AS key,
+      |             TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS v
+      |           FROM events),
+      |m AS (SELECT key, count(*) AS nm FROM x WHERE v IS NULL GROUP BY 1),
+      |g AS (SELECT key, v, count(*) AS n FROM x WHERE v IS NOT NULL
+      |      GROUP BY 1, 2),
+      |a AS (SELECT key, sum(n) AS n_events, count(*) AS n_distinct,
+      |        sum(v * n) AS sv, min(v) AS min_v, max(v) AS max_v
+      |      FROM g GROUP BY 1),
+      |md AS (SELECT key, v AS mode_v, n AS n_mode FROM g
+      |       QUALIFY row_number() OVER (PARTITION BY key
+      |         ORDER BY n DESC, v ASC) = 1)
+      |SELECT a.key AS event_type, a.n_events, coalesce(m.nm, 0) AS n_missing,
+      |  a.n_distinct, md.mode_v, md.n_mode,
+      |  round(CAST(a.sv AS DOUBLE) / a.n_events, 6) AS mean_v,
+      |  a.min_v, a.max_v
+      |FROM a JOIN md ON a.key = md.key LEFT JOIN m ON a.key = m.key""".stripMargin
+
   // classic relational smoke (lineitem)
   def qLineitemAgg(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/lineitem.parquet")

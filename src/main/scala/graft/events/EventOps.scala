@@ -1700,6 +1700,47 @@ object EventOps {
           / lit(0.6931471805599453), 6).as("kl_bits"))
   }
 
+  /** Typed profile of one JSON attribute in a string payload column —
+    * the semi-structured face of the events table (every other
+    * operator reads typed columns; real event streams carry a JSON
+    * props blob whose attributes need extraction BEFORE any of them
+    * apply). Per key: the count of rows whose `path` extracts to an
+    * integer, the count where it does not (missing/corrupt — surfaced,
+    * never silently dropped), distinct values, the modal value (ties →
+    * smallest), its count, the exact mean, min and max. Output (key,
+    * n_events, n_missing, n_distinct, mode_v, n_mode, mean_v, min_v,
+    * max_v).
+    *
+    * Engine-exactness: extraction is string→long (identical in Spark's
+    * get_json_object and DuckDB's json_extract_string); everything
+    * downstream is exact integer counts/sums plus one mean division.
+    *
+    * Scale: one (key, value) aggregate whose groups collapse map-side
+    * — the grid is value-cardinality-bounded, so the mode needs no
+    * window and no per-key state beyond the grid row. */
+  def jsonAttrProfile(df: DataFrame, propsCol: String = "props",
+      path: String = "$.k"): DataFrame = {
+    val v = get_json_object(col(propsCol), path).cast("long")
+    val cells = df.select(col(K), v.as("_v"))
+    val missing = cells.filter(col("_v").isNull)
+      .groupBy(col(K)).agg(count(lit(1)).as("_nm"))
+    val grid = cells.filter(col("_v").isNotNull)
+      .groupBy(col(K), col("_v")).agg(count(lit(1)).as("_n"))
+    grid.groupBy(col(K))
+      .agg(sum(col("_n")).as("n_events"),
+        count(lit(1)).as("n_distinct"),
+        min(struct((-col("_n")).as("_nn"), col("_v").as("_mv"))).as("_m"),
+        sum(col("_v") * col("_n")).as("_sv"),
+        min(col("_v")).as("min_v"), max(col("_v")).as("max_v"))
+      .join(missing.withColumnRenamed(K, "_mk"), col(K) <=> col("_mk"), "left")
+      .select(col(K), col("n_events"),
+        coalesce(col("_nm"), lit(0L)).as("n_missing"), col("n_distinct"),
+        col("_m").getField("_mv").as("mode_v"),
+        (-col("_m").getField("_nn")).as("n_mode"),
+        round(col("_sv").cast("double") / col("n_events"), 6).as("mean_v"),
+        col("min_v"), col("max_v"))
+  }
+
   /** Allan variance ladder of the per-bin event count: for each
     * averaging time τ, AVAR(τ) = Σᵢ(cᵢ₊₁ − cᵢ)² / (2(M−1)) over the
     * DENSE bin grid [min bin, max bin] (empty bins count 0 — skipping

@@ -81,6 +81,60 @@ object LexStats {
             / (col("_den") * col("_deny")), 6)).as("zipf_r2"))
   }
 
+  /** Trending terms: per day, the top-`k` tokens by burst lift over
+    * their own trailing-`window`-day baseline,
+    *
+    *   lift = n_today · window / Σ_{d-window ≤ b < d} n_b
+    *
+    * (terms with an EMPTY baseline — brand-new tokens — get the
+    * sentinel lift null and rank ahead of every finite lift: a term
+    * appearing `minN`+ times from nothing is the strongest trend
+    * signal there is). The term-level complement of the event-rate
+    * burst scans (q128/q137): what is being SAID more, not just how
+    * often events fire. Output (day, term, n_today, n_base, lift,
+    * term_rank), rank 1..k per day.
+    *
+    * Engine-exactness: counts are exact; lift is one double division
+    * of exact long products; per-day ranking orders by (new-term
+    * first, lift desc, term asc) — a deterministic total order.
+    *
+    * Scale: one token count whose groups collapse map-side; the
+    * baseline is a (term, day-offset) self equi-join of the GRID-sized
+    * (day × term) count frame — |window| bounded offsets, no raw
+    * rescan; ranking is a per-day window over candidates that already
+    * passed the `minN` gate. */
+  def trendingTerms(docs: DataFrame, dayCol: Column, k: Int = 10,
+      window: Int = 7, minN: Long = 5,
+      textCol: String = "text"): DataFrame = {
+    require(k >= 1 && window >= 1, "need k >= 1 and window >= 1")
+    val cnt = docs
+      .select(dayCol.cast("long").as("day"),
+        explode(TextOps.wsTokens(col(textCol))).as("term"))
+      .groupBy(col("day"), col("term"))
+      .agg(count(lit(1)).as("n"))
+    val offsets = explode(sequence(lit(1), lit(window))).as("_off")
+    val base = cnt.select(col("term").as("_bt"), col("day").as("_bd"),
+        col("n").as("_bn"), offsets)
+      .select(col("_bt"), (col("_bd") + col("_off")).as("_day"), col("_bn"))
+      .groupBy(col("_bt"), col("_day"))
+      .agg(sum(col("_bn")).as("n_base"))
+    val scored = cnt.filter(col("n") >= minN)
+      .join(base, col("term") === col("_bt") && col("day") === col("_day"),
+        "left")
+      .select(col("day"), col("term"), col("n").as("n_today"),
+        coalesce(col("n_base"), lit(0L)).as("n_base"),
+        when(col("n_base").isNotNull,
+          round((col("n") * window).cast("double")
+            / col("n_base").cast("double"), 6)).as("lift"))
+    // desc_nulls_first puts the empty-baseline (new) terms ahead of
+    // every finite lift, then term asc breaks all ties
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("day"))
+      .orderBy(col("lift").desc_nulls_first, col("term").asc)
+    scored
+      .withColumn("term_rank", row_number().over(w))
+      .filter(col("term_rank") <= k)
+  }
+
   /** Heaps vocabulary-growth fit: cumulative (tokens, distinct types)
     * at `nCk` doc-id-ordered corpus prefixes, log-log OLS → the Heaps
     * exponent β (natural text β ≈ 0.4-0.6; templated/duplicated shards

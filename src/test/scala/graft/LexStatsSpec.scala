@@ -64,6 +64,65 @@ class LexStatsSpec extends SparkSpec {
     assert(c.getLong(2) == 1L && c.getDouble(3) == 0.0 && c.isNullAt(4))
   }
 
+  test("trendingTerms: bursting term leads, steady term reads lift 1, new term ranks first") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    // 8 "days" (doc per day): 'base' appears 10x every day; 'burst'
+    // appears 1x on days 0-6 then 20x on day 7; 'fresh' first appears
+    // on day 7 with 6 hits
+    val docs = (0 until 8).map { d =>
+      val words = Seq.fill(10)("base") ++
+        (if (d == 7) Seq.fill(20)("burst") else Seq("burst")) ++
+        (if (d == 7) Seq.fill(6)("fresh") else Nil)
+      (d.toLong, words.mkString(" "))
+    }.toDF("doc_id", "text")
+    val out = graft.text.LexStats.trendingTerms(docs, col("doc_id"),
+      k = 10, window = 7, minN = 5)
+      .filter(col("day") === 7).orderBy("term_rank").collect()
+    // fresh (no baseline) first, then burst (20*7/7=20), then base (1.0)
+    assert(out.map(_.getString(1)).toSeq == Seq("fresh", "burst", "base"))
+    assert(out(0).isNullAt(4) && out(0).getLong(3) == 0L)
+    assert(out(1).getDouble(4) == 20.0)
+    assert(out(2).getDouble(4) == 1.0)
+  }
+
+  test("trendingTerms equals the sequential lift computation on a random corpus") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(17)
+    val vocab = (0 until 30).map(i => s"w$i")
+    val perDay = (0 until 12).map { d =>
+      d.toLong -> (0 until 120).map(_ => vocab(rnd.nextInt(30)))
+    }
+    val docs = perDay.map { case (d, ws) => (d, ws.mkString(" ")) }
+      .toDF("doc_id", "text")
+    val got = graft.text.LexStats.trendingTerms(docs, col("doc_id"),
+      k = 5, window = 3, minN = 4).collect()
+      .groupBy(_.getLong(0)).view
+      .mapValues(_.sortBy(_.getInt(5)).map(r =>
+        (r.getString(1), r.getLong(2), r.getLong(3),
+          if (r.isNullAt(4)) None else Some(r.getDouble(4)))).toSeq).toMap
+    val cnt = perDay.toMap.view.mapValues(
+      _.groupBy(identity).view.mapValues(_.size.toLong).toMap).toMap
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    for (d <- 0L until 12L) {
+      val cands = cnt(d).filter(_._2 >= 4).map { case (t, n) =>
+        val base = (1 to 3).map(o => cnt.get(d - o)
+          .flatMap(_.get(t)).getOrElse(0L)).sum
+        // null lift <=> the term never appeared in the trailing window
+        val lift = if (base == 0) None else Some(r6(n.toDouble * 3 / base))
+        (t, n, base, lift)
+      }.toSeq
+      val expect = cands.sortBy { case (t, _, _, l) =>
+        (l.isDefined, l.map(-_).getOrElse(0.0), t) }.take(5)
+      got.get(d).foreach { rows => assert(rows == expect, s"day $d") }
+      if (cands.nonEmpty) assert(got.contains(d), s"day $d missing")
+    }
+  }
+
   test("heapsFit equals the sequential quantized OLS on a mixed corpus") {
     val s = spark
     import s.implicits._

@@ -571,6 +571,26 @@ class StatsOpsSpec extends SparkSpec {
     }
   }
 
+  test("jsonAttrProfile: extraction, missing accounting, smallest-mode tie-break") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      ("a", """{"k": 1}"""), ("a", """{"k": 1}"""), ("a", """{"k": 2}"""),
+      ("a", "{}"), ("a", "not json"),
+      ("b", """{"k": 5}"""), ("b", """{"k": 7}""")) // tie -> smaller wins
+      .toDF("key", "props")
+    val out = EventOps.jsonAttrProfile(df).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val a = out("a")
+    assert(a.getLong(1) == 3 && a.getLong(2) == 2 && a.getLong(3) == 2)
+    assert(a.getLong(4) == 1 && a.getLong(5) == 2) // mode 1 (2 hits)
+    assert(math.abs(a.getDouble(6) - 4.0 / 3) < 1e-6)
+    assert(a.getLong(7) == 1 && a.getLong(8) == 2)
+    val b = out("b")
+    assert(b.getLong(4) == 5 && b.getLong(5) == 1) // tie 5 vs 7 -> 5
+    assert(b.getLong(2) == 0)
+  }
+
   test("hillTailIndex: dyadic gaps give H = 2·ln2; equal gaps go null") {
     val s = spark
     import s.implicits._
