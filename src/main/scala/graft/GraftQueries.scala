@@ -6460,7 +6460,9 @@ object GraftQueries {
       .select(col("key").as("user_id"), col("period_us"), col("n"),
         col("power"))
 
-  val sqlLombScargle: String =
+  /** Shared CTE chain (through the det frame `f`) of the q193/q216
+    * oracles. */
+  private val sqlLombChain: String =
     s"""WITH e AS (SELECT user_id, epoch_us(ts) AS t, value
        |           FROM events WHERE value IS NOT NULL AND epoch_us(ts) >= 0),
        |per AS (SELECT unnest([${6 * HOUR}, ${12 * HOUR}, $DAY, ${3 * DAY},
@@ -6485,13 +6487,19 @@ object GraftQueries {
        |        CAST(sxc AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sc AS DOUBLE) / CAST(n AS DOUBLE) AS vxc,
        |        CAST(sxs AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(ss AS DOUBLE) / CAST(n AS DOUBLE) AS vxs
        |      FROM sm),
-       |f AS (SELECT *, vcc * vss - vcs * vcs AS det FROM m)
-       |SELECT user_id, period_us, n,
-       |  CASE WHEN n >= 16 AND det > 0 AND vxx > 0 THEN
-       |    round((((vss * vxc - vcs * vxs) / det) * vxc
-       |         + ((vcc * vxs - vcs * vxc) / det) * vxs) / vxx, 6)
-       |  END AS power
-       |FROM f""".stripMargin
+       |f AS (SELECT *, vcc * vss - vcs * vcs AS det FROM m)""".stripMargin
+
+  /** The q193 power expression, shared verbatim with the q216 oracle so
+    * the two can never silently diverge. */
+  private val lsPowerCase: String =
+    """CASE WHEN n >= 16 AND det > 0 AND vxx > 0 THEN
+      |    round((((vss * vxc - vcs * vxs) / det) * vxc
+      |         + ((vcc * vxs - vcs * vxc) / det) * vxs) / vxx, 6)
+      |  END""".stripMargin
+
+  val sqlLombScargle: String =
+    sqlLombChain + "\nSELECT user_id, period_us, n,\n  " +
+      lsPowerCase + " AS power\nFROM f"
 
   /** Harmonic fit at the 24h period: least-squares μ + a·cos + b·sin
     * coefficients in original value units, amplitude, and fit R² per
@@ -7440,21 +7448,10 @@ object GraftQueries {
       .select(col("key").as("user_id"), col("n_periods"),
         col("spectral_entropy_bits"), col("flatness"))
 
-  val sqlSpectralEntropy: String = {
-    // reuse the q193 periodogram chain verbatim, then the entropy tail
-    // the FINAL projection (lastIndexOf — the q CTE also starts with
-    // this prefix), leaving the full CTE chain up to f
-    val base = sqlLombScargle.substring(0,
-      sqlLombScargle.lastIndexOf("SELECT user_id, period_us"))
-    base.stripSuffix("\n") +
-      """,
-        |pw AS (SELECT user_id,
-        |    CASE WHEN n >= 16 AND det > 0 AND vxx > 0 THEN
-        |      round((((vss * vxc - vcs * vxs) / det) * vxc
-        |           + ((vcc * vxs - vcs * vxc) / det) * vxs) / vxx, 6)
-        |    END AS power
-        |  FROM f),
-        |pq AS (SELECT user_id,
+  val sqlSpectralEntropy: String =
+    sqlLombChain + ",\npw AS (SELECT user_id, " + lsPowerCase +
+      " AS power FROM f),\n" +
+      """pq AS (SELECT user_id,
         |         CAST(floor(power * 1000000 + 0.5) AS BIGINT) AS pq
         |       FROM pw WHERE power IS NOT NULL
         |         AND CAST(floor(power * 1000000 + 0.5) AS BIGINT) > 0),
@@ -7473,7 +7470,6 @@ object GraftQueries {
         |    / CAST(CAST(floor(ln(CAST(n_periods AS DOUBLE)) * 1048576 + 0.5)
         |        AS BIGINT) AS DOUBLE), 6) END AS flatness
         |FROM h""".stripMargin
-  }
 
   /** Top-10 trending terms per ingestion day (doc_id/50) by burst lift
     * over their trailing-7-day baseline; brand-new terms rank first. */
@@ -7505,7 +7501,7 @@ object GraftQueries {
 
   /** Typed profile of the events' JSON props.k attribute per event
     * type — extraction + exact integer stats with missing-value
-    * accounting. */
+    * accounting (all-missing keys still surface). */
   def qJsonProfile(spark: SparkSession, dir: String): DataFrame =
     graft.events.EventOps.jsonAttrProfile(
       spark.read.parquet(s"$dir/events.parquet")
@@ -7514,8 +7510,11 @@ object GraftQueries {
 
   val sqlJsonProfile: String =
     """WITH x AS (SELECT event_type AS key,
-      |             TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS v
-      |           FROM events),
+      |    CASE WHEN regexp_matches(json_extract_string(props, '$.k'),
+      |                             '^-?[0-9]+$')
+      |         THEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+      |    END AS v
+      |  FROM events),
       |m AS (SELECT key, count(*) AS nm FROM x WHERE v IS NULL GROUP BY 1),
       |g AS (SELECT key, v, count(*) AS n FROM x WHERE v IS NOT NULL
       |      GROUP BY 1, 2),
@@ -7524,12 +7523,18 @@ object GraftQueries {
       |      FROM g GROUP BY 1),
       |md AS (SELECT key, v AS mode_v, n AS n_mode FROM g
       |       QUALIFY row_number() OVER (PARTITION BY key
-      |         ORDER BY n DESC, v ASC) = 1)
-      |SELECT a.key AS event_type, a.n_events, coalesce(m.nm, 0) AS n_missing,
-      |  a.n_distinct, md.mode_v, md.n_mode,
-      |  round(CAST(a.sv AS DOUBLE) / a.n_events, 6) AS mean_v,
-      |  a.min_v, a.max_v
-      |FROM a JOIN md ON a.key = md.key LEFT JOIN m ON a.key = m.key""".stripMargin
+      |         ORDER BY n DESC, v ASC) = 1),
+      |am AS (SELECT a.key, a.n_events, a.n_distinct, a.sv, a.min_v,
+      |         a.max_v, md.mode_v, md.n_mode
+      |       FROM a JOIN md ON a.key = md.key)
+      |SELECT coalesce(am.key, m.key) AS event_type,
+      |  coalesce(am.n_events, 0) AS n_events,
+      |  coalesce(m.nm, 0) AS n_missing,
+      |  coalesce(am.n_distinct, 0) AS n_distinct,
+      |  am.mode_v, am.n_mode,
+      |  round(CAST(am.sv AS DOUBLE) / am.n_events, 6) AS mean_v,
+      |  am.min_v, am.max_v
+      |FROM am FULL JOIN m ON am.key = m.key""".stripMargin
 
   // classic relational smoke (lineitem)
   def qLineitemAgg(spark: SparkSession, dir: String): DataFrame =

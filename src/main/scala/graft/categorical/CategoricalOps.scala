@@ -202,13 +202,19 @@ object CategoricalOps {
       valueCol: String = "sv"): DataFrame = {
     val w = Window.partitionBy("key").orderBy("t")
     val sv = col(valueCol)
-    val tri = points
-      .select(sv.as("a"), lead(sv, 1).over(w).as("b"),
-        lead(sv, 2).over(w).as("c"))
+    // ONE window projection feeds both n-gram tables — bigrams are the
+    // b-non-null pairs of the same leads frame (≡ [[transitions]]), so
+    // the per-key sort runs once, not twice
+    val leads = points.select(sv.as("a"), lead(sv, 1).over(w).as("b"),
+      lead(sv, 2).over(w).as("c"))
+    val tri = leads
       .filter(col("b").isNotNull && col("c").isNotNull)
       .groupBy(col("a"), col("b"), col("c"))
       .agg(count(lit(1)).as("n_abc"))
-    val bi = transitions(points, valueCol)
+    val bi = leads
+      .filter(col("b").isNotNull)
+      .groupBy(col("a").as("from_state"), col("b").as("to_state"))
+      .agg(count(lit(1)).as("n"))
     val uni = bi.groupBy(col("from_state").as("_ub"))
       .agg(sum(col("n")).as("n_b"))
     tri

@@ -1709,11 +1709,14 @@ object EventOps {
     * never silently dropped), distinct values, the modal value (ties →
     * smallest), its count, the exact mean, min and max. Output (key,
     * n_events, n_missing, n_distinct, mode_v, n_mode, mean_v, min_v,
-    * max_v).
+    * max_v); a key whose EVERY row fails extraction still appears
+    * (n_events 0, null stats).
     *
-    * Engine-exactness: extraction is string→long (identical in Spark's
-    * get_json_object and DuckDB's json_extract_string); everything
-    * downstream is exact integer counts/sums plus one mean division.
+    * Engine-exactness: extraction is string→long with STRICT integer
+    * parsing on both sides — Spark's non-ANSI cast nulls "3.7", so the
+    * oracle gates its TRY_CAST behind an integer regex to match;
+    * everything downstream is exact integer counts/sums plus one mean
+    * division.
     *
     * Scale: one (key, value) aggregate whose groups collapse map-side
     * — the grid is value-cardinality-bounded, so the mode needs no
@@ -1732,9 +1735,13 @@ object EventOps {
         min(struct((-col("_n")).as("_nn"), col("_v").as("_mv"))).as("_m"),
         sum(col("_v") * col("_n")).as("_sv"),
         min(col("_v")).as("min_v"), max(col("_v")).as("max_v"))
-      .join(missing.withColumnRenamed(K, "_mk"), col(K) <=> col("_mk"), "left")
-      .select(col(K), col("n_events"),
-        coalesce(col("_nm"), lit(0L)).as("n_missing"), col("n_distinct"),
+      // full outer: an all-missing key must still surface (n_events 0,
+      // null stats) — that's what makes "never silently dropped" true
+      .join(missing.withColumnRenamed(K, "_mk"), col(K) <=> col("_mk"), "full")
+      .select(coalesce(col(K), col("_mk")).as(K),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        coalesce(col("_nm"), lit(0L)).as("n_missing"),
+        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
         col("_m").getField("_mv").as("mode_v"),
         (-col("_m").getField("_nn")).as("n_mode"),
         round(col("_sv").cast("double") / col("n_events"), 6).as("mean_v"),

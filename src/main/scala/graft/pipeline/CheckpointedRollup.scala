@@ -269,12 +269,16 @@ object CheckpointedRollup {
           in.withColumn("hour", floor(col(T) / HOUR).cast("long")),
           Seq("hour"), K)
           .withColumn("partition", floor(col("hour") / lit(24L)).cast("long"))
+        // left join from the INPUT side: a day whose rows all carry null
+        // keys yields zero registers but its input_rows lineage must
+        // still record what was read
         val ticks = in
           .groupBy(floor(col(T) / DAY).cast("long").as("partition"))
           .agg(count(lit(1)).as("input_rows"))
           .join(out.groupBy("partition").agg(count(lit(1)).as("row_count")),
-            Seq("partition"))
-          .select(col("partition"), col("input_rows"), col("row_count"))
+            Seq("partition"), "left")
+          .select(col("partition"), col("input_rows"),
+            coalesce(col("row_count"), lit(0L)).as("row_count"))
         (out, ticks)
       }
 
@@ -318,9 +322,12 @@ object CheckpointedRollup {
 
   /** Storage retention pass (round-3 verdict #6 — [[Rollup.applyRetention]]
     * is the same policy applied to STORAGE, not just a row filter): drop
-    * whole tier partitions older than each horizon — chunks (raw), hourly
-    * and daily each keep `*KeepUs` of history behind `nowUs`; weekly is
-    * kept forever. Each drop runs under the tier lock and is recorded as a
+    * whole tier partitions older than each horizon — chunks (raw), hourly,
+    * daily and the distinct-register tier each keep `*KeepUs` of history
+    * behind `nowUs` (distinct defaults to keep-forever: registers are
+    * hundreds of bytes per partition, but the policy hook exists so a
+    * deployment can prune them like any tier); weekly is kept forever.
+    * Each drop runs under the tier lock and is recorded as a
     * checkpoint tick (status="retained"), so
     *  - a second `retain` is a no-op (already-retained partitions are
     *    skipped),
@@ -330,8 +337,13 @@ object CheckpointedRollup {
     *    run -> retain -> resume).
     */
   def retain(spark: SparkSession, dir: String, nowUs: Long,
-      chunksKeepUs: Long, hourlyKeepUs: Long, dailyKeepUs: Long): Unit = {
-    Seq(("chunks", chunksKeepUs), ("hourly", hourlyKeepUs), ("daily", dailyKeepUs))
+      chunksKeepUs: Long, hourlyKeepUs: Long, dailyKeepUs: Long,
+      distinctKeepUs: Long = Long.MaxValue): Unit = {
+    Seq(("chunks", chunksKeepUs), ("hourly", hourlyKeepUs),
+        ("daily", dailyKeepUs), ("distinct", distinctKeepUs))
+      // keep-forever horizons are skipped outright — nowUs - MaxValue
+      // would underflow the cutoff arithmetic
+      .filter { case (_, keepUs) => keepUs < Long.MaxValue }
       .foreach { case (tier, keepUs) =>
         withTierLock(spark, dir, tier) {
           // a partition (day bucket) is expired when its whole day lies

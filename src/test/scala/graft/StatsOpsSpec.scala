@@ -589,6 +589,11 @@ class StatsOpsSpec extends SparkSpec {
     val b = out("b")
     assert(b.getLong(4) == 5 && b.getLong(5) == 1) // tie 5 vs 7 -> 5
     assert(b.getLong(2) == 0)
+    // a key whose EVERY row fails extraction still surfaces
+    val allMiss = Seq(("c", "nope"), ("c", "{}")).toDF("key", "props")
+    val c = EventOps.jsonAttrProfile(allMiss).head()
+    assert(c.getString(0) == "c" && c.getLong(1) == 0 && c.getLong(2) == 2)
+    assert(c.isNullAt(4) && c.isNullAt(6))
   }
 
   test("hillTailIndex: dyadic gaps give H = 2·ln2; equal gaps go null") {
