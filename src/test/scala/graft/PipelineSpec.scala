@@ -279,6 +279,20 @@ class PipelineSpec extends SparkSpec {
       "resume after retention re-processed partitions")
     assert(tierRows("hourly") == survivingHourly)
     assert(liveParts("chunks").forall(_ >= chunksCut), "resume resurrected retained chunks")
+
+    // the distinct-register tier defaults to keep-forever, but the
+    // policy hook prunes it like any tier when given a finite horizon
+    val distinctBefore = liveParts("distinct")
+    assert(distinctBefore.exists(_ < Math.floorDiv(now - 2 * day, day)),
+      "fixture too short to exercise distinct retention")
+    CheckpointedRollup.retain(spark, dir, now, 365 * day, 365 * day,
+      365 * day, distinctKeepUs = 2 * day)
+    val distinctCut = Math.floorDiv(now - 2 * day, day)
+    assert(liveParts("distinct").forall(_ >= distinctCut),
+      s"expired distinct partitions survive: ${liveParts("distinct")}")
+    val cp2 = CheckpointedRollup.readCheckpoint(spark, dir)
+    assert(cp2.filter(col("tier") === "distinct" &&
+      col("status") === "retained").count() > 0)
   }
 
   test("retention keeps only fresh raw/hourly/daily and all weekly") {
