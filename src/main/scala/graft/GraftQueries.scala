@@ -7536,6 +7536,56 @@ object GraftQueries {
       |  am.min_v, am.max_v
       |FROM am FULL JOIN m ON am.key = m.key""".stripMargin
 
+  /** Theta-sketch difference per day: estimated click-only users
+    * (|click \ view|) from the same KMV sketches as q114 — the set
+    * algebra's third operation. */
+  def qKmvDifference(spark: SparkSession, dir: String): DataFrame = {
+    val k = 32
+    val e = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("event_type"), tsUs.as("t"), col("user_id"))
+      .withColumn("day", floor(col("t") / DAY))
+    def side(et: String) = graft.sketch.Kmv.sketch(
+      e.filter(col("event_type") === et), Seq("day"), "user_id", k)
+    graft.sketch.Kmv.differenceEstimate(side("click"), side("view"),
+      Seq("day"), k)
+      .select(col("day"), col("n_only"), col("est_only"))
+  }
+
+  val sqlKmvDifference: String =
+    """WITH e AS (
+      |  SELECT DISTINCT event_type, epoch_us(ts) // 86400000000 AS day,
+      |    ('0x' || substr(md5('kmv' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+      |      AS h
+      |  FROM events WHERE event_type IN ('click', 'view')),
+      |r AS (
+      |  SELECT event_type, day, h,
+      |    row_number() OVER (PARTITION BY event_type, day ORDER BY h) AS rn
+      |  FROM e),
+      |s AS (SELECT event_type, day, h FROM r WHERE rn <= 32),
+      |th AS (SELECT event_type, day, count(*) AS n, max(h) AS hk
+      |       FROM s GROUP BY 1, 2),
+      |t2 AS (
+      |  SELECT a.day,
+      |    least(CASE WHEN a.n < 32 THEN 9223372036854775807 ELSE a.hk END,
+      |          CASE WHEN b.n < 32 THEN 9223372036854775807 ELSE b.hk END)
+      |      AS theta
+      |  FROM th a JOIN th b ON a.day = b.day
+      |    AND a.event_type = 'click' AND b.event_type = 'view'),
+      |c AS (
+      |  SELECT sa.day, count(*) AS no
+      |  FROM s sa
+      |  JOIN t2 ON t2.day = sa.day AND sa.h < t2.theta
+      |  WHERE sa.event_type = 'click'
+      |    AND NOT EXISTS (SELECT 1 FROM s sb WHERE sb.day = sa.day
+      |                    AND sb.event_type = 'view' AND sb.h = sa.h)
+      |  GROUP BY 1)
+      |SELECT t2.day, coalesce(c.no, 0) AS n_only,
+      |  CASE WHEN t2.theta = 9223372036854775807
+      |       THEN CAST(coalesce(c.no, 0) AS DOUBLE)
+      |       ELSE round(coalesce(c.no, 0) * 1152921504606846976.0 / t2.theta, 6)
+      |  END AS est_only
+      |FROM t2 LEFT JOIN c USING (day)""".stripMargin
+
   // classic relational smoke (lineitem)
   def qLineitemAgg(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/lineitem.parquet")

@@ -82,6 +82,41 @@ object Kmv {
     * itself is a codegen'd `array_intersect` + `filter` per row (the
     * arrays are ≤ k elements), so no explode or extra shuffle exists in
     * the plan. Output (groupCols*, n_both, est_common). */
+  /** Theta-sketch difference |A \ B| — the third set operation, closing
+    * the union (merge) / intersection / difference algebra: with
+    * θ = min(h_k^A, h_k^B), A's sample hashes below θ are a uniform
+    * p = θ/2⁶⁰ sample of A, and because θ ≤ θ_B every B hash below θ is
+    * IN B's sketch, so "not in B's sketch" is exact set-membership on
+    * the sample; |{h < θ in A, ∉ B}| / p estimates |A \ B|, and when
+    * both sides are unsaturated the count IS the exact answer. Both
+    * sketches must share `salt`.
+    *
+    * Scale: identical shape to [[intersectEstimate]] — one group-keyed
+    * join of k-element arrays, one codegen'd `array_except` + `filter`
+    * per row, no explode. Output (groupCols*, n_only, est_only). */
+  def differenceEstimate(a: DataFrame, b: DataFrame, groupCols: Seq[String],
+      k: Int): DataFrame = {
+    val inf = Long.MaxValue
+    def theta(kmv: Column): Column =
+      when(size(kmv) < k, lit(inf)).otherwise(element_at(kmv, k))
+    val br = b.select(groupCols.map(n => col(n).as(s"_b_$n")) :+
+      col("kmv").as("_bkmv"): _*)
+    val joinCond = groupCols.map(n => col(n) <=> col(s"_b_$n")).reduce(_ && _)
+    val paired = a.join(br, joinCond)
+      .select(groupCols.map(col) :+
+        least(theta(col("kmv")), theta(col("_bkmv"))).as("_theta") :+
+        col("kmv") :+ col("_bkmv"): _*)
+    val withN = paired.withColumn("_no",
+      size(filter(array_except(col("kmv"), col("_bkmv")),
+        h => h < col("_theta"))).cast("long"))
+    withN.select(groupCols.map(col) :+
+      col("_no").as("n_only") :+
+      when(col("_theta") === inf, col("_no").cast("double"))
+        .otherwise(round(
+          col("_no") * lit(1152921504606846976.0) / col("_theta"), 6))
+        .as("est_only"): _*)
+  }
+
   def intersectEstimate(a: DataFrame, b: DataFrame, groupCols: Seq[String],
       k: Int): DataFrame = {
     val inf = Long.MaxValue

@@ -191,6 +191,29 @@ class SketchSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("kmv difference: identical sides read 0; disjoint unsaturated sides are exact") {
+    val s = spark
+    import s.implicits._
+    val a = (0 until 40).map(i => ("k", 0L, s"a$i")).toDF("k", "day", "u")
+    val b = (0 until 25).map(i => ("k", 0L, s"b$i")).toDF("k", "day", "u")
+    def sk(df: org.apache.spark.sql.DataFrame) =
+      Kmv.sketch(df, Seq("k", "day"), "u", k = 64)
+    val same = Kmv.differenceEstimate(sk(a), sk(a), Seq("k", "day"), 64).head()
+    assert(same.getLong(2) == 0L && same.getDouble(3) == 0.0)
+    // both unsaturated and disjoint: |A \ B| = |A| exactly
+    val dis = Kmv.differenceEstimate(sk(a), sk(b), Seq("k", "day"), 64).head()
+    assert(dis.getLong(2) == 40L && dis.getDouble(3) == 40.0)
+    // algebra check on saturated sketches: est(A\B) + est(A∩B) uses the
+    // same theta sample, so the two counts partition A's sub-theta hashes
+    val bigA = (0 until 400).map(i => ("k", 0L, s"x$i")).toDF("k", "day", "u")
+    val bigB = (150 until 500).map(i => ("k", 0L, s"x$i")).toDF("k", "day", "u")
+    val d = Kmv.differenceEstimate(sk(bigA), sk(bigB), Seq("k", "day"), 32).head()
+    val i = Kmv.intersectEstimate(sk(bigA), sk(bigB), Seq("k", "day"), 32).head()
+    val est = d.getDouble(3) + i.getDouble(3)
+    assert(math.abs(est - 400) / 400 < 0.5, s"|A| estimate $est")
+    assert(math.abs(d.getDouble(3) - 150) / 150 < 0.8, s"diff est ${d.getDouble(3)}")
+  }
+
   // ---- HLL ----
 
   /** Sequential register reference on the same md5 grid as Hll. */
