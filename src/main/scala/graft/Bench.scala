@@ -122,7 +122,9 @@ object Bench {
     "q214_motif_surprise", "q215_rolling_corr", "q216_spectral_entropy",
     // trending terms (q217), JSON attribute profile (q218), KMV
     // theta-difference (q219)
-    "q217_trending_terms", "q218_json_profile", "q219_kmv_difference")
+    "q217_trending_terms", "q218_json_profile", "q219_kmv_difference",
+    // term dispersion / boilerplate screen (q220)
+    "q220_term_dispersion")
 
   def session(cpus: String): SparkSession = {
     // 4 waves of tasks per core: on a shared VM with CPU steal, a stage is

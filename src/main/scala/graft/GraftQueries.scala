@@ -7586,6 +7586,24 @@ object GraftQueries {
       |  END AS est_only
       |FROM t2 LEFT JOIN c USING (day)""".stripMargin
 
+  /** The 20 most document-concentrated frequent terms — the term-level
+    * boilerplate screen (low df/tf, high single-doc share). */
+  def qTermDispersion(spark: SparkSession, dir: String): DataFrame =
+    graft.text.LexStats.termDispersion(docs(spark, dir), k = 20, minTf = 50)
+
+  val sqlTermDispersion: String =
+    """WITH pd AS (SELECT doc_id, s AS term, count(*) AS n
+      |  FROM (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS s
+      |        FROM documents)
+      |  GROUP BY 1, 2),
+      |t AS (SELECT term, sum(n) AS tf, count(*) AS df,
+      |        max(n) AS max_in_doc
+      |      FROM pd GROUP BY 1 HAVING sum(n) >= 50)
+      |SELECT term, tf, df, max_in_doc,
+      |  round(CAST(df AS DOUBLE) / tf, 6) AS doc_rate,
+      |  round(CAST(max_in_doc AS DOUBLE) / tf, 6) AS top_share
+      |FROM t ORDER BY doc_rate ASC, term ASC LIMIT 20""".stripMargin
+
   // classic relational smoke (lineitem)
   def qLineitemAgg(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/lineitem.parquet")

@@ -135,6 +135,41 @@ object LexStats {
       .filter(col("term_rank") <= k)
   }
 
+  /** Term dispersion census — the boilerplate screen at TERM level:
+    * for each token with total frequency ≥ `minTf`, how its
+    * occurrences spread across documents. Natural-language terms have
+    * doc_rate = df/tf near their document frequency share and a small
+    * top_share; template/boilerplate/spam terms repeat inside few
+    * documents (LOW doc_rate, HIGH top_share — e.g. a nav-bar token
+    * appearing 40× in each of 3 pages). Output the `k` most
+    * concentrated terms — (term, tf, df, max_in_doc, doc_rate,
+    * top_share), ordered by doc_rate asc then term.
+    *
+    * Engine-exactness: all three counts are exact integers; the two
+    * ratios are one double division each. Selection is a TakeOrdered
+    * top-k on a deterministic total order — no window, no global sort.
+    *
+    * Scale: one (doc, term) count that collapses map-side, one (term)
+    * re-aggregate — nothing holds per-term doc lists; the max/df/tf
+    * triple is all the concentration read needs. */
+  def termDispersion(docs: DataFrame, k: Int = 20, minTf: Long = 50,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val perDoc = docs
+      .select(col(idCol), explode(TextOps.wsTokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("_n"))
+    perDoc.groupBy(col("term"))
+      .agg(sum(col("_n")).as("tf"), count(lit(1)).as("df"),
+        max(col("_n")).as("max_in_doc"))
+      .filter(col("tf") >= minTf)
+      .select(col("term"), col("tf"), col("df"), col("max_in_doc"),
+        round(col("df").cast("double") / col("tf"), 6).as("doc_rate"),
+        round(col("max_in_doc").cast("double") / col("tf"), 6)
+          .as("top_share"))
+      .orderBy(col("doc_rate").asc, col("term").asc)
+      .limit(k)
+  }
+
   /** Heaps vocabulary-growth fit: cumulative (tokens, distinct types)
     * at `nCk` doc-id-ordered corpus prefixes, log-log OLS → the Heaps
     * exponent β (natural text β ≈ 0.4-0.6; templated/duplicated shards

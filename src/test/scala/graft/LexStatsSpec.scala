@@ -123,6 +123,25 @@ class LexStatsSpec extends SparkSpec {
     }
   }
 
+  test("termDispersion: boilerplate term concentrates, natural term spreads") {
+    val s = spark
+    import s.implicits._
+    // 'nav' appears 30x in each of 2 docs (tf 60, df 2); 'the' appears
+    // once in each of 60 docs (tf 60, df 60); both clear minTf 50
+    val docs = ((0 until 2).map(i =>
+        (i.toLong, Seq.fill(30)("nav").mkString(" "))) ++
+      (2 until 62).map(i => (i.toLong, "the")))
+      .toDF("doc_id", "text")
+    val out = graft.text.LexStats.termDispersion(docs, k = 5, minTf = 50)
+      .collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("nav", "the"))
+    val nav = out(0)
+    assert(nav.getLong(1) == 60 && nav.getLong(2) == 2 && nav.getLong(3) == 30)
+    assert(nav.getDouble(4) == 0.033333 && nav.getDouble(5) == 0.5)
+    val the = out(1)
+    assert(the.getDouble(4) == 1.0 && the.getDouble(5) == 0.016667)
+  }
+
   test("heapsFit equals the sequential quantized OLS on a mixed corpus") {
     val s = spark
     import s.implicits._
