@@ -1753,7 +1753,7 @@ object GraftQueries {
         |segs AS (
         |  SELECT key, sv, lead(t) OVER (PARTITION BY key ORDER BY t) - t AS dur
         |  FROM spts QUALIFY dur IS NOT NULL),
-        |d AS (SELECT key, sv, sum(dur) AS dur_us FROM segs GROUP BY 1, 2)
+        |d AS (SELECT key, sv, CAST(sum(dur) AS BIGINT) AS dur_us FROM segs GROUP BY 1, 2)
         |SELECT key, sv, dur_us,
         |       round(CAST(dur_us AS DOUBLE) / sum(dur_us) OVER (PARTITION BY key), 6) AS frac
         |FROM d""".stripMargin
@@ -1789,7 +1789,7 @@ object GraftQueries {
         |  FROM spts),
         |c AS (SELECT from_state, to_state, count(*) AS n
         |      FROM pr WHERE to_state IS NOT NULL GROUP BY 1, 2),
-        |tot AS (SELECT from_state, sum(n) AS n_total FROM c GROUP BY 1),
+        |tot AS (SELECT from_state, CAST(sum(n) AS BIGINT) AS n_total FROM c GROUP BY 1),
         |top AS (SELECT from_state, to_state AS top_next, n AS n_top
         |        FROM c QUALIFY row_number() OVER (PARTITION BY from_state
         |          ORDER BY n DESC, to_state) = 1)
@@ -1966,7 +1966,7 @@ object GraftQueries {
       |  CASE WHEN len(t.lines) > 0
       |       THEN round(1.0 - len(list_distinct(t.lines)) * 1.0 / len(t.lines), 6)
       |       ELSE 0.0 END AS dup_line_frac,
-      |  coalesce(a.total, 0) AS total_2grams,
+      |  CAST(coalesce(a.total, 0) AS BIGINT) AS total_2grams,
       |  coalesce(a.dis, 0) AS distinct_2grams,
       |  coalesce(round(a.top * 1.0 / a.total, 6), 0.0) AS top_2gram_frac,
       |  coalesce(round(1.0 - a.dis * 1.0 / a.total, 6), 0.0) AS dup_2gram_frac,
@@ -3570,8 +3570,8 @@ object GraftQueries {
       |                               (d1 - 1) // 86400000000)) AS day
       |      FROM d)
       |SELECT user_id, day,
-      |  sum(least(d1, (day + 1) * 86400000000)
-      |      - greatest(d0, day * 86400000000)) AS down_us,
+      |  CAST(sum(least(d1, (day + 1) * 86400000000)
+      |      - greatest(d0, day * 86400000000)) AS BIGINT) AS down_us,
       |  round(sum(least(d1, (day + 1) * 86400000000)
       |      - greatest(d0, day * 86400000000)) / 86400000000.0, 6) AS down_frac
       |FROM x GROUP BY 1, 2""".stripMargin
@@ -4007,7 +4007,7 @@ object GraftQueries {
         |      FROM r GROUP BY 1, 2),
         |q AS (SELECT key, sv, r0,
         |        lead(r0) OVER (PARTITION BY key ORDER BY r0) AS r1 FROM p)
-        |SELECT key, sv, count(*) AS n_runs, sum(r1 - r0) AS total_us,
+        |SELECT key, sv, count(*) AS n_runs, CAST(sum(r1 - r0) AS BIGINT) AS total_us,
         |  max(r1 - r0) AS max_run_us,
         |  CAST(sum(r1 - r0) AS DOUBLE) / count(*) AS mean_run_us
         |FROM q WHERE r1 IS NOT NULL GROUP BY 1, 2""".stripMargin
@@ -4112,8 +4112,8 @@ object GraftQueries {
       |           FROM events),
       |c AS (SELECT event_type, hour, count(*) AS n FROM e GROUP BY 1, 2),
       |w AS (SELECT event_type, hour, n,
-      |        coalesce(sum(n) OVER (PARTITION BY event_type ORDER BY hour
-      |          RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING), 0) AS base,
+      |        CAST(coalesce(sum(n) OVER (PARTITION BY event_type ORDER BY hour
+      |          RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS base,
       |        min(hour) OVER (PARTITION BY event_type) AS h0
       |      FROM c)
       |SELECT event_type, hour, n, base,
@@ -4421,7 +4421,7 @@ object GraftQueries {
       |        ORDER BY hour) AS isl
       |      FROM b)
       |SELECT event_type, min(hour) AS start_hour, max(hour) AS end_hour,
-      |  count(*) AS n_hours, sum(n) AS events, max(ratio) AS peak_ratio
+      |  count(*) AS n_hours, CAST(sum(n) AS BIGINT) AS events, max(ratio) AS peak_ratio
       |FROM i GROUP BY event_type, isl""".stripMargin
 
   /** Daily AUC tier per user: left-Riemann (previous-interp) and
@@ -4765,7 +4765,7 @@ object GraftQueries {
       |        max(t) AS t_end, count(*) AS n_events
       |      FROM s GROUP BY 1, 2),
       |a AS (SELECT user_id, t_start // 604800000000 AS week,
-      |        count(*) AS n_sessions, sum(n_events) AS events,
+      |        count(*) AS n_sessions, CAST(sum(n_events) AS BIGINT) AS events,
       |        sum(t_end - t_start) AS dur
       |      FROM g GROUP BY 1, 2)
       |SELECT user_id, week, n_sessions, events,
@@ -4832,7 +4832,7 @@ object GraftQueries {
       |        row_number() OVER (PARTITION BY event_type ORDER BY x)
       |          AS i
       |      FROM c)
-      |SELECT event_type, count(*) AS n_units, sum(x) AS total,
+      |SELECT event_type, count(*) AS n_units, CAST(sum(x) AS BIGINT) AS total,
       |  CASE WHEN sum(x) > 0 THEN
       |    round((2 * sum(i * x) - (count(*) + 1) * sum(x))
       |      / CAST(count(*) * sum(x) AS DOUBLE), 6)
@@ -5590,13 +5590,13 @@ object GraftQueries {
       |           AS x
       |       FROM pts GROUP BY 1, 2),
       |st AS (SELECT a.key,
-      |         sum(CAST(sign(bb.x - a.x) AS BIGINT)) AS s
+      |         CAST(sum(CAST(sign(bb.x - a.x) AS BIGINT)) AS BIGINT) AS s
       |       FROM bm a JOIN bm bb ON a.key = bb.key AND a.b < bb.b
       |       GROUP BY 1),
       |nt AS (SELECT key, count(*) AS n_bins FROM bm GROUP BY 1),
       |tt AS (SELECT key,
       |         sum(t * (t - 1) * (2 * t + 5)) AS tc,
-      |         sum(CASE WHEN t > 1 THEN 1 ELSE 0 END) AS n_tied_groups
+      |         CAST(sum(CASE WHEN t > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_tied_groups
       |       FROM (SELECT key, x, count(*) AS t FROM bm GROUP BY 1, 2)
       |       GROUP BY 1),
       |j AS (SELECT st.key, nt.n_bins, st.s, tt.n_tied_groups,
@@ -5651,7 +5651,7 @@ object GraftQueries {
        |        + CAST(x <= z AS INT) + CAST(y <= z AS INT) AS code
        |      FROM tri WHERE z IS NOT NULL),
        |c AS (SELECT key, code, count(*) AS n FROM p GROUP BY 1, 2),
-       |a AS (SELECT key, sum(n) AS n_triples, count(*) AS n_patterns,
+       |a AS (SELECT key, CAST(sum(n) AS BIGINT) AS n_triples, count(*) AS n_patterns,
        |        ${nC(5)}, ${nC(7)}, ${nC(11)}, ${nC(15)}, ${nC(19)},
        |        ${nC(21)}
        |      FROM c GROUP BY 1),
@@ -5676,7 +5676,7 @@ object GraftQueries {
     def lvl(k: Int): String = {
       val b = 1L << k
       s"""SELECT key, CAST($k AS INT) AS level,
-         |  max(spn) // $b AS n_blocks, sum(d * d) AS energy
+         |  max(spn) // $b AS n_blocks, CAST(sum(d * d) AS BIGINT) AS energy
          |FROM (SELECT key, i // $b AS blk,
          |        sum(CASE WHEN i % $b < ${b / 2} THEN s ELSE -s END) AS d,
          |        max(span) AS spn
@@ -5947,9 +5947,9 @@ object GraftQueries {
       |        RANGE BETWEEN 3599999999 PRECEDING AND CURRENT ROW),
       |      wl AS (PARTITION BY key ORDER BY t
       |        RANGE BETWEEN 21599999999 PRECEDING AND CURRENT ROW))
-      |SELECT key, t, tot_s, bad_s,
+      |SELECT key, t, CAST(tot_s AS BIGINT) AS tot_s, CAST(bad_s AS BIGINT) AS bad_s,
       |  round(CAST(bad_s AS DOUBLE) / tot_s / 0.1, 6) AS burn_s,
-      |  tot_l, bad_l,
+      |  CAST(tot_l AS BIGINT) AS tot_l, CAST(bad_l AS BIGINT) AS bad_l,
       |  round(CAST(bad_l AS DOUBLE) / tot_l / 0.1, 6) AS burn_l,
       |  CAST(round(CAST(bad_s AS DOUBLE) / tot_s / 0.1, 6) >= 2.0
       |   AND round(CAST(bad_l AS DOUBLE) / tot_l / 0.1, 6) >= 2.0
@@ -6382,7 +6382,7 @@ object GraftQueries {
        |bins AS (
        |  SELECT key, (t // $HOUR) * $HOUR AS bin_start,
        |         count(*) AS n,
-       |         sum(CAST(floor(v * 1000 + 0.5) AS BIGINT)) AS sq
+       |         CAST(sum(CAST(floor(v * 1000 + 0.5) AS BIGINT)) AS BIGINT) AS sq
        |  FROM pts GROUP BY 1, 2)
        |SELECT b.key, b.bin_start, b.n, b.sq,
        |  p.n AS n_prev, p.sq AS sq_prev,
@@ -6586,8 +6586,8 @@ object GraftQueries {
 
   val sqlKsDrift: String =
     s"""$sqlHistAB
-       |SELECT key, max(na) AS n_a, max(nb) AS n_b,
-       |  max(abs(cca * nb - ccb * na)) AS d_num,
+       |SELECT key, CAST(max(na) AS BIGINT) AS n_a, CAST(max(nb) AS BIGINT) AS n_b,
+       |  CAST(max(abs(cca * nb - ccb * na)) AS BIGINT) AS d_num,
        |  CASE WHEN max(na) > 0 AND max(nb) > 0 THEN
        |    round(CAST(max(abs(cca * nb - ccb * na)) AS DOUBLE)
        |          / CAST(max(na) * max(nb) AS DOUBLE), 6) END AS d
@@ -6608,8 +6608,8 @@ object GraftQueries {
        |dr AS (SELECT key, ca, na, nb,
        |        2 * (cca + ccb - (ca + cb)) + (ca + cb) + 1 AS d2
        |       FROM cum),
-       |a AS (SELECT key, max(na) AS n_a, max(nb) AS n_b,
-       |        sum(ca * d2) - max(na) * (max(na) + 1) AS u2
+       |a AS (SELECT key, CAST(max(na) AS BIGINT) AS n_a, CAST(max(nb) AS BIGINT) AS n_b,
+       |        CAST(sum(ca * d2) - max(na) * (max(na) + 1) AS BIGINT) AS u2
        |      FROM dr GROUP BY 1)
        |SELECT key, n_a, n_b, u2,
        |  CASE WHEN n_a > 0 AND n_b > 0 THEN
@@ -6651,7 +6651,7 @@ object GraftQueries {
        |         FROM q GROUP BY 1, 2, 3),
        |bt AS (SELECT *, (CAST(abs(sh) AS HUGEINT) * abs(sh)) // nh AS bh
        |       FROM bins),
-       |agg AS (SELECT cycle, key, sum(nh) AS n, count(*) AS n_bins,
+       |agg AS (SELECT cycle, key, CAST(sum(nh) AS BIGINT) AS n, count(*) AS n_bins,
        |          sum(sh) AS s, sum(sxxh) AS sxx, sum(bh) AS bsum
        |        FROM bt GROUP BY 1, 2)
        |SELECT key, cycle, n, n_bins,
@@ -6710,7 +6710,7 @@ object GraftQueries {
        |        CAST(ca + cb AS HUGEINT)
        |          * ((cca * nb - ccb * na) * (cca * nb - ccb * na)) AS sterm
        |       FROM cum),
-       |a AS (SELECT key, max(na) AS n_a, max(nb) AS n_b, sum(sterm) AS s
+       |a AS (SELECT key, CAST(max(na) AS BIGINT) AS n_a, CAST(max(nb) AS BIGINT) AS n_b, sum(sterm) AS s
        |      FROM st GROUP BY 1)
        |SELECT key, n_a, n_b,
        |  CASE WHEN n_a > 0 AND n_b > 0 THEN
@@ -6740,7 +6740,7 @@ object GraftQueries {
        |          THEN CAST(abs(cca * nb - ccb * na) AS HUGEINT) * gap
        |          ELSE 0 END AS wterm
        |       FROM g),
-       |a AS (SELECT key, max(na) AS n_a, max(nb) AS n_b, sum(wterm) AS s
+       |a AS (SELECT key, CAST(max(na) AS BIGINT) AS n_a, CAST(max(nb) AS BIGINT) AS n_b, sum(wterm) AS s
        |      FROM st GROUP BY 1)
        |SELECT key, n_a, n_b,
        |  CASE WHEN n_a > 0 AND n_b > 0 THEN
@@ -6774,7 +6774,7 @@ object GraftQueries {
       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
       |          - i * (n + 1) AS uu
       |      FROM r),
-      |a AS (SELECT key, max(n) AS n, max(abs(uu)) AS k_stat
+      |a AS (SELECT key, max(n) AS n, CAST(max(abs(uu)) AS BIGINT) AS k_stat
       |      FROM u WHERE i < n GROUP BY 1),
       |c AS (SELECT u.key, min(u.t) AS cp_t
       |      FROM u JOIN a ON u.key = a.key AND abs(u.uu) = a.k_stat
@@ -7045,7 +7045,7 @@ object GraftQueries {
         |       - CAST(floor(ln(CAST(c.nab AS DOUBLE)) * 1048576 + 0.5) AS BIGINT))
         |          AS qt
         |      FROM c JOIN na ON c.key = na.key AND c.a = na.a),
-        |s AS (SELECT key, sum(nab) AS n_transitions, count(*) AS n_bigrams,
+        |s AS (SELECT key, CAST(sum(nab) AS BIGINT) AS n_transitions, count(*) AS n_bigrams,
         |        sum(qt) AS qsum
         |      FROM q GROUP BY 1)
         |SELECT key, n_transitions, n_bigrams,
@@ -7147,7 +7147,7 @@ object GraftQueries {
       |       - CAST(floor(ln(CAST(g.g AS DOUBLE)) * 1048576 + 0.5) AS BIGINT))
       |          AS term
       |      FROM c JOIN nd USING (bin) JOIN g USING (key) CROSS JOIN gt),
-      |s AS (SELECT bin, max(nd) AS n_events, count(*) AS n_cats,
+      |s AS (SELECT bin, CAST(max(nd) AS BIGINT) AS n_events, count(*) AS n_cats,
       |        sum(term) AS qsum
       |      FROM q GROUP BY 1)
       |SELECT bin, n_events, n_cats,
@@ -7227,7 +7227,7 @@ object GraftQueries {
       |  FROM (SELECT unnest(regexp_extract_all(text, '\S+')) AS s
       |        FROM documents)
       |  GROUP BY 1),
-      |tot AS (SELECT sum(n) AS total_tokens, count(*) AS vocab FROM f),
+      |tot AS (SELECT CAST(sum(n) AS BIGINT) AS total_tokens, count(*) AS vocab FROM f),
       |top AS (SELECT term, n FROM f ORDER BY n DESC, term ASC LIMIT 1000),
       |r AS (SELECT row_number() OVER (ORDER BY n DESC, term ASC) AS r, n
       |      FROM top),
@@ -7286,7 +7286,7 @@ object GraftQueries {
       |        CAST(k * sxx - sx * sx AS DOUBLE) AS den,
       |        CAST(k * syy - sy * sy AS DOUBLE) AS deny
       |      FROM s),
-      |m AS (SELECT max(ct) AS total_tokens, max(cy) AS vocab FROM c)
+      |m AS (SELECT CAST(max(ct) AS BIGINT) AS total_tokens, CAST(max(cy) AS BIGINT) AS vocab FROM c)
       |SELECT n_checkpoints, m.total_tokens, m.vocab,
       |  CASE WHEN den > 0 THEN round(num / den, 6) END AS heaps_beta,
       |  CASE WHEN den > 0 AND deny > 0
@@ -7345,7 +7345,7 @@ object GraftQueries {
       |          - qy AS DOUBLE) / 1048576.0 / CAST(nt AS DOUBLE)
       |          / 0.6931471805599453 AS hb
       |      FROM s CROSS JOIN qx CROSS JOIN qy)
-      |SELECT nt AS n_bins, n_cells, round(mi, 6) AS mi_bits,
+      |SELECT CAST(nt AS BIGINT) AS n_bins, n_cells, round(mi, 6) AS mi_bits,
       |  round(ha, 6) AS h_a, round(hb, 6) AS h_b,
       |  CASE WHEN least(ha, hb) > 0
       |       THEN round(mi / least(ha, hb), 6) END AS nmi
@@ -7372,7 +7372,7 @@ object GraftQueries {
         |               lead(sv) OVER (PARTITION BY key ORDER BY t) AS to_state
         |             FROM spts)
         |       WHERE to_state IS NOT NULL GROUP BY 1, 2),
-        |uni AS (SELECT from_state AS ub, sum(n) AS n_b FROM bi GROUP BY 1)
+        |uni AS (SELECT from_state AS ub, CAST(sum(n) AS BIGINT) AS n_b FROM bi GROUP BY 1)
         |SELECT tri.a, tri.b, tri.c, tri.n_abc, ab.n AS n_ab, bc.n AS n_bc,
         |  uni.n_b,
         |  round(CAST(tri.n_abc * uni.n_b AS DOUBLE)
@@ -7482,7 +7482,7 @@ object GraftQueries {
       |  FROM (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS s
       |        FROM documents)
       |  GROUP BY 1, 2),
-      |b AS (SELECT c.term AS bt, c.day + o.off AS day, sum(c.n) AS n_base
+      |b AS (SELECT c.term AS bt, c.day + o.off AS day, CAST(sum(c.n) AS BIGINT) AS n_base
       |      FROM c CROSS JOIN
       |        (SELECT unnest(generate_series(1, 7)) AS off) o
       |      GROUP BY 1, 2),
@@ -7518,7 +7518,7 @@ object GraftQueries {
       |m AS (SELECT key, count(*) AS nm FROM x WHERE v IS NULL GROUP BY 1),
       |g AS (SELECT key, v, count(*) AS n FROM x WHERE v IS NOT NULL
       |      GROUP BY 1, 2),
-      |a AS (SELECT key, sum(n) AS n_events, count(*) AS n_distinct,
+      |a AS (SELECT key, CAST(sum(n) AS BIGINT) AS n_events, count(*) AS n_distinct,
       |        sum(v * n) AS sv, min(v) AS min_v, max(v) AS max_v
       |      FROM g GROUP BY 1),
       |md AS (SELECT key, v AS mode_v, n AS n_mode FROM g
@@ -7596,7 +7596,7 @@ object GraftQueries {
       |  FROM (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS s
       |        FROM documents)
       |  GROUP BY 1, 2),
-      |t AS (SELECT term, sum(n) AS tf, count(*) AS df,
+      |t AS (SELECT term, CAST(sum(n) AS BIGINT) AS tf, count(*) AS df,
       |        max(n) AS max_in_doc
       |      FROM pd GROUP BY 1 HAVING sum(n) >= 50)
       |SELECT term, tf, df, max_in_doc,

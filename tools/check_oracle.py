@@ -23,8 +23,27 @@ for f in glob.glob(os.path.join(sf_dir, "*.parquet")):
 oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
 
 
+def kind(dtype):
+    """Coarse dtype class matching the driver's hash sensitivity: DuckDB
+    HUGEINT comes back as float64/object while Spark BIGINT is int64, and
+    the driver hashes '27165.0' vs '27165' differently.  Distinguishing
+    int vs float vs other is exactly the blindness the round-4 verdict
+    flagged in this script."""
+    k = dtype.kind  # i/u = int, f = float, b = bool, O = object, M = datetime
+    if k in "iu":
+        return "int"
+    if k == "f":
+        return "float"
+    if k == "b":
+        return "bool"
+    if k == "M":
+        return "timestamp"
+    return "other"
+
+
 def canon(df):
     df = df.reindex(sorted(df.columns), axis=1)
+    kinds = [kind(df[c].dtype) for c in df.columns]
 
     def norm(v):
         if v is None or (isinstance(v, float) and math.isnan(v)):
@@ -36,7 +55,7 @@ def canon(df):
         return str(v)
 
     rows = sorted(tuple(norm(v) for v in r) for r in df.itertuples(index=False))
-    return list(df.columns), rows
+    return list(df.columns), kinds, rows
 
 
 fails = []
@@ -44,18 +63,29 @@ for name in sorted(oracle):
     sql = oracle[name]
     pq = os.path.join(out_dir, name)
     try:
-        exp_cols, exp_rows = canon(con.sql(sql).df())
+        exp_cols, exp_kinds, exp_rows = canon(con.sql(sql).df())
     except Exception as e:
         fails.append((name, f"oracle SQL error: {e}"))
         continue
     try:
-        got_cols, got_rows = canon(pd.concat(
+        got_cols, got_kinds, got_rows = canon(pd.concat(
             [pd.read_parquet(f) for f in glob.glob(pq + "/*.parquet")]))
     except Exception as e:
         fails.append((name, f"spark output read error: {e}"))
         continue
     if [c.lower() for c in exp_cols] != [c.lower() for c in got_cols]:
         fails.append((name, f"schema mismatch: {exp_cols} vs {got_cols}"))
+        continue
+    # Dtype-strict gate (round-4 verdict #2): an all-null oracle column
+    # comes back object/float regardless of declared type, so only flag
+    # int-vs-float style clashes when both sides carry data.
+    dt_bad = [
+        f"{c}: oracle {ek} vs spark {gk}"
+        for c, ek, gk in zip(exp_cols, exp_kinds, got_kinds)
+        if ek != gk and not (ek == "other" or gk == "other")
+    ]
+    if dt_bad and exp_rows:
+        fails.append((name, "dtype mismatch: " + "; ".join(dt_bad)))
         continue
     if len(exp_rows) != len(got_rows):
         fails.append((name, f"row count {len(exp_rows)} vs {len(got_rows)}"))
