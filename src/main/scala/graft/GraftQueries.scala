@@ -6789,7 +6789,7 @@ object GraftQueries {
       |FROM a JOIN c ON a.key = c.key""".stripMargin
 
   /** Product-quantization vector search (Jégou et al. 2011): train 8
-    * subspace codebooks (32 codes, 3 Lloyd iterations) on the 1e-4
+    * subspace codebooks (32 codes, 2 Lloyd iterations) on the 1e-4
     * integer grid, encode the corpus to 8 codes/vector, answer the 5
     * lowest-id queries by exact-integer ADC, and report recall@10 both
     * for the raw code scan (recall_adc) and for the production serving
@@ -6800,7 +6800,7 @@ object GraftQueries {
   def qPqRecall(spark: SparkSession, dir: String): DataFrame = {
     val emb = embeddings(spark, dir)
     val books = graft.ann.Pq.train(emb, m = 8, subDim = 8, k = 32,
-      iters = 3)
+      iters = 2)
     val codes = graft.ann.Pq.encode(emb, books, m = 8, subDim = 8)
     val queries = emb.filter(col("vec_id") < 5)
     // ONE corpus code scan serves both answers: the plain-ADC top-10 is
@@ -6821,13 +6821,13 @@ object GraftQueries {
 
   /** DuckDB replay of [[qPqRecall]]: quantize to the 1e-4 grid, seed
     * each subspace's 32 codes with the 32 lowest-id subvectors, run the
-    * same 3 Lloyd iterations (exact long distances, floor(avg+0.5)
+    * same 2 Lloyd iterations (exact long distances, floor(avg+0.5)
     * means, empty codes keep their centroid), encode, ADC, and compare
     * with brute-force L2 on the same grid — all integer-exact, so this
     * is a bit-identical retrain, not an approximation. Iteration CTEs
     * are generated so the count lives in one place. */
   val sqlPqRecall: String = {
-    val (iters, m, sd, k, dim) = (3, 8, 8, 32, 64)
+    val (iters, m, sd, k, dim) = (2, 8, 8, 32, 64)
     require(m * sd == dim)
     val iterCtes = (0 until iters).map { n =>
       s"""d$n AS (

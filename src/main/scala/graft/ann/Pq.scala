@@ -66,45 +66,55 @@ object Pq {
       idCol: String = "vec_id", keepVec: Boolean = false): DataFrame = {
     val b = broadcast(books.select(col("sub").as("_bs"), col("code"),
       col("cvec")))
-    val w = Window.partitionBy(col(idCol), col("sub"))
-      .orderBy(col("d").asc, col("code").asc)
-    val out = subs.join(b, col("sub") <=> col("_bs"))
+    // argmin via min(struct(d, code)) — lexicographic struct order IS the
+    // (d asc, code asc) tie-break, and unlike a row_number window the
+    // aggregate combines map-side, so the shuffle carries one row per
+    // (id, sub) instead of the k×-exploded scored frame. The Lloyd loop
+    // calls this every iteration; at bench SF the window sort was the
+    // trainer's dominant cost (round-4 verdict #7).
+    val scored = subs.join(b, col("sub") <=> col("_bs"))
       .withColumn("d", l2sqI(col("subvec"), col("cvec")))
-      .withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1)
-    if (keepVec)
-      out.select(col(idCol), col("sub"), col("code"), col("d"),
-        col("subvec"))
-    else out.select(col(idCol), col("sub"), col("code"), col("d"))
+    val base = scored.groupBy(col(idCol), col("sub"))
+    val out =
+      if (keepVec)
+        // subvec is constant within an (id, sub) group, so first() is
+        // value-deterministic here
+        base.agg(min(struct(col("d"), col("code"))).as("_dc"),
+          first(col("subvec")).as("subvec"))
+      else base.agg(min(struct(col("d"), col("code"))).as("_dc"))
+    val cols = Seq(col(idCol), col("sub"), col("_dc.code").as("code"),
+      col("_dc.d").as("d")) ++ (if (keepVec) Seq(col("subvec")) else Nil)
+    out.select(cols: _*)
   }
 
   /** Train the m codebooks (k codes each, `iters` Lloyd iterations).
     * Seeds are the k lowest-id vectors' subvectors per subspace; means
     * are floor(avg + 0.5) back onto the integer grid; empty codes keep
     * their previous centroid. Returns (sub, code, cvec: array<long>) —
-    * m·k driver-held model rows, exactly reproducible. */
+    * m·k model rows, exactly reproducible.
+    *
+    * Fully LAZY: books is a tiny DataFrame chained through `iters`
+    * assign→mean→coalesce rounds, so a caller that trains, encodes and
+    * scores runs the entire pipeline as ONE Spark action instead of
+    * 1 + iters sequential driver collects — at bench SF the collect
+    * round-trips were the trainer's whole cost (round-4 verdict #7),
+    * and at cluster scale one action lets the scheduler overlap the
+    * model chain with independent subtrees (e.g. the ground-truth
+    * scan). The per-corpus subvector frame is persisted so each Lloyd
+    * round reuses one materialization; the caller owns cache lifecycle
+    * (Verify/Bench clear the cache between queries). */
   def train(corpus: DataFrame, m: Int, subDim: Int, k: Int, iters: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val spark = corpus.sparkSession
-    import spark.implicits._
-    // lifecycle-managed training cache: the quantize+explode of the full
-    // corpus feeds the seed collect AND every Lloyd iteration's mean
-    // collect — without it each of those is a fresh corpus scan
     val subs = subVectors(corpus, m, subDim, idCol, vecCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
     val wSeed = Window.partitionBy(col("sub")).orderBy(col(idCol).asc)
-    var books: Seq[(Int, Int, Seq[Long])] = subs
+    var books: DataFrame = subs
       .withColumn("_r", row_number().over(wSeed))
       .filter(col("_r") <= k)
       .select(col("sub"), (col("_r") - 1).cast("int").as("code"),
-        col("subvec"))
-      .collect()
-      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Long](2)))
-      .toSeq
+        col("subvec").as("cvec"))
     for (_ <- 1 to iters) {
-      val booksDf = books.toDF("sub", "code", "cvec")
-      val asg = assign(subs, booksDf, idCol, keepVec = true)
+      val asg = assign(subs, books, idCol, keepVec = true)
       val means = asg
         .select(col("sub"), col("code"), posexplode(col("subvec")))
         .groupBy(col("sub"), col("code"), col("pos"))
@@ -113,16 +123,13 @@ object Pq {
         .agg(array_sort(collect_list(struct(col("pos"), col("m"))))
           .as("pm"))
         .select(col("sub"), col("code"),
-          transform(col("pm"), p => p.getField("m")).as("cvec"))
-        .collect()
-        .map(r => ((r.getInt(0), r.getInt(1)), r.getSeq[Long](2)))
-        .toMap
-      books = books.map { case (s, c, v) =>
-        (s, c, means.getOrElse((s, c), v))
-      }
+          transform(col("pm"), p => p.getField("m")).as("mvec"))
+      // empty codes keep their previous centroid
+      books = books.join(means, Seq("sub", "code"), "left")
+        .select(col("sub"), col("code"),
+          coalesce(col("mvec"), col("cvec")).as("cvec"))
     }
-    books.toDF("sub", "code", "cvec")
-    } finally subs.unpersist(blocking = false)
+    books
   }
 
   /** Encode the corpus: (idCol, sub, code) — m codes per vector. */
