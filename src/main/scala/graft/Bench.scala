@@ -124,7 +124,9 @@ object Bench {
     // theta-difference (q219)
     "q217_trending_terms", "q218_json_profile", "q219_kmv_difference",
     // term dispersion / boilerplate screen (q220)
-    "q220_term_dispersion")
+    "q220_term_dispersion",
+    // streaming HLL register face (q221)
+    "q221_stream_hll")
 
   def session(cpus: String): SparkSession = {
     // 4 waves of tasks per core: on a shared VM with CPU steal, a stage is

@@ -3452,19 +3452,84 @@ object GraftQueries {
       |FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
       |  LEFT JOIN s3 USING (user_id)""".stripMargin
 
-  /** Irregular-interval EWMA per user (τ = 1h, 12h scan buckets).
-    * Deliberately registered WITHOUT an oracle (rows-only driver check):
-    * the distributed affine-scan necessarily reassociates float ops, so
-    * no cross-engine hash can be exact by construction — its correctness
-    * evidence is the randomized sequential-reference equivalence spec
-    * (AnalyticsOpsSpec, three bucket widths, 1e-9 relative). */
+  /** Irregular-interval EWMA per user (τ = 1h, 12h scan buckets) on the
+    * ENGINE-EXACT grid variant ([[graft.regularize.Regularize.ewmaGrid]]):
+    * decay factors pass through the dyadic 2⁻²⁰ exp grid, the in-bucket
+    * forcing sum is exact longs, and cross-bucket carries snap to the
+    * 1e-6 grid — so the DuckDB oracle below replays the identical
+    * arithmetic (window sums of longs + a recursive CTE over per-key
+    * bucket summaries) and the driver hash closes, where the float
+    * [[graft.regularize.Regularize.ewma]] could only ever get a
+    * rows-only check (round-4 verdict #5). */
   def qEwma(spark: SparkSession, dir: String): DataFrame =
-    graft.regularize.Regularize.ewma(
+    graft.regularize.Regularize.ewmaGrid(
       spark.read.parquet(s"$dir/events.parquet")
         .select(col("user_id").as("key"), tsUs.as("t"), col("value").as("v")),
       tauUs = HOUR.toDouble, bucketMicros = 12 * HOUR)
       .select(col("key").as("user_id"), col("t"), col("v"),
         round(col("ewma"), 6).as("ewma"))
+
+  /** DuckDB replay of [[qEwma]]: identical quantized closed form — the
+    * dyadic exp grid, exact long term sums per (key, bucket), per-bucket
+    * net affine maps read off the last row, and a recursive CTE folding
+    * the 1e-6-grid carry across each key's bucket sequence. Every float
+    * op sits in a defined order over deterministic doubles, so the hash
+    * matches bit-for-bit. */
+  val sqlEwma: String =
+    """WITH RECURSIVE
+      |pts AS (SELECT user_id AS key, epoch_us(ts) AS t, value AS v
+      |        FROM events WHERE value IS NOT NULL),
+      |r AS (SELECT key, t, v, t // 43200000000 AS bkt FROM pts),
+      |bs AS (SELECT key, bkt, min(t) AS tmin, max(t) AS tmax,
+      |         row_number() OVER (PARTITION BY key ORDER BY bkt) AS bi
+      |       FROM r GROUP BY key, bkt),
+      |bs2 AS (SELECT key, bkt, tmin, bi,
+      |          lag(tmax) OVER (PARTITION BY key ORDER BY bkt) AS anchor
+      |        FROM bs),
+      |rw AS (SELECT r.key, r.t, r.v, r.bkt, b.tmin, b.anchor, b.bi,
+      |         coalesce(lag(r.t) OVER (PARTITION BY r.key, r.bkt
+      |           ORDER BY r.t, r.v), b.anchor) AS prevt
+      |       FROM r JOIN bs2 b ON r.key = b.key AND r.bkt = b.bkt),
+      |st AS (SELECT key, t, v, bkt, tmin, anchor, bi,
+      |         CASE WHEN prevt IS NULL THEN 0.0
+      |              ELSE floor(exp((prevt - t) / 3600000000.0) * 1048576 + 0.5)
+      |                   / 1048576 END AS a
+      |       FROM rw),
+      |st2 AS (SELECT *,
+      |          floor(exp((t - tmin) / 3600000000.0) * 1048576 + 0.5)
+      |            / 1048576 AS eup,
+      |          floor(exp((tmin - t) / 3600000000.0) * 1048576 + 0.5)
+      |            / 1048576 AS edn,
+      |          CASE WHEN anchor IS NULL THEN 0.0
+      |               ELSE floor(exp((anchor - t) / 3600000000.0) * 1048576 + 0.5)
+      |                    / 1048576 END AS aa
+      |        FROM st),
+      |st3 AS (SELECT *,
+      |          CAST(floor(eup * ((1.0 - a) * v) * 1048576 + 0.5) AS BIGINT)
+      |            AS term
+      |        FROM st2),
+      |st4 AS (SELECT *, sum(term) OVER (PARTITION BY key, bkt
+      |          ORDER BY t, v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |          AS s FROM st3),
+      |st5 AS (SELECT *, edn * (CAST(s AS DOUBLE) / 1048576.0) AS bb FROM st4),
+      |nets AS (SELECT key, bi, aa AS an, bb AS bn FROM
+      |           (SELECT key, bi, aa, bb, row_number() OVER (
+      |              PARTITION BY key, bkt ORDER BY t DESC, v DESC) AS rn
+      |            FROM st5) WHERE rn = 1),
+      |rec AS (
+      |  SELECT key, bi, CAST(0 AS BIGINT) AS nin,
+      |    CAST(floor((an * (CAST(0 AS DOUBLE) / 1000000.0) + bn)
+      |               * 1000000.0 + 0.5) AS BIGINT) AS nout
+      |  FROM nets WHERE bi = 1
+      |  UNION ALL
+      |  SELECT n.key, n.bi, x.nout AS nin,
+      |    CAST(floor((n.an * (CAST(x.nout AS DOUBLE) / 1000000.0) + n.bn)
+      |               * 1000000.0 + 0.5) AS BIGINT) AS nout
+      |  FROM nets n JOIN rec x ON n.key = x.key AND n.bi = x.bi + 1)
+      |SELECT st5.key AS user_id, st5.t, st5.v,
+      |  round(st5.aa * (CAST(rec.nin AS DOUBLE) / 1000000.0) + st5.bb, 6)
+      |    AS ewma
+      |FROM st5 JOIN rec ON st5.key = rec.key AND st5.bi = rec.bi""".stripMargin
 
   /** Two-sided CUSUM changepoint scan per event_type (slack = σ/2,
     * alarm at 4σ) — the sequential control chart as two stacked window
@@ -3707,13 +3772,14 @@ object GraftQueries {
       |FROM t2 LEFT JOIN c USING (day)""".stripMargin
 
   /** Irregular-interval Holt level+trend per user (τ_level = 1h,
-    * τ_trend = 3h, 12h scan buckets). Like q108, registered WITHOUT an
-    * oracle (rows-only driver check) BY DESIGN: the distributed
-    * matrix-affine scan reassociates float ops, so no cross-engine hash
-    * can be exact — correctness evidence is the AnalyticsOpsSpec
-    * sequential-reference equivalence at 3 bucket widths (1e-9 rel). */
+    * τ_trend = 3h, 12h scan buckets) on the ENGINE-EXACT grid variant
+    * ([[graft.regularize.Regularize.holtGrid]]): u/w pass through the
+    * dyadic exp grid and the cross-bucket (level, trend) carry snaps to
+    * fixed grids at bucket boundaries, so the oracle below replays the
+    * in-bucket matrix composition operation-for-operation in a
+    * recursive CTE and the driver hash closes (round-4 verdict #5). */
   def qHoltTrend(spark: SparkSession, dir: String): DataFrame =
-    graft.regularize.Regularize.holt(
+    graft.regularize.Regularize.holtGrid(
       spark.read.parquet(s"$dir/events.parquet")
         .select(col("user_id").as("key"), tsUs.as("t"), col("value").as("v")),
       tauLevelUs = HOUR.toDouble, tauTrendUs = 3.0 * HOUR,
@@ -3723,6 +3789,95 @@ object GraftQueries {
         // trend is per-µs by construction; report per-hour so the 6-dp
         // round keeps signal
         round(col("trend") * HOUR, 6).as("trend_per_hr"))
+
+  /** DuckDB replay of [[qHoltTrend]]: the in-bucket prefix composition
+    * (the holtScanUdf loop) as a recursive CTE over in-bucket row index
+    * — each step's eight multiply-adds written in the UDF's exact
+    * association order — then the per-key cross-bucket fold of the
+    * grid-snapped (level, trend) carry as a second recursion over
+    * bucket index. Level carries on the 1e-6 grid, trend on the
+    * 1e-6-per-hour grid (3.6e15 per-µs scale). */
+  val sqlHoltTrend: String =
+    """WITH RECURSIVE
+      |pts AS (SELECT user_id AS key, epoch_us(ts) AS t, value AS v
+      |        FROM events WHERE value IS NOT NULL),
+      |r AS (SELECT key, t, v, t // 43200000000 AS bkt FROM pts),
+      |bs AS (SELECT key, bkt, max(t) AS tmax,
+      |         row_number() OVER (PARTITION BY key ORDER BY bkt) AS bi
+      |       FROM r GROUP BY key, bkt),
+      |bs2 AS (SELECT key, bkt, bi,
+      |          lag(tmax) OVER (PARTITION BY key ORDER BY bkt) AS anchor
+      |        FROM bs),
+      |rw AS (SELECT r.key, r.t, r.v, r.bkt, b.bi,
+      |         coalesce(lag(r.t) OVER (PARTITION BY r.key, r.bkt
+      |           ORDER BY r.t, r.v), b.anchor) AS prevt,
+      |         row_number() OVER (PARTITION BY r.key, r.bkt
+      |           ORDER BY r.t, r.v) AS ri
+      |       FROM r JOIN bs2 b ON r.key = b.key AND r.bkt = b.bkt),
+      |st AS (SELECT key, t, v, bkt, bi, ri, prevt,
+      |         CAST(t - prevt AS DOUBLE) AS dt,
+      |         floor(exp((prevt - t) / 3600000000.0) * 1048576 + 0.5)
+      |           / 1048576 AS u,
+      |         floor(exp((prevt - t) / 10800000000.0) * 1048576 + 0.5)
+      |           / 1048576 AS w
+      |       FROM rw),
+      |sm AS (SELECT key, t, v, bkt, bi, ri,
+      |         CASE WHEN prevt IS NULL THEN 0.0 WHEN dt = 0 THEN 1.0
+      |              ELSE u END AS m11,
+      |         CASE WHEN prevt IS NULL OR dt = 0 THEN 0.0
+      |              ELSE u * dt END AS m12,
+      |         CASE WHEN prevt IS NULL OR dt = 0 THEN 0.0
+      |              ELSE ((1.0 - w) * (u - 1.0)) / dt END AS m21,
+      |         CASE WHEN prevt IS NULL THEN 0.0 WHEN dt = 0 THEN 1.0
+      |              ELSE (1.0 - w) * u + w END AS m22,
+      |         CASE WHEN prevt IS NULL THEN v WHEN dt = 0 THEN 0.0
+      |              ELSE (1.0 - u) * v END AS c1,
+      |         CASE WHEN prevt IS NULL OR dt = 0 THEN 0.0
+      |              ELSE (1.0 - w) * (1.0 - u) * v / dt END AS c2
+      |       FROM st),
+      |scan AS (
+      |  SELECT key, bkt, bi, ri, t, v,
+      |    m11 AS p11, m12 AS p12, m21 AS p21, m22 AS p22,
+      |    c1 AS q1, c2 AS q2
+      |  FROM sm WHERE ri = 1
+      |  UNION ALL
+      |  SELECT s.key, s.bkt, s.bi, s.ri, s.t, s.v,
+      |    s.m11 * p.p11 + s.m12 * p.p21, s.m11 * p.p12 + s.m12 * p.p22,
+      |    s.m21 * p.p11 + s.m22 * p.p21, s.m21 * p.p12 + s.m22 * p.p22,
+      |    s.m11 * p.q1 + s.m12 * p.q2 + s.c1,
+      |    s.m21 * p.q1 + s.m22 * p.q2 + s.c2
+      |  FROM sm s JOIN scan p ON s.key = p.key AND s.bkt = p.bkt
+      |    AND s.ri = p.ri + 1),
+      |nets AS (SELECT key, bi, p11, p12, p21, p22, q1, q2 FROM
+      |           (SELECT *, row_number() OVER (PARTITION BY key, bkt
+      |              ORDER BY ri DESC) AS rn FROM scan) WHERE rn = 1),
+      |rec AS (
+      |  SELECT key, bi, CAST(0 AS BIGINT) AS nlin, CAST(0 AS BIGINT) AS nbin,
+      |    CAST(floor((p11 * (CAST(0 AS DOUBLE) / 1000000.0)
+      |                + p12 * (CAST(0 AS DOUBLE) / 3600000000000000.0)
+      |                + q1) * 1000000.0 + 0.5) AS BIGINT) AS nlout,
+      |    CAST(floor((p21 * (CAST(0 AS DOUBLE) / 1000000.0)
+      |                + p22 * (CAST(0 AS DOUBLE) / 3600000000000000.0)
+      |                + q2) * 3600000000000000.0 + 0.5) AS BIGINT) AS nbout
+      |  FROM nets WHERE bi = 1
+      |  UNION ALL
+      |  SELECT n.key, n.bi, x.nlout AS nlin, x.nbout AS nbin,
+      |    CAST(floor((n.p11 * (CAST(x.nlout AS DOUBLE) / 1000000.0)
+      |                + n.p12 * (CAST(x.nbout AS DOUBLE) / 3600000000000000.0)
+      |                + n.q1) * 1000000.0 + 0.5) AS BIGINT),
+      |    CAST(floor((n.p21 * (CAST(x.nlout AS DOUBLE) / 1000000.0)
+      |                + n.p22 * (CAST(x.nbout AS DOUBLE) / 3600000000000000.0)
+      |                + n.q2) * 3600000000000000.0 + 0.5) AS BIGINT)
+      |  FROM nets n JOIN rec x ON n.key = x.key AND n.bi = x.bi + 1)
+      |SELECT scan.key AS user_id, scan.t, scan.v,
+      |  round(scan.p11 * (CAST(rec.nlin AS DOUBLE) / 1000000.0)
+      |        + scan.p12 * (CAST(rec.nbin AS DOUBLE) / 3600000000000000.0)
+      |        + scan.q1, 6) AS level,
+      |  round((scan.p21 * (CAST(rec.nlin AS DOUBLE) / 1000000.0)
+      |         + scan.p22 * (CAST(rec.nbin AS DOUBLE) / 3600000000000000.0)
+      |         + scan.q2) * 3600000000.0, 6) AS trend_per_hr
+      |FROM scan JOIN rec ON scan.key = rec.key AND scan.bi = rec.bi"""
+      .stripMargin
 
   /** Daily p50/p90/p99 from fixed-grid histogram sketches built hourly
     * and MERGED to daily by linearity ([0, 500) in 50 bins) — the
@@ -4083,17 +4238,75 @@ object GraftQueries {
       |FROM w""".stripMargin
 
   /** Banded DTW distance between every pair of event-type hourly series
-    * (Sakoe–Chiba band 16). Registered WITHOUT an oracle (rows-only
-    * driver check) BY DESIGN: the alignment DP is not expressible in
-    * SQL; correctness evidence is CorrelationSpec's exact-DP
-    * equivalence and metric sanity properties. The distance itself is
-    * integer-exact (long milli-unit L1 costs). */
+    * (Sakoe–Chiba band 16). The DP is integer-exact end to end (1e-3
+    * grid bin means, long L1 costs), so the oracle below replays it as
+    * a recursive CTE marching the anti-diagonal wavefront — cells on
+    * diagonal d depend only on diagonals d-1/d-2, so each iteration
+    * carries two diagonals and the in-row left-to-right dependency
+    * never blocks (the q130/q66 recursive-CTE pattern, round-4 verdict
+    * #6). */
   def qDtw(spark: SparkSession, dir: String): DataFrame =
     graft.events.Correlation.dtwPairs(
       spark.read.parquet(s"$dir/events.parquet")
         .select(col("event_type").as("key"), tsUs.as("t"),
           col("value").as("v")),
       binUs = HOUR, band = 16)
+
+  /** DuckDB replay of [[qDtw]]: exact integer DP over the banded cell
+    * set. `rec` seeds the virtual (0,0)=0 corner and each iteration
+    * (a) re-emits the newest diagonal once (so the NEXT diagonal can
+    * read it as its up/left predecessors and the one after as its
+    * diagonal predecessor) and (b) computes the next diagonal as
+    * cost + min over the up-to-three predecessor contributions. A pair
+    * whose (n_a, n_b) corner is unreachable inside the band keeps a
+    * null dtw via the final left join — the banded DP's documented
+    * narrow-band case. */
+  val sqlDtw: String =
+    """WITH RECURSIVE
+      |e AS (SELECT event_type AS key, epoch_us(ts) AS t, value AS v
+      |      FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+      |g AS (SELECT key, t // 3600000000 AS b,
+      |        CAST(floor((CAST(sum(CAST(floor(v * 1000 + 0.5) AS BIGINT))
+      |                         AS DOUBLE)
+      |                    / CAST(count(*) AS DOUBLE)) + 0.5) AS BIGINT) AS x
+      |      FROM e GROUP BY key, b),
+      |idx AS (SELECT key, x,
+      |          CAST(row_number() OVER (PARTITION BY key ORDER BY b)
+      |            AS BIGINT) AS i,
+      |          count(*) OVER (PARTITION BY key) AS n
+      |        FROM g),
+      |ks AS (SELECT DISTINCT key, n FROM idx),
+      |pairs AS (SELECT a.key AS ka, b.key AS kb, a.n AS n_a, b.n AS n_b
+      |          FROM ks a JOIN ks b ON a.key < b.key),
+      |cells AS (
+      |  SELECT p.ka, p.kb, xa.i AS i, xb.i AS j, abs(xa.x - xb.x) AS c
+      |  FROM pairs p
+      |  JOIN idx xa ON xa.key = p.ka
+      |  JOIN idx xb ON xb.key = p.kb
+      |  WHERE xb.i >= greatest(1, ((xa.i * p.n_b) // p.n_a) - 16)
+      |    AND xb.i <= least(p.n_b, ((xa.i * p.n_b) // p.n_a) + 16)),
+      |rec AS (
+      |  SELECT ka, kb, CAST(1 AS BIGINT) AS cd, CAST(0 AS BIGINT) AS i,
+      |         CAST(0 AS BIGINT) AS j, CAST(0 AS BIGINT) AS v
+      |  FROM pairs
+      |  UNION ALL
+      |  (SELECT r.ka, r.kb, r.cd + 1, r.i, r.j, r.v
+      |   FROM rec r WHERE r.i + r.j = r.cd
+      |   UNION ALL
+      |   SELECT c.ka, c.kb, r.cd + 1, c.i, c.j, c.c + min(r.v)
+      |   FROM rec r JOIN cells c ON c.ka = r.ka AND c.kb = r.kb
+      |     AND c.i + c.j = r.cd + 1
+      |     AND ((c.i = r.i + 1 AND c.j = r.j) OR (c.i = r.i AND c.j = r.j + 1)
+      |          OR (c.i = r.i + 1 AND c.j = r.j + 1))
+      |   GROUP BY c.ka, c.kb, r.cd, c.i, c.j, c.c)),
+      |fin AS (SELECT ka, kb, i, j, min(v) AS v FROM rec GROUP BY ka, kb, i, j)
+      |SELECT p.ka AS key_a, p.kb AS key_b, CAST(p.n_a AS INT) AS n_a,
+      |  CAST(p.n_b AS INT) AS n_b,
+      |  f.v / 1000.0 AS dtw,
+      |  f.v / 1000.0 / (p.n_a + p.n_b) AS dtw_per_step
+      |FROM pairs p LEFT JOIN fin f
+      |  ON f.ka = p.ka AND f.kb = p.kb AND f.i = p.n_a AND f.j = p.n_b"""
+      .stripMargin
 
   /** Hourly rate-burst report per event type: a bin bursts when its
     * count exceeds 2× its own trailing-24h per-hour average; the flag
@@ -7567,10 +7780,12 @@ object GraftQueries {
       |t2 AS (
       |  SELECT a.day,
       |    least(CASE WHEN a.n < 32 THEN 9223372036854775807 ELSE a.hk END,
-      |          CASE WHEN b.n < 32 THEN 9223372036854775807 ELSE b.hk END)
+      |          CASE WHEN b.n IS NULL OR b.n < 32
+      |               THEN 9223372036854775807 ELSE b.hk END)
       |      AS theta
-      |  FROM th a JOIN th b ON a.day = b.day
-      |    AND a.event_type = 'click' AND b.event_type = 'view'),
+      |  FROM (SELECT day, n, hk FROM th WHERE event_type = 'click') a
+      |  LEFT JOIN (SELECT day, n, hk FROM th WHERE event_type = 'view') b
+      |    ON a.day = b.day),
       |c AS (
       |  SELECT sa.day, count(*) AS no
       |  FROM s sa
@@ -7603,6 +7818,56 @@ object GraftQueries {
       |  round(CAST(df AS DOUBLE) / tf, 6) AS doc_rate,
       |  round(CAST(max_in_doc AS DOUBLE) / tf, 6) AS top_share
       |FROM t ORDER BY doc_rate ASC, term ASC LIMIT 20""".stripMargin
+
+  /** Streaming-face driver row (round-4 verdict #8): the HLL register
+    * tier computed BY THE STRUCTURED-STREAMING PATH — events read as a
+    * bounded file stream, [[graft.streaming.StreamingRollup
+    * .hllRegistersStream]] maintains the per-(key, hour, register) max-
+    * rho state, Trigger.AvailableNow drains it, and the materialized
+    * sink is returned as the query result. Registers are integer-exact
+    * (md5-derived hash, max is order-insensitive), so the DuckDB oracle
+    * recomputes the same rows from the BATCH definition — the driver
+    * hash now pins streaming ≡ batch ≡ oracle, where before only the
+    * spec asserted the first equivalence. Complete output mode is used
+    * so the final (still-open) hour emits too — append would hold it
+    * back behind the watermark forever on a bounded source. */
+  def qStreamHll(spark: SparkSession, dir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    // the file-stream source needs a DIRECTORY; glob-filter the sf dir
+    // down to the events table
+    val pts = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .select(col("event_type").as("key"),
+        col("ts").cast("timestamp").as("ts"), col("user_id"))
+    val regs = graft.streaming.StreamingRollup
+      .hllRegistersStream(pts, "user_id")
+    // fixed sink name, re-runnable within a session (Bench reps)
+    scala.util.Try(spark.catalog.dropTempView("q221_sink"))
+    val q = regs.writeStream.format("memory").queryName("q221_sink")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table("q221_sink")
+      .select(col("key").as("event_type"),
+        unix_micros(col("bin_start")).as("hour_start"),
+        col("idx"), col("rho"))
+  }
+
+  /** DuckDB replay of [[qStreamHll]] from the BATCH register
+    * definition (the q204 hash chain, hourly bins): what the stream
+    * materialized must equal what a batch scan computes. */
+  val sqlStreamHll: String =
+    """WITH h AS (
+      |  SELECT event_type,
+      |    (epoch_us(ts) // 3600000000) * 3600000000 AS hour_start,
+      |    ('0x' || substr(md5('hll' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+      |      AS h
+      |  FROM events WHERE user_id IS NOT NULL)
+      |SELECT event_type, hour_start, h >> 51 AS idx,
+      |  max(CASE WHEN (h & 2251799813685247) = 0 THEN 52
+      |       ELSE 52 - length(bin(h & 2251799813685247)) END) AS rho
+      |FROM h GROUP BY event_type, hour_start, h >> 51""".stripMargin
 
   // classic relational smoke (lineitem)
   def qLineitemAgg(spark: SparkSession, dir: String): DataFrame =

@@ -534,10 +534,18 @@ object Correlation {
     require(maxBins >= 1, s"maxBins $maxBins must be >= 1")
     val spark = df.sparkSession
     import spark.implicits._
+    // engine-exact bin means: values quantize to the 1e-3 grid per ROW
+    // (exact longs), and the bin mean is one deterministic double
+    // division of exact integers — avg(double) would reassociate the
+    // float sum differently per engine/partitioning and break the
+    // DuckDB hash replay (round-4 verdict #6)
     val g = df.filter(col(V).isNotNull && col(K).isNotNull)
       .groupBy(col(K).cast("string").as(K),
         floor(col(T) / binUs).cast("long").as("_b"))
-      .agg(floor(avg(col(V)) * 1000 + 0.5).cast("long").as("_x"))
+      .agg(sum(floor(col(V) * 1000 + 0.5)).as("_sx"), count(lit(1)).as("_nx"))
+      .select(col(K), col("_b"),
+        floor(col("_sx").cast("double") / col("_nx").cast("double") + 0.5)
+          .cast("long").as("_x"))
     val seqs = g
       .groupBy(col(K))
       .agg(transform(array_sort(collect_list(struct(col("_b"), col("_x")))),

@@ -1723,7 +1723,13 @@ object EventOps {
     * window and no per-key state beyond the grid row. */
   def jsonAttrProfile(df: DataFrame, propsCol: String = "props",
       path: String = "$.k"): DataFrame = {
-    val v = get_json_object(col(propsCol), path).cast("long")
+    // gate the cast behind the SAME integer regex the oracle uses —
+    // Spark's non-ANSI string→long accepts forms the oracle's
+    // '^-?[0-9]+$' rejects ('+5', ' 3'), a latent engine/oracle
+    // divergence for payloads outside the generated data (round-4
+    // ADVICE); one parsing contract shared by both sides
+    val raw = get_json_object(col(propsCol), path)
+    val v = when(raw.rlike("^-?[0-9]+$"), raw.cast("long"))
     val cells = df.select(col(K), v.as("_v"))
     val missing = cells.filter(col("_v").isNull)
       .groupBy(col(K)).agg(count(lit(1)).as("_nm"))

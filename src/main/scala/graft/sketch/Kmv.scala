@@ -93,7 +93,13 @@ object Kmv {
     *
     * Scale: identical shape to [[intersectEstimate]] — one group-keyed
     * join of k-element arrays, one codegen'd `array_except` + `filter`
-    * per row, no explode. Output (groupCols*, n_only, est_only). */
+    * per row, no explode. Output (groupCols*, n_only, est_only).
+    *
+    * A group present only in A still emits (LEFT join): a missing B
+    * sketch is the empty set, so θ = θ_A and every sampled A hash
+    * counts — |A \ ∅| = |A|, the strongest-signal case, which an inner
+    * join would silently drop (round-4 ADVICE). A group present only
+    * in B has |A \ B| = 0 and correctly emits nothing. */
   def differenceEstimate(a: DataFrame, b: DataFrame, groupCols: Seq[String],
       k: Int): DataFrame = {
     val inf = Long.MaxValue
@@ -102,7 +108,9 @@ object Kmv {
     val br = b.select(groupCols.map(n => col(n).as(s"_b_$n")) :+
       col("kmv").as("_bkmv"): _*)
     val joinCond = groupCols.map(n => col(n) <=> col(s"_b_$n")).reduce(_ && _)
-    val paired = a.join(br, joinCond)
+    val paired = a.join(br, joinCond, "left")
+      .withColumn("_bkmv",
+        coalesce(col("_bkmv"), array().cast("array<bigint>")))
       .select(groupCols.map(col) :+
         least(theta(col("kmv")), theta(col("_bkmv"))).as("_theta") :+
         col("kmv") :+ col("_bkmv"): _*)

@@ -540,6 +540,56 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(out(3) == out(2).copy(_2 = 8.0))
   }
 
+  test("ewmaGrid/holtGrid: track the float scans and are partition-deterministic") {
+    val rnd = new scala.util.Random(20260820)
+    val keys = Seq("a", "b", "c")
+    val pts = keys.map { k =>
+      var t = 0L
+      k -> (1 to 250).map { _ =>
+        t += 1 + rnd.nextInt(500); (t, rnd.nextGaussian() * 3 + 10)
+      }
+    }.toMap
+    val s = spark
+    import s.implicits._
+    val df = pts.toSeq.flatMap { case (k, ps) =>
+      ps.map { case (t, x) => (k, t, x) }
+    }.toDF("key", "t", "v")
+    // grid quantization is O(2^-20) per step: the engine-exact variants
+    // must track the float scans to well under the 6-dp output round
+    val eF = graft.regularize.Regularize.ewma(df, 700.0, 2000L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)) -> r.getDouble(3)).toMap
+    val eG = graft.regularize.Regularize.ewmaGrid(df, 700.0, 2000L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)) -> r.getDouble(3)).toMap
+    assert(eG.keySet == eF.keySet)
+    eG.foreach { case (k, y) =>
+      assert(math.abs(y - eF(k)) <= 1e-4 * math.max(1.0, math.abs(eF(k))), s"ewmaGrid $k: $y vs ${eF(k)}")
+    }
+    val hF = graft.regularize.Regularize.holt(df, 700.0, 2100.0, 1500L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)) -> ((r.getDouble(3), r.getDouble(4)))).toMap
+    val hG = graft.regularize.Regularize.holtGrid(df, 700.0, 2100.0, 1500L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)) -> ((r.getDouble(3), r.getDouble(4)))).toMap
+    assert(hG.keySet == hF.keySet)
+    hG.foreach { case (k, (l, b)) =>
+      val (rl, rb) = hF(k)
+      assert(math.abs(l - rl) <= 1e-4 * math.max(1.0, math.abs(rl)), s"holtGrid level $k")
+      assert(math.abs(b - rb) <= 1e-4 * math.max(1.0, math.abs(rb)), s"holtGrid trend $k")
+    }
+    // the engine-exactness claim WITHIN Spark: different physical
+    // partitionings must produce bit-identical doubles (the quantized
+    // formulas leave no order-dependent float op outside a defined order)
+    def bitsE(d: org.apache.spark.sql.DataFrame) =
+      graft.regularize.Regularize.ewmaGrid(d, 700.0, 2000L).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+          java.lang.Double.doubleToLongBits(r.getDouble(3)))).toSet
+    assert(bitsE(df.repartition(7)) == bitsE(df.repartition(3)))
+    def bitsH(d: org.apache.spark.sql.DataFrame) =
+      graft.regularize.Regularize.holtGrid(d, 700.0, 2100.0, 1500L).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+          java.lang.Double.doubleToLongBits(r.getDouble(3)),
+          java.lang.Double.doubleToLongBits(r.getDouble(4)))).toSet
+    assert(bitsH(df.repartition(7)) == bitsH(df.repartition(3)))
+  }
+
   test("intervalUnion: plain == bucketed at three widths") {
     val rnd = new scala.util.Random(613)
     val rows = (1 to 400).map { _ =>

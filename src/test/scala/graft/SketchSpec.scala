@@ -212,6 +212,13 @@ class SketchSpec extends SparkSpec {
     val est = d.getDouble(3) + i.getDouble(3)
     assert(math.abs(est - 400) / 400 < 0.5, s"|A| estimate $est")
     assert(math.abs(d.getDouble(3) - 150) / 150 < 0.8, s"diff est ${d.getDouble(3)}")
+    // a group present ONLY in A must still emit (|A \ ∅| = |A|): the
+    // round-4 ADVICE case the former inner join silently dropped
+    val a2 = a.unionByName(
+      (0 until 7).map(i => ("only", 0L, s"o$i")).toDF("k", "day", "u"))
+    val only = Kmv.differenceEstimate(sk(a2), sk(b), Seq("k", "day"), 64)
+      .filter(col("k") === "only").head()
+    assert(only.getLong(2) == 7L && only.getDouble(3) == 7.0)
   }
 
   // ---- HLL ----
