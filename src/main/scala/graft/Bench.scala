@@ -126,7 +126,11 @@ object Bench {
     // term dispersion / boilerplate screen (q220)
     "q220_term_dispersion",
     // streaming HLL register face (q221)
-    "q221_stream_hll")
+    "q221_stream_hll",
+    // winnowing fingerprints + MOSS near-dup (q222-q223)
+    "q222_winnow_fp", "q223_winnow_neardup",
+    // RDP error-bounded simplification (q224)
+    "q224_rdp_simplify", "q225_sax_discord")
 
   def session(cpus: String): SparkSession = {
     // 4 waves of tasks per core: on a shared VM with CPU steal, a stage is

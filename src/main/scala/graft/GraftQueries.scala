@@ -4094,6 +4094,50 @@ object GraftQueries {
       |  count(*) FILTER (WHERE sym <> '_') AS n_segs
       |FROM x GROUP BY 1, 2""".stripMargin
 
+  /** SAX discord per user: the calendar day whose SAX word is rarest
+    * for that user (HOT-SAX report shape) — q121's symbolization put to
+    * its anomaly-flagging use; exact integer counts, earliest-day
+    * tie-break. */
+  def qSaxDiscord(spark: SparkSession, dir: String): DataFrame =
+    Rollup.saxDiscord(
+      spark.read.parquet(s"$dir/events.parquet")
+        .select(col("user_id").as("key"), tsUs.as("t"), col("value").as("v")),
+      wordUs = DAY, segUs = 3 * HOUR, alphabet = 4, lo = 0.0, hi = 500.0)
+      .select(col("key").as("user_id"), col("discord_start"), col("word"),
+        col("n_occ"), col("n_words"))
+
+  val sqlSaxDiscord: String =
+    """WITH e AS (SELECT user_id, epoch_us(ts) AS t, value AS v
+      |           FROM events WHERE value IS NOT NULL),
+      |p AS (SELECT user_id,
+      |        CAST(t // 86400000000 * 86400000000 AS BIGINT) AS word_start,
+      |        CAST((t // 10800000000) % 8 AS INT) AS seg,
+      |        floor(avg(v) * 1000000.0 + 0.5) / 1000000.0 AS paa
+      |      FROM e GROUP BY 1, 2, 3),
+      |s AS (SELECT user_id, word_start, seg,
+      |        chr(97 + CAST(least(3, greatest(0, floor(paa / 125.0))) AS INT))
+      |          AS sym
+      |      FROM p),
+      |g AS (SELECT DISTINCT user_id, word_start FROM s),
+      |x AS (SELECT g.user_id, g.word_start, i.seg,
+      |        coalesce(s.sym, '_') AS sym
+      |      FROM g CROSS JOIN
+      |        (SELECT unnest([0, 1, 2, 3, 4, 5, 6, 7]) AS seg) i
+      |      LEFT JOIN s ON s.user_id IS NOT DISTINCT FROM g.user_id
+      |        AND s.word_start = g.word_start AND s.seg = i.seg),
+      |w AS (SELECT user_id, word_start,
+      |        string_agg(sym, '' ORDER BY seg) AS word
+      |      FROM x GROUP BY 1, 2),
+      |c AS (SELECT user_id, word, count(*) AS n_occ FROM w GROUP BY 1, 2),
+      |j AS (SELECT w.user_id, w.word_start, w.word, c.n_occ
+      |      FROM w JOIN c USING (user_id, word))
+      |SELECT user_id, word_start AS discord_start, word, n_occ, n_words
+      |FROM (SELECT j.*,
+      |        row_number() OVER (PARTITION BY user_id
+      |          ORDER BY n_occ, word_start) AS rn,
+      |        count(*) OVER (PARTITION BY user_id) AS n_words
+      |      FROM j) WHERE rn = 1""".stripMargin
+
   /** Top-3 largest inter-event gaps per user — the backfill-targeting
     * report; exact long arithmetic end to end. */
   def qTopGaps(spark: SparkSession, dir: String): DataFrame =
@@ -7868,6 +7912,122 @@ object GraftQueries {
       |  max(CASE WHEN (h & 2251799813685247) = 0 THEN 52
       |       ELSE 52 - length(bin(h & 2251799813685247)) END) AS rho
       |FROM h GROUP BY event_type, hour_start, h >> 51""".stripMargin
+
+  /** Winnowing fingerprints over the documents table (MOSS, k=8 grams,
+    * w=16 windows): one row per selected (position, 40-bit md5 hash) —
+    * the deterministic any-match-≥-w+k−1-chars dedup modality beside
+    * MinHash/SimHash. All integer md5-grid arithmetic, hash-exact. */
+  def qWinnowFp(spark: SparkSession, dir: String): DataFrame =
+    graft.dedup.Winnow.fingerprints(docs(spark, dir))
+
+  val sqlWinnowFp: String =
+    """WITH d AS (SELECT doc_id, text, length(text) - 7 AS n
+      |           FROM documents WHERE text IS NOT NULL AND length(text) >= 8),
+      |g AS (SELECT d.doc_id, d.n, i.i,
+      |        ('0x' || substr(md5(substr(d.text, CAST(i.i AS INT), 8)), 1, 10))
+      |          ::BIGINT * 1048576 + i.i AS p
+      |      FROM d, unnest(generate_series(1, d.n)) AS i(i)),
+      |w AS (SELECT doc_id, n, i,
+      |        min(p) OVER (PARTITION BY doc_id ORDER BY i
+      |          ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS sel
+      |      FROM g),
+      |s AS (SELECT DISTINCT doc_id, sel FROM w
+      |      WHERE i <= greatest(n - 15, 1))
+      |SELECT doc_id, sel % 1048576 AS fp_pos, sel // 1048576 AS fp_hash
+      |FROM s""".stripMargin
+
+  /** MOSS near-duplicate pairs from shared winnowed fingerprints
+    * (≥ 2 shared hashes, boilerplate hashes with df > 50 dropped before
+    * the pair join). */
+  def qWinnowNearDup(spark: SparkSession, dir: String): DataFrame =
+    graft.dedup.Winnow.nearDupPairs(docs(spark, dir))
+
+  val sqlWinnowNearDup: String =
+    """WITH d AS (SELECT doc_id, text, length(text) - 7 AS n
+      |           FROM documents WHERE text IS NOT NULL AND length(text) >= 8),
+      |g AS (SELECT d.doc_id, d.n, i.i,
+      |        ('0x' || substr(md5(substr(d.text, CAST(i.i AS INT), 8)), 1, 10))
+      |          ::BIGINT * 1048576 + i.i AS p
+      |      FROM d, unnest(generate_series(1, d.n)) AS i(i)),
+      |w AS (SELECT doc_id, n, i,
+      |        min(p) OVER (PARTITION BY doc_id ORDER BY i
+      |          ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS sel
+      |      FROM g),
+      |f AS (SELECT DISTINCT doc_id, sel // 1048576 AS h FROM w
+      |      WHERE i <= greatest(n - 15, 1)),
+      |sz AS (SELECT doc_id, count(*) AS s FROM f GROUP BY 1),
+      |k AS (SELECT f.doc_id, f.h FROM f
+      |      JOIN (SELECT h FROM f GROUP BY h HAVING count(*) <= 50)
+      |        USING (h)),
+      |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+      |      FROM k a JOIN k b ON a.h = b.h AND a.doc_id < b.doc_id
+      |      GROUP BY 1, 2 HAVING count(*) >= 2)
+      |SELECT p.doc_a, p.doc_b, p.n_shared, sa.s AS n_a, sb.s AS n_b,
+      |  round(CAST(p.n_shared AS DOUBLE) / (sa.s + sb.s - p.n_shared), 6)
+      |    AS jaccard
+      |FROM p JOIN sz sa ON sa.doc_id = p.doc_a
+      |  JOIN sz sb ON sb.doc_id = p.doc_b""".stripMargin
+
+  /** RDP polyline simplification of the event-type hourly series
+    * (ε = 0.1 value units): the error-BOUNDED downsampler beside M4's
+    * extrema (q99) and LTTB's area heuristic (q120) — every dropped
+    * point provably sits within ε of the kept polyline. Exact integer
+    * split rule ([[graft.rollup.Rollup.rdp]]); the oracle replays the
+    * segment frontier as a recursive CTE with the argmax packed into
+    * one HUGEINT (c²·2²⁰ − i ⇔ max c², tie → smallest i). */
+  def qRdpSimplify(spark: SparkSession, dir: String): DataFrame =
+    graft.rollup.Rollup.rdp(
+      spark.read.parquet(s"$dir/events.parquet")
+        .select(col("event_type").as("key"), tsUs.as("t"),
+          col("value").as("v")),
+      binUs = HOUR, epsMilli = 100)
+
+  val sqlRdpSimplify: String =
+    """WITH RECURSIVE
+      |e AS (SELECT event_type AS key, epoch_us(ts) AS t, value AS v
+      |      FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+      |gq AS (SELECT key, t // 3600000000 AS b,
+      |        CAST(floor((CAST(sum(CAST(floor(v * 1000 + 0.5) AS BIGINT))
+      |                         AS DOUBLE)
+      |                    / CAST(count(*) AS DOUBLE)) + 0.5) AS BIGINT) AS x
+      |      FROM e GROUP BY key, b),
+      |pts AS (SELECT key, b, x,
+      |         CAST(row_number() OVER (PARTITION BY key ORDER BY b)
+      |           AS BIGINT) AS i,
+      |         count(*) OVER (PARTITION BY key) AS n
+      |       FROM gq),
+      |root AS (SELECT DISTINCT key, CAST(1 AS BIGINT) AS lo, n AS hi
+      |         FROM pts),
+      |rec AS (
+      |  SELECT * FROM root
+      |  UNION ALL
+      |  SELECT qq.key,
+      |    CASE u.s WHEN 0 THEN qq.lo ELSE qq.m END AS lo,
+      |    CASE u.s WHEN 0 THEN qq.m ELSE qq.hi END AS hi
+      |  FROM (
+      |    SELECT key, lo, hi,
+      |      ((mp + 1048575) // 1048576) * 1048576 - mp AS m
+      |    FROM (
+      |      SELECT r.key, r.lo, r.hi,
+      |        max((CAST(r.hi - r.lo AS HUGEINT) * (p.x - xl.x)
+      |             - CAST(xh.x - xl.x AS HUGEINT) * (p.i - r.lo))
+      |            * (CAST(r.hi - r.lo AS HUGEINT) * (p.x - xl.x)
+      |               - CAST(xh.x - xl.x AS HUGEINT) * (p.i - r.lo))
+      |            * 1048576 - p.i) AS mp,
+      |        max(CAST(r.hi - r.lo AS HUGEINT) * (r.hi - r.lo)
+      |            + CAST(xh.x - xl.x AS HUGEINT) * (xh.x - xl.x)) AS seg2
+      |      FROM rec r
+      |      JOIN pts xl ON xl.key = r.key AND xl.i = r.lo
+      |      JOIN pts xh ON xh.key = r.key AND xh.i = r.hi
+      |      JOIN pts p ON p.key = r.key AND p.i > r.lo AND p.i < r.hi
+      |      GROUP BY r.key, r.lo, r.hi)
+      |    WHERE (mp + 1048575) // 1048576 > 10000 * seg2) qq,
+      |    (SELECT unnest([0, 1]) AS s) u),
+      |kept AS (SELECT key, lo AS i FROM rec
+      |         UNION SELECT key, hi FROM rec)
+      |SELECT DISTINCT p.key, CAST(p.i AS INT) AS i, p.b * 3600000000 AS bin_start,
+      |  p.x / 1000.0 AS v
+      |FROM kept k JOIN pts p ON p.key = k.key AND p.i = k.i""".stripMargin
 
   // classic relational smoke (lineitem)
   def qLineitemAgg(spark: SparkSession, dir: String): DataFrame =

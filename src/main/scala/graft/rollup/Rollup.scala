@@ -469,4 +469,113 @@ object Rollup {
           i => coalesce(element_at(col("_m"), i), lit("_"))), "").as("word"),
         col("n_segs"))
   }
+
+  /** SAX discord per key (HOT-SAX's report shape, Keogh et al. 2005 —
+    * public knowledge): the calendar word whose SAX symbol string is
+    * RAREST within its key — the word-level anomaly/discord flag that
+    * [[saxWords]]'s symbolization exists to enable. Ties break on
+    * earliest word_start. All counting is exact integers over the
+    * already-engine-exact word table, so the oracle extends the q121
+    * SQL chain verbatim. Output (key, discord_start, word, n_occ,
+    * n_words).
+    *
+    * Scale: one (key, word) count + one per-key argmin aggregate over
+    * the word table (|keys|·|words| rows — already the downsampled
+    * tier, never raw points). */
+  def saxDiscord(df: DataFrame, wordUs: Long, segUs: Long, alphabet: Int,
+      lo: Double, hi: Double): DataFrame = {
+    val words = saxWords(df, wordUs, segUs, alphabet, lo, hi)
+    val counts = words.groupBy(col(K), col("word"))
+      .agg(count(lit(1)).as("n_occ"))
+    words.join(counts, Seq(K, "word"))
+      .groupBy(col(K))
+      .agg(
+        min(struct(col("n_occ"), col("word_start"), col("word"))).as("_d"),
+        count(lit(1)).as("n_words"))
+      .select(col(K), col("_d.word_start").as("discord_start"),
+        col("_d.word").as("word"), col("_d.n_occ").as("n_occ"),
+        col("n_words"))
+  }
+
+  /** Sequential RDP core over an integer-milli value sequence indexed
+    * 1..n (bin index is the abscissa): returns the kept 1-based
+    * indices. Split point = the interior point maximizing the SQUARED
+    * cross product |seg × point| (ties → smallest index); a segment
+    * splits when cross² > eps²·|seg|² — the perpendicular-distance
+    * test with no division or sqrt, in exact BigInt arithmetic, so any
+    * engine replays the selection bit-for-bit. */
+  private[graft] def rdpKeep(xs: Array[Long], epsMilli: Long): Seq[Int] = {
+    val n = xs.length
+    if (n == 0) return Nil
+    val keep = collection.mutable.SortedSet(1, n)
+    val stack = collection.mutable.Stack((1, n))
+    val eps2 = BigInt(epsMilli) * BigInt(epsMilli)
+    while (stack.nonEmpty) {
+      val (lo, hi) = stack.pop()
+      if (hi - lo >= 2) {
+        val di = BigInt(hi - lo)
+        val dx = BigInt(xs(hi - 1) - xs(lo - 1))
+        var bestI = -1
+        var bestC2 = BigInt(-1)
+        var i = lo + 1
+        while (i < hi) {
+          val cross = di * BigInt(xs(i - 1) - xs(lo - 1)) -
+            dx * BigInt(i - lo)
+          val c2 = cross * cross
+          if (c2 > bestC2) { bestC2 = c2; bestI = i }
+          i += 1
+        }
+        if (bestI >= 0 && bestC2 > eps2 * (di * di + dx * dx)) {
+          keep += bestI
+          stack.push((lo, bestI)); stack.push((bestI, hi))
+        }
+      }
+    }
+    keep.toSeq
+  }
+
+  /** Ramer–Douglas–Peucker polyline simplification per key over the
+    * `binUs` mean-value grid (Ramer 1972 / Douglas & Peucker 1973 —
+    * public knowledge): the error-bounded downsampler beside [[m4]]'s
+    * extrema and [[lttb]]'s area heuristic — RDP GUARANTEES every
+    * dropped point sits within `epsMilli`/1000 of the kept polyline.
+    * Bin means are engine-exact (per-row 1e-3 quantization, one
+    * deterministic integer-mean division — the dtwPairs convention);
+    * the split rule is exact integer arithmetic ([[rdpKeep]]), so a
+    * DuckDB recursive CTE over the segment frontier replays the kept
+    * set hash-exactly.
+    *
+    * Scale shape: per-key-sequential / across-keys-parallel, same as
+    * [[graft.events.Correlation.dtwPairs]] — the binned series is
+    * bounded by `maxBins` (loud failure, never silent truncation), raw
+    * point volume never enters the DP. Output
+    * (key, i, bin_start, v) — the kept points in bin order. */
+  def rdp(df: DataFrame, binUs: Long, epsMilli: Long,
+      maxBins: Int = 65536): DataFrame = {
+    require(binUs > 0, s"bin width $binUs must be positive")
+    require(epsMilli >= 0, s"epsMilli $epsMilli must be >= 0")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val g = df.filter(col(V).isNotNull && col(K).isNotNull)
+      .groupBy(col(K).cast("string").as(K),
+        floor(col(T) / binUs).cast("long").as("_b"))
+      .agg(sum(floor(col(V) * 1000 + 0.5)).as("_sx"), count(lit(1)).as("_nx"))
+      .select(col(K), col("_b"),
+        floor(col("_sx").cast("double") / col("_nx").cast("double") + 0.5)
+          .cast("long").as("_x"))
+    val seqs = g.groupBy(col(K))
+      .agg(array_sort(collect_list(struct(col("_b"), col("_x")))).as("_s"))
+      .withColumn("_s",
+        when(size(col("_s")) <= maxBins, col("_s"))
+          .otherwise(raise_error(concat(
+            lit(s"rdp: binned series longer than maxBins=$maxBins for key "),
+            col(K), lit("; widen binUs or raise maxBins")))))
+      .as[(String, Seq[(Long, Long)])]
+    seqs.flatMap { case (k, bx) =>
+      val xs = bx.map(_._2).toArray
+      rdpKeep(xs, epsMilli).map { i =>
+        (k, i, bx(i - 1)._1 * binUs, xs(i - 1) / 1000.0)
+      }
+    }.toDF(K, "i", "bin_start", "v")
+  }
 }

@@ -590,6 +590,44 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(bitsH(df.repartition(7)) == bitsH(df.repartition(3)))
   }
 
+  test("rdp: error bound holds, straight lines collapse, spikes survive") {
+    val s = spark
+    import s.implicits._
+    // exact straight line -> only the endpoints survive any eps > 0
+    val line = (1 to 50).map(i => ("k", i.toLong * 10, i.toDouble))
+      .toDF("key", "t", "v")
+    val flat = Rollup.rdp(line, binUs = 10L, epsMilli = 1)
+      .collect().map(_.getInt(1)).sorted
+    assert(flat.toSeq == Seq(1, 50))
+    // a single spike must be kept at any eps below its height
+    val spike = (1 to 50).map(i =>
+      ("k", i.toLong * 10, if (i == 17) 9.0 else 1.0)).toDF("key", "t", "v")
+    val kept = Rollup.rdp(spike, 10L, epsMilli = 500)
+      .collect().map(_.getInt(1)).toSet
+    assert(kept.contains(17))
+    // error-bound property on random data: every dropped point is within
+    // eps of the kept polyline (the RDP guarantee, checked in exact
+    // rational arithmetic: |cross| <= eps * |segment| per covering seg)
+    val rnd = new scala.util.Random(42)
+    val xs = (1 to 200).map(_ => rnd.nextInt(2000).toLong)
+    val df = xs.zipWithIndex.map { case (x, i) =>
+      ("k", (i + 1).toLong * 10, x / 1000.0)
+    }.toDF("key", "t", "v")
+    val epsM = 300L
+    val keptIdx = Rollup.rdp(df, 10L, epsM).collect().map(_.getInt(1)).sorted
+    keptIdx.sliding(2).foreach { case Array(a, b) =>
+      val (xa, xb) = (xs(a - 1), xs(b - 1))
+      val (di, dx) = (BigInt(b - a), BigInt(xb - xa))
+      val seg2 = di * di + dx * dx
+      ((a + 1) until b).foreach { i =>
+        val cross = di * BigInt(xs(i - 1) - xa) - dx * BigInt(i - a)
+        assert(cross * cross <= BigInt(epsM) * BigInt(epsM) * seg2,
+          s"dropped point $i violates the eps bound on segment ($a, $b)")
+      }
+    case _ => ()
+    }
+  }
+
   test("intervalUnion: plain == bucketed at three widths") {
     val rnd = new scala.util.Random(613)
     val rows = (1 to 400).map { _ =>
