@@ -130,7 +130,7 @@ object Bench {
     // winnowing fingerprints + MOSS near-dup (q222-q223)
     "q222_winnow_fp", "q223_winnow_neardup",
     // RDP error-bounded simplification (q224)
-    "q224_rdp_simplify", "q225_sax_discord")
+    "q224_rdp_simplify", "q225_sax_discord", "q226_seasonal_mk", "q227_siegel_slope", "q228_tfidf_cosine")
 
   def session(cpus: String): SparkSession = {
     // 4 waves of tasks per core: on a shared VM with CPU steal, a stage is

@@ -3070,6 +3070,45 @@ object GraftQueries {
       |SELECT doc_id, term, term_rank, score FROM ranked
       |WHERE term_rank <= 5""".stripMargin
 
+  /** Top-3 TF-IDF cosine neighbours per document (df-capped term join,
+    * exact ln-grid integer weights): the weighted near-dup modality
+    * beside winnowing (q223) and MinHash (q25). */
+  def qTfidfCosine(spark: SparkSession, dir: String): DataFrame =
+    graft.text.TextOps.tfidfCosinePairs(docs(spark, dir))
+
+  val sqlTfidfCosine: String =
+    """WITH tf AS (
+      |  SELECT doc_id, s AS term, count(*) AS tf
+      |  FROM (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS s
+      |        FROM documents)
+      |  GROUP BY 1, 2),
+      |dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      |n AS (SELECT count(*) AS n FROM documents),
+      |w AS (SELECT tf.doc_id, tf.term,
+      |        tf.tf * (CAST(floor(ln((1 + n.n) * 1.0 / (1 + dft.df))
+      |                            * 1048576 + 0.5) AS BIGINT) + 1048576)
+      |          AS w
+      |      FROM tf JOIN dft USING (term) CROSS JOIN n
+      |      WHERE dft.df <= 50),
+      |nrm AS (SELECT doc_id, sum(CAST(w AS HUGEINT) * w) AS n2
+      |        FROM w GROUP BY 1),
+      |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |         sum(CAST(a.w AS HUGEINT) * b.w) AS dot,
+      |         count(*) AS n_shared
+      |       FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+      |       GROUP BY 1, 2 HAVING count(*) >= 3),
+      |c AS (SELECT pr.doc_a, pr.doc_b, pr.n_shared,
+      |        round(CAST(pr.dot AS DOUBLE)
+      |              / (sqrt(CAST(na.n2 AS DOUBLE))
+      |                 * sqrt(CAST(nb.n2 AS DOUBLE))), 6) AS cos_sim
+      |      FROM pr JOIN nrm na ON na.doc_id = pr.doc_a
+      |        JOIN nrm nb ON nb.doc_id = pr.doc_b)
+      |SELECT doc_a, doc_b, n_shared, cos_sim, sim_rank FROM (
+      |  SELECT c.*, CAST(row_number() OVER (PARTITION BY doc_a
+      |    ORDER BY cos_sim DESC, doc_b ASC) AS INT) AS sim_rank
+      |  FROM c)
+      |WHERE sim_rank <= 3""".stripMargin
+
   /** Benchmark decontamination via the Bloom-prefiltered path (exact
     * result — the filter only prunes the shuffle; the inner verification
     * join removes its false positives). Different corpus/benchmark split
@@ -5878,6 +5917,89 @@ object GraftQueries {
       |       WHEN z < -1.96 THEN 'decreasing'
       |       ELSE 'no_trend' END AS trend
       |FROM z""".stripMargin
+
+  /** Seasonal Mann–Kendall (Hirsch–Slack) per event type: q173's trend
+    * screen deseasonalized by hour-of-day — only same-season bin pairs
+    * compare, S and Var sum across the 24 seasons; exact integers end
+    * to end. */
+  def qSeasonalMk(spark: SparkSession, dir: String): DataFrame =
+    graft.events.Correlation.seasonalMannKendall(points(spark, dir))
+
+  val sqlSeasonalMk: String =
+    """WITH pts AS (
+      |  SELECT event_type AS key, epoch_us(ts) AS t, max(value) AS v
+      |  FROM events GROUP BY 1, 2),
+      |bm AS (SELECT key, t // 3600000000 AS b,
+      |         (t // 3600000000) % 24 AS h,
+      |         sum(CAST(floor(v * 1000 + 0.5) AS BIGINT)) // count(*)
+      |           AS x
+      |       FROM pts GROUP BY 1, 2, 3),
+      |st AS (SELECT a.key,
+      |         CAST(sum(CAST(sign(bb.x - a.x) AS BIGINT)) AS BIGINT) AS s
+      |       FROM bm a JOIN bm bb ON a.key = bb.key AND a.h = bb.h
+      |         AND a.b < bb.b
+      |       GROUP BY 1),
+      |ns AS (SELECT key, h, count(*) AS n FROM bm GROUP BY 1, 2),
+      |ts_ AS (SELECT key, h, sum(t * (t - 1) * (2 * t + 5)) AS tc
+      |        FROM (SELECT key, h, x, count(*) AS t FROM bm GROUP BY 1, 2, 3)
+      |        GROUP BY 1, 2),
+      |vt AS (SELECT ns.key, CAST(sum(ns.n) AS BIGINT) AS n_bins,
+      |         count(*) AS n_seasons,
+      |         CAST(sum(ns.n * (ns.n - 1) * (2 * ns.n + 5)
+      |                  - coalesce(ts_.tc, 0)) AS BIGINT) AS vnum
+      |       FROM ns LEFT JOIN ts_ ON ns.key = ts_.key AND ns.h = ts_.h
+      |       GROUP BY 1),
+      |z AS (SELECT st.key, vt.n_bins, vt.n_seasons, st.s,
+      |        CASE WHEN vt.n_bins >= 24 AND vt.vnum > 0 THEN
+      |          round(CASE WHEN st.s > 0
+      |                  THEN CAST(st.s - 1 AS DOUBLE)
+      |                       / sqrt(CAST(vt.vnum AS DOUBLE) / 18.0)
+      |                WHEN st.s < 0
+      |                  THEN CAST(st.s + 1 AS DOUBLE)
+      |                       / sqrt(CAST(vt.vnum AS DOUBLE) / 18.0)
+      |                ELSE 0.0 END, 6)
+      |        END AS z
+      |      FROM st JOIN vt ON st.key = vt.key)
+      |SELECT key, n_bins, n_seasons, s, z,
+      |  CASE WHEN z IS NULL THEN NULL
+      |       WHEN z > 1.96 THEN 'increasing'
+      |       WHEN z < -1.96 THEN 'decreasing'
+      |       ELSE 'no_trend' END AS trend
+      |FROM z""".stripMargin
+
+  /** Siegel repeated-median slope per event type: the 50%-breakdown
+    * robust trend beside q119's Theil–Sen — double-median of pairwise
+    * slopes on the 1e-6/hour grid, lower-median rank selection, exact
+    * end to end. */
+  def qSiegelSlope(spark: SparkSession, dir: String): DataFrame =
+    graft.events.Correlation.siegelSlope(points(spark, dir))
+
+  val sqlSiegelSlope: String =
+    """WITH pts AS (
+      |  SELECT event_type AS key, epoch_us(ts) AS t, max(value) AS v
+      |  FROM events GROUP BY 1, 2),
+      |bm AS (SELECT key, t // 3600000000 AS b,
+      |         sum(CAST(floor(v * 1000 + 0.5) AS BIGINT)) // count(*)
+      |           AS x
+      |       FROM pts GROUP BY 1, 2),
+      |pr AS (SELECT a.key, a.b,
+      |         CAST(floor(CAST((bb.x - a.x) * 1000 AS DOUBLE)
+      |                    / CAST(bb.b - a.b AS DOUBLE)) AS BIGINT) AS s
+      |       FROM bm a JOIN bm bb ON a.key = bb.key AND a.b <> bb.b),
+      |im AS (SELECT key, b, s AS med FROM (
+      |         SELECT key, b, s,
+      |           row_number() OVER (PARTITION BY key, b ORDER BY s) AS rn,
+      |           count(*) OVER (PARTITION BY key, b) AS cnt
+      |         FROM pr)
+      |       WHERE rn = (cnt + 1) // 2)
+      |SELECT key, CAST(cnt AS BIGINT) AS n_bins,
+      |  round(med / 1000000.0, 6) AS slope_per_hr
+      |FROM (
+      |  SELECT key, med,
+      |    row_number() OVER (PARTITION BY key ORDER BY med, b) AS rn,
+      |    count(*) OVER (PARTITION BY key) AS cnt
+      |  FROM im)
+      |WHERE rn = (cnt + 1) // 2 AND cnt >= 8""".stripMargin
 
   /** Permutation entropy (order-3 Bandt–Pompe) per event type over the
     * hourly bin-mean sequence: fixed-order six-term entropy on exact

@@ -755,6 +755,118 @@ object Correlation {
           .otherwise(lit("no_trend")).as("trend"))
   }
 
+  /** Seasonal Mann–Kendall (Hirsch, Slack & Smith 1982 — the standard
+    * deseasonalized trend screen; public knowledge): [[mannKendall]]
+    * computed WITHIN each calendar season (bin index mod `seasons`,
+    * e.g. hour-of-day on hourly bins) and summed — S' = Σ_h S_h,
+    * Var' = Σ_h Var_h — so a diurnal cycle no longer masquerades as
+    * (or masks) a monotone trend: only same-season pairs compare.
+    * Same exact-integer contract as q173: integer-floor bin means,
+    * long S and variance numerators, tie tables per season, one final
+    * IEEE √/division with the continuity correction. Output (key,
+    * n_bins, n_seasons, s, z, trend).
+    *
+    * Scale: the pairwise join is BIN×BIN per (key, season) — 1/seasons
+    * the size of plain MK's, with the same grid bound. */
+  def seasonalMannKendall(
+      df: DataFrame,
+      binUs: Long = 3600000000L,
+      seasons: Int = 24,
+      minBins: Int = 24): DataFrame = {
+    require(binUs > 0, s"bin width $binUs must be positive")
+    require(seasons >= 1, s"seasons $seasons must be >= 1")
+    val g = df.filter(col(V).isNotNull)
+      .groupBy(col(K), floor(col(T) / binUs).cast("long").as("_b"))
+      .agg(sum(floor(col(V) * 1000 + 0.5).cast("long")).as("_q"),
+        count(lit(1)).as("_c"))
+      .select(col(K), col("_b"), pmod(col("_b"), lit(seasons.toLong)).as("_h"),
+        expr("_q div _c").as("_x"))
+    val pairs = g.join(
+      g.select(col(K).as("_rk"), col("_h").as("_rh"), col("_b").as("_rb"),
+        col("_x").as("_y")),
+      g(K) <=> col("_rk") && g("_h") === col("_rh") && g("_b") < col("_rb"))
+    val sTab = pairs.groupBy(col(K)).agg(
+      sum(signum(col("_y") - col("_x")).cast("long")).as("s"))
+    // per-season n and tie tables -> per-season variance numerators,
+    // summed per key (independence across seasons, Hirsch-Slack)
+    val nSeason = g.groupBy(col(K).as("_nk"), col("_h"))
+      .agg(count(lit(1)).as("_n"))
+    val tieSeason = g.groupBy(col(K), col("_h"), col("_x"))
+      .agg(count(lit(1)).as("_t"))
+      .groupBy(col(K).as("_tk"), col("_h").as("_th")).agg(
+        sum(col("_t") * (col("_t") - 1) * (lit(2) * col("_t") + 5))
+          .as("_tc"))
+    val varTab = nSeason
+      .join(tieSeason,
+        col("_nk") <=> col("_tk") && col("_h") === col("_th"), "left")
+      .groupBy(col("_nk")).agg(
+        sum(col("_n")).as("n_bins"),
+        count(lit(1)).as("n_seasons"),
+        sum(col("_n") * (col("_n") - 1) * (lit(2) * col("_n") + 5)
+          - coalesce(col("_tc"), lit(0L))).as("_vn"))
+    val varS = col("_vn").cast("double") / 18.0
+    val zRaw = when(col("s") > 0, (col("s") - 1).cast("double") / sqrt(varS))
+      .when(col("s") < 0, (col("s") + 1).cast("double") / sqrt(varS))
+      .otherwise(lit(0.0))
+    sTab
+      .join(varTab, col(K) <=> col("_nk"))
+      .withColumn("z",
+        when(col("n_bins") >= minBins && col("_vn") > 0, round(zRaw, 6)))
+      .select(col(K), col("n_bins"), col("n_seasons"), col("s"), col("z"),
+        when(col("z").isNull, lit(null).cast("string"))
+          .when(col("z") > 1.96, lit("increasing"))
+          .when(col("z") < -1.96, lit("decreasing"))
+          .otherwise(lit("no_trend")).as("trend"))
+  }
+
+  /** Siegel repeated-median slope (Siegel 1982 — public knowledge):
+    * slope = median_i( median_{j≠i} (x_j − x_i)/(b_j − b_i) ) over the
+    * hourly bin-mean grid — the 50%-breakdown robust trend estimator
+    * beside [[theilSen]]'s 29% (a majority of corrupted points still
+    * cannot move it). Pairwise slopes land on the 1e-6-value-per-hour
+    * grid via one floor of a deterministic double division of exact
+    * integers; both medians are LOWER medians selected by rank
+    * (k = (m+1) div 2), so every step replays engine-exactly — no
+    * interpolating percentile. Keys with fewer than `minBins` bins are
+    * dropped. Output (key, n_bins, slope_per_hr).
+    *
+    * Scale: the BIN×BIN pair join per key is grid-bounded (the q173
+    * Mann–Kendall gate); the two median selections are one window
+    * rank each over pair rows and bin rows respectively. */
+  def siegelSlope(
+      df: DataFrame,
+      binUs: Long = 3600000000L,
+      minBins: Int = 8): DataFrame = {
+    require(binUs > 0, s"bin width $binUs must be positive")
+    val g = df.filter(col(V).isNotNull)
+      .groupBy(col(K), floor(col(T) / binUs).cast("long").as("_b"))
+      .agg(sum(floor(col(V) * 1000 + 0.5).cast("long")).as("_q"),
+        count(lit(1)).as("_c"))
+      .select(col(K), col("_b"), expr("_q div _c").as("_x"))
+    val r = g.select(col(K).as("_rk"), col("_b").as("_rb"),
+      col("_x").as("_y"))
+    val pairs = g.join(r, g(K) <=> col("_rk") && g("_b") =!= col("_rb"))
+      .withColumn("_s",
+        floor(((col("_y") - col("_x")) * 1000).cast("double")
+          / (col("_rb") - col("_b")).cast("double")).cast("long"))
+    val wIn = Window.partitionBy(col(K), col("_b")).orderBy(col("_s").asc)
+    val inner = pairs
+      .withColumn("_rn", row_number().over(wIn))
+      .withColumn("_cnt",
+        count(lit(1)).over(Window.partitionBy(col(K), col("_b"))))
+      .filter(col("_rn") === expr("(_cnt + 1) div 2"))
+      .select(col(K), col("_b"), col("_s").as("_med"))
+    val wOut = Window.partitionBy(col(K))
+      .orderBy(col("_med").asc, col("_b").asc)
+    inner
+      .withColumn("_rn", row_number().over(wOut))
+      .withColumn("_cnt", count(lit(1)).over(Window.partitionBy(col(K))))
+      .filter(col("_rn") === expr("(_cnt + 1) div 2")
+        && col("_cnt") >= minBins)
+      .select(col(K), col("_cnt").as("n_bins"),
+        round(col("_med") / 1e6, 6).as("slope_per_hr"))
+  }
+
   /** Burstiness and memory of the inter-event process (Goh & Barabási,
     * EPL 2008 — the standard two-number characterization of an event
     * stream): over each key's whole-second gaps,

@@ -360,6 +360,73 @@ object TextOps {
       .select(col(idCol), col("term"), col("term_rank"), col("score"))
   }
 
+  /** Sparse TF-IDF cosine similarity pairs — the weighted complement
+    * of [[graft.dedup.Winnow.nearDupPairs]]'s fingerprint overlap and
+    * the MinHash family's set Jaccard: per ordered doc pair sharing at
+    * least `minShared` terms, cosine over sklearn-smoothed tf-idf
+    * vectors, top-`k` neighbours per left doc. Weights are EXACT LONGS
+    * (tf · (2²⁰-grid idf + 2²⁰) — the ln-grid convention), dot products
+    * and norms are exact decimal sums, and the cosine is one fixed IEEE
+    * expression, so the oracle replays bit-for-bit. Output
+    * (doc_a, doc_b, n_shared, cos_sim, sim_rank).
+    *
+    * Scale shape: the pair generator is an equi-join ON TERM with terms
+    * of df > `maxDf` dropped first — the boilerplate cap that bounds
+    * fan-out (a term in d docs contributes d² pair rows; the web's
+    * "the" would otherwise dominate the shuffle quadratically); norms
+    * join back per doc; the top-k window partitions by doc_a over its
+    * candidate set. Never an all-pairs product. */
+  def tfidfCosinePairs(docs: DataFrame, k: Int = 3, maxDf: Int = 50,
+      minShared: Int = 3, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val dec = "decimal(38,0)"
+    val tf = docs
+      .select(col(idCol), explode(wsTokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("_n"))
+    // idf on the 2^20 grid: floor(ln((1+N)/(1+df))·2^20 + ½) + 2^20
+    // (the +2^20 is sklearn's "+1" at the same scale) — exact longs
+    val w = tf
+      .join(broadcast(dfT.filter(col("df") <= maxDf)), Seq("term"))
+      .crossJoin(broadcast(n))
+      .withColumn("_w", col("tf") *
+        (floor(log((lit(1L) + col("_n")).cast("double") /
+          (lit(1L) + col("df"))) * 1048576 + 0.5).cast("long")
+          + 1048576L))
+      .select(col(idCol), col("term"), col("_w"))
+    // norms over the SAME capped weight vectors the dots use (cosine of
+    // the df-capped representation — the cap defines the vector space)
+    val norms = w.groupBy(col(idCol))
+      .agg(sum(col("_w").cast(dec) * col("_w")).as("_n2"))
+    val pairs = w.select(col("term"), col(idCol).as("doc_a"), col("_w").as("_wa"))
+      .join(w.select(col("term"), col(idCol).as("doc_b"), col("_w").as("_wb")),
+        Seq("term"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(sum(col("_wa").cast(dec) * col("_wb")).as("_dot"),
+        count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+    val cosed = pairs
+      .join(norms.select(col(idCol).as("doc_a"), col("_n2").as("_na2")),
+        Seq("doc_a"))
+      .join(norms.select(col(idCol).as("doc_b"), col("_n2").as("_nb2")),
+        Seq("doc_b"))
+      .withColumn("cos_sim",
+        round(col("_dot").cast("double") /
+          (sqrt(col("_na2").cast("double")) * sqrt(col("_nb2").cast("double"))),
+          6))
+    val wr = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_a"))
+      .orderBy(col("cos_sim").desc, col("doc_b").asc)
+    cosed
+      .withColumn("sim_rank", row_number().over(wr).cast("int"))
+      .filter(col("sim_rank") <= k)
+      .select(col("doc_a"), col("doc_b"), col("n_shared"), col("cos_sim"),
+        col("sim_rank"))
+  }
+
   /** Per-source quantile calibration: percentile-rank every document's
     * quality score WITHIN its source and keep the top `frac` — the
     * threshold-free selection that survives heterogeneous sources (a

@@ -628,6 +628,70 @@ class AnalyticsOpsSpec extends SparkSpec {
     }
   }
 
+  test("seasonalMannKendall: deseasonalized trend seen, cross-season trends cancel") {
+    val s = spark
+    import s.implicits._
+    val HOUR = 3600000000L
+    // strong 2-season cycle + small monotone drift: same-season pairs
+    // all increase -> 'increasing'; plain MK would see the cycle noise
+    val trended = (0 until 96).map { i =>
+      ("k", i.toLong * HOUR, (if (i % 2 == 0) 100.0 else 10.0) + i * 0.5)
+    }.toDF("key", "t", "v")
+    val out = graft.events.Correlation
+      .seasonalMannKendall(trended, seasons = 2, minBins = 24)
+      .head()
+    assert(out.getString(5) == "increasing" && out.getLong(3) > 0)
+    // season 0 rises exactly as season 1 falls: same-season S's cancel
+    val canceling = (0 until 96).map { i =>
+      ("k", i.toLong * HOUR,
+        if (i % 2 == 0) 100.0 + (i / 2) else 100.0 - (i / 2))
+    }.toDF("key", "t", "v")
+    val c = graft.events.Correlation
+      .seasonalMannKendall(canceling, seasons = 2, minBins = 24)
+      .head()
+    assert(c.getLong(3) == 0L && c.getString(5) == "no_trend")
+  }
+
+  test("siegelSlope: exact on a line; majority-corrupted bins cannot move it") {
+    val s = spark
+    import s.implicits._
+    val HOUR = 3600000000L
+    // clean line: 2.5 units/hour
+    val line = (0 until 40).map(i => ("k", i.toLong * HOUR, 10.0 + 2.5 * i))
+      .toDF("key", "t", "v")
+    val clean = graft.events.Correlation.siegelSlope(line).head()
+    assert(math.abs(clean.getDouble(2) - 2.5) < 1e-5)
+    // corrupt 45% of the bins with wild values: the repeated median's
+    // 50% breakdown keeps the slope at 2.5 (Theil-Sen's 29% would not)
+    val corrupted = (0 until 40).map { i =>
+      ("k", i.toLong * HOUR,
+        if (i % 9 < 4) 1e6 * (i % 3 - 1) else 10.0 + 2.5 * i)
+    }.toDF("key", "t", "v")
+    val rob = graft.events.Correlation.siegelSlope(corrupted).head()
+    assert(math.abs(rob.getDouble(2) - 2.5) < 0.1,
+      s"slope ${rob.getDouble(2)} moved under 45% corruption")
+  }
+
+  test("tfidfCosinePairs: identical docs rank 1 at cos 1; df cap prunes boilerplate") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon"),
+      (3L, "zeta eta theta iota kappa"),
+      (4L, "alpha zeta lambda mu nu")).toDF("doc_id", "text")
+    val out = TextOps.tfidfCosinePairs(docs, k = 3, maxDf = 50, minShared = 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getDouble(3), r.getInt(4)))).toMap
+    assert(out((1L, 2L))._2 == 1.0 && out((1L, 2L))._3 == 1)
+    assert(!out.contains((1L, 3L))) // no 3 shared terms
+    // a term in every doc beyond the cap generates no pairs on its own
+    val boiler = (1L to 6L).map(id => (id, s"common filler$id x$id y$id z$id"))
+      .toDF("doc_id", "text")
+    assert(TextOps.tfidfCosinePairs(boiler, maxDf = 5, minShared = 1)
+      .count() == 0)
+  }
+
   test("intervalUnion: plain == bucketed at three widths") {
     val rnd = new scala.util.Random(613)
     val rows = (1 to 400).map { _ =>
