@@ -1,6 +1,6 @@
 package graft.dedup
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
@@ -16,14 +16,23 @@ import org.apache.spark.sql.functions._
   * repo's md5-grid convention, [[graft.sketch.Kmv.hash60]] shape), and
   * each (hash, position) pair packs into ONE long `h·2²⁰ + pos`, so the
   * per-window argmin with leftmost-on-tie ordering is a plain integer
-  * `array_min` — bit-replayable in any engine. Positions are bounded by
-  * 2²⁰ grams/doc (the pack's invariant — enforced, never silent).
+  * minimum — bit-replayable in any engine (the oracle computes the same
+  * mins as windowed SQL aggregates). Positions are bounded by 2²⁰
+  * grams/doc (the pack's invariant — enforced with a loud failure,
+  * never silent).
   *
-  * Scale shape: gram hashing and window minimization run INSIDE the row
-  * as codegen'd higher-order functions — the k-gram blow-up (|text|
-  * rows per doc) never enters a shuffle; only the winnowed fingerprints
-  * (expected density 2/(w+1) of grams) leave the row. The near-dup join
-  * is a capped bucketed equi-join on fingerprint hash, the same
+  * Scale shape: the whole gram-hash + sliding-min pass runs INSIDE the
+  * row as one linear typed-UDF scan (a designated UDF site beside the
+  * Gorilla codec and holtScanUdf, SURVEY §4) — the k-gram blow-up
+  * (|text| values per doc) never enters a shuffle; only the winnowed
+  * fingerprints (expected density 2/(w+1) of grams) leave the row.
+  * NOT an expression-HOF: `transform(windows, j -> array_min(slice(
+  * grams, j, w)))` re-evaluates the O(n)-md5 gram subtree once per
+  * window — O(n²) hashing, measured 880 s at sf0.1 — the same
+  * lambda-recapture trap the round-2 MinHash signature hit (README
+  * "Expression hygiene"). The UDF hashes each gram once and slides a
+  * monotonic deque: O(n) total. The near-dup join downstream is a
+  * capped bucketed equi-join on fingerprint hash, the same
   * never-all-pairs contract as every [[Dedup]] candidate generator.
   */
 object Winnow {
@@ -31,33 +40,60 @@ object Winnow {
   /** Pack bound: gram positions must stay strictly below 2²⁰. */
   val MaxGrams: Int = 1 << 20
 
+  /** One linear pass: packed gram values h·2²⁰ + pos (pos 1-based),
+    * then the per-window minimum via a monotonic deque — identical
+    * output to min-of-each-w-slice with leftmost-min tie-break (packed
+    * values are distinct, so the lexicographic (hash, pos) order IS the
+    * packed order). n < w degenerates to one whole-array window. */
+  private[graft] def winnowPacked(text: String, k: Int, w: Int): Array[Long] = {
+    if (text == null) return Array.empty[Long]
+    val n = text.length - k + 1
+    if (n < 1) return Array.empty[Long]
+    require(n < MaxGrams,
+      s"Winnow: document has $n grams >= $MaxGrams; raise k or pre-chunk")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val packed = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val d = md.digest(text.substring(i, i + k).getBytes("UTF-8"))
+      // first 10 hex chars of the digest = first 5 bytes, big-endian
+      var h = 0L
+      var b = 0
+      while (b < 5) { h = (h << 8) | (d(b) & 0xffL); b += 1 }
+      packed(i) = h * 1048576L + (i + 1)
+      md.reset()
+      i += 1
+    }
+    val out = collection.mutable.LinkedHashSet.empty[Long]
+    if (n <= w) {
+      var m = packed(0); i = 1
+      while (i < n) { if (packed(i) < m) m = packed(i); i += 1 }
+      out += m
+    } else {
+      val dq = new java.util.ArrayDeque[Int]()
+      var e = 0
+      while (e < n) {
+        while (!dq.isEmpty && packed(dq.peekLast()) > packed(e)) dq.pollLast()
+        dq.addLast(e)
+        if (e >= w - 1) {
+          while (dq.peekFirst() < e - w + 1) dq.pollFirst()
+          out += packed(dq.peekFirst())
+        }
+        e += 1
+      }
+    }
+    out.toArray
+  }
+
   /** One row per (doc, fingerprint): (idCol, fp_pos, fp_hash) — fp_pos
     * is the 1-based gram position whose window selected it. Docs with
     * fewer than k chars emit nothing. */
   def fingerprints(docs: DataFrame, k: Int = 8, w: Int = 16,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(k >= 1 && w >= 1, s"k $k and w $w must be >= 1")
-    val gramsSql = s"""transform(sequence(1, _n),
-         i -> cast(conv(substring(md5(substring($textCol, i, $k)), 1, 10),
-                        16, 10) as bigint) * 1048576 + i)"""
-    val selSql = s"""array_distinct(transform(
-         sequence(1, greatest(_n - ${w - 1}, 1)),
-         j -> array_min(slice(_g, j, $w))))"""
+    val fpUdf = udf((text: String) => winnowPacked(text, k, w))
     docs
-      .withColumn("_n", (length(col(textCol)) - (k - 1)).cast("long"))
-      // assert the pack invariant loudly — a silently wrapped position
-      // would corrupt fingerprints for every window of an oversized doc
-      .withColumn("_g",
-        when(col(textCol).isNull || col("_n") < 1,
-          array().cast("array<bigint>"))
-          .when(col("_n") >= MaxGrams, expr(
-            s"raise_error('Winnow: document exceeds $MaxGrams grams; " +
-              "raise k or pre-chunk')"))
-          .otherwise(expr(gramsSql)))
-      .withColumn("_fps",
-        when(size(col("_g")) < 1, array().cast("array<bigint>"))
-          .otherwise(expr(selSql)))
-      .select(col(idCol), explode(col("_fps")).as("_p"))
+      .select(col(idCol), explode(fpUdf(col(textCol))).as("_p"))
       .select(col(idCol),
         pmod(col("_p"), lit(1048576L)).cast("long").as("fp_pos"),
         floor(col("_p") / lit(1048576L)).cast("long").as("fp_hash"))
