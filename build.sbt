@@ -34,6 +34,15 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // small jobs ~30% (GC geometry); 12g runs every bench job and is
   // fastest at 80M (45.5s vs 59s at 16-48g)
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "12g")}",
+  // Tungsten's TaskMemoryManager hands every sort/aggregate/window task
+  // 8 MiB pages (maxMemory/cores/16 clamped); at 12g, G1 picks 4 MiB
+  // regions, so EVERY page is a humongous allocation — BenchExtra stage
+  // metrics showed run-time 5-10x cpu-time with "Retried waiting for
+  // GCLocker" warnings (allocation stalls), e.g. q164's window stage:
+  // 12.4 s summed run vs 1.4 s cpu across 32 tasks. 32 MiB regions put
+  // the humongous threshold at 16 MiB, making task pages ordinary
+  // region allocations (guide §5: look at what tasks hold in memory).
+  s"-XX:G1HeapRegionSize=${sys.env.getOrElse("SPARK_GRAFT_G1_REGION", "32m")}",
   // Shuffle/spill directory on the fast local volume (guide §2.1: "local
   // disk bandwidth for shuffle files can be the tighter limit — check
   // both"; §6/§9: shuffle belongs on fast local disks). On this box the

@@ -8009,11 +8009,39 @@ object GraftQueries {
       .hllRegistersStream(pts, "user_id")
     // fixed sink name, re-runnable within a session (Bench reps)
     scala.util.Try(spark.catalog.dropTempView("q221_sink"))
-    val q = regs.writeStream.format("memory").queryName("q221_sink")
-      .outputMode("complete")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    // A stateful streaming aggregation opens ONE state store per shuffle
+    // partition and pays its open/commit cost every micro-batch — and the
+    // executor-side provider registry is a synchronized singleton, so N
+    // simultaneous first-time opens serialize (BenchExtra: the 128-task
+    // state stage ran 475 ms/task wall at 21 ms/task cpu — pure provider
+    // lock wait). The session's 4x-cores shuffle width is sized for batch
+    // exchanges where AQE coalesces at runtime; AQE is OFF in streaming,
+    // so the width is paid in full. Pin the stream's state width to the
+    // executor core count (cluster-parameterised — local[N] ⇒ N, never a
+    // constant; on a real cluster this would be total executor cores or
+    // state-size/target-partition-size). Registers are per-(key, hour,
+    // idx) maxes, so the result is partition-count-invariant. Conf is
+    // restored afterwards — batch queries are untouched.
+    val streamWidth = {
+      val m = spark.sparkContext.master
+      val p = "local\\[(\\d+|\\*)\\]".r
+      m match {
+        case p("*") => Runtime.getRuntime.availableProcessors
+        case p(n) => n.toInt
+        case _ => spark.sparkContext.defaultParallelism
+      }
+    }
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", streamWidth.toString)
+      val q = regs.writeStream.format("memory").queryName("q221_sink")
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      // conf stays pinned until the bounded stream drains: micro-batch
+      // planning happens on the stream thread after start() returns
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
     spark.table("q221_sink")
       .select(col("key").as("event_type"),
         unix_micros(col("bin_start")).as("hour_start"),

@@ -105,6 +105,15 @@ object Pq {
     * (Verify/Bench clear the cache between queries). */
   def train(corpus: DataFrame, m: Int, subDim: Int, k: Int, iters: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    // the lazy chain references the previous `books` plan twice per Lloyd
+    // round (assign + the empty-code coalesce join), so the LOGICAL plan
+    // doubles per iteration — fine at small iters, exponential
+    // analysis/optimization cost beyond (ADVICE r5). Fail loudly instead
+    // of silently melting the driver; callers needing deeper training
+    // should materialize books per round (collect or checkpoint).
+    require(iters <= 6,
+      s"Pq.train: iters=$iters doubles the lazy plan per round (2^iters " +
+        "subtrees); keep iters <= 6 or materialize books per iteration")
     val subs = subVectors(corpus, m, subDim, idCol, vecCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val wSeed = Window.partitionBy(col("sub")).orderBy(col(idCol).asc)

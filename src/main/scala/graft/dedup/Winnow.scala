@@ -47,7 +47,21 @@ object Winnow {
     * packed order). n < w degenerates to one whole-array window. */
   private[graft] def winnowPacked(text: String, k: Int, w: Int): Array[Long] = {
     if (text == null) return Array.empty[Long]
-    val n = text.length - k + 1
+    // iterate by CODE POINT, not UTF-16 unit, so grams match the oracle's
+    // codepoint-based substr/length on astral-plane text (ADVICE r5); for
+    // BMP-only text the offsets coincide and the output is unchanged
+    val cps = {
+      val b = new Array[Int](text.codePointCount(0, text.length) + 1)
+      var ci = 0; var off = 0
+      while (off < text.length) {
+        b(ci) = off; ci += 1
+        off += Character.charCount(text.codePointAt(off))
+      }
+      b(ci) = text.length
+      b
+    }
+    val nCp = cps.length - 1
+    val n = nCp - k + 1
     if (n < 1) return Array.empty[Long]
     require(n < MaxGrams,
       s"Winnow: document has $n grams >= $MaxGrams; raise k or pre-chunk")
@@ -55,7 +69,7 @@ object Winnow {
     val packed = new Array[Long](n)
     var i = 0
     while (i < n) {
-      val d = md.digest(text.substring(i, i + k).getBytes("UTF-8"))
+      val d = md.digest(text.substring(cps(i), cps(i + k)).getBytes("UTF-8"))
       // first 10 hex chars of the digest = first 5 bytes, big-endian
       var h = 0L
       var b = 0
@@ -96,7 +110,10 @@ object Winnow {
       .select(col(idCol), explode(fpUdf(col(textCol))).as("_p"))
       .select(col(idCol),
         pmod(col("_p"), lit(1048576L)).cast("long").as("fp_pos"),
-        floor(col("_p") / lit(1048576L)).cast("long").as("fp_hash"))
+        // exact integer div, matching the oracle's `sel // 1048576`: the
+        // double-division floor form could round packed values >= 2^53
+        // with pos within 64 of the 2^20 boundary up to h+1 (ADVICE r5)
+        expr("_p div 1048576").cast("long").as("fp_hash"))
   }
 
   /** Near-duplicate pairs by shared winnowed fingerprints — the MOSS

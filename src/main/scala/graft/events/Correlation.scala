@@ -717,19 +717,34 @@ object Correlation {
   def mannKendall(
       df: DataFrame,
       binUs: Long = 3600000000L,
-      minBins: Int = 8): DataFrame = {
+      minBins: Int = 8,
+      maxBins: Int = 65536): DataFrame = {
     require(binUs > 0, s"bin width $binUs must be positive")
-    val g = df.filter(col(V).isNotNull)
+    require(maxBins >= 1, s"maxBins $maxBins must be >= 1")
+    val g0 = df.filter(col(V).isNotNull)
       .groupBy(col(K), floor(col(T) / binUs).cast("long").as("_b"))
       .agg(sum(floor(col(V) * 1000 + 0.5).cast("long")).as("_q"),
         count(lit(1)).as("_c"))
       .select(col(K), col("_b"), expr("_q div _c").as("_x"))
+    val g = g0
     val pairs = g.join(
       g.select(col(K).as("_rk"), col("_b").as("_rb"), col("_x").as("_y")),
       g(K) <=> col("_rk") && g("_b") < col("_rb"))
     val sTab = pairs.groupBy(col(K)).agg(
       sum(signum(col("_y") - col("_x")).cast("long")).as("s"))
-    val nTab = g.groupBy(col(K).as("_nk")).agg(count(lit(1)).as("n_bins"))
+    // loud O(bins²)-per-key cap (the dtwPairs/rdp contract), riding the
+    // ALWAYS-computed per-key bin-count aggregate — zero extra stages or
+    // shuffles. nTab is an independent branch of the same action, so the
+    // raise aborts the job (cancelling the pair stages) as soon as its
+    // tiny stage runs; a guard branch joined onto the pair inputs instead
+    // cost 6 extra AQE stages per query here.
+    val nTab = g.groupBy(col(K).as("_nk")).agg(count(lit(1)).as("_nbc"))
+      .select(col("_nk"),
+        when(col("_nbc") <= maxBins, col("_nbc"))
+          .otherwise(raise_error(concat(
+            lit(s"mannKendall: binned series longer than maxBins=$maxBins for key "),
+            col("_nk").cast("string"), lit("; widen binUs or raise maxBins"))))
+          .as("n_bins"))
     // tied-group correction: Σ t(t−1)(2t+5) over per-value counts
     val ties = g.groupBy(col(K), col("_x")).agg(count(lit(1)).as("_t"))
       .groupBy(col(K).as("_tk")).agg(
@@ -772,15 +787,19 @@ object Correlation {
       df: DataFrame,
       binUs: Long = 3600000000L,
       seasons: Int = 24,
-      minBins: Int = 24): DataFrame = {
+      minBins: Int = 24,
+      maxBinsPerSeason: Int = 65536): DataFrame = {
     require(binUs > 0, s"bin width $binUs must be positive")
     require(seasons >= 1, s"seasons $seasons must be >= 1")
-    val g = df.filter(col(V).isNotNull)
+    require(maxBinsPerSeason >= 1,
+      s"maxBinsPerSeason $maxBinsPerSeason must be >= 1")
+    val g0 = df.filter(col(V).isNotNull)
       .groupBy(col(K), floor(col(T) / binUs).cast("long").as("_b"))
       .agg(sum(floor(col(V) * 1000 + 0.5).cast("long")).as("_q"),
         count(lit(1)).as("_c"))
       .select(col(K), col("_b"), pmod(col("_b"), lit(seasons.toLong)).as("_h"),
         expr("_q div _c").as("_x"))
+    val g = g0
     val pairs = g.join(
       g.select(col(K).as("_rk"), col("_h").as("_rh"), col("_b").as("_rb"),
         col("_x").as("_y")),
@@ -789,8 +808,18 @@ object Correlation {
       sum(signum(col("_y") - col("_x")).cast("long")).as("s"))
     // per-season n and tie tables -> per-season variance numerators,
     // summed per key (independence across seasons, Hirsch-Slack)
+    // loud O(bins²)-per-(key, season) cap (the dtwPairs/rdp contract),
+    // riding the ALWAYS-computed per-season bin counts — zero extra
+    // stages; the raise aborts the whole action (see mannKendall's nTab)
     val nSeason = g.groupBy(col(K).as("_nk"), col("_h"))
-      .agg(count(lit(1)).as("_n"))
+      .agg(count(lit(1)).as("_n0"))
+      .select(col("_nk"), col("_h"),
+        when(col("_n0") <= maxBinsPerSeason, col("_n0"))
+          .otherwise(raise_error(concat(
+            lit("seasonalMannKendall: season bin count over " +
+              s"maxBinsPerSeason=$maxBinsPerSeason for key "),
+            col("_nk").cast("string"), lit("; widen binUs or raise the cap"))))
+          .as("_n"))
     val tieSeason = g.groupBy(col(K), col("_h"), col("_x"))
       .agg(count(lit(1)).as("_t"))
       .groupBy(col(K).as("_tk"), col("_h").as("_th")).agg(
@@ -836,14 +865,30 @@ object Correlation {
   def siegelSlope(
       df: DataFrame,
       binUs: Long = 3600000000L,
-      minBins: Int = 8): DataFrame = {
+      minBins: Int = 8,
+      maxBins: Int = 65536): DataFrame = {
     require(binUs > 0, s"bin width $binUs must be positive")
-    val g = df.filter(col(V).isNotNull)
+    require(maxBins >= 1, s"maxBins $maxBins must be >= 1")
+    val g0 = df.filter(col(V).isNotNull)
       .groupBy(col(K), floor(col(T) / binUs).cast("long").as("_b"))
       .agg(sum(floor(col(V) * 1000 + 0.5).cast("long")).as("_q"),
         count(lit(1)).as("_c"))
       .select(col(K), col("_b"), expr("_q div _c").as("_x"))
-    val r = g.select(col(K).as("_rk"), col("_b").as("_rb"),
+    // loud O(bins²)-per-key cap (the dtwPairs/rdp contract): siegel has no
+    // always-computed per-key aggregate to ride (unlike mannKendall's
+    // nTab), so the LEFT pair-join input carries the guard via a tiny
+    // broadcast-joined count — a guarded left row raises before emitting
+    // its pair fan-out, pre-empting the explosion; the right side stays
+    // the unguarded subtree so only one branch pays the broadcast.
+    val nb = g0.groupBy(col(K).as("_gk")).agg(count(lit(1)).as("_nb"))
+    val g = g0.join(broadcast(nb), col(K) <=> col("_gk"))
+      .withColumn("_x",
+        when(col("_nb") <= maxBins, col("_x"))
+          .otherwise(raise_error(concat(
+            lit(s"siegelSlope: binned series longer than maxBins=$maxBins for key "),
+            col(K).cast("string"), lit("; widen binUs or raise maxBins")))))
+      .drop("_gk", "_nb")
+    val r = g0.select(col(K).as("_rk"), col("_b").as("_rb"),
       col("_x").as("_y"))
     val pairs = g.join(r, g(K) <=> col("_rk") && g("_b") =!= col("_rb"))
       .withColumn("_s",

@@ -228,7 +228,15 @@ object MergeOps {
         //    rides in on a broadcast join from the tiny closings table. The
         //    skewed hash(key, sid) lag exchange of the naive plan never
         //    happens — a hot series spreads over its time buckets.
+        // The big (key, bucket) exchange is established FIRST and shared
+        // (guide §2.4): the closings aggregate below runs exchange-free on
+        // top of it (hash(key,bkt) clusters every (key,sid,bkt) group), and
+        // the row side reuses the SAME shuffle via ReusedExchange — before
+        // this, the closings branch re-ran the whole upstream scan+aggregate
+        // and paid its own partial-agg shuffle (subtrees prune differently,
+        // so exchange reuse could not dedupe them).
         val withB = withDef.withColumn("_bkt", bk)
+          .repartition(col(K), col("_bkt"))
         // scalar max_by (primitive buffer) keeps this branch in
         // HashAggregate with map-side combine — a struct-valued max_by
         // would fall back to SortAggregate and full-data pre-sorts. Every
@@ -273,11 +281,13 @@ object MergeOps {
         // clusterings below ({key,_bkt} ⊆ {key,sid,_bkt}), so the in-bucket
         // per-sid lag and the running sums share it; AQE broadcasts the
         // handoff side when small, else degrades to a co-partitioned join
+        // withB is already hash(key, bucket)-clustered (shared exchange
+        // above), so the broadcast join leaves the big side in place and
+        // the windows below need no further exchange
         val placed = withB
           .join(handoff,
             col(K) <=> col("_hk") && col("sid") <=> col("_hs") && col("_bkt") <=> col("_hb"))
           .drop("_hk", "_hs", "_hb")
-          .repartition(col(K), col("_bkt"))
         val wLag = Window.partitionBy(col(K), col("sid"), col("_bkt")).orderBy(col(T))
         val prevStruct = lag(struct(col(V)), 1).over(wLag)
         val wIn = graft.core.BucketedOps.wInBucket(ties)
@@ -483,12 +493,21 @@ object MergeOps {
       maxGridPerBucket: Long,
       constDefault: Option[Column] = None): DataFrame = {
     val tType = df.schema(T).dataType
+    // ONE shared hash(key, bucket) exchange for all three consumers of the
+    // input (closings aggregate, distinct-times grid, data rows) — guide
+    // §2.4. Each consumer previously re-ran the whole upstream scan +
+    // aggregation because their column pruning differs (no exchange reuse);
+    // now they all sit above the same shuffle, the closings and the
+    // distinct-times aggregates run exchange-free on the clustering
+    // (hash(key,bkt) clusters every (key,sid,bkt) and — because the bucket
+    // is a function of t — every (key,t) group), and the scan runs once.
+    val base = df.withColumn("_bkt", bk).repartition(col(K), col("_bkt"))
     // scalar max_by keeps this a map-side-combined HashAggregate (a struct
     // max_by would fall back to SortAggregate); groups are nonempty, so a
     // null closing can only mean "measured None" — the struct wrap below
     // re-establishes null-vs-absent on the tiny frame
-    val sidClose = df
-      .groupBy(col(K), col("sid"), bk.as("_bkt"))
+    val sidClose = base
+      .groupBy(col(K), col("sid"), col("_bkt"))
       .agg(max_by(col(V), col(T)).as("_lvv"))
     val withDefs = defaults match {
       case Some(d) =>
@@ -543,12 +562,13 @@ object MergeOps {
     // and row count (grid guard input). The per-bucket stats come from a
     // tiny aggregate joined back (AQE broadcasts it), NOT a window over
     // `times` — a (key, bucket) window would cost the frame an extra
-    // exchange+sort; both consumers of timesD prune identically, so the
-    // distinct's exchange is computed once and reused.
-    val timesD = df.select(col(K), col(T)).distinct()
-    val tStats = timesD.groupBy(col(K).as("_tk"), bk.as("_tb"))
+    // exchange+sort. The distinct carries _bkt (a function of t, so it
+    // changes nothing about which rows are distinct) to stay inside the
+    // shared hash(key, bucket) clustering — zero exchanges on this branch.
+    val timesD = base.select(col(K), col(T), col("_bkt")).distinct()
+    val tStats = timesD.groupBy(col(K).as("_tk"), col("_bkt").as("_tb"))
       .agg(min(col(T)).as("_tmin"), count(lit(1)).as("_ntime"))
-    val times = timesD.withColumn("_bkt", bk)
+    val times = timesD
       .join(tStats, col(K) <=> col("_tk") && col("_bkt") <=> col("_tb"))
       .drop("_tk", "_tb")
     // lossless inner join: every grid bucket holds >= 1 time and every
@@ -574,7 +594,7 @@ object MergeOps {
         col("_x").getField(T).as(T), col("_x").getField("_m").as("_m"),
         col("_x").getField("_ord").as("_ord"), col("_x").getField("_ent").as("_ent"),
         lit(false).as("_isd"))
-    val dat = df.select(col(K), col("sid"), bk.as("_bkt"), lit(false).as("_ofirst"),
+    val dat = base.select(col(K), col("sid"), col("_bkt"), lit(false).as("_ofirst"),
       col(T), struct(col(V)).as("_m"), lit(0).as("_ord"), lit(false).as("_ent"),
       lit(true).as("_isd"))
     // THE one big exchange. Within each (key, sid, bucket): entry row first

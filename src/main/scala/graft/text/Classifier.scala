@@ -38,34 +38,66 @@ object Classifier {
 
   /** Adds n_grams and clf_score ∈ [0,1] (0.5 for gram-less documents).
     *
-    * One pass over the bucket array: the aggregate's accumulator carries
-    * (weight sum, element count) together, so the gram/bucket construction
-    * is referenced exactly ONCE per output column instead of three times
-    * inside clf_score — interpreted higher-order functions get no common-
-    * subexpression elimination, so every extra reference re-hashed every
-    * gram (measured 2.4× the single-pass cost). The fold order over the
-    * array is unchanged, so the double sum — and therefore the score — is
-    * bit-identical to the previous form. */
+    * One compiled linear pass per document (a designated per-row UDF site,
+    * guide §4.2 "do the heavy lifting in native code"): the previous
+    * expression form — an `aggregate()` HOF folding md5+conv per gram —
+    * is INTERPRETED (higher-order functions never enter whole-stage
+    * codegen), and each element evaluation re-walked the md5/conv/substring
+    * expression trees with boxed operands (~18 ms/doc measured on the q79
+    * gate stage: 9.2 s cpu for 500 docs). The scan below replays the exact
+    * same arithmetic — Spark's own UTF8String lowercase, md5-front-8-hex
+    * bucket and dyadic weight, left-fold double sum in gram order
+    * (uni-grams then bigrams), HALF_UP round — so the score is
+    * bit-identical (spec'd by SelectionSpec and the q76/q79 oracles). */
+  private[text] def md5Front8(md: java.security.MessageDigest, s: String): Long = {
+    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    md.reset()
+    ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+  }
+
+  private[text] def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** JVM replay of [[TextOps.wsTokens]]: trim SPACES only (Spark's trim),
+    * split on \s+, drop empties. */
+  private[text] def wsTokensJvm(text: String): Array[String] = {
+    if (text == null) return Array.empty
+    var b = 0; var e = text.length
+    while (b < e && text.charAt(b) == ' ') b += 1
+    while (e > b && text.charAt(e - 1) == ' ') e -= 1
+    if (e == b) return Array.empty
+    text.substring(b, e).split("\\s+", -1).filter(_.nonEmpty)
+  }
+
   def hashedNgramScore(
       df: DataFrame,
       text: Column = col("text"),
       buckets: Int = 4096,
       seed: String = "w"): DataFrame = {
-    val bk = gramBuckets(text, buckets)
-    val sn = aggregate(bk,
-      struct(lit(0.0).as("s"), lit(0).as("n")),
-      (acc, b) => struct((acc.getField("s") + weightOf(b, seed)).as("s"),
-        (acc.getField("n") + 1).as("n")))
-    // _clf_sn is referenced by BOTH outputs, and CollapseProject does not
-    // inline a non-cheap alias with multiple consumers — the aggregate runs
-    // once per row
-    df.withColumn("_clf_sn", sn)
-      .withColumn("n_grams", col("_clf_sn").getField("n"))
-      .withColumn("clf_score",
-        when(col("_clf_sn").getField("n") > 0,
-          round(lit(1.0) / (lit(1.0) +
-            exp(-(col("_clf_sn").getField("s") / col("_clf_sn").getField("n")))), 6))
-          .otherwise(0.5))
+    val scoreUdf = udf((t: String) => {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      // lowercase via Spark's own UTF8String path so non-ASCII folds
+      // exactly like the lower() expression did
+      val toks = wsTokensJvm(if (t == null) "" else t).map(x =>
+        org.apache.spark.unsafe.types.UTF8String.fromString(x).toLowerCase.toString)
+      var s = 0.0
+      var n = 0
+      val total = if (toks.length >= 2) 2 * toks.length - 1 else toks.length
+      while (n < total) {
+        val g = if (n < toks.length) toks(n)
+          else { val j = n - toks.length; toks(j) + " " + toks(j + 1) }
+        val b = md5Front8(md, g) % buckets
+        s += (md5Front8(md, seed + b.toString) % 2048).toDouble / 1024.0 - 1.0
+        n += 1
+      }
+      val score =
+        if (n > 0) round6(1.0 / (1.0 + math.exp(-(s / n)))) else 0.5
+      (n, score)
+    })
+    df.withColumn("_clf_sn", scoreUdf(text))
+      .withColumn("n_grams", col("_clf_sn").getField("_1"))
+      .withColumn("clf_score", col("_clf_sn").getField("_2"))
       .drop("_clf_sn")
   }
 

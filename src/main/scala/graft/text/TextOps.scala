@@ -149,42 +149,64 @@ object TextOps {
     * is the trap. `repetition_keep` applies the published thresholds
     * (top-2-gram ≤ 0.20 is Gopher's; duplicate-line ≤ 0.30).
     */
+  private case class RepFeats(
+      n_lines: Option[Int], dup_line_frac: Double,
+      total_2grams: Long, distinct_2grams: Long,
+      top_2gram_frac: Double, dup_2gram_frac: Double,
+      repetition_keep: Boolean)
+
   def repetitionFeatures(df: DataFrame, text: Column = col("text")): DataFrame = {
-    val zero = struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best"))
-    val topRun = aggregate(array_sort(col("_rep_grams")), zero,
-      (acc, g) => {
-        val run = when(g === acc.getField("prev"), acc.getField("run") + 1).otherwise(lit(1L))
-        struct(g.as("prev"), run.as("run"),
-          greatest(acc.getField("best"), run).as("best"))
-      },
-      acc => acc.getField("best"))
-    // the line/gram arrays are materialized as columns with MULTIPLE
-    // consumers each — CollapseProject only inlines a non-cheap alias with
-    // one consumer, so each array is built once per row instead of once
-    // per feature column (interpreted HOFs get no subexpression
-    // elimination, so Scala-level expression reuse would re-tokenize the
-    // text for every feature)
-    df.withColumn("_rep_lines", filter(split(text, "\n"), l => length(l) > 0))
-      .withColumn("_rep_grams", bigrams(wsTokens(text)))
-      .withColumn("n_lines", size(col("_rep_lines")))
-      .withColumn("dup_line_frac",
-        when(size(col("_rep_lines")) > 0,
-          round(lit(1.0) - size(array_distinct(col("_rep_lines"))).cast("double")
-            / size(col("_rep_lines")), 6))
-          .otherwise(0.0))
-      .withColumn("total_2grams", size(col("_rep_grams")).cast("long"))
-      .withColumn("distinct_2grams", size(array_distinct(col("_rep_grams"))).cast("long"))
-      .withColumn("top_2gram_frac",
-        when(size(col("_rep_grams")) > 0,
-          round(topRun.cast("double") / size(col("_rep_grams")), 6)).otherwise(0.0))
-      .withColumn("dup_2gram_frac",
-        when(size(col("_rep_grams")) > 0,
-          round(lit(1.0) - size(array_distinct(col("_rep_grams"))).cast("double")
-            / size(col("_rep_grams")), 6))
-          .otherwise(0.0))
-      .withColumn("repetition_keep",
-        col("top_2gram_frac") <= 0.2 && col("dup_line_frac") <= 0.3)
-      .drop("_rep_lines", "_rep_grams")
+    // One compiled linear pass per document (a designated per-row UDF
+    // site, guide §4.2): the previous form folded an INTERPRETED
+    // aggregate() HOF over array_sort'd grams plus array_distinct per
+    // feature — every element evaluation re-walked boxed expression
+    // trees, and together with the classifier gate it cost ~18 ms/doc on
+    // the q79 gate stage. The scan replays the exact semantics: lines =
+    // split(\n) minus empties (null text -> null count like size(null)),
+    // grams = space-joined bigrams of wsTokens, dup/top fractions from a
+    // count map (max multiplicity == max run of the sorted array), the
+    // same HALF_UP 6-digit rounds, keep-thresholds compared on the
+    // ROUNDED values. Spec'd by TextFilterSpec and the q70/q79 oracles.
+    val repUdf = udf((t: String) => {
+      if (t == null)
+        RepFeats(None, 0.0, 0L, 0L, 0.0, 0.0, repetition_keep = true)
+      else {
+        val lines = t.split("\n", -1).filter(_.nonEmpty)
+        val toks = graft.text.Classifier.wsTokensJvm(t)
+        val nG = if (toks.length >= 2) toks.length - 1 else 0
+        val counts = scala.collection.mutable.HashMap.empty[String, Long]
+        var i = 0
+        while (i < nG) {
+          val g = toks(i) + " " + toks(i + 1)
+          counts.update(g, counts.getOrElse(g, 0L) + 1L)
+          i += 1
+        }
+        var top = 0L
+        counts.valuesIterator.foreach(c => if (c > top) top = c)
+        val distinctLines = lines.distinct.length
+        val dupLine =
+          if (lines.nonEmpty)
+            graft.text.Classifier.round6(1.0 - distinctLines.toDouble / lines.length)
+          else 0.0
+        val topFrac =
+          if (nG > 0) graft.text.Classifier.round6(top.toDouble / nG) else 0.0
+        val dupFrac =
+          if (nG > 0)
+            graft.text.Classifier.round6(1.0 - counts.size.toDouble / nG)
+          else 0.0
+        RepFeats(Some(lines.length), dupLine, nG.toLong, counts.size.toLong,
+          topFrac, dupFrac, topFrac <= 0.2 && dupLine <= 0.3)
+      }
+    })
+    df.withColumn("_rep", repUdf(text))
+      .withColumn("n_lines", col("_rep").getField("n_lines"))
+      .withColumn("dup_line_frac", col("_rep").getField("dup_line_frac"))
+      .withColumn("total_2grams", col("_rep").getField("total_2grams"))
+      .withColumn("distinct_2grams", col("_rep").getField("distinct_2grams"))
+      .withColumn("top_2gram_frac", col("_rep").getField("top_2gram_frac"))
+      .withColumn("dup_2gram_frac", col("_rep").getField("dup_2gram_frac"))
+      .withColumn("repetition_keep", col("_rep").getField("repetition_keep"))
+      .drop("_rep")
   }
 
   /** Document fingerprint: order-sensitive 64-bit rolling hash over

@@ -210,6 +210,35 @@ class CorrelationSpec extends SparkSpec {
     }
   }
 
+  test("Mann–Kendall family: over-long binned series raise loudly (maxBins cap)") {
+    import graft.events.Correlation
+    val h = 3600000000L
+    val pts = seriesL((0 until 20).map(i => i * h -> Some(i.toDouble)))
+    def msgOf(t: Throwable): String = {
+      var c: Throwable = t
+      while (c.getCause != null && !c.getMessage.contains("maxBins") &&
+        !c.getMessage.contains("maxBinsPerSeason")) c = c.getCause
+      c.getMessage
+    }
+    val eMk = intercept[Exception] {
+      Correlation.mannKendall(pts, maxBins = 8).collect()
+    }
+    assert(msgOf(eMk).contains("maxBins=8"), msgOf(eMk))
+    val eSg = intercept[Exception] {
+      Correlation.siegelSlope(pts, maxBins = 8).collect()
+    }
+    assert(msgOf(eSg).contains("maxBins=8"), msgOf(eSg))
+    val eSe = intercept[Exception] {
+      Correlation.seasonalMannKendall(pts, seasons = 2,
+        maxBinsPerSeason = 4).collect()
+    }
+    assert(msgOf(eSe).contains("maxBinsPerSeason=4"), msgOf(eSe))
+    // at-the-cap inputs still compute, bit-identically to the uncapped form
+    val capped = Correlation.mannKendall(pts, maxBins = 20).collect()
+    val open = Correlation.mannKendall(pts).collect()
+    assert(capped.toSeq == open.toSeq)
+  }
+
   test("permutationEntropy: monotone is zero, alternating is one pattern pair") {
     import graft.events.Correlation
     val h = 3600000000L
