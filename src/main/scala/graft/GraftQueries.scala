@@ -55,6 +55,54 @@ object GraftQueries {
     (r.getLong(0), r.getLong(1))
   }
 
+  /** Exact (min, max) event time of the sf directory, served from the
+    * parquet FOOTER statistics — manual aggregate pushdown (guide §6:
+    * min/max should come from scan metadata, not a scan). 29 queries run
+    * `bounds(points(...))` at build time, each paying a scan + two
+    * aggregate stages for two longs; the value is identical by
+    * construction — grouping never changes the min/max of its own group
+    * key, `unix_micros` is monotone, the `ts` column is physical INT64
+    * micros, and parquet int64 statistics are exact (no truncation).
+    * Falls back to the scan aggregate whenever any row group lacks
+    * statistics, the column is missing, or the path is not one footer. */
+  def eventBounds(spark: SparkSession, dir: String): (Long, Long) = {
+    try {
+      val conf = spark.sparkContext.hadoopConfiguration
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(s"$dir/events.parquet"), conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try {
+        val blocks = r.getFooter.getBlocks
+        var mn = Long.MaxValue
+        var mx = Long.MinValue
+        var ok = !blocks.isEmpty
+        val bit = blocks.iterator()
+        while (ok && bit.hasNext) {
+          var found = false
+          val cit = bit.next().getColumns.iterator()
+          while (!found && cit.hasNext) {
+            val c = cit.next()
+            if (c.getPath.toDotString == "ts") {
+              found = true
+              c.getStatistics match {
+                case st: org.apache.parquet.column.statistics.LongStatistics
+                    if st.hasNonNullValue =>
+                  mn = math.min(mn, st.getMin)
+                  mx = math.max(mx, st.getMax)
+                case _ => ok = false
+              }
+            }
+          }
+          if (!found) ok = false
+        }
+        if (ok) return (mn, mx)
+      } finally r.close()
+    } catch { case scala.util.control.NonFatal(_) => () }
+    val row = spark.read.parquet(s"$dir/events.parquet")
+      .agg(min(tsUs), max(tsUs)).head()
+    (row.getLong(0), row.getLong(1))
+  }
+
   private val nullD = lit(null).cast("double")
 
   /** Skew-safe bucket for the constant-key merge family: the reference's
@@ -128,7 +176,7 @@ object GraftQueries {
 
   def qSamplePrev(spark: SparkSession, dir: String): DataFrame = {
     val pts = points(spark, dir)
-    val (tmin, tmax) = bounds(pts)
+    val (tmin, tmax) = eventBounds(spark, dir)
     Regularize.samplePrevious(pts, Regularize.gridSeq(pts, tmin, tmax, HOUR), nullD)
   }
 
@@ -142,7 +190,7 @@ object GraftQueries {
 
   def qSampleLinear(spark: SparkSession, dir: String): DataFrame = {
     val pts = points(spark, dir)
-    val (tmin, tmax) = bounds(pts)
+    val (tmin, tmax) = eventBounds(spark, dir)
     Regularize.sampleLinear(pts, Regularize.gridSeq(pts, tmin, tmax, HOUR), nullD)
       .withColumn("v", round(col("v"), 6))
   }
@@ -163,7 +211,7 @@ object GraftQueries {
   /** duration-weighted histogram of coarse states, exact µs weights. */
   def qDistribution(spark: SparkSession, dir: String): DataFrame = {
     val pts = points(spark, dir)
-    val (tmin, tmax) = bounds(pts)
+    val (tmin, tmax) = eventBounds(spark, dir)
     val segs = SeriesOps.segmentsInRange(pts, lit(tmin), lit(tmax), nullD)
     AggOps
       .distribution(segs.withColumn("v", floor(col("v") / 50).cast("double")), normalized = false)
@@ -178,7 +226,7 @@ object GraftQueries {
 
   def qDistributionMasked(spark: SparkSession, dir: String): DataFrame = {
     val pts = points(spark, dir)
-    val (tmin, tmax) = bounds(pts)
+    val (tmin, tmax) = eventBounds(spark, dir)
     val s = spark; import s.implicits._
     val jan3 = 1704240000000000L // 2024-01-03
     val mask = Seq((jan3, jan3 + DAY), (jan3 + 2 * DAY, jan3 + 3 * DAY)).toDF("m0", "m1")
@@ -207,7 +255,7 @@ object GraftQueries {
     * below 2^53, so the double arithmetic is IEEE-identical). */
   def qDistributionLinear(spark: SparkSession, dir: String): DataFrame = {
     val pts = points(spark, dir)
-    val (tmin, tmax) = bounds(pts)
+    val (tmin, tmax) = eventBounds(spark, dir)
     // lookahead: the point AT tmax is the bracketing measurement for the
     // final segment's interpolation (get(mid,"linear") bisects to it)
     val segs = SeriesOps.segmentsInRange(pts, lit(tmin), lit(tmax), nullD, lookahead = true)
@@ -239,7 +287,7 @@ object GraftQueries {
 
   def qTwaMean(spark: SparkSession, dir: String): DataFrame = {
     val pts = points(spark, dir)
-    val (tmin, tmax) = bounds(pts)
+    val (tmin, tmax) = eventBounds(spark, dir)
     val segs = SeriesOps.segmentsInRange(pts, lit(tmin), lit(tmax), nullD)
     AggOps.timeWeightedMean(segs).withColumn("mean", round(col("mean"), 6))
   }
@@ -251,7 +299,7 @@ object GraftQueries {
 
   def qNPoints(spark: SparkSession, dir: String): DataFrame = {
     val pts = points(spark, dir)
-    val (tmin, tmax) = bounds(pts)
+    val (tmin, tmax) = eventBounds(spark, dir)
     SeriesOps
       .nPointsWithNormalized(pts, lit(tmin), lit(tmax), includeStart = false, includeEnd = true)
       .withColumn("n_norm", round(col("n_norm"), 6))
@@ -267,7 +315,7 @@ object GraftQueries {
 
   def qMovingAverage(spark: SparkSession, dir: String): DataFrame = {
     val pts = points(spark, dir)
-    val (tmin, tmax) = bounds(pts)
+    val (tmin, tmax) = eventBounds(spark, dir)
     Regularize
       .movingAverage(pts, tmin, tmax, HOUR, 6 * HOUR, "center", nullD)
       .withColumn("mean", round(col("mean"), 6))
@@ -290,14 +338,14 @@ object GraftQueries {
 
   // ---------- rollup tiers (hourly from raw; daily FROM hourly; weekly FROM daily) ----------
 
-  private def dayBounds(pts: DataFrame): (Long, Long) = {
-    val (tmin, tmax) = bounds(pts)
+  private def dayBounds(spark: SparkSession, dir: String): (Long, Long) = {
+    val (tmin, tmax) = eventBounds(spark, dir)
     (Math.floorDiv(tmin, DAY) * DAY, (Math.floorDiv(tmax, DAY) + 1) * DAY)
   }
 
   def qRollupHourly(spark: SparkSession, dir: String): DataFrame = {
     val pts = points(spark, dir)
-    val (h0, h1) = dayBounds(pts)
+    val (h0, h1) = dayBounds(spark, dir)
     Rollup
       .tierStats(pts, h0, h1, HOUR)
       .withColumn("twa_mean", round(col("twa_mean"), 6))
@@ -335,7 +383,7 @@ object GraftQueries {
     * direct-daily/weekly oracle proves the cascade lossless. */
   private def hourlyHist(spark: SparkSession, dir: String): DataFrame = {
     val pts = points(spark, dir).withColumn("v", floor(col("v") / 50).cast("double"))
-    val (h0, h1) = dayBounds(pts)
+    val (h0, h1) = dayBounds(spark, dir)
     Rollup.histTier(pts, h0, h1, HOUR)
       .select(col("key"), col("bin_start"), col("v").as("state"),
         col("weight").as("weight_us"))
@@ -379,7 +427,7 @@ object GraftQueries {
 
   def qDistHourOfDay(spark: SparkSession, dir: String): DataFrame = {
     val pts = points(spark, dir).withColumn("v", floor(col("v") / 50).cast("double"))
-    val (tmin, tmax) = bounds(pts)
+    val (tmin, tmax) = eventBounds(spark, dir)
     Rollup
       .distributionByHourOfDay(SeriesOps.segmentsInRange(pts, lit(tmin), lit(tmax), nullD))
       .select(col("key"), col("hour"), col("v").as("state"), col("weight").cast("long").as("weight_us"))
@@ -398,7 +446,7 @@ object GraftQueries {
 
   def qDistDayOfWeek(spark: SparkSession, dir: String): DataFrame = {
     val pts = points(spark, dir).withColumn("v", floor(col("v") / 50).cast("double"))
-    val (tmin, tmax) = bounds(pts)
+    val (tmin, tmax) = eventBounds(spark, dir)
     Rollup
       .distributionByDayOfWeek(SeriesOps.segmentsInRange(pts, lit(tmin), lit(tmax), nullD))
       .select(col("key"), col("weekday"), col("v").as("state"), col("weight").cast("long").as("weight_us"))
@@ -463,7 +511,7 @@ object GraftQueries {
     * the duration-weighted state distribution per key. */
   def qQuantiles(spark: SparkSession, dir: String): DataFrame = {
     val pts = points(spark, dir).withColumn("v", floor(col("v") / 50).cast("double"))
-    val (tmin, tmax) = bounds(pts)
+    val (tmin, tmax) = eventBounds(spark, dir)
     val segs = SeriesOps.segmentsInRange(pts, lit(tmin), lit(tmax), nullD)
     val hist = AggOps
       .distribution(segs, normalized = false)
@@ -1134,7 +1182,7 @@ object GraftQueries {
     * directly. */
   def qSampleInterval(spark: SparkSession, dir: String): DataFrame = {
     val pts = points(spark, dir)
-    val (h0, h1) = dayBounds(pts)
+    val (h0, h1) = dayBounds(spark, dir)
     Regularize
       .sampleInterval(pts, h0, h1, 6 * HOUR, nullD)
       .select(col("key"), col("cell_start"),
@@ -1168,7 +1216,7 @@ object GraftQueries {
     * each cell's actual width. */
   def qSampleIntervalIdx(spark: SparkSession, dir: String): DataFrame = {
     val pts = points(spark, dir)
-    val (tmin, tmax) = bounds(pts)
+    val (tmin, tmax) = eventBounds(spark, dir)
     val h0 = tmin / DAY * DAY
     val h1 = (tmax / DAY + 1) * DAY
     val block = 12 * HOUR
@@ -1263,7 +1311,7 @@ object GraftQueries {
     * :139-148). */
   def qHistStats(spark: SparkSession, dir: String): DataFrame = {
     val pts = points(spark, dir).withColumn("v", floor(col("v") / 50).cast("double"))
-    val (tmin, tmax) = bounds(pts)
+    val (tmin, tmax) = eventBounds(spark, dir)
     val segs = SeriesOps.segmentsInRange(pts, lit(tmin), lit(tmax), nullD)
     val dist = AggOps.distribution(segs, normalized = false)
     val stats = AggOps.histogramStats(dist)
@@ -1343,7 +1391,7 @@ object GraftQueries {
     * (timeseries.py:975-989 over iterperiods(value=True) intervals). */
   def qMaskedNPoints(spark: SparkSession, dir: String): DataFrame = {
     val pts = points(spark, dir)
-    val (tmin, tmax) = bounds(pts)
+    val (tmin, tmax) = eventBounds(spark, dir)
     val maskSeries = SeriesOps.threshold(pts, lit(150.0))
     val mask = SeriesOps.trueIntervals(maskSeries, lit(tmin), lit(tmax), lit(0.0))
     SeriesOps.nPointsMasked(pts, mask)
@@ -1564,7 +1612,7 @@ object GraftQueries {
     * points at the global first and last measurement times. */
   def qRemovePoint(spark: SparkSession, dir: String): DataFrame = {
     val pts = points(spark, dir)
-    val (tmin, tmax) = bounds(pts)
+    val (tmin, tmax) = eventBounds(spark, dir)
     SeriesOps.removePoint(SeriesOps.removePoint(pts, lit(tmin)), lit(tmax))
   }
 
@@ -1582,7 +1630,7 @@ object GraftQueries {
     * equal. The default is deliberately NOT compared (reference quirk). */
   def qSeriesEquals(spark: SparkSession, dir: String): DataFrame = {
     val pts = points(spark, dir)
-    val (tmin, _) = bounds(pts)
+    val (tmin, _) = eventBounds(spark, dir)
     SeriesOps.seriesEqualsBy(pts, SeriesOps.removePoint(pts, lit(tmin)))
   }
 
@@ -1605,7 +1653,7 @@ object GraftQueries {
   def qSampleIntervalFfill(spark: SparkSession, dir: String): DataFrame = {
     val pts = points(spark, dir)
       .withColumn("v", when(col("v") < 150.0, nullD).otherwise(col("v")))
-    val (h0, h1) = dayBounds(pts)
+    val (h0, h1) = dayBounds(spark, dir)
     Regularize.sampleInterval(pts, h0, h1, 6 * HOUR, nullD, ffill = true)
       .select(col("key"), col("cell_start"),
         round(col("mean"), 6).as("mean"), col("min"), col("max"))
@@ -1653,7 +1701,7 @@ object GraftQueries {
     * n_points (q43), sample (here). */
   def qMaskedSample(spark: SparkSession, dir: String): DataFrame = {
     val pts = points(spark, dir)
-    val (tmin, tmax) = bounds(pts)
+    val (tmin, tmax) = eventBounds(spark, dir)
     val mask = SeriesOps.trueIntervals(
       SeriesOps.threshold(pts, lit(150.0)), lit(tmin), lit(tmax), lit(0.0))
     Regularize.sampleMasked(pts, mask, HOUR, nullD)
@@ -1803,7 +1851,7 @@ object GraftQueries {
     * before the first measurement. Oracle = DuckDB ASOF join. */
   def qStateSample(spark: SparkSession, dir: String): DataFrame = {
     val pts = statePoints(spark, dir)
-    val (tmin, tmax) = bounds(pts)
+    val (tmin, tmax) = eventBounds(spark, dir)
     val start = Math.floorDiv(tmin, 6 * HOUR) * (6 * HOUR)
     graft.categorical.CategoricalOps.sampleStates(
       pts, pts.select("key").distinct(), start, tmax, 6 * HOUR)
@@ -4206,7 +4254,7 @@ object GraftQueries {
     * the age predicate. */
   def qStaleSample(spark: SparkSession, dir: String): DataFrame = {
     val pts = points(spark, dir)
-    val (tmin, tmax) = bounds(pts)
+    val (tmin, tmax) = eventBounds(spark, dir)
     Regularize.samplePreviousStale(
       pts, Regularize.gridSeq(pts, tmin, tmax, HOUR), nullD,
       maxAgeUs = 6 * HOUR)
@@ -5471,7 +5519,7 @@ object GraftQueries {
     * how many states each series effectively lives in. */
   def qSimpson(spark: SparkSession, dir: String): DataFrame = {
     val pts = points(spark, dir)
-    val (tmin, tmax) = bounds(pts)
+    val (tmin, tmax) = eventBounds(spark, dir)
     val segs = SeriesOps.segmentsInRange(pts, lit(tmin), lit(tmax), nullD)
     AggOps.simpsonDiversity(
       AggOps.distribution(
@@ -5689,7 +5737,7 @@ object GraftQueries {
     * drawing a line across the outage. */
   def qBoundedSample(spark: SparkSession, dir: String): DataFrame = {
     val pts = points(spark, dir)
-    val (tmin, tmax) = bounds(pts)
+    val (tmin, tmax) = eventBounds(spark, dir)
     Regularize.sampleLinearBounded(
       pts, Regularize.gridSeq(pts, tmin, tmax, HOUR), nullD,
       maxGapUs = 4 * HOUR)
@@ -5715,7 +5763,7 @@ object GraftQueries {
     * the tier that answered. */
   def qImputeSeasonal(spark: SparkSession, dir: String): DataFrame = {
     val pts = points(spark, dir)
-    val (tmin, tmax) = bounds(pts)
+    val (tmin, tmax) = eventBounds(spark, dir)
     Regularize.imputeSeasonal(
       pts, Regularize.gridSeq(pts, tmin, tmax, HOUR), maxGapUs = 4 * HOUR)
   }
@@ -6608,7 +6656,7 @@ object GraftQueries {
     * The oracle rebuilds every tier and replays the horizon filters. */
   def qRetentionSweep(spark: SparkSession, dir: String): DataFrame = {
     val pts = points(spark, dir)
-    val (_, tmax) = bounds(pts)
+    val (_, tmax) = eventBounds(spark, dir)
     val (r, h, d, w) = Rollup.applyRetention(
       pts, hourlyHist(spark, dir), qRollupDaily(spark, dir),
       qRollupWeekly(spark, dir), nowUs = tmax,
@@ -6654,7 +6702,7 @@ object GraftQueries {
     * bit; ONE final division rounded to 6 dp. */
   def qBusinessHours(spark: SparkSession, dir: String): DataFrame = {
     val pts = points(spark, dir)
-    val (tmin, tmax) = bounds(pts)
+    val (tmin, tmax) = eventBounds(spark, dir)
     val segs = SeriesOps.segmentsInRange(pts, lit(tmin), lit(tmax), nullD)
     val cells = Regularize.splitAtCells(segs, lit(0L), lit(HOUR))
     val wk = pmod(floor(col("cell_start") / DAY) + 3, lit(7))
@@ -6694,7 +6742,7 @@ object GraftQueries {
     * irregular month floor. Exact long durations, one division. */
   def qUptimeSlo(spark: SparkSession, dir: String): DataFrame = {
     val pts = points(spark, dir)
-    val (h0, h1) = dayBounds(pts)
+    val (h0, h1) = dayBounds(spark, dir)
     val segs = SeriesOps.segmentsInRange(pts, lit(h0), lit(h1), nullD)
     val dur = col("t1") - col("t0")
     Regularize.splitAtCells(segs, lit(0L), lit(DAY))
@@ -6779,7 +6827,7 @@ object GraftQueries {
     * hourly tier — a hash match proves stitched ≡ recomputed. */
   def qTierStitch(spark: SparkSession, dir: String): DataFrame = {
     val pts = points(spark, dir)
-    val (h0, h1) = dayBounds(pts)
+    val (h0, h1) = dayBounds(spark, dir)
     // materialization watermark (hour-aligned), clamped to the tier
     // start: on a table spanning under 14 days an unclamped watermark
     // would make the raw tail re-aggregate [wm, h0) and emit
@@ -6938,7 +6986,7 @@ object GraftQueries {
     * the end. */
   def qKsDrift(spark: SparkSession, dir: String): DataFrame = {
     val pts = points(spark, dir)
-    val (tmin, tmax) = bounds(pts)
+    val (tmin, tmax) = eventBounds(spark, dir)
     graft.stats.TwoSample.ks(pts, lit((tmin + tmax) / 2))
       .select(col("key"), col("n_a"), col("n_b"), col("d_num"), col("d"))
   }
@@ -6977,7 +7025,7 @@ object GraftQueries {
     * superiority effect size. */
   def qMwuDrift(spark: SparkSession, dir: String): DataFrame = {
     val pts = points(spark, dir)
-    val (tmin, tmax) = bounds(pts)
+    val (tmin, tmax) = eventBounds(spark, dir)
     graft.stats.TwoSample.mannWhitney(pts, lit((tmin + tmax) / 2))
       .select(col("key"), col("n_a"), col("n_b"), col("u2"), col("auc"))
   }
@@ -7078,7 +7126,7 @@ object GraftQueries {
     * differences, not the single worst point). */
   def qCvmDrift(spark: SparkSession, dir: String): DataFrame = {
     val pts = points(spark, dir)
-    val (tmin, tmax) = bounds(pts)
+    val (tmin, tmax) = eventBounds(spark, dir)
     graft.stats.TwoSample.cvm(pts, lit((tmin + tmax) / 2))
       .select(col("key"), col("n_a"), col("n_b"), col("t_stat"))
   }
@@ -7104,7 +7152,7 @@ object GraftQueries {
     * original value units — "how far did the distribution move". */
   def qWassersteinDrift(spark: SparkSession, dir: String): DataFrame = {
     val pts = points(spark, dir)
-    val (tmin, tmax) = bounds(pts)
+    val (tmin, tmax) = eventBounds(spark, dir)
     graft.stats.TwoSample.wasserstein1(pts, lit((tmin + tmax) / 2))
       .select(col("key"), col("n_a"), col("n_b"), col("w1"))
   }

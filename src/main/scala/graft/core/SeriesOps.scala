@@ -609,7 +609,16 @@ object SeriesOps {
     // between the flag and the running sum (the sessionize tie lesson;
     // duplicates here have NO distinguishing column to pin, so the only
     // tie-insensitive formulation is to remove the ties)
-    val dd = df.groupBy(col(K), col("t0"), col("t1"))
+    // plain path: establish hash(key) ONCE before the dedupe (guide §2.4)
+    // — the dedupe aggregate, the island window and the downstream island
+    // groupBy all live inside one exchange instead of three (the dedupe's
+    // (key,t0,t1) spread bought nothing: the very next window serializes
+    // per key anyway, and hot keys take the bucketed path)
+    val dd0 = bucketBy match {
+      case None => df.repartition(col(K))
+      case _    => df
+    }
+    val dd = dd0.groupBy(col(K), col("t0"), col("t1"))
       .agg(count(lit(1)).as("_dup"))
     val flagged = bucketBy match {
       case None =>
@@ -692,11 +701,17 @@ object SeriesOps {
       t.as(T),
       when(sideA, lit(sign)).otherwise(lit(0L)).as("_da"),
       when(sideA, lit(0L)).otherwise(lit(sign)).as("_db"))
+    // the sweep regroups by the OUTER key (the union ran on the composite
+    // (key, side)), so one repartition(key) here lets the boundary
+    // aggregate AND the two running-sum windows below share a single
+    // exchange — before, the groupBy shuffled on (key, t) and the windows
+    // paid a second full (key) exchange on top
     val bounds = u
       .select(col(K).getField("k").as(K),
         explode(array(delta(col("u0"), 1L), delta(col("u1"), -1L))).as("_e"))
       .select(col(K), col("_e")(T).as(T),
         col("_e")("_da").as("_da"), col("_e")("_db").as("_db"))
+      .repartition(col(K))
       .groupBy(col(K), col(T))
       .agg(sum(col("_da")).as("_da"), sum(col("_db")).as("_db"))
     val w = Window.partitionBy(K).orderBy(col(T).asc)

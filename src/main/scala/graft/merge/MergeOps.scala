@@ -228,15 +228,14 @@ object MergeOps {
         //    rides in on a broadcast join from the tiny closings table. The
         //    skewed hash(key, sid) lag exchange of the naive plan never
         //    happens — a hot series spreads over its time buckets.
-        // The big (key, bucket) exchange is established FIRST and shared
-        // (guide §2.4): the closings aggregate below runs exchange-free on
-        // top of it (hash(key,bkt) clusters every (key,sid,bkt) group), and
-        // the row side reuses the SAME shuffle via ReusedExchange — before
-        // this, the closings branch re-ran the whole upstream scan+aggregate
-        // and paid its own partial-agg shuffle (subtrees prune differently,
-        // so exchange reuse could not dedupe them).
+        // NOTE (r6, measured): a shared repartition(key, bucket) ahead of
+        // the closings aggregate looks like one saved exchange, but it
+        // trades away the closings branch's MAP-SIDE partial aggregation
+        // and makes both branches re-READ the full-row shuffle — the 24M
+        // skew leg ran 2.5x slower (11.5 s -> 28.8 s). Guide §2.3
+        // ("aggregate before you shuffle") wins here: the closings branch
+        // re-scans the (cheap) source and shuffles only aggregated rows.
         val withB = withDef.withColumn("_bkt", bk)
-          .repartition(col(K), col("_bkt"))
         // scalar max_by (primitive buffer) keeps this branch in
         // HashAggregate with map-side combine — a struct-valued max_by
         // would fall back to SortAggregate and full-data pre-sorts. Every
@@ -281,13 +280,11 @@ object MergeOps {
         // clusterings below ({key,_bkt} ⊆ {key,sid,_bkt}), so the in-bucket
         // per-sid lag and the running sums share it; AQE broadcasts the
         // handoff side when small, else degrades to a co-partitioned join
-        // withB is already hash(key, bucket)-clustered (shared exchange
-        // above), so the broadcast join leaves the big side in place and
-        // the windows below need no further exchange
         val placed = withB
           .join(handoff,
             col(K) <=> col("_hk") && col("sid") <=> col("_hs") && col("_bkt") <=> col("_hb"))
           .drop("_hk", "_hs", "_hb")
+          .repartition(col(K), col("_bkt"))
         val wLag = Window.partitionBy(col(K), col("sid"), col("_bkt")).orderBy(col(T))
         val prevStruct = lag(struct(col(V)), 1).over(wLag)
         val wIn = graft.core.BucketedOps.wInBucket(ties)
