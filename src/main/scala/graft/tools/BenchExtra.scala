@@ -72,8 +72,35 @@ object BenchExtra {
     spark.sparkContext.addSparkListener(counter)
     val names = if (args.nonEmpty) args.toSeq else defaultSlowest
     val qs = graft.SparkEntry.queries
-    names.foreach { name =>
-      qs.get(name) match {
+    // leg profiling: "rollup:8000000", "merge:20000000", "skewb:24000000",
+    // "skewp:24000000" run the Bench throughput jobs under the counter
+    val leg = "(rollup|merge|skewb|skewp):([0-9]+)".r
+    names.foreach {
+      case name @ leg(kind, n) =>
+        val rows = n.toLong
+        def job(): Unit = kind match {
+          case "rollup" => graft.Bench.rollupJob(spark, rows); ()
+          case "merge"  => graft.Bench.mergeJob(spark, rows); ()
+          case "skewb"  => graft.Bench.mergeSkewJob(spark, rows, bucketed = true); ()
+          case "skewp"  => graft.Bench.mergeSkewJob(spark, rows, bucketed = false); ()
+        }
+        spark.sparkContext.setJobDescription(s"extra:$name")
+        graft.Bench.reclaim(spark)
+        job() // warmup
+        val times = (1 to reps).map { _ =>
+          spark.catalog.clearCache()
+          counter.reset()
+          val t0 = System.nanoTime()
+          job()
+          val t1 = System.nanoTime()
+          Thread.sleep(50)
+          ((t1 - t0) / 1e9, counter.jobs, counter.stages, counter.tasks)
+        }
+        val best = times.minBy(_._1)
+        println(f"$name%-26s min=${best._1}%7.3f s  jobs=${best._2}%3d stages=${best._3}%3d tasks=${best._4}%5d  all=${times.map(t => f"${t._1}%.3f").mkString(",")}")
+        if (sys.env.getOrElse("SPARK_GRAFT_STAGES", "0") == "1")
+          counter.stageLog.foreach(println)
+      case name => qs.get(name) match {
         case None => System.err.println(s"[extra] unknown query $name")
         case Some(fn) =>
           def run(): Unit =
