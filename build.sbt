@@ -29,11 +29,15 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // 12g default (measured): 8g OOMs the 80M-point scale probe
-  // (UNABLE_TO_ACQUIRE_MEMORY in the window sorts) while 48g slows the
-  // small jobs ~30% (GC geometry); 12g runs every bench job and is
-  // fastest at 80M (45.5s vs 59s at 16-48g)
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "12g")}",
+  // 16g default. History: 8g OOMs the 80M scale probe; 12g was fastest
+  // under the pre-r6 GC geometry but a full bench run still heap-OOM'd
+  // the 8M rollup leg ONCE this round (broadcast/cache residue after the
+  // 165-query battery — the round-5-documented pressure class, fatal to
+  // the whole artifact when it hits). Re-measured under G1 32 MiB
+  // regions: 16g is within noise of 12g on the big legs (rollup 80M
+  // 34.3 s vs 36.7 s, merge 200M 44.6 s vs 41.5 s) and buys the OOM
+  // headroom; the periodicGC cleaner below drains the residue besides.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
   // Tungsten's TaskMemoryManager hands every sort/aggregate/window task
   // 8 MiB pages (maxMemory/cores/16 clamped); at 12g, G1 picks 4 MiB
   // regions, so EVERY page is a humongous allocation — BenchExtra stage
@@ -60,6 +64,13 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // Streaming temp checkpoints (q221) suffer the same many-small-files tax.
   // (java.io.tmpdir must exist; created below at build load.)
   s"-Djava.io.tmpdir=${sys.env.getOrElse("SPARK_GRAFT_TMPDIR", "/dev/shm/jvm-tmp")}",
+  // Broadcast HashedRelations and cached blocks are reclaimed only when a
+  // GC collects their weak refs and ContextCleaner reaps them; after a
+  // 165-query battery the mostly-idle 12g heap can reach the next big
+  // window sort with the pool still full (round-5 note; one heap-OOM of
+  // the 8M rollup leg reproduced this round). A periodic driver GC keeps
+  // the reference queue draining during long multi-query runs.
+  "-Dspark.cleaner.periodicGC.interval=2min",
 )
 // the JVM does not create java.io.tmpdir (and Spark only mkdirs its own
 // blockmgr subdirs) — ensure both roots exist before any forked run

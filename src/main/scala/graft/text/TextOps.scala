@@ -149,7 +149,11 @@ object TextOps {
     * is the trap. `repetition_keep` applies the published thresholds
     * (top-2-gram ≤ 0.20 is Gopher's; duplicate-line ≤ 0.30).
     */
-  private case class RepFeats(
+  // NOT private: the UDF's product encoder generates Java that calls the
+  // field accessors — a private case class fails Janino compilation and
+  // silently drops every task to interpreted projections (plus one failed
+  // compile attempt per task)
+  case class RepFeats(
       n_lines: Option[Int], dup_line_frac: Double,
       total_2grams: Long, distinct_2grams: Long,
       top_2gram_frac: Double, dup_2gram_frac: Double,
